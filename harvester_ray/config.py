@@ -1,0 +1,51 @@
+"""Pipeline configuration.
+
+Replaces the reference's registry-API Collection lookup + akara.ini env
+config (harvester/collection_registry_client.py:86-169,
+harvester/config.py:25-78) with a plain dataclass; every knob that
+matters at 100 TB scale is explicit here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Knobs for the index build.
+
+    Scale notes (sized for a 256-node cluster streaming ~100 TB):
+
+    - ``block_size``: postings per compressed block; 128 is the classic
+      Block-Max WAND granularity.
+    - ``salt_df_threshold``: terms with global df >= threshold are
+      "head" terms whose postings groups are salted into
+      ``salt_buckets`` doc_id-range sub-groups before the term groupby,
+      so no single group exceeds worker memory (SURVEY.md §4 skew row).
+      Buckets are *ordered* by doc_id high bits, so concatenating
+      sub-group blocks preserves global doc_id order.
+    - ``tokenize_batch_size``: rows per tokenize batch. Text rows are
+      ~KBs; 4096 rows ≈ a few MB per batch.
+    - ``extract_batch_size``: rows per HTML-extraction batch. HTML rows
+      can be MBs, keep small (FIXTURES/SURVEY hard part (f)).
+    """
+
+    bm25: BM25Params = field(default_factory=BM25Params)
+    block_size: int = 128
+    salt_df_threshold: int = 100_000
+    salt_buckets: int = 64
+    tokenize_batch_size: int = 4096
+    extract_batch_size: int = 128
+    extract_concurrency: int | tuple[int, int] = 4
+    # columns pruned at the read for the build (prune-at-the-read rule)
+    doc_columns: tuple[str, ...] = ("doc_id", "text")
+
+
+DEFAULT_INDEX_CONFIG = IndexConfig()

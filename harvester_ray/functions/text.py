@@ -1,0 +1,120 @@
+"""Text normalization, tokenization and stable hashing.
+
+The analyzer contract — ONE definition used by every engine component
+and by the DuckDB oracle SQL, so postings / BM25 ranks are comparable
+across all three:
+
+    tokens(text) == re.findall('[a-z0-9]+', text.lower())
+                 == DuckDB regexp_extract_all(lower(text), '[a-z0-9]+')
+                 == non-empty pieces of
+                    pyarrow.compute.split_pattern_regex(utf8_lower(text),
+                                                        '[^a-z0-9]+')
+
+This is the new-engine analog of the reference's text normalizer
+``normalize_sort_field`` (casefold + punctuation strip,
+harvester/solr_updater.py:561-573 — RE_ALPHANUMSPACE at :30), promoted
+from a sort-key helper to the index analyzer.
+
+``hash64`` is the stable document/term id derivation — the analog of
+the reference's md5-of-id fallback for stable unique ids
+(``get_solr_id``, harvester/solr_updater.py:380-384). blake2b is
+seedless and process-independent, so two runs / two cluster sizes
+assign identical ids (SURVEY.md §7 hard part (d)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Python-side tokenizer (queries, oracles, tests).
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+# The same pattern as embedded in DuckDB oracle SQL.
+TOKEN_SQL_RE = "[a-z0-9]+"
+# Arrow split pattern: the complement (split on runs of non-token chars).
+_SPLIT_PATTERN = "[^a-z0-9]+"
+
+_ARTICLES = ("the ", "a ", "an ")
+_RE_ALPHANUMSPACE = re.compile(r"[^0-9A-Za-z\s]+")
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Tokenize one string (query side / oracle side)."""
+    if not text:
+        return []
+    return TOKEN_RE.findall(text.lower())
+
+
+def tokenize_column(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Vectorized tokenizer: string column -> list<string> of tokens.
+
+    Pure Arrow kernels (utf8_lower + split_pattern_regex); empty pieces
+    produced by leading/trailing separators are kept here — callers
+    filter them after flattening (cheaper than per-list filtering).
+    """
+    lowered = pc.utf8_lower(pc.fill_null(col, ""))
+    return pc.split_pattern_regex(lowered, _SPLIT_PATTERN)
+
+
+def flatten_tokens(
+    tokens: pa.ChunkedArray | pa.Array,
+) -> tuple[pa.Array, pa.Array]:
+    """list<string> tokens -> (flat non-empty tokens, parent row indices)."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parent.filter(keep)
+
+
+def normalize_sort_text(text: str | None) -> str:
+    """Reference-parity sort-key normalizer.
+
+    Mirrors ``normalize_sort_field`` (harvester/solr_updater.py:561-573):
+    lowercase, strip non-alphanumeric-non-space, collapse whitespace,
+    drop a leading English article; empty input -> '~title unknown'
+    (sorts after everything alphabetical, as in the reference).
+    """
+    if not text:
+        return "~title unknown"
+    s = _RE_ALPHANUMSPACE.sub("", text.lower())
+    s = " ".join(s.split())
+    for art in _ARTICLES:
+        if s.startswith(art):
+            s = s[len(art):]
+            break
+    return s if s else "~title unknown"
+
+
+def hash64_bytes(data: bytes) -> int:
+    """Stable 64-bit signed hash of bytes (blake2b-8, big-endian)."""
+    h = hashlib.blake2b(data, digest_size=8).digest()
+    return int.from_bytes(h, "big", signed=True)
+
+
+def hash64(text: str) -> int:
+    """Stable 64-bit signed hash of a unicode string (utf-8)."""
+    return hash64_bytes(text.encode("utf-8"))
+
+
+def hash64_array(strings: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
+    """hash64 over a string column -> int64 ndarray.
+
+    Hot-path note: callers hash only *unique* values per batch
+    (dictionary-encode first); per-unique-value Python cost is then
+    bounded by vocabulary size, not row count.
+    """
+    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = strings.to_pylist()
+    out = np.empty(len(strings), dtype=np.int64)
+    blake2b = hashlib.blake2b
+    from_bytes = int.from_bytes
+    for i, s in enumerate(strings):
+        d = blake2b((s or "").encode("utf-8"), digest_size=8).digest()
+        out[i] = from_bytes(d, "big", signed=True)
+    return out

@@ -1,0 +1,393 @@
+"""Inverted-index build: SPIMI partials → dictionary → salted term
+groupby → varint/block-max segments.
+
+This is the Ray-Data-native re-expression of the reference's
+couch→solr index sync (``sync_couch_collection_to_solr``,
+harvester/solr_updater.py:831-872: validate → map → index-write) with
+Solr replaced by our own segment format. Pipeline shape (SURVEY.md §7):
+
+    read_parquet(docs)
+      → map_batches(spimi_postings_batch)          # stateless combiner
+      → write_parquet(postings/)                   # stage checkpoint
+    read(postings) → partial agg → groupby(term).sum → dictionary/
+    read(postings) → salt head terms → groupby(term_id, salt)
+      → map_groups(encode_term_group)              # THE wide shuffle
+      → write_parquet(segments/)
+
+Scale design:
+- The only all-to-all exchange is the term_id groupby. Its input is
+  already combined (one row per (term, doc) per batch), and head terms
+  (global df ≥ ``salt_df_threshold``) are salted into ordered,
+  disjoint doc_id-range sub-groups so no group exceeds worker memory;
+  sub-group blocks concatenate into a globally doc_id-sorted posting
+  list without a re-merge (SURVEY.md §4 "queue priority / skew" row).
+- The dictionary build pre-aggregates per batch before its groupby, so
+  the shuffle moves one row per (term, batch), not one per posting.
+- The head-term df map is broadcast via ``ray.put`` once and read once
+  per worker — never shipped per batch.
+- ``doc_id``/``term_id`` are stable blake2b hashes (functions/text.py),
+  so two runs or two cluster sizes produce identical segments
+  (SURVEY.md §7 hard part (d)).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
+from harvester_ray.functions.codec import varint_encode
+from harvester_ray.functions.text import flatten_tokens, hash64_array, tokenize_column
+
+ENGINE_VERSION = 1
+
+# Map signed int64 order onto unsigned order (flip the sign bit), so
+# salt buckets are *ordered, disjoint* doc_id ranges in signed order.
+_SIGN_FLIP = np.uint64(1) << np.uint64(63)
+
+
+@dataclass(frozen=True)
+class IndexPaths:
+    root: str
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def dictionary(self) -> str:
+        return os.path.join(self.root, "dictionary")
+
+    @property
+    def doc_table(self) -> str:
+        return os.path.join(self.root, "doc_table")
+
+    @property
+    def segments(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+
+def spimi_postings_batch(batch: pa.Table) -> pa.Table:
+    """SPIMI combiner: a batch of (doc_id, text) → (term, term_id,
+    doc_id, tf, doc_len) posting rows, aggregated within the batch.
+
+    All-Arrow: utf8_lower + regex split + list_flatten + group_by; the
+    only Python loop is hashing the batch's *unique* terms (vocabulary-
+    bounded). ``doc_len`` rides along on every posting row so scoring
+    needs no doc-table join at query time (impact-style layout).
+    """
+    toks = tokenize_column(batch["text"])
+    flat, parent = flatten_tokens(toks)
+    doc_ids = pc.take(
+        batch["doc_id"].combine_chunks()
+        if isinstance(batch["doc_id"], pa.ChunkedArray)
+        else batch["doc_id"],
+        parent,
+    )
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "term_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int32()),
+                "doc_len": pa.array([], pa.int32()),
+            }
+        )
+    pairs = pa.table({"term": flat, "doc_id": doc_ids})
+    agg = pairs.group_by(["term", "doc_id"]).aggregate([("term", "count")])
+    tf = agg["term_count"].cast(pa.int32())
+    # doc_len = total tokens per doc in this batch (docs never span batches)
+    lens = pairs.group_by(["doc_id"]).aggregate([("term", "count")])
+    len_ids = lens["doc_id"].to_numpy(zero_copy_only=False)
+    len_vals = lens["term_count"].to_numpy(zero_copy_only=False).astype(np.int32)
+    order = np.argsort(len_ids, kind="stable")
+    len_ids, len_vals = len_ids[order], len_vals[order]
+    agg_doc = agg["doc_id"].to_numpy(zero_copy_only=False)
+    doc_len = len_vals[np.searchsorted(len_ids, agg_doc)]
+    # hash only unique terms, then scatter via dictionary indices
+    dict_arr = pc.dictionary_encode(agg["term"].combine_chunks())
+    uniq_hashes = hash64_array(dict_arr.dictionary)
+    term_id = uniq_hashes[dict_arr.indices.to_numpy(zero_copy_only=False)]
+    return pa.table(
+        {
+            "term": agg["term"],
+            "term_id": pa.array(term_id, pa.int64()),
+            "doc_id": agg["doc_id"],
+            "tf": tf,
+            "doc_len": pa.array(doc_len, pa.int32()),
+        }
+    )
+
+
+def _dictionary_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for the dictionary groupby: one row per term
+    per batch with partial df (posting count) and cf (sum of tf)."""
+    agg = batch.group_by(["term", "term_id"]).aggregate(
+        [("doc_id", "count"), ("tf", "sum")]
+    )
+    return pa.table(
+        {
+            "term": agg["term"],
+            "term_id": agg["term_id"],
+            "df_part": agg["doc_id_count"].cast(pa.int64()),
+            "cf_part": agg["tf_sum"].cast(pa.int64()),
+        }
+    )
+
+
+def bm25_score(
+    tf: np.ndarray,
+    doc_len: np.ndarray,
+    df: float,
+    n_docs: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> np.ndarray:
+    """Vectorized BM25 (Lucene-style non-negative idf):
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    The single scoring definition shared by build (block maxes), query
+    engine, the pure-Python oracle, and the DuckDB oracle SQL."""
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    tf = tf.astype(np.float64)
+    dl = doc_len.astype(np.float64)
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def make_salter(head_ref: "ray.ObjectRef | None", n_buckets: int):
+    """Returns a map_batches fn adding a ``salt`` column.
+
+    Head terms (term_id in the broadcast set) are salted by the top 6
+    bits of sign-flipped doc_id → ordered disjoint ranges; tail terms
+    get salt 0. ``head_ref`` is a ray.put ObjectRef (broadcast once,
+    fetched once per worker process via a module-level cache).
+    """
+    shift = np.uint64(64 - int(math.log2(n_buckets)))
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if head_ref is None:
+            salt = np.zeros(len(batch), dtype=np.int32)
+        else:
+            head_ids = _get_broadcast(head_ref)
+            tid = batch["term_id"].to_numpy(zero_copy_only=False)
+            did = batch["doc_id"].to_numpy(zero_copy_only=False)
+            bucket = ((did.view(np.uint64) ^ _SIGN_FLIP) >> shift).astype(np.int32)
+            salt = np.where(np.isin(tid, head_ids), bucket, 0).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt, pa.int32()))
+
+    return add_salt
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_broadcast(ref):
+    """Fetch a broadcast ObjectRef once per worker process."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def make_term_group_encoder(
+    n_docs: float,
+    avgdl: float,
+    cfg: IndexConfig,
+    head_df_ref: "ray.ObjectRef | None" = None,
+):
+    """Returns the map_groups fn encoding one (term_id, salt) group into
+    compressed block rows.
+
+    Block layout per FIXTURES.md §3: postings sorted by doc_id, split
+    into ``cfg.block_size`` runs; per block store first/last doc_id,
+    varint doc_id gaps (gap[0] = 0 relative to first_doc_id), varint
+    tfs, varint doc_lens, and the true max BM25 score of the block
+    (block-max metadata for Block-Max WAND).
+    """
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    bs = cfg.block_size
+
+    def encode(group: pa.Table) -> pa.Table:
+        doc_id = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc_id, kind="stable")
+        doc_id = doc_id[order]
+        tf = group["tf"].to_numpy(zero_copy_only=False)[order]
+        dl = group["doc_len"].to_numpy(zero_copy_only=False)[order]
+        term = group["term"][0].as_py()
+        term_id = group["term_id"][0].as_py()
+        salt = group["salt"][0].as_py() if "salt" in group.column_names else 0
+        n = len(doc_id)
+        if salt == 0 and head_df_ref is None:
+            df = n
+        else:
+            head_df = _get_broadcast(head_df_ref) if head_df_ref is not None else {}
+            df = int(head_df.get(term_id, n))
+        scores = bm25_score(tf, dl, df, n_docs, avgdl, k1, b)
+        rows = {
+            "term": [], "term_id": [], "df": [], "salt": [], "block_id": [],
+            "first_doc_id": [], "last_doc_id": [], "n": [],
+            "doc_id_deltas": [], "tfs": [], "doc_lens": [], "block_max_score": [],
+        }
+        for bi, lo in enumerate(range(0, n, bs)):
+            hi = min(lo + bs, n)
+            ids = doc_id[lo:hi]
+            gaps = np.empty(hi - lo, dtype=np.uint64)
+            gaps[0] = 0
+            np.subtract(ids[1:], ids[:-1], out=gaps[1:], casting="unsafe")
+            rows["term"].append(term)
+            rows["term_id"].append(term_id)
+            rows["df"].append(df)
+            rows["salt"].append(salt)
+            rows["block_id"].append(bi)
+            rows["first_doc_id"].append(int(ids[0]))
+            rows["last_doc_id"].append(int(ids[-1]))
+            rows["n"].append(hi - lo)
+            rows["doc_id_deltas"].append(varint_encode(gaps))
+            rows["tfs"].append(varint_encode(tf[lo:hi]))
+            rows["doc_lens"].append(varint_encode(dl[lo:hi]))
+            rows["block_max_score"].append(float(scores[lo:hi].max()))
+        return pa.table(
+            {
+                "term": pa.array(rows["term"], pa.string()),
+                "term_id": pa.array(rows["term_id"], pa.int64()),
+                "df": pa.array(rows["df"], pa.int64()),
+                "salt": pa.array(rows["salt"], pa.int32()),
+                "block_id": pa.array(rows["block_id"], pa.int32()),
+                "first_doc_id": pa.array(rows["first_doc_id"], pa.int64()),
+                "last_doc_id": pa.array(rows["last_doc_id"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int32()),
+                "doc_id_deltas": pa.array(rows["doc_id_deltas"], pa.binary()),
+                "tfs": pa.array(rows["tfs"], pa.binary()),
+                "doc_lens": pa.array(rows["doc_lens"], pa.binary()),
+                "block_max_score": pa.array(rows["block_max_score"], pa.float32()),
+            }
+        )
+
+    return encode
+
+
+def _doc_table_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct (doc_id, doc_len). Docs never span tokenize
+    batches, and postings parquet preserves that row locality, so a
+    global groupby would only dedupe rows split across parquet row-group
+    boundaries — handled by the final small groupby in build_index."""
+    agg = batch.group_by(["doc_id"]).aggregate([("doc_len", "max")])
+    return pa.table(
+        {"doc_id": agg["doc_id"], "doc_len": agg["doc_len_max"].cast(pa.int32())}
+    )
+
+
+def build_index(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+    n_docs: int | None = None,
+) -> IndexPaths:
+    """Run the full build. ``docs`` must have columns (doc_id, text).
+
+    ``n_docs`` (corpus size incl. zero-token docs — it feeds idf and
+    avgdl) can be passed when the caller already knows it; otherwise a
+    metadata-cheap ``docs.count()`` runs first.
+    """
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    if n_docs is None:
+        n_docs = docs.count()
+
+    # Stage 1: SPIMI partial postings (stateless tasks) → checkpoint.
+    postings = docs.map_batches(
+        spimi_postings_batch,
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+        zero_copy_batch=True,
+    )
+    postings.write_parquet(paths.postings)
+
+    # Global stats from the checkpoint (column-pruned read of tf only).
+    total_tokens = ray.data.read_parquet(paths.postings, columns=["tf"]).sum("tf")
+    total_tokens = int(total_tokens or 0)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    # Stage 2: dictionary — partial agg per batch, then the (small)
+    # term groupby over combined rows.
+    postings_ds = ray.data.read_parquet(paths.postings)
+    dictionary = (
+        postings_ds.map_batches(_dictionary_partial, batch_format="pyarrow")
+        .groupby(["term", "term_id"])
+        .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
+    )
+    dictionary.write_parquet(paths.dictionary)
+
+    # term_id collision check (vocabulary-scale, cheap): a blake2b-64
+    # collision would silently merge two terms' postings.
+    dict_tbl = ray.data.read_parquet(paths.dictionary, columns=["term_id"])
+    n_terms = dict_tbl.count()
+    n_ids = dict_tbl.unique("term_id")
+    if len(n_ids) != n_terms:
+        raise RuntimeError(
+            f"term_id hash collision: {n_terms} terms -> {len(n_ids)} ids; "
+            "rehash with a salt (not expected below ~2^30 terms)"
+        )
+
+    # Stage 3: doc table (no shuffle — per-batch distinct + tiny final dedupe).
+    doc_tbl = (
+        ray.data.read_parquet(paths.postings, columns=["doc_id", "doc_len"])
+        .map_batches(_doc_table_batch, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(ray.data.aggregate.Max("doc_len", alias_name="doc_len"))
+    )
+    doc_tbl.write_parquet(paths.doc_table)
+
+    # Stage 4: segments — THE wide shuffle, salted for head terms.
+    head = (
+        ray.data.read_parquet(paths.dictionary)
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], cfg.salt_df_threshold)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    head_ref = None
+    head_df_ref = None
+    if len(head):
+        head_ref = ray.put(head["term_id"].to_numpy())
+        head_df_ref = ray.put(dict(zip(head["term_id"], head["df"].astype(int))))
+
+    salted = ray.data.read_parquet(paths.postings).map_batches(
+        make_salter(head_ref, cfg.salt_buckets), batch_format="pyarrow"
+    )
+    segments = salted.groupby(["term_id", "salt"]).map_groups(
+        make_term_group_encoder(float(n_docs), avgdl, cfg, head_df_ref),
+        batch_format="pyarrow",
+    )
+    segments.write_parquet(paths.segments)
+
+    with open(paths.stats, "w") as f:
+        json.dump(
+            {
+                "n_docs": int(n_docs),
+                "total_tokens": total_tokens,
+                "avgdl": avgdl,
+                "n_terms": int(n_terms),
+                "k1": cfg.bm25.k1,
+                "b": cfg.bm25.b,
+                "block_size": cfg.block_size,
+                "engine_version": ENGINE_VERSION,
+            },
+            f,
+        )
+    return paths

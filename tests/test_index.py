@@ -1,0 +1,141 @@
+"""Index build + query correctness vs the pure-Python oracle and DuckDB.
+
+Mirrors the reference's golden-value + count-reconciliation test
+strategy (SURVEY.md §5).
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from harvester_ray.config import BM25Params, IndexConfig
+from harvester_ray.functions.text import tokenize
+from harvester_ray.index.build import build_index, spimi_postings_batch
+from harvester_ray.index.oracle import OracleIndex
+from harvester_ray.index.query import InvertedIndex, QueryActor
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+# query set spanning head/mid/rare/OOV terms of the testdata vocabulary
+QUERIES = [
+    ("scan", "or"),
+    ("scan join", "or"),
+    ("scan join", "and"),
+    ("dup", "or"),
+    ("dup merge sort", "or"),
+    ("dup merge sort", "and"),
+    ("zzzq", "or"),            # OOV
+    ("zzzq scan", "or"),       # OOV + head
+    ("zzzq scan", "and"),      # OOV in conjunction -> empty
+    ("the a key value", "or"),
+    ("window window window", "or"),  # duplicate terms collapse
+    ("vector stream big slow", "and"),
+]
+
+
+def _oracle_rows():
+    con = duckdb.connect()
+    return con.execute(f"SELECT doc_id, text FROM '{DOCS}'").fetchall()
+
+
+def test_spimi_batch_shapes():
+    batch = pa.table({"doc_id": [1, 2, 3], "text": ["a b a", "", "b c"]})
+    out = spimi_postings_batch(batch)
+    rows = {(r["term"], r["doc_id"]): (r["tf"], r["doc_len"]) for r in out.to_pylist()}
+    assert rows[("a", 1)] == (2, 3)
+    assert rows[("b", 1)] == (1, 3)
+    assert rows[("b", 3)] == (1, 2)
+    assert rows[("c", 3)] == (1, 2)
+    assert ("", 2) not in rows and len(rows) == 4
+
+
+def test_postings_match_oracle(built_index):
+    idx = InvertedIndex(built_index.root)
+    oracle = OracleIndex(_oracle_rows())
+    assert idx.n_docs == oracle.n_docs
+    assert idx.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+    assert set(idx.dictionary) == set(oracle.postings)
+    for term, (tid, df, cf) in idx.dictionary.items():
+        assert df == len(oracle.postings[term]), term
+        assert cf == sum(oracle.postings[term].values()), term
+        p = idx.postings(term)
+        assert list(p.doc_ids) == sorted(oracle.postings[term])
+        for d, tf, dl in zip(p.doc_ids, p.tfs, p.doc_lens):
+            assert tf == oracle.postings[term][d]
+            assert dl == oracle.doc_len[d]
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_search_rank_identical_to_oracle(built_index, query, mode):
+    idx = InvertedIndex(built_index.root, preload=True)
+    oracle = OracleIndex(_oracle_rows())
+    got = idx.search(query, k=10, mode=mode, algorithm="exhaustive")
+    want = oracle.search(query, k=10, mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in want], (query, mode)
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_wand_rank_identical_to_exhaustive(built_index, query, mode):
+    if mode == "and":
+        pytest.skip("WAND is the disjunctive path")
+    idx = InvertedIndex(built_index.root, preload=True)
+    ex = idx.search(query, k=10, mode="or", algorithm="exhaustive")
+    wd = idx.search(query, k=10, mode="or", algorithm="wand")
+    assert [d for d, _ in wd] == [d for d, _ in ex], query
+    for (_, s1), (_, s2) in zip(wd, ex):
+        assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_wand_small_block_size(tmp_path):
+    """Force many blocks per term so WAND's block skipping is exercised."""
+    cfg = IndexConfig(block_size=4)
+    docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    paths = build_index(docs, str(tmp_path / "idx"), cfg)
+    idx = InvertedIndex(paths.root, preload=True)
+    for query, mode in QUERIES:
+        if mode == "and":
+            continue
+        ex = idx.search(query, k=10, mode="or", algorithm="exhaustive")
+        wd = idx.search(query, k=10, mode="or", algorithm="wand")
+        assert [d for d, _ in wd] == [d for d, _ in ex], query
+
+
+def test_salting_produces_identical_postings(tmp_path):
+    """Head-term salting must not change decoded postings or ranks."""
+    cfg = IndexConfig(salt_df_threshold=50, salt_buckets=8, block_size=16)
+    docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    paths = build_index(docs, str(tmp_path / "salted"), cfg)
+    idx = InvertedIndex(paths.root, preload=True)
+    oracle = OracleIndex(_oracle_rows())
+    # every term present, postings sorted + identical to oracle
+    for term in oracle.postings:
+        p = idx.postings(term)
+        assert list(p.doc_ids) == sorted(oracle.postings[term]), term
+        assert p.df == len(oracle.postings[term]), term  # global df on salted groups
+    for query, mode in QUERIES:
+        got = idx.search(query, k=10, mode=mode)
+        want = oracle.search(query, k=10, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want], (query, mode)
+
+
+def test_query_actor_batch(built_index):
+    q = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], pa.int64()),
+            "query": pa.array(["scan join", "dup", "zzzq"], pa.string()),
+            "mode": pa.array(["or", "or", "or"], pa.string()),
+        }
+    )
+    actor = QueryActor(built_index.root, k=5)
+    out = actor(q)
+    oracle = OracleIndex(_oracle_rows())
+    by_q = {}
+    for r in out.to_pylist():
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert by_q[0] == [d for d, _ in oracle.search("scan join", k=5)]
+    assert by_q[1] == [d for d, _ in oracle.search("dup", k=5)]
+    assert 2 not in by_q  # OOV -> no rows

@@ -1,0 +1,80 @@
+import duckdb
+import pyarrow as pa
+import pytest
+
+from harvester_ray.functions.text import (
+    flatten_tokens,
+    hash64,
+    hash64_array,
+    normalize_sort_text,
+    tokenize,
+    tokenize_column,
+)
+
+CASES = [
+    "Hello, World 42!",
+    "",
+    "   ",
+    "the-quick.brown_fox",
+    "CJK 中文 mixed emoji \U0001f600 end",
+    "a",
+    "...!!!",
+    "MiXeD CaSe 007 and tabs\tand\nnewlines",
+    "café touché Über",
+]
+
+
+def test_tokenize_python_vs_arrow():
+    col = pa.array(CASES, pa.string())
+    flat, parent = flatten_tokens(tokenize_column(col))
+    arrow_per_row = [[] for _ in CASES]
+    for tok, p in zip(flat.to_pylist(), parent.to_pylist()):
+        arrow_per_row[p].append(tok)
+    for s, got in zip(CASES, arrow_per_row):
+        assert got == tokenize(s), s
+
+
+def test_tokenize_python_vs_duckdb():
+    con = duckdb.connect()
+    for s in CASES:
+        (got,) = con.execute(
+            "SELECT regexp_extract_all(lower(?), '[a-z0-9]+')", [s]
+        ).fetchone()
+        assert got == tokenize(s), s
+
+
+def test_tokenize_parity_on_testdata():
+    """Full-corpus parity: Arrow tokenizer vs DuckDB on the real table."""
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') "
+        "FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    col = pa.array([r[1] for r in rows], pa.string())
+    flat, parent = flatten_tokens(tokenize_column(col))
+    per_row = [[] for _ in rows]
+    for tok, p in zip(flat.to_pylist(), parent.to_pylist()):
+        per_row[p].append(tok)
+    for (doc_id, text, duck_tokens), mine in zip(rows, per_row):
+        assert mine == duck_tokens, doc_id
+        assert mine == tokenize(text), doc_id
+
+
+def test_hash64_stable():
+    assert hash64("scan") == hash64("scan")
+    assert hash64("scan") != hash64("join")
+    got = hash64_array(pa.array(["scan", "join", ""]))
+    assert got[0] == hash64("scan")
+    assert got[1] == hash64("join")
+    assert got[2] == hash64("")
+
+
+def test_normalize_sort_text():
+    # reference parity: harvester/solr_updater.py:561-573 semantics
+    assert normalize_sort_text("The  Quick, Brown Fox!") == "quick brown fox"
+    assert normalize_sort_text("A Day at the Races") == "day at the races"
+    assert normalize_sort_text("An apple") == "apple"
+    assert normalize_sort_text("") == "~title unknown"
+    assert normalize_sort_text(None) == "~title unknown"
+    assert normalize_sort_text("!!!") == "~title unknown"
+    assert normalize_sort_text("another day") == "another day"
