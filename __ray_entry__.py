@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship index-build + BM25 pipeline on sf0.001.
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2
+coverage) as callables over an sf_dir; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code.
 """
 
 from __future__ import annotations
@@ -20,25 +16,71 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents and run
+    the reference query set (OR mode) through the QueryActor pool."""
+    from harvester_ray.pipelines import fulltext
+
+    return fulltext.bm25_topk_or("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from harvester_ray.pipelines import fulltext, relational
+    from harvester_ray.stages import dedup, multimodal, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # fulltext index engine (flagship; SURVEY.md §7)
+        "term_dictionary": fulltext.term_dictionary,
+        "postings": fulltext.postings,
+        "doc_stats": fulltext.doc_stats,
+        "bm25_topk_or": fulltext.bm25_topk_or,
+        "bm25_topk_and": fulltext.bm25_topk_and,
+        # relational operator coverage (SURVEY.md §2.5-2.7)
+        "q1_pricing": relational.q1_pricing,
+        "q3_top_orders": relational.q3_top_orders,
+        "region_customer_stats": relational.region_customer_stats,
+        "orders_priority_count": relational.orders_priority_count,
+        "distinct_segments": relational.distinct_segments,
+        "part_type_stats": relational.part_type_stats,
+        "top_docs_by_chars": relational.top_docs_by_chars,
+        "lang_source_counts": relational.lang_source_counts,
+        "text_stats": relational.text_stats,
+        "events_hourly": relational.events_hourly,
+        "events_sessions": relational.events_sessions,
+        # training-data-pipeline operators
+        "dedup_exact": relational.dedup_exact,
+        "ann_cosine_topk": relational.ann_cosine_topk,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_near_dup": dedup.minhash_near_dup,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "doc_fingerprints": textstats.doc_fingerprints,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "multimodal_features": multimodal.multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from harvester_ray.pipelines import oracles
+
+    return {
+        "term_dictionary": oracles.TERM_DICTIONARY,
+        "postings": oracles.POSTINGS,
+        "doc_stats": oracles.DOC_STATS,
+        "bm25_topk_or": oracles.BM25_TOPK_OR,
+        "bm25_topk_and": oracles.BM25_TOPK_AND,
+        "q1_pricing": oracles.Q1_PRICING,
+        "q3_top_orders": oracles.Q3_TOP_ORDERS,
+        "region_customer_stats": oracles.REGION_CUSTOMER_STATS,
+        "orders_priority_count": oracles.ORDERS_PRIORITY_COUNT,
+        "distinct_segments": oracles.DISTINCT_SEGMENTS,
+        "part_type_stats": oracles.PART_TYPE_STATS,
+        "top_docs_by_chars": oracles.TOP_DOCS_BY_CHARS,
+        "lang_source_counts": oracles.LANG_SOURCE_COUNTS,
+        "text_stats": oracles.TEXT_STATS,
+        "events_hourly": oracles.EVENTS_HOURLY,
+        "events_sessions": oracles.EVENTS_SESSIONS,
+        "dedup_exact": oracles.DEDUP_EXACT,
+        "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
+    }

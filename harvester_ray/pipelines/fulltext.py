@@ -1,0 +1,140 @@
+"""Fulltext pipelines over the driver `documents` table — the engine's
+flagship queries, each mirrored by DuckDB oracle SQL (pipelines/oracles.py).
+
+The embedded ``QUERY_SET`` is the "reference query set" of the north
+star (FIXTURES.md §2): head/mid/rare vocabulary terms, OOV terms, and
+both AND / OR modes, fixed so every engine run and the SQL oracle rank
+the same queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import ray.data
+
+from harvester_ray.config import DEFAULT_INDEX_CONFIG
+from harvester_ray.index.build import ENGINE_VERSION, IndexPaths, build_index
+from harvester_ray.index.query import QueryActor
+
+CACHE_ROOT = "/tmp/harvester_ray_cache"
+
+# (query_id, query, mode) — stable ids; OR queries first, AND after.
+QUERY_SET: list[tuple[int, str, str]] = [
+    (0, "scan", "or"),
+    (1, "scan join", "or"),
+    (2, "dup", "or"),
+    (3, "dup merge sort", "or"),
+    (4, "zzzq scan", "or"),              # OOV + head term
+    (5, "the a key value table", "or"),
+    (6, "group order window", "or"),
+    (7, "query fast slow", "or"),
+    (8, "vector stream", "or"),
+    (9, "column row line", "or"),
+    (10, "scan join", "and"),
+    (11, "dup merge sort", "and"),
+    (12, "zzzq scan", "and"),            # OOV conjunct -> empty
+    (13, "vector stream big slow", "and"),
+    (14, "filter row column", "and"),
+    (15, "the a", "and"),
+]
+
+TOP_K = 10
+
+
+def queries_for_mode(mode: str) -> list[tuple[int, str]]:
+    return [(qid, q) for qid, q, m in QUERY_SET if m == mode]
+
+
+def index_for(sf_dir: str) -> IndexPaths:
+    """Build (or reuse a cached) index over ``sf_dir``/documents.parquet.
+
+    The cache key folds in the engine version so stale formats rebuild;
+    testdata is read-only so input staleness cannot occur.
+    """
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_{key}")
+    paths = IndexPaths(out)
+    if os.path.exists(paths.stats):
+        return paths
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=list(DEFAULT_INDEX_CONFIG.doc_columns),
+    )
+    return build_index(docs, out)
+
+
+def term_dictionary(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, cf) — the index dictionary (FIXTURES.md §3)."""
+    paths = index_for(sf_dir)
+    return ray.data.read_parquet(
+        paths.dictionary, columns=["term", "df", "cf"]
+    )
+
+
+def postings(sf_dir: str) -> "ray.data.Dataset":
+    """(term, doc_id, tf) — the raw posting rows."""
+    paths = index_for(sf_dir)
+    return ray.data.read_parquet(
+        paths.postings, columns=["term", "doc_id", "tf"]
+    ).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("tf"), "tf", t["tf"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def doc_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, doc_len) for every doc with >= 1 token."""
+    paths = index_for(sf_dir)
+    return ray.data.read_parquet(paths.doc_table).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("doc_len"), "doc_len", t["doc_len"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _bm25(sf_dir: str, mode: str) -> "ray.data.Dataset":
+    """Top-10 per query via the QueryActor pool: (query_id, rank, doc_id).
+
+    Scores are intentionally not returned here — the oracle-checked
+    contract is *rank-identity* (ints only); score values are covered by
+    the pytest oracle at double precision.
+    """
+    paths = index_for(sf_dir)
+    qs = queries_for_mode(mode)
+    queries_ds = ray.data.from_items(
+        [{"query_id": qid, "query": q, "mode": mode} for qid, q in qs]
+    )
+    out = queries_ds.map_batches(
+        QueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={"k": TOP_K},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=8,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def bm25_topk_or(sf_dir: str) -> "ray.data.Dataset":
+    return _bm25(sf_dir, "or")
+
+
+def bm25_topk_and(sf_dir: str) -> "ray.data.Dataset":
+    return _bm25(sf_dir, "and")

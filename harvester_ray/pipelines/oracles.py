@@ -1,0 +1,203 @@
+"""DuckDB oracle SQL for every SQL-expressible queries() entry.
+
+Contracts shared with the Ray pipelines (same column names, same
+rounding, same ranking rules — see relational.py / fulltext.py):
+
+- tokenizer:      regexp_extract_all(lower(text), '[a-z0-9]+')
+- BM25:           idf = ln(1 + (N - df + 0.5)/(df + 0.5)); N counts ALL
+                  docs; avgdl = total_tokens / N; k1 = 1.2, b = 0.75
+- ranking:        ORDER BY round(score, 6) DESC, doc_id ASC
+- float columns:  round(x, 4) on both sides
+"""
+
+from __future__ import annotations
+
+from harvester_ray.config import DEFAULT_INDEX_CONFIG
+from harvester_ray.pipelines.fulltext import TOP_K, queries_for_mode
+from harvester_ray.pipelines.relational import (
+    ANN_QUERY_VEC_ID,
+    ANN_TOP_K,
+    SESSION_GAP_MIN,
+    STOPWORDS,
+)
+
+_K1 = DEFAULT_INDEX_CONFIG.bm25.k1
+_B = DEFAULT_INDEX_CONFIG.bm25.b
+
+_TOKS = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+    "FROM documents"
+)
+
+TERM_DICTIONARY = f"""
+WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM toks GROUP BY term
+"""
+
+POSTINGS = f"""
+WITH toks AS ({_TOKS})
+SELECT term, doc_id, count(*) AS tf
+FROM toks GROUP BY term, doc_id
+"""
+
+DOC_STATS = f"""
+WITH toks AS ({_TOKS})
+SELECT doc_id, count(*) AS doc_len
+FROM toks GROUP BY doc_id
+"""
+
+
+def _bm25_sql(mode: str) -> str:
+    from harvester_ray.functions.text import tokenize
+
+    pairs = []
+    for qid, q in queries_for_mode(mode):
+        terms = sorted(set(tokenize(q)))
+        pairs.extend(f"({qid}, '{t}')" for t in terms)
+    values = ", ".join(pairs)
+    and_having = (
+        "HAVING count(DISTINCT p.term) = "
+        "(SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)"
+        if mode == "and"
+        else ""
+    )
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + ((SELECT n FROM corpus) - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * {_K1 + 1.0})
+              / (p.tf + {_K1} * ({1.0 - _B} + {_B} * l.dl
+                                 / (SELECT avgdl FROM corpus))) ) AS score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+  {and_having}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+BM25_TOPK_OR = _bm25_sql("or")
+BM25_TOPK_AND = _bm25_sql("and")
+
+DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXT_STATS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> x IN ({_STOP_LIST})))::BIGINT AS n_stop
+FROM documents
+"""
+
+LANG_SOURCE_COUNTS = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang, source
+"""
+
+TOP_DOCS_BY_CHARS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+"""
+
+Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_TOP_ORDERS = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+REGION_CUSTOMER_STATS = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORDERS_PRIORITY_COUNT = """
+SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+"""
+
+DISTINCT_SEGMENTS = """
+SELECT DISTINCT c_mktsegment FROM customer
+"""
+
+PART_TYPE_STATS = """
+SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part GROUP BY p_type
+"""
+
+EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, hour
+"""
+
+EVENTS_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id,
+         sum(CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+ANN_COSINE_TOPK = f"""
+WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+            WHERE vec_id = {ANN_QUERY_VEC_ID}),
+s AS (SELECT vec_id,
+             list_cosine_similarity(embedding::DOUBLE[], (SELECT q FROM qv)) AS sim
+      FROM embeddings),
+r AS (SELECT vec_id,
+             row_number() OVER (ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT rank, vec_id FROM r WHERE rank <= {ANN_TOP_K}
+"""

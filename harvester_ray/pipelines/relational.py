@@ -1,0 +1,337 @@
+"""Relational pipelines over the TPC-H-ish test tables, Ray-Data-first.
+
+These cover the reference's relational-shaped behaviors (SURVEY.md
+§2.5-§2.7): grouped aggregation with per-batch partial combine,
+broadcast dimension joins (the ``_add_registry_data`` pattern,
+harvester/fetcher/controller.py:214-241), a hash-shuffle ``Dataset.join``
+for two large sides, sorts/top-k/distinct, and a sessionization
+``groupby(key).map_groups`` for the stream-shaped ``events`` table
+(the `_changes`-feed analog, SURVEY.md §2.9).
+
+Float columns returned to the oracle comparison are rounded to 4
+decimals on BOTH sides (see oracles.py) so parallel summation order
+cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from harvester_ray.functions.text import flatten_tokens, tokenize_column
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+SESSION_GAP_MIN = 30
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _round_cols(ds: "ray.data.Dataset", cols: list[str], digits: int = 4):
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            t = t.set_column(
+                t.column_names.index(c),
+                c,
+                pc.round(t[c].cast(pa.float64()), ndigits=digits),
+            )
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -- grouped aggregation (q1-style pricing summary) ----------------------
+def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
+    """Filter → computed column → groupby agg. The per-batch compute is
+    all pyarrow kernels; the groupby ships Ray's partial-aggregating
+    Sum/Count (combiner before shuffle)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01")))
+        )
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    return _round_cols(out, ["sum_qty", "sum_base", "sum_disc_price"])
+
+
+# -- hash-shuffle join (both sides large) --------------------------------
+def q3_top_orders(sf_dir: str) -> "ray.data.Dataset":
+    """customer⋈orders via broadcast semi-join (dimension-scale side),
+    then orders⋈lineitem via hash-partitioned ``Dataset.join`` (both
+    sides scale with the fact data), then groupby + top-k."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+    custkeys = set(building.unique("c_custkey"))  # dimension-scale: broadcastable
+    ckeys_ref = ray.put(np.fromiter(custkeys, dtype=np.int64))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(mask))
+
+    orders = orders.map_batches(filt_orders, batch_format="pyarrow")
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    line = line.map_batches(revenue, batch_format="pyarrow")
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = joined.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+    agg = _round_cols(agg, ["revenue"])
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"], "revenue": t["revenue"]}),
+        batch_format="pyarrow",
+    )
+
+
+# -- broadcast dimension join -------------------------------------------
+def region_customer_stats(sf_dir: str) -> "ray.data.Dataset":
+    """nation+region are config-scale: captured as a plain dict inside
+    the batch fn (the reference's registry broadcast-enrich,
+    harvester/fetcher/controller.py:214-241) — no shuffle join."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+    nk_to_region = {
+        int(nk): rmap[rk] for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def add_region(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_pylist()
+        return t.append_column(
+            "r_name", pa.array([nk_to_region[int(k)] for k in nk], pa.string())
+        )
+
+    out = (
+        cust.map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("c_acctbal", alias_name="sum_acctbal"),
+        )
+    )
+    return _round_cols(out, ["sum_acctbal"])
+
+
+# -- simple aggregates / distinct / top-k --------------------------------
+def orders_priority_count(sf_dir: str) -> "ray.data.Dataset":
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def distinct_segments(sf_dir: str) -> pa.Table:
+    vals = sorted(_read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+def part_type_stats(sf_dir: str) -> "ray.data.Dataset":
+    out = (
+        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        .groupby("p_type")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_retailprice", alias_name="avg_price"),
+        )
+    )
+    return _round_cols(out, ["avg_price"])
+
+
+def top_docs_by_chars(sf_dir: str) -> "ray.data.Dataset":
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def lang_source_counts(sf_dir: str) -> "ray.data.Dataset":
+    return (
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+# -- per-doc text stats (vectorized Arrow tokenizer) ---------------------
+def text_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_stop) — tokenizer-derived quality inputs."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        flat, parent = flatten_tokens(tokenize_column(t["text"]))
+        n = len(t)
+        par = parent.to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(par, minlength=n).astype(np.int64)
+        stop_mask = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(par[stop_mask], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+# -- events: time-bucketed aggregate + sessionization --------------------
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return _round_cols(out, ["sum_value"])
+
+
+def events_sessions(sf_dir: str) -> "ray.data.Dataset":
+    """Session windows (gap > 30 min) per user: the stream-shaped
+    operator — partition by key, sort by event time within the group,
+    stateful windowing in pandas (SURVEY.md §2.9 RD mapping).
+    Ordering assumption: (ts, event_id) is a total order per user."""
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype(np.int64) + 1
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", sort=True)
+            .agg(n_events=("event_id", "count"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+# -- exact corpus dedup --------------------------------------------------
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-level exact dedup: md5(text) hash-partition + per-group
+    min(doc_id) — the reference's md5-keyed image dedup pattern
+    (harvester/image_harvest.py:238-257; md5s3stash keying)."""
+    import hashlib
+
+    def add_md5(t: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text_md5": pa.array(md5s, pa.string())}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(add_md5, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(ray.data.aggregate.Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+# -- ANN: brute-force cosine top-k ---------------------------------------
+ANN_QUERY_VEC_ID = 0
+ANN_TOP_K = 20
+
+
+def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k over the embedding column: per-batch
+    numpy matmul against a broadcast query vector (ray.put once), then
+    a small global sort. The IVF/LSH scale path lives in
+    stages/similarity.py; this is the exact baseline."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qrow = qtbl.filter(pc.equal(qtbl["vec_id"], ANN_QUERY_VEC_ID))
+    q = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (E @ qv) / norms
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "sim_r": pa.array(np.round(sims, 6), pa.float64()),
+            }
+        )
+
+    top = (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["sim_r", "vec_id"], descending=[True, False])
+        .limit(ANN_TOP_K)
+        .to_pandas()
+    )
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[["rank", "vec_id"]]

@@ -1,0 +1,170 @@
+"""Text-analysis operators: language-ID, quality scoring, fingerprints.
+
+The analogs of the reference's validation/normalization layer
+(``has_required_fields`` gating + per-reason reject counting,
+harvester/solr_updater.py:445-473,841-861), extended to what a
+training-data pipeline needs. All per-batch, vectorized where the
+kernel allows; everything deterministic (seeded/hash-based).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from harvester_ray.functions.text import flatten_tokens, tokenize, tokenize_column
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is it for on with as at by that".split()),
+    "de": frozenset("der die das und ist ein eine zu den mit von für auf".split()),
+    "fr": frozenset("le la les et est un une de des du dans pour sur".split()),
+    "es": frozenset("el la los las y es un una de del en para por con".split()),
+}
+_CJK_RANGES = ((0x4E00, 0x9FFF), (0x3040, 0x30FF), (0xAC00, 0xD7AF))
+
+
+class LangIdActor:
+    """Stopword-profile + CJK-codepoint language heuristic.
+
+    Actor-pool stage: profiles compiled once in __init__ (stateful-stage
+    rule); per-batch work is set lookups over tokens.
+    """
+
+    def __init__(self):
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for text in batch["text"].to_pylist():
+            text = text or ""
+            cjk = sum(
+                1 for ch in text[:200]
+                if any(lo <= ord(ch) <= hi for lo, hi in _CJK_RANGES)
+            )
+            if cjk >= 5:
+                preds.append("zh")
+                confs.append(round(min(1.0, cjk / 50.0), 6))
+                continue
+            toks = tokenize(text)
+            if not toks:
+                preds.append("unknown")
+                confs.append(0.0)
+                continue
+            best_lang, best = "unknown", 0.0
+            for lang, stops in self.profiles.items():
+                r = sum(1 for t in toks if t in stops) / len(toks)
+                if r > best:
+                    best_lang, best = lang, r
+            preds.append(best_lang if best > 0.02 else "unknown")
+            confs.append(round(best, 6))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds, pa.string()),
+                "confidence": pa.array(confs, pa.float64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        LangIdActor, batch_format="pyarrow", batch_size=2048, concurrency=2
+    )
+
+
+def quality_score(sf_dir: str) -> "ray.data.Dataset":
+    """Heuristic document-quality features + composite score:
+    (doc_id, n_tokens, n_uniq_tokens, stop_ratio, mean_token_len, score).
+    Vectorized Arrow/numpy throughout (no per-row Python in the token
+    math)."""
+    stop_set = pa.array(sorted(_LANG_PROFILES["en"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        n = len(t)
+        flat, parent = flatten_tokens(tokenize_column(t["text"]))
+        par = parent.to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(par, minlength=n).astype(np.int64)
+        stop_mask = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(par[stop_mask], minlength=n)
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(par, weights=tok_lens, minlength=n)
+        # unique tokens per doc: sort (parent, token-hash) pairs, count runs
+        combo = pa.table({"p": parent, "tok": flat})
+        uniq = combo.group_by(["p", "tok"]).aggregate([("tok", "count")])
+        n_uniq = np.bincount(
+            uniq["p"].to_numpy(zero_copy_only=False), minlength=n
+        ).astype(np.int64)
+        safe = np.maximum(n_tokens, 1)
+        stop_ratio = n_stop / safe
+        mean_len = sum_len / safe
+        comp = (
+            np.clip(n_tokens / 100.0, 0, 1) * 0.4
+            + np.clip(stop_ratio * 5.0, 0, 1) * 0.3
+            + np.clip((n_uniq / safe), 0, 1) * 0.3
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+                "stop_ratio": pa.array(np.round(stop_ratio, 6), pa.float64()),
+                "mean_token_len": pa.array(np.round(mean_len, 6), pa.float64()),
+                "score": pa.array(np.round(comp, 6), pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow")
+
+
+WINNOW_K = 5   # tokens per k-gram
+WINNOW_W = 8   # winnowing window
+
+
+def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Winnowing fingerprints (rolling k-gram hash, min per window):
+    (doc_id, fingerprint) rows — the document-fingerprinting primitive
+    for plagiarism/overlap detection."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_ids, out_fps = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = tokenize(text or "")
+            if len(toks) < WINNOW_K:
+                continue
+            grams = np.empty(len(toks) - WINNOW_K + 1, dtype=np.uint64)
+            for i in range(len(grams)):
+                s = " ".join(toks[i : i + WINNOW_K])
+                grams[i] = int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+            if len(grams) <= WINNOW_W:
+                chosen = {int(grams.min())}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(grams, WINNOW_W)
+                chosen = set(sw.min(axis=1).tolist())
+            for c in sorted(chosen):
+                out_ids.append(doc_id)
+                out_fps.append(c - (1 << 63))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "fingerprint": pa.array(out_fps, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(fp, batch_format="pyarrow", batch_size=1024)
