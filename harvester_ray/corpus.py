@@ -1,0 +1,163 @@
+"""Deterministic synthetic web-page corpus (FIXTURES.md §1-2).
+
+Generates the Common-Crawl-style pages table mandated by the
+BASELINE.json input_hint — (url:string, warc_ts:timestamp[us],
+html:binary, text:string nullable, lang:string) — plus the reference
+query set, with a *computable golden contract*: for every row the
+expected extracted text is produced alongside the HTML, so extraction
+tests assert byte equality (the reference's golden-field test pattern,
+test/test_solr_updater.py:104-145; SURVEY.md §5).
+
+Everything is seeded (seed=42 default); paragraphs draw from a
+Zipf-distributed vocabulary (s≈1.1, ~5000 terms) so head-term skew is
+real; 5% of rows are edge cases (empty body, non-ASCII, nested tags,
+duplicate paragraphs, entities).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+
+import numpy as np
+import pyarrow as pa
+
+VOCAB_SIZE = 5000
+ZIPF_S = 1.1
+SEED = 42
+
+_EDGE_EVERY = 20  # 5% of rows
+
+
+def vocabulary(size: int = VOCAB_SIZE) -> list[str]:
+    return [f"w{i}" for i in range(size)]
+
+
+def _zipf_weights(size: int, s: float = ZIPF_S) -> np.ndarray:
+    ranks = np.arange(1, size + 1, dtype=np.float64)
+    w = ranks ** (-s)
+    return w / w.sum()
+
+
+def _para(rng: np.random.Generator, vocab: list[str], p: np.ndarray, n: int) -> str:
+    idx = rng.choice(len(vocab), size=n, p=p)
+    return " ".join(vocab[i] for i in idx)
+
+
+def expected_text(title: str, h1: str, paras: list[str]) -> str:
+    """The extraction contract: title, h1 and paragraph text contents in
+    document order, entity-unescaped, joined by newlines."""
+    parts = [title, h1] + [p for p in paras]
+    return "\n".join(parts)
+
+
+def generate_pages(
+    n_rows: int, seed: int = SEED
+) -> tuple[pa.Table, list[str]]:
+    """Returns (pages table, expected extracted text per row)."""
+    rng = np.random.default_rng(seed)
+    vocab = vocabulary()
+    p = _zipf_weights(len(vocab))
+    urls, tss, htmls, texts, langs, expected = [], [], [], [], [], []
+    langs_pool = ["en"] * 9 + ["de", "fr", "zh", ""]
+    base_ts = np.datetime64("2024-01-01T00:00:00", "us")
+    for i in range(n_rows):
+        title = f"Page {i} " + _para(rng, vocab, p, 3)
+        h1 = title
+        edge = i % _EDGE_EVERY == _EDGE_EVERY - 1
+        variant = i % 5
+        if edge and variant == 0:
+            paras: list[str] = []  # empty body
+            body = ""
+        elif edge and variant == 1:
+            paras = ["CJK 中文 emoji \U0001f600 combining é " + _para(rng, vocab, p, 5)]
+            body = f"<p>{paras[0]}</p>"
+        elif edge and variant == 2:
+            inner = _para(rng, vocab, p, 4)
+            tail = _para(rng, vocab, p, 4)
+            paras = [f"{inner} bolded {tail}"]
+            body = f"<p>{inner} <b>bolded</b> {tail}</p>"
+        elif edge and variant == 3:
+            dup = _para(rng, vocab, p, 6)
+            paras = [dup, dup]
+            body = f"<p>{dup}</p><p>{dup}</p>"
+        elif edge and variant == 4:
+            raw = _para(rng, vocab, p, 4)
+            paras = [f"{raw} & <tag> \"quoted\""]
+            body = (
+                f"<p>{raw} &amp; &lt;tag&gt; &quot;quoted&quot;</p>"
+            )
+        else:
+            p1 = _para(rng, vocab, p, int(rng.integers(8, 40)))
+            p2 = _para(rng, vocab, p, int(rng.integers(8, 40)))
+            paras = [p1, p2]
+            body = f"<p>{p1}</p><script>junk();var x=1;</script><p>{p2}</p>"
+        exp = expected_text(title, h1, paras)
+        html = (
+            f"<html><head><title>{title}</title>"
+            f'<meta charset="utf-8"></head>'
+            f"<body><h1>{h1}</h1>{body}</body></html>"
+        )
+        lang = langs_pool[int(rng.integers(0, len(langs_pool)))]
+        urls.append(f"https://site{i % 97}.example.org/page/{i}")
+        tss.append(base_ts + np.timedelta64(i, "m"))
+        htmls.append(html.encode("utf-8"))
+        # 50%: pass-through text (must stay byte-identical); 50%: null
+        texts.append(exp if i % 2 == 0 else None)
+        langs.append(lang)
+        expected.append(exp)
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    return table, expected
+
+
+def generate_queries(n_queries: int = 200, seed: int = SEED) -> pa.Table:
+    """Reference query set over the synthetic vocabulary
+    (FIXTURES.md §2): 40% head / 40% mid / 10% rare / 10% with one OOV
+    term; AND / OR 50-50."""
+    rng = np.random.default_rng(seed + 1)
+    vocab = vocabulary()
+    qids, qs, modes = [], [], []
+    for qid in range(n_queries):
+        n_terms = int(rng.integers(1, 5))
+        bucket = rng.random()
+        if bucket < 0.4:
+            pool = vocab[:50]
+        elif bucket < 0.8:
+            pool = vocab[50:1000]
+        elif bucket < 0.9:
+            pool = vocab[1000:]
+        else:
+            pool = vocab[:1000]
+        terms = [pool[int(i)] for i in rng.integers(0, len(pool), n_terms)]
+        if bucket >= 0.9:
+            terms[0] = f"oov{qid}"
+        qids.append(qid)
+        qs.append(" ".join(terms))
+        modes.append("and" if rng.random() < 0.5 else "or")
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "query": pa.array(qs, pa.string()),
+            "mode": pa.array(modes, pa.string()),
+        }
+    )
+
+
+def write_corpus(out_dir: str, n_rows: int, seed: int = SEED) -> str:
+    """Write pages.parquet + queries.parquet under out_dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages, _ = generate_pages(n_rows, seed)
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    pq.write_table(generate_queries(), os.path.join(out_dir, "queries.parquet"))
+    return out_dir
