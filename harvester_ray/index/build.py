@@ -296,26 +296,46 @@ def build_index(
     out_dir: str,
     cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     n_docs: int | None = None,
+    input_fingerprint: str | None = None,
 ) -> IndexPaths:
     """Run the full build. ``docs`` must have columns (doc_id, text).
 
     ``n_docs`` (corpus size incl. zero-token docs — it feeds idf and
     avgdl) can be passed when the caller already knows it; otherwise a
     metadata-cheap ``docs.count()`` runs first.
+
+    Every stage goes through ``state.lineage.run_stage``: output is
+    written atomically with a ``_lineage.json`` record, and a re-run
+    with an unchanged ``input_fingerprint`` (pass the fingerprint of
+    the source parquet, e.g. ``lineage.dir_fingerprint(src)``) resumes
+    — completed stages are skipped. With ``input_fingerprint=None`` the
+    postings stage always re-runs (unknown provenance) but downstream
+    stages still resume off its content fingerprint.
     """
+    from harvester_ray.state.lineage import dir_fingerprint, run_stage
+
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     if n_docs is None:
         n_docs = docs.count()
 
     # Stage 1: SPIMI partial postings (stateless tasks) → checkpoint.
-    postings = docs.map_batches(
-        spimi_postings_batch,
-        batch_format="pyarrow",
-        batch_size=cfg.tokenize_batch_size,
-        zero_copy_batch=True,
+    def write_postings(tmp: str) -> None:
+        docs.map_batches(
+            spimi_postings_batch,
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            zero_copy_batch=True,
+        ).write_parquet(tmp)
+
+    run_stage(
+        "postings",
+        paths.postings,
+        input_fingerprint or f"unfingerprinted-{os.getpid()}-{id(docs)}",
+        write_postings,
+        params=f"tokenizer=v{ENGINE_VERSION}",
     )
-    postings.write_parquet(paths.postings)
+    postings_fp = dir_fingerprint(paths.postings)
 
     # Global stats from the checkpoint (column-pruned read of tf only).
     total_tokens = ray.data.read_parquet(paths.postings, columns=["tf"]).sum("tf")
@@ -324,13 +344,16 @@ def build_index(
 
     # Stage 2: dictionary — partial agg per batch, then the (small)
     # term groupby over combined rows.
-    postings_ds = ray.data.read_parquet(paths.postings)
-    dictionary = (
-        postings_ds.map_batches(_dictionary_partial, batch_format="pyarrow")
-        .groupby(["term", "term_id"])
-        .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
-    )
-    dictionary.write_parquet(paths.dictionary)
+    def write_dictionary(tmp: str) -> None:
+        (
+            ray.data.read_parquet(paths.postings)
+            .map_batches(_dictionary_partial, batch_format="pyarrow")
+            .groupby(["term", "term_id"])
+            .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
+            .write_parquet(tmp)
+        )
+
+    run_stage("dictionary", paths.dictionary, postings_fp, write_dictionary)
 
     # term_id collision check (vocabulary-scale, cheap): a blake2b-64
     # collision would silently merge two terms' postings.
@@ -344,37 +367,53 @@ def build_index(
         )
 
     # Stage 3: doc table (no shuffle — per-batch distinct + tiny final dedupe).
-    doc_tbl = (
-        ray.data.read_parquet(paths.postings, columns=["doc_id", "doc_len"])
-        .map_batches(_doc_table_batch, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(ray.data.aggregate.Max("doc_len", alias_name="doc_len"))
-    )
-    doc_tbl.write_parquet(paths.doc_table)
+    def write_doc_table(tmp: str) -> None:
+        (
+            ray.data.read_parquet(paths.postings, columns=["doc_id", "doc_len"])
+            .map_batches(_doc_table_batch, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(ray.data.aggregate.Max("doc_len", alias_name="doc_len"))
+            .write_parquet(tmp)
+        )
+
+    run_stage("doc_table", paths.doc_table, postings_fp, write_doc_table)
 
     # Stage 4: segments — THE wide shuffle, salted for head terms.
-    head = (
-        ray.data.read_parquet(paths.dictionary)
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["df"], cfg.salt_df_threshold)),
-            batch_format="pyarrow",
+    def write_segments(tmp: str) -> None:
+        head = (
+            ray.data.read_parquet(paths.dictionary)
+            .map_batches(
+                lambda t: t.filter(pc.greater_equal(t["df"], cfg.salt_df_threshold)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
         )
-        .to_pandas()
-    )
-    head_ref = None
-    head_df_ref = None
-    if len(head):
-        head_ref = ray.put(head["term_id"].to_numpy())
-        head_df_ref = ray.put(dict(zip(head["term_id"], head["df"].astype(int))))
+        head_ref = None
+        head_df_ref = None
+        if len(head):
+            head_ref = ray.put(head["term_id"].to_numpy())
+            head_df_ref = ray.put(dict(zip(head["term_id"], head["df"].astype(int))))
 
-    salted = ray.data.read_parquet(paths.postings).map_batches(
-        make_salter(head_ref, cfg.salt_buckets), batch_format="pyarrow"
+        salted = ray.data.read_parquet(paths.postings).map_batches(
+            make_salter(head_ref, cfg.salt_buckets), batch_format="pyarrow"
+        )
+        (
+            salted.groupby(["term_id", "salt"])
+            .map_groups(
+                make_term_group_encoder(float(n_docs), avgdl, cfg, head_df_ref),
+                batch_format="pyarrow",
+            )
+            .write_parquet(tmp)
+        )
+
+    seg_params = (
+        f"bs={cfg.block_size},thr={cfg.salt_df_threshold},"
+        f"buckets={cfg.salt_buckets},k1={cfg.bm25.k1},b={cfg.bm25.b},"
+        f"n={n_docs},avgdl={avgdl!r}"
     )
-    segments = salted.groupby(["term_id", "salt"]).map_groups(
-        make_term_group_encoder(float(n_docs), avgdl, cfg, head_df_ref),
-        batch_format="pyarrow",
+    run_stage(
+        "segments", paths.segments, postings_fp, write_segments, params=seg_params
     )
-    segments.write_parquet(paths.segments)
 
     with open(paths.stats, "w") as f:
         json.dump(

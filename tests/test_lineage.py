@@ -1,0 +1,98 @@
+"""Resume semantics: interrupted builds skip finished stages and
+produce byte-identical final segments (SURVEY.md §7 step 7)."""
+
+import glob
+import hashlib
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from harvester_ray.index.build import build_index
+from harvester_ray.state.lineage import dir_fingerprint, read_lineage, run_stage
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _segments_digest(seg_dir: str) -> str:
+    """Content digest of the decoded segment rows (file layout may
+    differ across runs; the logical content must not)."""
+    tbls = []
+    for f in sorted(glob.glob(os.path.join(seg_dir, "*.parquet"))):
+        tbls.append(pq.read_table(f))
+    import pyarrow as pa
+
+    t = pa.concat_tables(tbls).sort_by(
+        [("term_id", "ascending"), ("salt", "ascending"), ("block_id", "ascending")]
+    )
+    h = hashlib.md5()
+    for col in sorted(t.column_names):
+        h.update(str(t[col].to_pylist()).encode())
+    return h.hexdigest()
+
+
+def test_run_stage_skip_and_invalidate(tmp_path):
+    out = str(tmp_path / "stage_out")
+    calls = []
+
+    def fn(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "data.parquet"), "wb") as f:
+            import pyarrow as pa
+
+            pq.write_table(pa.table({"x": [1, 2, 3]}), f)
+        calls.append(1)
+
+    r1 = run_stage("s", out, "fp1", fn)
+    assert not r1["skipped"] and r1["rows_out"] == 3 and len(calls) == 1
+    r2 = run_stage("s", out, "fp1", fn)
+    assert r2["skipped"] and len(calls) == 1          # resume: skipped
+    r3 = run_stage("s", out, "fp2", fn)
+    assert not r3["skipped"] and len(calls) == 2      # new input: re-run
+    r4 = run_stage("s", out, "fp2", fn, params="p2")
+    assert not r4["skipped"] and len(calls) == 3      # new params: re-run
+
+
+def test_build_resume_is_noop_and_identical(tmp_path, ray_session):
+    out = str(tmp_path / "idx")
+    fp = dir_fingerprint(DOCS)
+
+    def docs():
+        return ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+
+    build_index(docs(), out, input_fingerprint=fp)
+    digest1 = _segments_digest(os.path.join(out, "segments"))
+    lin1 = {
+        s: read_lineage(os.path.join(out, s))
+        for s in ("postings", "dictionary", "doc_table", "segments")
+    }
+
+    # full re-run: every stage must skip
+    build_index(docs(), out, input_fingerprint=fp)
+    for s in ("postings", "dictionary", "doc_table", "segments"):
+        assert read_lineage(os.path.join(out, s))["key"] == lin1[s]["key"]
+    assert _segments_digest(os.path.join(out, "segments")) == digest1
+
+    # interrupted run: segments lost, earlier stages intact
+    shutil.rmtree(os.path.join(out, "segments"))
+    build_index(docs(), out, input_fingerprint=fp)
+    # postings untouched (same lineage object), segments rebuilt identically
+    assert read_lineage(os.path.join(out, "postings"))["key"] == lin1["postings"]["key"]
+    assert _segments_digest(os.path.join(out, "segments")) == digest1
+
+
+def test_lineage_metrics_recorded(tmp_path, ray_session):
+    out = str(tmp_path / "idx2")
+    build_index(
+        ray.data.read_parquet(DOCS, columns=["doc_id", "text"]),
+        out,
+        input_fingerprint=dir_fingerprint(DOCS),
+    )
+    for s in ("postings", "dictionary", "doc_table", "segments"):
+        rec = read_lineage(os.path.join(out, s))
+        assert rec["rows_out"] > 0
+        assert rec["bytes_out"] > 0
+        assert rec["wall_sec"] >= 0
+        assert rec["engine_version"] == 1
