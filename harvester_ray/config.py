@@ -39,6 +39,13 @@ class IndexConfig:
 
     bm25: BM25Params = field(default_factory=BM25Params)
     block_size: int = 128
+    # "sort": range-partitioned sort by (term_id, doc_id) + run-splitting
+    #   batch encoder — head-term skew is spread across range partitions
+    #   by the sort's boundary sampling; no group must fit one worker.
+    # "salted_groupby": hash groupby on (term_id, salt) with explicit
+    #   doc_id-range salting of head terms (the classic MapReduce-index
+    #   shape); kept for when a deployment needs hash partitioning.
+    segment_strategy: str = "sort"
     salt_df_threshold: int = 100_000
     salt_buckets: int = 64
     tokenize_batch_size: int = 4096

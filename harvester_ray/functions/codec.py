@@ -17,21 +17,26 @@ _U7 = np.uint64(7)
 _U127 = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64-castable ndarray as concatenated LEB128 varints."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64-castable ndarray as concatenated LEB128 varints.
+
+    Returns ``(buffer, ends)`` where ``ends[i]`` is the byte offset just
+    past value ``i`` — callers can slice the buffer into sub-ranges
+    (e.g. per posting block) without re-encoding.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value
     nb = np.ones(n, dtype=np.int64)
     tmp = v >> _U7
     while tmp.any():
         nb += (tmp > 0).astype(np.int64)
         tmp >>= _U7
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(nb[:-1], out=starts[1:])
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
     cur = v.copy()
     k = 0
     while True:
@@ -43,7 +48,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         out[starts[mask] + k] = byte | (cont.astype(np.uint8) << 7)
         cur >>= _U7
         k += 1
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64-castable ndarray as concatenated LEB128 varints."""
+    return varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -45,7 +45,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
-from harvester_ray.functions.codec import varint_encode
+from harvester_ray.functions.codec import varint_encode_offsets
 from harvester_ray.functions.text import flatten_tokens, hash64_array, tokenize_column
 
 ENGINE_VERSION = 1
@@ -222,6 +222,8 @@ def make_term_group_encoder(
     bs = cfg.block_size
 
     def encode(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _EMPTY_SEGMENT_TABLE
         doc_id = group["doc_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(doc_id, kind="stable")
         doc_id = doc_id[order]
@@ -236,48 +238,129 @@ def make_term_group_encoder(
         else:
             head_df = _get_broadcast(head_df_ref) if head_df_ref is not None else {}
             df = int(head_df.get(term_id, n))
-        scores = bm25_score(tf, dl, df, n_docs, avgdl, k1, b)
-        rows = {
-            "term": [], "term_id": [], "df": [], "salt": [], "block_id": [],
-            "first_doc_id": [], "last_doc_id": [], "n": [],
-            "doc_id_deltas": [], "tfs": [], "doc_lens": [], "block_max_score": [],
-        }
-        for bi, lo in enumerate(range(0, n, bs)):
-            hi = min(lo + bs, n)
-            ids = doc_id[lo:hi]
-            gaps = np.empty(hi - lo, dtype=np.uint64)
-            gaps[0] = 0
-            np.subtract(ids[1:], ids[:-1], out=gaps[1:], casting="unsafe")
-            rows["term"].append(term)
-            rows["term_id"].append(term_id)
-            rows["df"].append(df)
-            rows["salt"].append(salt)
-            rows["block_id"].append(bi)
-            rows["first_doc_id"].append(int(ids[0]))
-            rows["last_doc_id"].append(int(ids[-1]))
-            rows["n"].append(hi - lo)
-            rows["doc_id_deltas"].append(varint_encode(gaps))
-            rows["tfs"].append(varint_encode(tf[lo:hi]))
-            rows["doc_lens"].append(varint_encode(dl[lo:hi]))
-            rows["block_max_score"].append(float(scores[lo:hi].max()))
-        return pa.table(
-            {
-                "term": pa.array(rows["term"], pa.string()),
-                "term_id": pa.array(rows["term_id"], pa.int64()),
-                "df": pa.array(rows["df"], pa.int64()),
-                "salt": pa.array(rows["salt"], pa.int32()),
-                "block_id": pa.array(rows["block_id"], pa.int32()),
-                "first_doc_id": pa.array(rows["first_doc_id"], pa.int64()),
-                "last_doc_id": pa.array(rows["last_doc_id"], pa.int64()),
-                "n": pa.array(rows["n"], pa.int32()),
-                "doc_id_deltas": pa.array(rows["doc_id_deltas"], pa.binary()),
-                "tfs": pa.array(rows["tfs"], pa.binary()),
-                "doc_lens": pa.array(rows["doc_lens"], pa.binary()),
-                "block_max_score": pa.array(rows["block_max_score"], pa.float32()),
-            }
+        return _encode_run(
+            term, term_id, salt, doc_id, tf, dl, df, n_docs, avgdl, k1, b, bs
         )
 
     return encode
+
+
+_EMPTY_SEGMENT_TABLE = pa.table(
+    {
+        "term": pa.array([], pa.string()),
+        "term_id": pa.array([], pa.int64()),
+        "df": pa.array([], pa.int64()),
+        "salt": pa.array([], pa.int32()),
+        "block_id": pa.array([], pa.int32()),
+        "first_doc_id": pa.array([], pa.int64()),
+        "last_doc_id": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int32()),
+        "doc_id_deltas": pa.array([], pa.binary()),
+        "tfs": pa.array([], pa.binary()),
+        "doc_lens": pa.array([], pa.binary()),
+        "block_max_score": pa.array([], pa.float32()),
+    }
+)
+
+
+def _encode_run(
+    term: str,
+    term_id: int,
+    salt: int,
+    doc_id: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    df: int,
+    n_docs: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    bs: int,
+) -> pa.Table:
+    """Encode one doc_id-sorted posting run into block rows.
+
+    Vectorized whole-run encode: block boundaries first, then ONE varint
+    encode per column with per-value byte offsets, sliced into per-block
+    buffers (no per-block numpy work).
+    """
+    n = len(doc_id)
+    scores = bm25_score(tf, dl, df, n_docs, avgdl, k1, b)
+    starts = np.arange(0, n, bs, dtype=np.int64)
+    ends = np.minimum(starts + bs, n)
+    n_blocks = len(starts)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(doc_id[1:], doc_id[:-1], out=gaps[1:], casting="unsafe")
+    gaps[starts] = 0  # gap[0] of each block is relative to first_doc_id
+    gap_buf, gap_ends = varint_encode_offsets(gaps)
+    tf_buf, tf_ends = varint_encode_offsets(tf)
+    dl_buf, dl_ends = varint_encode_offsets(dl)
+
+    def slices(buf: bytes, value_ends: np.ndarray) -> list[bytes]:
+        byte_lo = np.concatenate(([0], value_ends[ends[:-1] - 1]))
+        byte_hi = value_ends[ends - 1]
+        return [buf[a:b_] for a, b_ in zip(byte_lo, byte_hi)]
+
+    block_max = np.maximum.reduceat(scores, starts).astype(np.float32)
+    return pa.table(
+        {
+            "term": pa.array([term] * n_blocks, pa.string()),
+            "term_id": pa.array(np.full(n_blocks, term_id, np.int64)),
+            "df": pa.array(np.full(n_blocks, df, np.int64)),
+            "salt": pa.array(np.full(n_blocks, salt, np.int32)),
+            "block_id": pa.array(np.arange(n_blocks, dtype=np.int32)),
+            "first_doc_id": pa.array(doc_id[starts], pa.int64()),
+            "last_doc_id": pa.array(doc_id[ends - 1], pa.int64()),
+            "n": pa.array((ends - starts).astype(np.int32)),
+            "doc_id_deltas": pa.array(slices(gap_buf, gap_ends), pa.binary()),
+            "tfs": pa.array(slices(tf_buf, tf_ends), pa.binary()),
+            "doc_lens": pa.array(slices(dl_buf, dl_ends), pa.binary()),
+            "block_max_score": pa.array(block_max, pa.float32()),
+        }
+    )
+
+
+def make_sorted_batch_encoder(
+    n_docs: float, avgdl: float, cfg: IndexConfig, df_ref: "ray.ObjectRef"
+):
+    """Encoder for the "sort" segment strategy: batches arrive sorted by
+    (term_id, doc_id); each batch splits into term runs and encodes
+    each run independently.
+
+    A term whose postings span several batches (or range partitions)
+    yields several disjoint, ordered run encodings — the segment format
+    and the query loader merge them by first_doc_id, so no post-merge
+    is needed. Global df comes from the broadcast dictionary arrays
+    (sorted term_id + df, searchsorted lookup; ray.put once, fetched
+    once per worker, plasma-shared zero-copy per node).
+    """
+    k1, b_, bs = cfg.bm25.k1, cfg.bm25.b, cfg.block_size
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_SEGMENT_TABLE
+        tid_sorted, df_sorted = _get_broadcast(df_ref)
+        tids = batch["term_id"].to_numpy(zero_copy_only=False)
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        dl = batch["doc_len"].to_numpy(zero_copy_only=False)
+        terms = batch["term"]
+        change = np.nonzero(np.diff(tids))[0] + 1
+        run_starts = np.concatenate(([0], change))
+        run_ends = np.concatenate((change, [len(tids)]))
+        dfs = df_sorted[np.searchsorted(tid_sorted, tids[run_starts])]
+        out = []
+        for s, e, df in zip(run_starts, run_ends, dfs):
+            out.append(
+                _encode_run(
+                    terms[s].as_py(), int(tids[s]), 0,
+                    doc_id[s:e], tf[s:e], dl[s:e], int(df),
+                    n_docs, avgdl, k1, b_, bs,
+                )
+            )
+        return pa.concat_tables(out)
+
+    return encode_batch
 
 
 def _doc_table_batch(batch: pa.Table) -> pa.Table:
@@ -378,8 +461,33 @@ def build_index(
 
     run_stage("doc_table", paths.doc_table, postings_fp, write_doc_table)
 
-    # Stage 4: segments — THE wide shuffle, salted for head terms.
-    def write_segments(tmp: str) -> None:
+    # Stage 4: segments — THE wide shuffle.
+    def write_segments_sort(tmp: str) -> None:
+        """Default strategy: range-partitioned sort by (term_id, doc_id)
+        + run-splitting batch encoder. Head-term skew spreads across
+        range partitions; per-run df from the broadcast dictionary."""
+        import pyarrow.parquet as pq
+
+        dict_tbl = pq.read_table(
+            paths.dictionary, columns=["term_id", "df"]
+        )
+        tid = dict_tbl["term_id"].to_numpy()
+        dfv = dict_tbl["df"].to_numpy()
+        order = np.argsort(tid)
+        df_ref = ray.put((tid[order], dfv[order]))
+        (
+            ray.data.read_parquet(paths.postings)
+            .sort(["term_id", "doc_id"])
+            .map_batches(
+                make_sorted_batch_encoder(float(n_docs), avgdl, cfg, df_ref),
+                batch_format="pyarrow",
+                batch_size=None,  # whole sorted blocks
+                zero_copy_batch=True,
+            )
+            .write_parquet(tmp)
+        )
+
+    def write_segments_salted(tmp: str) -> None:
         head = (
             ray.data.read_parquet(paths.dictionary)
             .map_batches(
@@ -407,9 +515,14 @@ def build_index(
         )
 
     seg_params = (
-        f"bs={cfg.block_size},thr={cfg.salt_df_threshold},"
-        f"buckets={cfg.salt_buckets},k1={cfg.bm25.k1},b={cfg.bm25.b},"
-        f"n={n_docs},avgdl={avgdl!r}"
+        f"strategy={cfg.segment_strategy},bs={cfg.block_size},"
+        f"thr={cfg.salt_df_threshold},buckets={cfg.salt_buckets},"
+        f"k1={cfg.bm25.k1},b={cfg.bm25.b},n={n_docs},avgdl={avgdl!r}"
+    )
+    write_segments = (
+        write_segments_salted
+        if cfg.segment_strategy == "salted_groupby"
+        else write_segments_sort
     )
     run_stage(
         "segments", paths.segments, postings_fp, write_segments, params=seg_params

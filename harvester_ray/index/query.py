@@ -78,11 +78,24 @@ class _TermBlocks:
         return ids, tf, dl
 
     def decode_all(self):
-        parts = [self.decode_block(i) for i in range(len(self.first))]
-        if not parts:
+        """Bulk decode: ONE varint decode per column across all blocks,
+        ids reconstructed with a single prefix sum (no per-block loop)."""
+        if not len(self.first):
             z = np.empty(0, np.int64)
             return z, z.copy(), z.copy()
-        return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+        gaps = varint_decode(b"".join(self.deltas)).view(np.int64)
+        tf = varint_decode(b"".join(self.tfs)).astype(np.int64)
+        dl = varint_decode(b"".join(self.lens)).astype(np.int64)
+        n = len(gaps)
+        # doc_ids are strictly increasing within a block, so in-block
+        # gaps are >= 1 and gap == 0 appears exactly at block starts
+        starts_idx = np.nonzero(gaps == 0)[0]
+        assert len(starts_idx) == len(self.first), "corrupt block stream"
+        cs = np.cumsum(gaps)
+        base = np.concatenate(([0], cs[starts_idx[1:] - 1]))
+        sizes = np.diff(np.concatenate((starts_idx, [n])))
+        ids = cs - np.repeat(base, sizes) + np.repeat(self.first, sizes)
+        return ids, tf, dl
 
 
 class InvertedIndex:
@@ -111,6 +124,18 @@ class InvertedIndex:
         }
         self._seg_ds = pads.dataset(self.paths.segments)
         self._block_cache: dict[int, _TermBlocks] = {}
+        self._postings_cache: dict[int, _TermPostings] = {}
+        # dense scoring state (single-shard path): sorted doc_id slots +
+        # per-term (positions, precomputed BM25 scores). At 10^12-doc
+        # scale a query actor owns one doc_id shard and this array is
+        # that shard's doc table, not the whole corpus.
+        self._slots: np.ndarray | None = None
+        self._dense_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        try:
+            dt = pq.read_table(self.paths.doc_table, columns=["doc_id"])
+            self._slots = np.sort(dt["doc_id"].to_numpy())
+        except Exception:
+            self._slots = None
         if preload:
             seg = self._seg_ds.to_table().to_pandas()
             for tid, rows in seg.groupby("term_id"):
@@ -139,11 +164,19 @@ class InvertedIndex:
         return blocks
 
     def postings(self, term: str) -> _TermPostings | None:
+        meta = self.dictionary.get(term)
+        if meta is None:
+            return None
+        cached = self._postings_cache.get(meta[0])
+        if cached is not None:
+            return cached
         blocks = self.term_blocks(term)
         if blocks is None:
             return None
         ids, tf, dl = blocks.decode_all()
-        return _TermPostings(ids, tf, dl, blocks.df)
+        p = _TermPostings(ids, tf, dl, blocks.df)
+        self._postings_cache[meta[0]] = p
+        return p
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
@@ -167,8 +200,13 @@ class InvertedIndex:
             return []
         if mode == "and":
             return self._search_and(terms, k)
-        if algorithm == "wand" or (algorithm == "auto" and k < 1000):
+        if algorithm == "wand":
             return self._search_wand(terms, k)
+        # auto -> vectorized exhaustive: numpy decode+score is ~20 ns per
+        # posting, while the Python document-at-a-time WAND loop costs
+        # ~10 us per visited doc — block-max pruning only wins when it
+        # skips >99% of postings (very selective queries over huge df),
+        # which a caller opts into with algorithm="wand".
         return self._search_or(terms, k)
 
     @staticmethod
@@ -179,7 +217,58 @@ class InvertedIndex:
         order = np.lexsort((doc_ids, -rounded))[:k]
         return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
+    def _term_dense(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(slot positions, precomputed per-posting BM25 scores) — BM25
+        contributions are query-independent, so they are computed once
+        per term and cached (impact-style scoring)."""
+        meta = self.dictionary.get(term)
+        if meta is None:
+            return None
+        cached = self._dense_cache.get(meta[0])
+        if cached is not None:
+            return cached
+        p = self.postings(term)
+        if p is None:
+            return None
+        pos = np.searchsorted(self._slots, p.doc_ids).astype(np.int64)
+        scores = self._score(p.tfs, p.doc_lens, p.df)
+        self._dense_cache[meta[0]] = (pos, scores)
+        return pos, scores
+
+    def _topk_dense(self, acc: np.ndarray, mask: np.ndarray, k: int):
+        """Top-k from a dense score accumulator: kth-value partition,
+        then exact (round-6 DESC, doc_id ASC) ordering of the boundary
+        candidates only."""
+        cand = np.nonzero(mask)[0]
+        if len(cand) == 0:
+            return []
+        scores = acc[cand]
+        rounded = np.round(scores, 6)
+        if len(cand) > k:
+            kth = np.partition(rounded, len(rounded) - k)[len(rounded) - k]
+            keep = rounded >= kth
+            cand, scores, rounded = cand[keep], scores[keep], rounded[keep]
+        order = np.lexsort((cand, -rounded))[:k]  # slots ascend with doc_id
+        ids = self._slots[cand[order]]
+        return [(int(d), float(s)) for d, s in zip(ids, scores[order])]
+
     def _search_or(self, terms: list[str], k: int):
+        if self._slots is not None:
+            n = len(self._slots)
+            acc = np.zeros(n, dtype=np.float64)
+            hit = np.zeros(n, dtype=bool)
+            found = False
+            for t in terms:  # sorted order -> deterministic accumulation
+                d = self._term_dense(t)
+                if d is None:
+                    continue
+                found = True
+                pos, scores = d
+                acc += np.bincount(pos, weights=scores, minlength=n)
+                hit[pos] = True
+            if not found:
+                return []
+            return self._topk_dense(acc, hit, k)
         id_parts, score_parts = [], []
         for t in terms:
             p = self.postings(t)
@@ -197,6 +286,18 @@ class InvertedIndex:
         return self._topk(uniq, sums, k)
 
     def _search_and(self, terms: list[str], k: int):
+        if self._slots is not None:
+            n = len(self._slots)
+            acc = np.zeros(n, dtype=np.float64)
+            cnt = np.zeros(n, dtype=np.int32)
+            for t in terms:  # sorted order -> deterministic accumulation
+                d = self._term_dense(t)
+                if d is None:
+                    return []  # conjunctive + missing term -> empty
+                pos, scores = d
+                acc += np.bincount(pos, weights=scores, minlength=n)
+                cnt[pos] += 1
+            return self._topk_dense(acc, cnt == len(terms), k)
         plists = []
         for t in terms:
             p = self.postings(t)

@@ -106,7 +106,12 @@ def test_wand_small_block_size(tmp_path):
 
 def test_salting_produces_identical_postings(tmp_path):
     """Head-term salting must not change decoded postings or ranks."""
-    cfg = IndexConfig(salt_df_threshold=50, salt_buckets=8, block_size=16)
+    cfg = IndexConfig(
+        segment_strategy="salted_groupby",
+        salt_df_threshold=50,
+        salt_buckets=8,
+        block_size=16,
+    )
     docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
     paths = build_index(docs, str(tmp_path / "salted"), cfg)
     idx = InvertedIndex(paths.root, preload=True)
@@ -120,6 +125,36 @@ def test_salting_produces_identical_postings(tmp_path):
         got = idx.search(query, k=10, mode=mode)
         want = oracle.search(query, k=10, mode=mode)
         assert [d for d, _ in got] == [d for d, _ in want], (query, mode)
+
+
+def test_strategies_produce_identical_indexes(tmp_path):
+    """The sort strategy (default) and the salted-groupby strategy must
+    decode to identical postings and identical ranks."""
+    docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    p_sort = build_index(
+        docs, str(tmp_path / "s1"), IndexConfig(segment_strategy="sort", block_size=32)
+    )
+    docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    p_salt = build_index(
+        docs,
+        str(tmp_path / "s2"),
+        IndexConfig(
+            segment_strategy="salted_groupby",
+            salt_df_threshold=50,
+            salt_buckets=4,
+            block_size=32,
+        ),
+    )
+    i1 = InvertedIndex(p_sort.root, preload=True)
+    i2 = InvertedIndex(p_salt.root, preload=True)
+    assert set(i1.dictionary) == set(i2.dictionary)
+    for term in i1.dictionary:
+        a, b = i1.postings(term), i2.postings(term)
+        assert list(a.doc_ids) == list(b.doc_ids), term
+        assert list(a.tfs) == list(b.tfs), term
+        assert a.df == b.df, term
+    for query, mode in QUERIES:
+        assert i1.search(query, k=10, mode=mode) == i2.search(query, k=10, mode=mode)
 
 
 def test_query_actor_batch(built_index):

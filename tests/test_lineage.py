@@ -16,9 +16,29 @@ from harvester_ray.state.lineage import dir_fingerprint, read_lineage, run_stage
 DOCS = "/root/testdata/sf0.001/documents.parquet"
 
 
-def _segments_digest(seg_dir: str) -> str:
-    """Content digest of the decoded segment rows (file layout may
-    differ across runs; the logical content must not)."""
+def _index_digest(index_dir: str) -> str:
+    """Digest of the *decoded* index: dictionary, stats and per-term
+    postings (doc_ids, tfs, doc_lens, df). Physical block layout may
+    differ across runs of the sort strategy (range partition boundaries
+    are sampled); the logical index must not."""
+    from harvester_ray.index.query import InvertedIndex
+
+    idx = InvertedIndex(index_dir, preload=True)
+    h = hashlib.md5()
+    h.update(repr((idx.n_docs, idx.avgdl, idx.k1, idx.b)).encode())
+    for term in sorted(idx.dictionary):
+        p = idx.postings(term)
+        h.update(term.encode())
+        h.update(p.doc_ids.tobytes())
+        h.update(p.tfs.tobytes())
+        h.update(p.doc_lens.tobytes())
+        h.update(str(p.df).encode())
+    return h.hexdigest()
+
+
+def _block_rows_digest(seg_dir: str) -> str:
+    """Exact block-row digest (salted_groupby strategy: fully
+    deterministic physical layout)."""
     tbls = []
     for f in sorted(glob.glob(os.path.join(seg_dir, "*.parquet"))):
         tbls.append(pq.read_table(f))
@@ -63,7 +83,7 @@ def test_build_resume_is_noop_and_identical(tmp_path, ray_session):
         return ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
 
     build_index(docs(), out, input_fingerprint=fp)
-    digest1 = _segments_digest(os.path.join(out, "segments"))
+    digest1 = _index_digest(out)
     lin1 = {
         s: read_lineage(os.path.join(out, s))
         for s in ("postings", "dictionary", "doc_table", "segments")
@@ -73,14 +93,35 @@ def test_build_resume_is_noop_and_identical(tmp_path, ray_session):
     build_index(docs(), out, input_fingerprint=fp)
     for s in ("postings", "dictionary", "doc_table", "segments"):
         assert read_lineage(os.path.join(out, s))["key"] == lin1[s]["key"]
-    assert _segments_digest(os.path.join(out, "segments")) == digest1
+    assert _index_digest(out) == digest1
 
     # interrupted run: segments lost, earlier stages intact
     shutil.rmtree(os.path.join(out, "segments"))
     build_index(docs(), out, input_fingerprint=fp)
     # postings untouched (same lineage object), segments rebuilt identically
     assert read_lineage(os.path.join(out, "postings"))["key"] == lin1["postings"]["key"]
-    assert _segments_digest(os.path.join(out, "segments")) == digest1
+    assert _index_digest(out) == digest1
+
+
+def test_salted_strategy_block_layout_deterministic(tmp_path, ray_session):
+    """The salted_groupby strategy re-encodes byte-identical block rows
+    after an interrupted run (fully deterministic physical layout)."""
+    from harvester_ray.config import IndexConfig
+
+    cfg = IndexConfig(
+        segment_strategy="salted_groupby", salt_df_threshold=100, salt_buckets=4
+    )
+    out = str(tmp_path / "sidx")
+    fp = dir_fingerprint(DOCS)
+
+    def docs():
+        return ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+
+    build_index(docs(), out, cfg, input_fingerprint=fp)
+    d1 = _block_rows_digest(os.path.join(out, "segments"))
+    shutil.rmtree(os.path.join(out, "segments"))
+    build_index(docs(), out, cfg, input_fingerprint=fp)
+    assert _block_rows_digest(os.path.join(out, "segments")) == d1
 
 
 def test_lineage_metrics_recorded(tmp_path, ray_session):
