@@ -18,4 +18,6 @@ Ray Data pipeline over Arrow batches:
 - ``state.lineage``     per-partition lineage + resumable stage runner
 """
 
+from harvester_ray import _compat  # noqa: F401  (fsspec-http import shim)
+
 __version__ = "0.1.0"

@@ -39,16 +39,31 @@ class IndexConfig:
 
     bm25: BM25Params = field(default_factory=BM25Params)
     block_size: int = 128
-    # "sort": range-partitioned sort by (term_id, doc_id) + run-splitting
-    #   batch encoder — head-term skew is spread across range partitions
-    #   by the sort's boundary sampling; no group must fit one worker.
+    # "bucket" (default): map-side partition — SPIMI writes postings
+    #   hive-partitioned by hash(term_id) % num_term_buckets; the
+    #   segments stage is one independent task per bucket (read →
+    #   numpy lexsort → run encode). The shuffle is the partitioned
+    #   write itself (the classic MapReduce index shape); fully
+    #   deterministic block layout. Giant buckets are encoded in
+    #   doc_id-range chunks, so memory stays bounded under skew.
+    # "sort": Ray range-partitioned sort by (term_id, doc_id) +
+    #   run-splitting batch encoder — head-term skew is spread across
+    #   range partitions by the sort's boundary sampling.
     # "salted_groupby": hash groupby on (term_id, salt) with explicit
-    #   doc_id-range salting of head terms (the classic MapReduce-index
-    #   shape); kept for when a deployment needs hash partitioning.
-    segment_strategy: str = "sort"
+    #   doc_id-range salting of head terms.
+    segment_strategy: str = "bucket"
+    num_term_buckets: int = 32
+    # per-bucket doc_id-range fan-out for the bucket strategy: encode
+    # tasks = buckets x chunks, so a hot term cannot pin one task's
+    # memory/runtime; per-term runs from different chunks are disjoint
+    # ordered doc ranges and merge at query load (same invariant the
+    # salted strategy relies on). Each chunk task re-reads its bucket,
+    # so raise this only when skew demands it (default 1: no
+    # amplification; parallelism comes from num_term_buckets).
+    segment_doc_chunks: int = 1
     salt_df_threshold: int = 100_000
     salt_buckets: int = 64
-    tokenize_batch_size: int = 4096
+    tokenize_batch_size: int = 8192
     extract_batch_size: int = 128
     extract_concurrency: int | tuple[int, int] = 4
     # columns pruned at the read for the build (prune-at-the-read rule)

@@ -1,5 +1,5 @@
-"""Inverted-index build: SPIMI partials → dictionary → salted term
-groupby → varint/block-max segments.
+"""Inverted-index build: SPIMI partials → {dictionary ∥ doc table ∥
+salted/sorted term shuffle → varint/block-max segments}.
 
 This is the Ray-Data-native re-expression of the reference's
 couch→solr index sync (``sync_couch_collection_to_solr``,
@@ -9,25 +9,32 @@ Solr replaced by our own segment format. Pipeline shape (SURVEY.md §7):
     read_parquet(docs)
       → map_batches(spimi_postings_batch)          # stateless combiner
       → write_parquet(postings/)                   # stage checkpoint
-    read(postings) → partial agg → groupby(term).sum → dictionary/
-    read(postings) → salt head terms → groupby(term_id, salt)
-      → map_groups(encode_term_group)              # THE wide shuffle
-      → write_parquet(segments/)
+    then, CONCURRENTLY off that one checkpoint:
+      dictionary/  partial agg → groupby(term).sum
+      doc_table/   per-batch distinct → tiny doc_id groupby
+      segments/    sort(term_id, doc_id) → run-split block encode
 
-Scale design:
-- The only all-to-all exchange is the term_id groupby. Its input is
-  already combined (one row per (term, doc) per batch), and head terms
-  (global df ≥ ``salt_df_threshold``) are salted into ordered,
-  disjoint doc_id-range sub-groups so no group exceeds worker memory;
-  sub-group blocks concatenate into a globally doc_id-sorted posting
-  list without a re-merge (SURVEY.md §4 "queue priority / skew" row).
-- The dictionary build pre-aggregates per batch before its groupby, so
-  the shuffle moves one row per (term, batch), not one per posting.
-- The head-term df map is broadcast via ``ray.put`` once and read once
-  per worker — never shipped per batch.
+Key design points for 100 TB scale:
+
+- Segments store the *idf-free* BM25 normalization part
+  ``(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl))`` and its block max; idf is
+  a per-term constant applied at query time from the dictionary. This
+  removes any df dependency from segment encoding, so the big shuffle
+  needs NO pre-built dictionary and the three post-SPIMI stages run
+  concurrently.
+- The only all-to-all exchanges are the term shuffle (sort- or
+  hash-partitioned; see IndexConfig.segment_strategy) and the (small,
+  pre-combined) dictionary/doc-table groupbys.
+- Head-term skew: the default "sort" strategy spreads a hot term's
+  postings across range partitions (sampled boundaries) — no posting
+  group ever has to fit one worker; the alternative "salted_groupby"
+  strategy salts head terms (df ≥ threshold, taken from the dictionary)
+  into ordered, disjoint doc_id-range sub-groups.
 - ``doc_id``/``term_id`` are stable blake2b hashes (functions/text.py),
-  so two runs or two cluster sizes produce identical segments
+  so two runs or two cluster sizes produce identical ids
   (SURVEY.md §7 hard part (d)).
+- Every stage checkpoint goes through ``state.lineage.run_stage``
+  (atomic write + lineage record + skip-if-unchanged resume).
 """
 
 from __future__ import annotations
@@ -48,7 +55,7 @@ from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
 from harvester_ray.functions.codec import varint_encode_offsets
 from harvester_ray.functions.text import flatten_tokens, hash64_array, tokenize_column
 
-ENGINE_VERSION = 1
+ENGINE_VERSION = 3
 
 # Map signed int64 order onto unsigned order (flip the sign bit), so
 # salt buckets are *ordered, disjoint* doc_id ranges in signed order.
@@ -57,19 +64,31 @@ _SIGN_FLIP = np.uint64(1) << np.uint64(63)
 
 @dataclass(frozen=True)
 class IndexPaths:
+    """Layout: stage 1 ("spimi") writes postings plus two side outputs
+    (doc table, dictionary partials) in ONE pass; dictionary and
+    segments are separate resumable stages."""
+
     root: str
 
     @property
+    def spimi(self) -> str:
+        return os.path.join(self.root, "spimi")
+
+    @property
     def postings(self) -> str:
-        return os.path.join(self.root, "postings")
+        return os.path.join(self.root, "spimi", "postings")
+
+    @property
+    def doc_table(self) -> str:
+        return os.path.join(self.root, "spimi", "doc_table")
+
+    @property
+    def dict_partials(self) -> str:
+        return os.path.join(self.root, "spimi", "dict_partials")
 
     @property
     def dictionary(self) -> str:
         return os.path.join(self.root, "dictionary")
-
-    @property
-    def doc_table(self) -> str:
-        return os.path.join(self.root, "doc_table")
 
     @property
     def segments(self) -> str:
@@ -149,6 +168,21 @@ def _dictionary_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def bm25_norm(
+    tf: np.ndarray, doc_len: np.ndarray, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """The idf-free BM25 term: (tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)).
+    Segments store this (and its block max); score = idf(df) · norm."""
+    tf = tf.astype(np.float64)
+    dl = doc_len.astype(np.float64)
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_idf(df: float, n_docs: float) -> float:
+    """Lucene-style non-negative idf: ln(1 + (N − df + 0.5)/(df + 0.5))."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
 def bm25_score(
     tf: np.ndarray,
     doc_len: np.ndarray,
@@ -158,23 +192,19 @@ def bm25_score(
     k1: float,
     b: float,
 ) -> np.ndarray:
-    """Vectorized BM25 (Lucene-style non-negative idf):
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
-    The single scoring definition shared by build (block maxes), query
-    engine, the pure-Python oracle, and the DuckDB oracle SQL."""
-    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-    tf = tf.astype(np.float64)
-    dl = doc_len.astype(np.float64)
-    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    """Full vectorized BM25 — the single scoring definition shared by
+    the query engine, the pure-Python oracle and the DuckDB oracle SQL."""
+    return bm25_idf(df, n_docs) * bm25_norm(tf, doc_len, avgdl, k1, b)
 
 
 def make_salter(head_ref: "ray.ObjectRef | None", n_buckets: int):
-    """Returns a map_batches fn adding a ``salt`` column.
+    """Returns a map_batches fn adding a ``salt`` column
+    (salted_groupby strategy).
 
-    Head terms (term_id in the broadcast set) are salted by the top 6
-    bits of sign-flipped doc_id → ordered disjoint ranges; tail terms
-    get salt 0. ``head_ref`` is a ray.put ObjectRef (broadcast once,
-    fetched once per worker process via a module-level cache).
+    Head terms (term_id in the broadcast set) are salted by the top
+    log2(n_buckets) bits of sign-flipped doc_id → ordered disjoint
+    ranges; tail terms get salt 0. ``head_ref`` is a ray.put ObjectRef
+    (broadcast once, fetched once per worker process).
     """
     shift = np.uint64(64 - int(math.log2(n_buckets)))
 
@@ -203,53 +233,10 @@ def _get_broadcast(ref):
     return _BROADCAST_CACHE[key]
 
 
-def make_term_group_encoder(
-    n_docs: float,
-    avgdl: float,
-    cfg: IndexConfig,
-    head_df_ref: "ray.ObjectRef | None" = None,
-):
-    """Returns the map_groups fn encoding one (term_id, salt) group into
-    compressed block rows.
-
-    Block layout per FIXTURES.md §3: postings sorted by doc_id, split
-    into ``cfg.block_size`` runs; per block store first/last doc_id,
-    varint doc_id gaps (gap[0] = 0 relative to first_doc_id), varint
-    tfs, varint doc_lens, and the true max BM25 score of the block
-    (block-max metadata for Block-Max WAND).
-    """
-    k1, b = cfg.bm25.k1, cfg.bm25.b
-    bs = cfg.block_size
-
-    def encode(group: pa.Table) -> pa.Table:
-        if len(group) == 0:
-            return _EMPTY_SEGMENT_TABLE
-        doc_id = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(doc_id, kind="stable")
-        doc_id = doc_id[order]
-        tf = group["tf"].to_numpy(zero_copy_only=False)[order]
-        dl = group["doc_len"].to_numpy(zero_copy_only=False)[order]
-        term = group["term"][0].as_py()
-        term_id = group["term_id"][0].as_py()
-        salt = group["salt"][0].as_py() if "salt" in group.column_names else 0
-        n = len(doc_id)
-        if salt == 0 and head_df_ref is None:
-            df = n
-        else:
-            head_df = _get_broadcast(head_df_ref) if head_df_ref is not None else {}
-            df = int(head_df.get(term_id, n))
-        return _encode_run(
-            term, term_id, salt, doc_id, tf, dl, df, n_docs, avgdl, k1, b, bs
-        )
-
-    return encode
-
-
 _EMPTY_SEGMENT_TABLE = pa.table(
     {
         "term": pa.array([], pa.string()),
         "term_id": pa.array([], pa.int64()),
-        "df": pa.array([], pa.int64()),
         "salt": pa.array([], pa.int32()),
         "block_id": pa.array([], pa.int32()),
         "first_doc_id": pa.array([], pa.int64()),
@@ -258,7 +245,7 @@ _EMPTY_SEGMENT_TABLE = pa.table(
         "doc_id_deltas": pa.array([], pa.binary()),
         "tfs": pa.array([], pa.binary()),
         "doc_lens": pa.array([], pa.binary()),
-        "block_max_score": pa.array([], pa.float32()),
+        "block_max_norm": pa.array([], pa.float32()),
     }
 )
 
@@ -270,21 +257,20 @@ def _encode_run(
     doc_id: np.ndarray,
     tf: np.ndarray,
     dl: np.ndarray,
-    df: int,
-    n_docs: float,
     avgdl: float,
     k1: float,
     b: float,
     bs: int,
 ) -> pa.Table:
-    """Encode one doc_id-sorted posting run into block rows.
+    """Encode one doc_id-sorted posting run into block rows
+    (FIXTURES.md §3 layout, block_max = idf-free norm max).
 
     Vectorized whole-run encode: block boundaries first, then ONE varint
     encode per column with per-value byte offsets, sliced into per-block
     buffers (no per-block numpy work).
     """
     n = len(doc_id)
-    scores = bm25_score(tf, dl, df, n_docs, avgdl, k1, b)
+    norms = bm25_norm(tf, dl, avgdl, k1, b)
     starts = np.arange(0, n, bs, dtype=np.int64)
     ends = np.minimum(starts + bs, n)
     n_blocks = len(starts)
@@ -301,12 +287,11 @@ def _encode_run(
         byte_hi = value_ends[ends - 1]
         return [buf[a:b_] for a, b_ in zip(byte_lo, byte_hi)]
 
-    block_max = np.maximum.reduceat(scores, starts).astype(np.float32)
+    block_max = np.maximum.reduceat(norms, starts).astype(np.float32)
     return pa.table(
         {
             "term": pa.array([term] * n_blocks, pa.string()),
             "term_id": pa.array(np.full(n_blocks, term_id, np.int64)),
-            "df": pa.array(np.full(n_blocks, df, np.int64)),
             "salt": pa.array(np.full(n_blocks, salt, np.int32)),
             "block_id": pa.array(np.arange(n_blocks, dtype=np.int32)),
             "first_doc_id": pa.array(doc_id[starts], pa.int64()),
@@ -315,14 +300,33 @@ def _encode_run(
             "doc_id_deltas": pa.array(slices(gap_buf, gap_ends), pa.binary()),
             "tfs": pa.array(slices(tf_buf, tf_ends), pa.binary()),
             "doc_lens": pa.array(slices(dl_buf, dl_ends), pa.binary()),
-            "block_max_score": pa.array(block_max, pa.float32()),
+            "block_max_norm": pa.array(block_max, pa.float32()),
         }
     )
 
 
-def make_sorted_batch_encoder(
-    n_docs: float, avgdl: float, cfg: IndexConfig, df_ref: "ray.ObjectRef"
-):
+def make_term_group_encoder(avgdl: float, cfg: IndexConfig):
+    """map_groups fn for the salted_groupby strategy: encode one
+    (term_id, salt) group into block rows."""
+    k1, b, bs = cfg.bm25.k1, cfg.bm25.b, cfg.block_size
+
+    def encode(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _EMPTY_SEGMENT_TABLE
+        doc_id = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc_id, kind="stable")
+        doc_id = doc_id[order]
+        tf = group["tf"].to_numpy(zero_copy_only=False)[order]
+        dl = group["doc_len"].to_numpy(zero_copy_only=False)[order]
+        term = group["term"][0].as_py()
+        term_id = group["term_id"][0].as_py()
+        salt = group["salt"][0].as_py() if "salt" in group.column_names else 0
+        return _encode_run(term, term_id, salt, doc_id, tf, dl, avgdl, k1, b, bs)
+
+    return encode
+
+
+def make_sorted_batch_encoder(avgdl: float, cfg: IndexConfig):
     """Encoder for the "sort" segment strategy: batches arrive sorted by
     (term_id, doc_id); each batch splits into term runs and encodes
     each run independently.
@@ -330,16 +334,13 @@ def make_sorted_batch_encoder(
     A term whose postings span several batches (or range partitions)
     yields several disjoint, ordered run encodings — the segment format
     and the query loader merge them by first_doc_id, so no post-merge
-    is needed. Global df comes from the broadcast dictionary arrays
-    (sorted term_id + df, searchsorted lookup; ray.put once, fetched
-    once per worker, plasma-shared zero-copy per node).
+    is needed.
     """
     k1, b_, bs = cfg.bm25.k1, cfg.bm25.b, cfg.block_size
 
     def encode_batch(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return _EMPTY_SEGMENT_TABLE
-        tid_sorted, df_sorted = _get_broadcast(df_ref)
         tids = batch["term_id"].to_numpy(zero_copy_only=False)
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
         tf = batch["tf"].to_numpy(zero_copy_only=False)
@@ -348,14 +349,13 @@ def make_sorted_batch_encoder(
         change = np.nonzero(np.diff(tids))[0] + 1
         run_starts = np.concatenate(([0], change))
         run_ends = np.concatenate((change, [len(tids)]))
-        dfs = df_sorted[np.searchsorted(tid_sorted, tids[run_starts])]
         out = []
-        for s, e, df in zip(run_starts, run_ends, dfs):
+        for s, e in zip(run_starts, run_ends):
             out.append(
                 _encode_run(
                     terms[s].as_py(), int(tids[s]), 0,
-                    doc_id[s:e], tf[s:e], dl[s:e], int(df),
-                    n_docs, avgdl, k1, b_, bs,
+                    doc_id[s:e], tf[s:e], dl[s:e],
+                    avgdl, k1, b_, bs,
                 )
             )
         return pa.concat_tables(out)
@@ -363,15 +363,82 @@ def make_sorted_batch_encoder(
     return encode_batch
 
 
-def _doc_table_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch distinct (doc_id, doc_len). Docs never span tokenize
-    batches, and postings parquet preserves that row locality, so a
-    global groupby would only dedupe rows split across parquet row-group
-    boundaries — handled by the final small groupby in build_index."""
-    agg = batch.group_by(["doc_id"]).aggregate([("doc_len", "max")])
-    return pa.table(
-        {"doc_id": agg["doc_id"], "doc_len": agg["doc_len_max"].cast(pa.int32())}
-    )
+def _atomic_side_write(tbl: pa.Table, out_dir: str, key: str) -> None:
+    """Idempotent side-output write from inside a map_batches task:
+    deterministic content-derived file name + atomic rename, so task
+    retries overwrite rather than duplicate (the side-output pattern;
+    same shared-storage assumption as write_parquet itself)."""
+    import pyarrow.parquet as pq
+
+    final = os.path.join(out_dir, f"part-{key}.parquet")
+    tmp = f"{final}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+
+
+def make_spimi_with_sides(
+    doc_dir: str,
+    dict_dir: str,
+    n_buckets: int | None = None,
+    post_dir: str | None = None,
+):
+    """SPIMI batch fn that emits the doc table, dictionary partials and
+    (bucket strategy) the term-bucketed postings as idempotent side
+    outputs — one pass over the corpus feeds all three
+    downstream artifacts, instead of three full postings re-reads.
+
+    Each input row is one doc, so per-batch (doc_id, doc_len) rows are
+    globally exact with no dedup shuffle; dictionary partials shrink
+    the dictionary groupby input from |postings| to |batches|x|vocab|.
+
+    With ``n_buckets``/``post_dir`` set (the "bucket" strategy)
+    postings land hive-partitioned by ``hash(term_id) % n_buckets`` —
+    the partitioned side write IS the index shuffle (map-side
+    partitioning, merged by the per-bucket segment tasks) — and the
+    Dataset output degrades to per-batch row counts (the pipeline is
+    consumed with a sum). Other strategies return the posting rows for
+    a normal write_parquet.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pa.set_cpu_count(1)  # see encode_bucket: avoid Arrow pool thrash
+        out = spimi_postings_batch(batch)
+        if len(out) == 0:
+            return out if n_buckets is None else pa.table({"rows": pa.array([0], pa.int64())})
+        docs = out.group_by(["doc_id"]).aggregate([("doc_len", "max")])
+        doc_tbl = pa.table(
+            {
+                "doc_id": docs["doc_id"],
+                "doc_len": docs["doc_len_max"].cast(pa.int32()),
+            }
+        )
+        min_id = int(doc_tbl["doc_id"].to_numpy().min())
+        key = f"{min_id & 0xFFFFFFFFFFFFFFFF:016x}"
+        _atomic_side_write(doc_tbl, doc_dir, key)
+        _atomic_side_write(_dictionary_partial(out), dict_dir, key)
+        if n_buckets is None:
+            return out
+        # bucket strategy: the map task writes its postings split by
+        # term bucket DIRECTLY (hive layout), so the stage is one fully
+        # streaming pass — no repartition barrier, no second write pass.
+        assert post_dir is not None
+        b = (
+            out["term_id"].to_numpy().view(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        order = np.argsort(b, kind="stable")
+        out_sorted = out.take(pa.array(order))
+        bs = b[order]
+        bounds = np.nonzero(np.diff(bs))[0] + 1
+        lo = 0
+        for hi in list(bounds) + [len(bs)]:
+            part = out_sorted.slice(lo, hi - lo)
+            bdir = os.path.join(post_dir, f"bucket={bs[lo]}")
+            os.makedirs(bdir, exist_ok=True)
+            _atomic_side_write(part, bdir, key)
+            lo = hi
+        return pa.table({"rows": pa.array([len(out)], pa.int64())})
+
+    return fn
 
 
 def build_index(
@@ -395,6 +462,10 @@ def build_index(
     postings stage always re-runs (unknown provenance) but downstream
     stages still resume off its content fingerprint.
     """
+    import concurrent.futures
+
+    import pyarrow.parquet as pq
+
     from harvester_ray.state.lineage import dir_fingerprint, run_stage
 
     paths = IndexPaths(out_dir)
@@ -402,84 +473,97 @@ def build_index(
     if n_docs is None:
         n_docs = docs.count()
 
-    # Stage 1: SPIMI partial postings (stateless tasks) → checkpoint.
-    def write_postings(tmp: str) -> None:
-        docs.map_batches(
-            spimi_postings_batch,
+    bucketed = cfg.segment_strategy == "bucket"
+
+    # Stage 1 (one pass over the corpus): SPIMI postings checkpoint
+    # + doc table + dictionary partials as idempotent side outputs.
+    # Bucket strategy: postings land hive-partitioned by term bucket —
+    # the partitioned write IS the index shuffle.
+    def write_spimi(tmp: str) -> None:
+        post_dir = os.path.join(tmp, "postings")
+        doc_dir = os.path.join(tmp, "doc_table")
+        dict_dir = os.path.join(tmp, "dict_partials")
+        os.makedirs(doc_dir, exist_ok=True)
+        os.makedirs(dict_dir, exist_ok=True)
+        ds = docs.map_batches(
+            make_spimi_with_sides(
+                doc_dir,
+                dict_dir,
+                cfg.num_term_buckets if bucketed else None,
+                post_dir if bucketed else None,
+            ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
             zero_copy_batch=True,
-        ).write_parquet(tmp)
+        )
+        if bucketed:
+            # postings were side-written per bucket inside the map
+            # tasks; consume the count rows to drive the streaming pass
+            os.makedirs(post_dir, exist_ok=True)
+            ds.sum("rows")
+        else:
+            ds.write_parquet(post_dir)
 
     run_stage(
-        "postings",
-        paths.postings,
+        "spimi",
+        paths.spimi,
         input_fingerprint or f"unfingerprinted-{os.getpid()}-{id(docs)}",
-        write_postings,
+        write_spimi,
         params=f"tokenizer=v{ENGINE_VERSION}",
     )
-    postings_fp = dir_fingerprint(paths.postings)
+    postings_fp = dir_fingerprint(paths.spimi)
 
-    # Global stats from the checkpoint (column-pruned read of tf only).
-    total_tokens = ray.data.read_parquet(paths.postings, columns=["tf"]).sum("tf")
-    total_tokens = int(total_tokens or 0)
+    # avgdl (needed by segment encode): sum of cf over the (small)
+    # dictionary partials — no postings re-scan. Driver-side read;
+    # beyond ~10^8 vocab x batches swap for a Ray aggregate.
+    part_tbl = pq.read_table(paths.dict_partials, columns=["cf_part"])
+    total_tokens = int(pc.sum(part_tbl["cf_part"]).as_py() or 0)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    # Stage 2: dictionary — partial agg per batch, then the (small)
-    # term groupby over combined rows.
+    # Stage 2a: dictionary — merge of the pre-combined partials
+    # (|batches| x |vocab| rows, not |postings|). Combiner output this
+    # small finishes on the driver with one Arrow group_by; past the
+    # size guard (huge vocabularies) it falls back to a Ray groupby.
+    _DRIVER_MERGE_BYTES = 256 * 1024 * 1024
+
     def write_dictionary(tmp: str) -> None:
-        (
-            ray.data.read_parquet(paths.postings)
-            .map_batches(_dictionary_partial, batch_format="pyarrow")
-            .groupby(["term", "term_id"])
-            .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
-            .write_parquet(tmp)
+        size = sum(
+            os.path.getsize(os.path.join(paths.dict_partials, f))
+            for f in os.listdir(paths.dict_partials)
         )
+        if size <= _DRIVER_MERGE_BYTES:
+            parts = pq.read_table(paths.dict_partials)
+            agg = parts.group_by(["term", "term_id"]).aggregate(
+                [("df_part", "sum"), ("cf_part", "sum")]
+            )
+            final = pa.table(
+                {
+                    "term": agg["term"],
+                    "term_id": agg["term_id"],
+                    "df": agg["df_part_sum"].cast(pa.int64()),
+                    "cf": agg["cf_part_sum"].cast(pa.int64()),
+                }
+            )
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(final, os.path.join(tmp, "dictionary.parquet"))
+        else:
+            (
+                ray.data.read_parquet(paths.dict_partials)
+                .groupby(["term", "term_id"])
+                .aggregate(
+                    Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf")
+                )
+                .write_parquet(tmp)
+            )
 
-    run_stage("dictionary", paths.dictionary, postings_fp, write_dictionary)
-
-    # term_id collision check (vocabulary-scale, cheap): a blake2b-64
-    # collision would silently merge two terms' postings.
-    dict_tbl = ray.data.read_parquet(paths.dictionary, columns=["term_id"])
-    n_terms = dict_tbl.count()
-    n_ids = dict_tbl.unique("term_id")
-    if len(n_ids) != n_terms:
-        raise RuntimeError(
-            f"term_id hash collision: {n_terms} terms -> {len(n_ids)} ids; "
-            "rehash with a salt (not expected below ~2^30 terms)"
-        )
-
-    # Stage 3: doc table (no shuffle — per-batch distinct + tiny final dedupe).
-    def write_doc_table(tmp: str) -> None:
-        (
-            ray.data.read_parquet(paths.postings, columns=["doc_id", "doc_len"])
-            .map_batches(_doc_table_batch, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(ray.data.aggregate.Max("doc_len", alias_name="doc_len"))
-            .write_parquet(tmp)
-        )
-
-    run_stage("doc_table", paths.doc_table, postings_fp, write_doc_table)
-
-    # Stage 4: segments — THE wide shuffle.
+    # Stage 2b: segments — THE wide shuffle. Needs no dictionary
+    # (block max stores the idf-free norm), so it runs concurrently.
     def write_segments_sort(tmp: str) -> None:
-        """Default strategy: range-partitioned sort by (term_id, doc_id)
-        + run-splitting batch encoder. Head-term skew spreads across
-        range partitions; per-run df from the broadcast dictionary."""
-        import pyarrow.parquet as pq
-
-        dict_tbl = pq.read_table(
-            paths.dictionary, columns=["term_id", "df"]
-        )
-        tid = dict_tbl["term_id"].to_numpy()
-        dfv = dict_tbl["df"].to_numpy()
-        order = np.argsort(tid)
-        df_ref = ray.put((tid[order], dfv[order]))
         (
             ray.data.read_parquet(paths.postings)
             .sort(["term_id", "doc_id"])
             .map_batches(
-                make_sorted_batch_encoder(float(n_docs), avgdl, cfg, df_ref),
+                make_sorted_batch_encoder(avgdl, cfg),
                 batch_format="pyarrow",
                 batch_size=None,  # whole sorted blocks
                 zero_copy_batch=True,
@@ -487,28 +571,105 @@ def build_index(
             .write_parquet(tmp)
         )
 
-    def write_segments_salted(tmp: str) -> None:
-        head = (
-            ray.data.read_parquet(paths.dictionary)
-            .map_batches(
-                lambda t: t.filter(pc.greater_equal(t["df"], cfg.salt_df_threshold)),
-                batch_format="pyarrow",
-            )
-            .to_pandas()
-        )
-        head_ref = None
-        head_df_ref = None
-        if len(head):
-            head_ref = ray.put(head["term_id"].to_numpy())
-            head_df_ref = ray.put(dict(zip(head["term_id"], head["df"].astype(int))))
+    def write_segments_bucket(tmp: str) -> None:
+        """Default strategy: one independent task per (term bucket,
+        doc_id-range chunk) — read the bucket's hive partition, keep
+        the chunk's doc range, lexsort by (term_id, doc_id), run-split
+        encode. No Ray sort/groupby machinery; deterministic block
+        layout (the lexsort key is a total order, chunk ranges are
+        fixed functions of doc_id).
 
+        The chunk fan-out keeps parallelism = buckets x chunks even
+        when the vocabulary is tiny or one term is enormous (per-term
+        runs from different chunks are disjoint ordered doc ranges and
+        merge at query load). Memory per task is bounded by the chunk,
+        not the bucket."""
+        post_root = paths.postings
+        n_chunks = max(1, cfg.segment_doc_chunks)
+        shift = np.uint64(64 - int(math.log2(n_chunks))) if n_chunks > 1 else None
+        k1, b_, bs = cfg.bm25.k1, cfg.bm25.b, cfg.block_size
+
+        # Raw Ray tasks (not a Dataset op) on purpose: the fan-out unit
+        # is a CONTROL row (bucket id), and Ray Data bundles tiny
+        # control blocks into one task, serializing the whole stage.
+        # Each task reads its bucket partition and writes its own
+        # segment part atomically. The permutation is applied to numpy
+        # columns only (an Arrow Table.take would re-copy the term
+        # string column per row — measured ~1 s per 6M rows); the one
+        # term string per run is looked up individually.
+        @ray.remote(num_cpus=1)
+        def encode_bucket_chunk(b: int, chunk: int) -> int:
+            # cap THIS worker's Arrow pool: concurrent tasks otherwise
+            # spin up hardware_concurrency threads each and thrash
+            pa.set_cpu_count(1)
+            d = os.path.join(post_root, f"bucket={b}")
+            if not os.path.isdir(d):
+                return 0
+            t = pq.read_table(
+                d,
+                columns=["term", "term_id", "doc_id", "tf", "doc_len"],
+                use_threads=False,  # the task owns 1 CPU
+            )
+            if len(t) == 0:
+                return 0
+            tid = t["term_id"].to_numpy(zero_copy_only=False)
+            did = t["doc_id"].to_numpy(zero_copy_only=False)
+            tf = t["tf"].to_numpy(zero_copy_only=False)
+            dl = t["doc_len"].to_numpy(zero_copy_only=False)
+            if shift is not None:
+                keep = ((did.view(np.uint64) ^ _SIGN_FLIP) >> shift) == np.uint64(
+                    chunk
+                )
+                if not keep.any():
+                    return 0
+                idx = np.nonzero(keep)[0]
+            else:
+                idx = np.arange(len(did))
+            order = idx[np.lexsort((did[idx], tid[idx]))]
+            tid_s, did_s = tid[order], did[order]
+            tf_s, dl_s = tf[order], dl[order]
+            change = np.nonzero(np.diff(tid_s))[0] + 1
+            run_starts = np.concatenate(([0], change))
+            run_ends = np.concatenate((change, [len(tid_s)]))
+            term_col = t["term"]
+            out = []
+            for s, e in zip(run_starts, run_ends):
+                out.append(
+                    _encode_run(
+                        term_col[int(order[s])].as_py(), int(tid_s[s]), 0,
+                        did_s[s:e], tf_s[s:e], dl_s[s:e],
+                        avgdl, k1, b_, bs,
+                    )
+                )
+            seg = pa.concat_tables(out)
+            _atomic_side_write(seg, tmp, f"bucket{b:05d}c{chunk:02d}")
+            return len(seg)
+
+        os.makedirs(tmp, exist_ok=True)
+        ray.get(
+            [
+                encode_bucket_chunk.remote(b, c)
+                for b in range(cfg.num_term_buckets)
+                for c in range(n_chunks)
+            ]
+        )
+
+    def write_segments_salted(tmp: str) -> None:
+        # head terms (df >= threshold) need the dictionary — this path
+        # therefore waits for it (strategy tradeoff documented in
+        # IndexConfig); the salter broadcast is a ray.put done once.
+        d = pq.read_table(paths.dictionary, columns=["term_id", "df"])
+        head_mask = d["df"].to_numpy() >= cfg.salt_df_threshold
+        head_ref = (
+            ray.put(d["term_id"].to_numpy()[head_mask]) if head_mask.any() else None
+        )
         salted = ray.data.read_parquet(paths.postings).map_batches(
             make_salter(head_ref, cfg.salt_buckets), batch_format="pyarrow"
         )
         (
             salted.groupby(["term_id", "salt"])
             .map_groups(
-                make_term_group_encoder(float(n_docs), avgdl, cfg, head_df_ref),
+                make_term_group_encoder(avgdl, cfg),
                 batch_format="pyarrow",
             )
             .write_parquet(tmp)
@@ -517,16 +678,32 @@ def build_index(
     seg_params = (
         f"strategy={cfg.segment_strategy},bs={cfg.block_size},"
         f"thr={cfg.salt_df_threshold},buckets={cfg.salt_buckets},"
-        f"k1={cfg.bm25.k1},b={cfg.bm25.b},n={n_docs},avgdl={avgdl!r}"
+        f"tbuckets={cfg.num_term_buckets},chunks={cfg.segment_doc_chunks},"
+        f"k1={cfg.bm25.k1},b={cfg.bm25.b},avgdl={avgdl!r}"
     )
-    write_segments = (
-        write_segments_salted
-        if cfg.segment_strategy == "salted_groupby"
-        else write_segments_sort
-    )
+
+    # Sequential staging: the dictionary merge is driver-cheap at
+    # combiner scale, and concurrent Dataset executions were measured
+    # to contend destructively with the segment stage.
+    run_stage("dictionary", paths.dictionary, postings_fp, write_dictionary)
+    write_segments = {
+        "bucket": write_segments_bucket,
+        "sort": write_segments_sort,
+        "salted_groupby": write_segments_salted,
+    }[cfg.segment_strategy]
     run_stage(
-        "segments", paths.segments, postings_fp, write_segments, params=seg_params
+        "segments", paths.segments, postings_fp, write_segments, seg_params
     )
+
+    # term_id collision check (vocabulary-scale, driver-side; a
+    # blake2b-64 collision would silently merge two terms' postings —
+    # not expected below ~2^30 terms; swap to a Ray aggregate beyond).
+    tid = pq.read_table(paths.dictionary, columns=["term_id"])["term_id"].to_numpy()
+    n_terms = len(tid)
+    if len(np.unique(tid)) != n_terms:
+        raise RuntimeError(
+            f"term_id hash collision among {n_terms} terms; rehash with a salt"
+        )
 
     with open(paths.stats, "w") as f:
         json.dump(

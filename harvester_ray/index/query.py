@@ -53,23 +53,25 @@ class _TermPostings:
 class _TermBlocks:
     """Undecoded block metadata of one term, sorted by first_doc_id.
 
-    Salt buckets are disjoint ordered doc_id ranges (build.make_salter),
-    so sorting all of a term's blocks by first_doc_id yields a globally
-    sorted list regardless of how many sub-groups encoded it.
+    Salt buckets / sort-strategy runs are disjoint ordered doc_id
+    ranges, so sorting all of a term's blocks by first_doc_id yields a
+    globally sorted list regardless of how many sub-groups encoded it.
+
+    ``bmax`` holds the idf-free norm maxima (build.bm25_norm); callers
+    multiply by the term's idf for score upper bounds.
     """
 
-    __slots__ = ("df", "first", "last", "bmax", "deltas", "tfs", "lens", "ub")
+    __slots__ = ("first", "last", "bmax", "deltas", "tfs", "lens", "ub_norm")
 
     def __init__(self, rows: pd.DataFrame):
         rows = rows.sort_values("first_doc_id", kind="stable")
-        self.df = int(rows["df"].iloc[0])
         self.first = rows["first_doc_id"].to_numpy(np.int64)
         self.last = rows["last_doc_id"].to_numpy(np.int64)
-        self.bmax = rows["block_max_score"].to_numpy(np.float64)
+        self.bmax = rows["block_max_norm"].to_numpy(np.float64)
         self.deltas = rows["doc_id_deltas"].tolist()
         self.tfs = rows["tfs"].tolist()
         self.lens = rows["doc_lens"].tolist()
-        self.ub = float(self.bmax.max()) if len(self.bmax) else 0.0
+        self.ub_norm = float(self.bmax.max()) if len(self.bmax) else 0.0
 
     def decode_block(self, i: int):
         ids = varint_decode(self.deltas[i]).view(np.int64).cumsum() + self.first[i]
@@ -174,7 +176,7 @@ class InvertedIndex:
         if blocks is None:
             return None
         ids, tf, dl = blocks.decode_all()
-        p = _TermPostings(ids, tf, dl, blocks.df)
+        p = _TermPostings(ids, tf, dl, meta[1])  # df from the dictionary
         self._postings_cache[meta[0]] = p
         return p
 
@@ -327,8 +329,9 @@ class InvertedIndex:
         cursors = []
         for t in terms:
             blocks = self.term_blocks(t)
-            if blocks is not None and len(blocks.first):
-                cursors.append(_WandCursor(blocks))
+            meta = self.dictionary.get(t)
+            if blocks is not None and meta is not None and len(blocks.first):
+                cursors.append(_WandCursor(blocks, meta[1], self.idf(meta[1])))
         if not cursors:
             return []
         # heap of (rounded_score, -doc_id) so the weakest entry pops first
@@ -383,14 +386,19 @@ class InvertedIndex:
 
 
 class _WandCursor:
-    """Per-term cursor over undecoded blocks with lazy block decode."""
+    """Per-term cursor over undecoded blocks with lazy block decode.
+    Upper bounds = term idf × stored idf-free block-max norms."""
 
-    __slots__ = ("blocks", "bi", "pos", "ids", "tf", "dl", "done", "ub")
+    __slots__ = (
+        "blocks", "df", "idf", "bi", "pos", "ids", "tf", "dl", "done", "ub",
+    )
 
-    def __init__(self, blocks: _TermBlocks):
+    def __init__(self, blocks: _TermBlocks, df: int, idf: float):
         self.blocks = blocks
+        self.df = df
+        self.idf = idf
         self.bi = 0
-        self.ub = blocks.ub
+        self.ub = idf * blocks.ub_norm
         self.done = False
         self._load_block()
 
@@ -432,12 +440,12 @@ class _WandCursor:
             self._load_block()
 
     def current_block_max(self, _doc: int) -> float:
-        return float(self.blocks.bmax[self.bi]) if not self.done else 0.0
+        return self.idf * float(self.blocks.bmax[self.bi]) if not self.done else 0.0
 
     def score_current(self, index: InvertedIndex) -> float:
         tf = np.array([self.tf[self.pos]])
         dl = np.array([self.dl[self.pos]])
-        return float(index._score(tf, dl, self.blocks.df)[0])
+        return float(index._score(tf, dl, self.df)[0])
 
 
 class QueryActor:

@@ -86,12 +86,12 @@ def test_build_resume_is_noop_and_identical(tmp_path, ray_session):
     digest1 = _index_digest(out)
     lin1 = {
         s: read_lineage(os.path.join(out, s))
-        for s in ("postings", "dictionary", "doc_table", "segments")
+        for s in ("spimi", "dictionary", "segments")
     }
 
     # full re-run: every stage must skip
     build_index(docs(), out, input_fingerprint=fp)
-    for s in ("postings", "dictionary", "doc_table", "segments"):
+    for s in ("spimi", "dictionary", "segments"):
         assert read_lineage(os.path.join(out, s))["key"] == lin1[s]["key"]
     assert _index_digest(out) == digest1
 
@@ -99,7 +99,7 @@ def test_build_resume_is_noop_and_identical(tmp_path, ray_session):
     shutil.rmtree(os.path.join(out, "segments"))
     build_index(docs(), out, input_fingerprint=fp)
     # postings untouched (same lineage object), segments rebuilt identically
-    assert read_lineage(os.path.join(out, "postings"))["key"] == lin1["postings"]["key"]
+    assert read_lineage(os.path.join(out, "spimi"))["key"] == lin1["spimi"]["key"]
     assert _index_digest(out) == digest1
 
 
@@ -131,7 +131,7 @@ def test_lineage_metrics_recorded(tmp_path, ray_session):
         out,
         input_fingerprint=dir_fingerprint(DOCS),
     )
-    for s in ("postings", "dictionary", "doc_table", "segments"):
+    for s in ("spimi", "dictionary", "segments"):
         rec = read_lineage(os.path.join(out, s))
         assert rec["rows_out"] > 0
         assert rec["bytes_out"] > 0
