@@ -24,7 +24,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from harvester_ray.pipelines import fulltext, relational
+    from harvester_ray.pipelines import fulltext, pages, relational
     from harvester_ray.stages import dedup, multimodal, similarity, textstats
 
     return {
@@ -46,10 +46,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": relational.text_stats,
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
+        # reference scalar operators (SURVEY.md §2.3/§2.8)
+        "orders_year_counts": relational.orders_year_counts,
+        "orders_decade_facets": relational.orders_decade_facets,
+        "events_props_sum": relational.events_props_sum,
+        "part_sort_names": relational.part_sort_names,
         # training-data-pipeline operators
         "dedup_exact": relational.dedup_exact,
         "ann_cosine_topk": relational.ann_cosine_topk,
         # non-SQL-expressible (rows-only checks)
+        "pages_flagship": pages.pages_flagship,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
@@ -81,6 +87,10 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracles.TEXT_STATS,
         "events_hourly": oracles.EVENTS_HOURLY,
         "events_sessions": oracles.EVENTS_SESSIONS,
+        "orders_year_counts": oracles.ORDERS_YEAR_COUNTS,
+        "orders_decade_facets": oracles.ORDERS_DECADE_FACETS,
+        "events_props_sum": oracles.EVENTS_PROPS_SUM,
+        "part_sort_names": oracles.PART_SORT_NAMES,
         "dedup_exact": oracles.DEDUP_EXACT,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
     }

@@ -201,3 +201,31 @@ r AS (SELECT vec_id,
       FROM s)
 SELECT rank, vec_id FROM r WHERE rank <= {ANN_TOP_K}
 """
+
+
+ORDERS_YEAR_COUNTS = """
+SELECT year(o_orderdate)::BIGINT AS o_year, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_total
+FROM orders GROUP BY o_year
+"""
+
+ORDERS_DECADE_FACETS = """
+SELECT ((year(o_orderdate) // 10) * 10)::VARCHAR || 's' AS decade, count(*) AS n
+FROM orders GROUP BY decade
+"""
+
+EVENTS_PROPS_SUM = """
+SELECT event_type, count(*) AS n,
+       sum(coalesce(json_extract(props, '$.k')::BIGINT, 0))::BIGINT AS sum_k
+FROM events GROUP BY event_type
+"""
+
+PART_SORT_NAMES = """
+SELECT p_partkey,
+       coalesce(nullif(
+         regexp_replace(regexp_replace(trim(regexp_replace(
+           lower(p_name), '[^0-9a-z \t\n\r]+', '', 'g')),
+           '[ \t\n\r]+', ' ', 'g'),
+         '^(the|a|an) ', ''), ''), '~title unknown') AS sort_name
+FROM part
+"""

@@ -1,0 +1,122 @@
+"""The flagship pages pipeline: Common-Crawl-style pages → HTML
+extraction (actor pool, validate + reject counts) → inverted index →
+BM25 query set. The full north-star loop (fetch → transform/validate →
+index → query), with every stage checkpointed + resumable via
+state.lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
+from harvester_ray.corpus import generate_queries, write_corpus
+from harvester_ray.index.build import ENGINE_VERSION, IndexPaths, build_index
+from harvester_ray.index.query import QueryActor
+from harvester_ray.stages.extract import extract_pages
+from harvester_ray.state.lineage import dir_fingerprint, run_stage
+
+CACHE_ROOT = "/tmp/harvester_ray_cache"
+
+
+def pages_corpus(n_pages: int = 500, seed: int = 42) -> str:
+    """Deterministic synthetic pages+queries parquet, cached on disk."""
+    out = os.path.join(CACHE_ROOT, f"pages_{n_pages}_s{seed}")
+    if not os.path.exists(os.path.join(out, "pages.parquet")):
+        write_corpus(out, n_pages, seed)
+    return out
+
+
+def build_pages_index(
+    pages_path: str,
+    out_dir: str,
+    cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+) -> IndexPaths:
+    """pages.parquet → extracted/ (checkpoint, with reject report) →
+    index stages. Resume: unchanged input skips extraction AND the
+    downstream index stages (their fingerprints chain)."""
+    os.makedirs(out_dir, exist_ok=True)
+    extracted_dir = os.path.join(out_dir, "extracted")
+    pages_file = (
+        os.path.join(pages_path, "pages.parquet")
+        if os.path.isdir(pages_path)
+        else pages_path
+    )
+    fp = dir_fingerprint(pages_file)
+
+    def write_extracted(tmp: str) -> None:
+        pages = ray.data.read_parquet(pages_file)
+        extracted = extract_pages(
+            pages,
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extract_concurrency,
+        )
+        extracted.write_parquet(tmp)
+
+    run_stage(
+        "extract", extracted_dir, fp, write_extracted,
+        params=f"extractor=v{ENGINE_VERSION}",
+    )
+
+    # reject report (the reference's per-reason rejection counts,
+    # harvester/solr_updater.py:841-861) — written next to the stage
+    rejects = (
+        ray.data.read_parquet(extracted_dir, columns=["reject_reason"])
+        .map_batches(
+            lambda t: t.filter(pc.is_valid(t["reject_reason"])),
+            batch_format="pyarrow",
+        )
+        .groupby("reject_reason")
+        .aggregate(ray.data.aggregate.Count(alias_name="n"))
+        .to_pandas()
+    )
+    with open(os.path.join(out_dir, "reject_report.json"), "w") as f:
+        json.dump(dict(zip(rejects["reject_reason"], rejects["n"].astype(int))), f)
+
+    valid = ray.data.read_parquet(
+        extracted_dir, columns=["doc_id", "text", "reject_reason"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["reject_reason"])).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+    return build_index(
+        valid,
+        os.path.join(out_dir, "index"),
+        cfg,
+        input_fingerprint=dir_fingerprint(extracted_dir),
+    )
+
+
+def pages_flagship(sf_dir: str | None = None, n_pages: int = 500) -> "ray.data.Dataset":
+    """End-to-end flagship on the synthetic corpus (deterministic;
+    ``sf_dir`` ignored — the pages table is generated, FIXTURES.md §1):
+    returns (query_id, rank, doc_id) for the generated query set."""
+    corpus = pages_corpus(n_pages)
+    out_dir = os.path.join(CACHE_ROOT, f"pages_idx_{n_pages}_v{ENGINE_VERSION}")
+    paths = build_pages_index(corpus, out_dir)
+    queries_ds = ray.data.read_parquet(os.path.join(corpus, "queries.parquet"))
+    out = queries_ds.map_batches(
+        QueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={"k": 10},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=32,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -335,3 +335,90 @@ def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
     )
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return top[["rank", "vec_id"]]
+
+
+# -- reference scalar-operator pipelines (SURVEY.md §2.3/§2.8) -----------
+def orders_year_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Year extraction (the ``make_datetime`` parse analog,
+    harvester/solr_updater.py:197-225) + grouped count/sum."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def add_year(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    out = (
+        ds.map_batches(add_year, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_total"),
+        )
+    )
+    return _round_cols(out, ["sum_total"])
+
+
+def orders_decade_facets(sf_dir: str) -> "ray.data.Dataset":
+    """Decade bucketing — the reference's ``facet_decade``
+    (harvester/solr_updater.py:547-558,625-654) over order dates."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def add_decade(t: pa.Table) -> pa.Table:
+        years = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        decades = [(f"{(int(y) // 10) * 10}s") for y in years]
+        return pa.table({"decade": pa.array(decades, pa.string())})
+
+    return (
+        ds.map_batches(add_decade, batch_format="pyarrow")
+        .groupby("decade")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
+    """JSON-encoded-string field extraction — the reference's ``dejson``
+    (harvester/solr_updater.py:137-180) — over events.props, then a
+    grouped aggregate."""
+    from harvester_ray.functions.reference_ops import json_field
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [json_field(p, "k") for p in t["props"].to_pylist()]
+        ks = [int(k) if k is not None else 0 for k in ks]
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
+def part_sort_names(sf_dir: str) -> "ray.data.Dataset":
+    """Sort-key normalization — the reference's ``normalize_sort_field``
+    (harvester/solr_updater.py:561-573): lowercase, strip punctuation,
+    collapse whitespace, drop a leading article."""
+    from harvester_ray.functions.text import normalize_sort_text
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        names = [normalize_sort_text(n) for n in t["p_name"].to_pylist()]
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "sort_name": pa.array(names, pa.string()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")

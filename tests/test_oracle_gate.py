@@ -1,0 +1,88 @@
+"""In-process replica of the driver's correctness gate at sf0.001:
+every oracle-checked queries() entry must match its DuckDB oracle on
+row count, column names and order-insensitive values. (The driver runs
+the same comparison at sf0.01; scripts/check_correctness.py runs it
+standalone.)"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+def _oracle_items():
+    import __ray_entry__ as e
+
+    sqls = e.oracle_sql()
+    return sorted(sqls.keys())
+
+
+@pytest.mark.parametrize("name", _oracle_items())
+def test_query_matches_oracle(name, con, ray_session):
+    import __ray_entry__ as e
+
+    mine = _canon(_to_pandas(e.queries()[name](SF)))
+    want = _canon(con.execute(e.oracle_sql()[name]).fetchdf())
+    assert list(mine.columns) == list(want.columns), (
+        f"{name}: columns {list(mine.columns)} != {list(want.columns)}"
+    )
+    assert len(mine) == len(want), f"{name}: rows {len(mine)} != {len(want)}"
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False, atol=1e-9)
+
+
+def test_rows_only_entries_return_rows(ray_session):
+    """Smoke every non-oracled entry (the driver's weaker check)."""
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    for name, fn in qs.items():
+        if name in sqls or name == "pages_flagship":
+            continue  # oracled above; flagship covered by its own test
+        df = _to_pandas(fn(SF))
+        assert df is not None and len(df) >= 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = _to_pandas(e.entry())
+    assert len(df) > 0
+    assert set(df.columns) == {"query_id", "rank", "doc_id"}
