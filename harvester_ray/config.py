@@ -65,7 +65,9 @@ class IndexConfig:
     salt_buckets: int = 64
     tokenize_batch_size: int = 8192
     extract_batch_size: int = 128
-    extract_concurrency: int | tuple[int, int] = 4
+    # autoscaling (min, max) actor pool: min=1 so concurrent stage
+    # executions can never deadlock waiting for a full fixed pool
+    extract_concurrency: int | tuple[int, int] = (1, 4)
     # columns pruned at the read for the build (prune-at-the-read rule)
     doc_columns: tuple[str, ...] = ("doc_id", "text")
 

@@ -150,14 +150,28 @@ def generate_queries(n_queries: int = 200, seed: int = SEED) -> pa.Table:
     )
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = SEED) -> str:
-    """Write pages.parquet + queries.parquet under out_dir."""
+def write_corpus(
+    out_dir: str, n_rows: int, seed: int = SEED, n_files: int = 1
+) -> str:
+    """Write pages (1 or ``n_files`` shards, the partitioned-input
+    layout) + queries.parquet under out_dir."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     pages, _ = generate_pages(n_rows, seed)
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    if n_files <= 1:
+        pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    else:
+        pages_dir = os.path.join(out_dir, "pages")
+        os.makedirs(pages_dir, exist_ok=True)
+        per = (n_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            shard = pages.slice(i * per, per)
+            if len(shard):
+                pq.write_table(
+                    shard, os.path.join(pages_dir, f"pages-{i:05d}.parquet")
+                )
     pq.write_table(generate_queries(), os.path.join(out_dir, "queries.parquet"))
     return out_dir

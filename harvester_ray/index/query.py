@@ -138,6 +138,12 @@ class InvertedIndex:
             self._slots = np.sort(dt["doc_id"].to_numpy())
         except Exception:
             self._slots = None
+        # tombstoned docs (index/maintenance.py) are filtered at query
+        # time; global stats stay as built (Lucene-style deletes)
+        from harvester_ray.index.maintenance import load_tombstones
+
+        self._deleted = load_tombstones(index_dir)
+        self._deleted_set = set(self._deleted.tolist()) if len(self._deleted) else None
         if preload:
             seg = self._seg_ds.to_table().to_pandas()
             for tid, rows in seg.groupby("term_id"):
@@ -241,6 +247,13 @@ class InvertedIndex:
         """Top-k from a dense score accumulator: kth-value partition,
         then exact (round-6 DESC, doc_id ASC) ordering of the boundary
         candidates only."""
+        if self._deleted_set is not None:
+            pos = np.searchsorted(self._slots, self._deleted)
+            in_range = pos < len(self._slots)
+            pos = pos[in_range]
+            present = self._slots[pos] == self._deleted[in_range]
+            mask = mask.copy()
+            mask[pos[present]] = False
         cand = np.nonzero(mask)[0]
         if len(cand) == 0:
             return []
@@ -285,6 +298,9 @@ class InvertedIndex:
         uniq, inv = np.unique(all_ids, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, all_scores)
+        if self._deleted_set is not None:
+            keep = ~np.isin(uniq, self._deleted)
+            uniq, sums = uniq[keep], sums[keep]
         return self._topk(uniq, sums, k)
 
     def _search_and(self, terms: list[str], k: int):
@@ -309,6 +325,10 @@ class InvertedIndex:
         common = plists[0].doc_ids
         for p in plists[1:]:
             common = np.intersect1d(common, p.doc_ids, assume_unique=True)
+            if len(common) == 0:
+                return []
+        if self._deleted_set is not None:
+            common = common[~np.isin(common, self._deleted)]
             if len(common) == 0:
                 return []
         sums = np.zeros(len(common), dtype=np.float64)
@@ -354,6 +374,11 @@ class InvertedIndex:
             if pivot_idx < 0:
                 break  # even all terms together can't beat theta
             pivot_doc = live[pivot_idx].doc
+            if self._deleted_set is not None and pivot_doc in self._deleted_set:
+                for c in live:
+                    if c.doc == pivot_doc:
+                        c.advance()
+                continue
             if live[0].doc == pivot_doc:
                 # block-max refinement: tighter UB from current blocks
                 block_ub = 0.0

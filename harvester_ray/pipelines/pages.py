@@ -19,7 +19,7 @@ from harvester_ray.corpus import generate_queries, write_corpus
 from harvester_ray.index.build import ENGINE_VERSION, IndexPaths, build_index
 from harvester_ray.index.query import QueryActor
 from harvester_ray.stages.extract import extract_pages
-from harvester_ray.state.lineage import dir_fingerprint, run_stage
+from harvester_ray.state.lineage import dir_fingerprint
 
 CACHE_ROOT = "/tmp/harvester_ray_cache"
 
@@ -40,33 +40,51 @@ def build_pages_index(
     """pages.parquet → extracted/ (checkpoint, with reject report) →
     index stages. Resume: unchanged input skips extraction AND the
     downstream index stages (their fingerprints chain)."""
+    import glob
+
+    from harvester_ray.state.partitioned import (
+        partition_outputs,
+        run_partitioned_stage,
+    )
+
     os.makedirs(out_dir, exist_ok=True)
     extracted_dir = os.path.join(out_dir, "extracted")
-    pages_file = (
-        os.path.join(pages_path, "pages.parquet")
-        if os.path.isdir(pages_path)
-        else pages_path
-    )
-    fp = dir_fingerprint(pages_file)
 
-    def write_extracted(tmp: str) -> None:
-        pages = ray.data.read_parquet(pages_file)
-        extracted = extract_pages(
+    # input partitions: a sharded pages/ dir, a single pages.parquet, or
+    # a direct file path
+    if os.path.isdir(pages_path):
+        shard_dir = os.path.join(pages_path, "pages")
+        if os.path.isdir(shard_dir):
+            page_files = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+        else:
+            page_files = [os.path.join(pages_path, "pages.parquet")]
+    else:
+        page_files = [pages_path]
+
+    def extract_one(src: str, tmp: str) -> None:
+        pages = ray.data.read_parquet(src)
+        extract_pages(
             pages,
             batch_size=cfg.extract_batch_size,
             concurrency=cfg.extract_concurrency,
-        )
-        extracted.write_parquet(tmp)
+        ).write_parquet(tmp)
 
-    run_stage(
-        "extract", extracted_dir, fp, write_extracted,
+    # per-partition lineage: an interrupted run re-extracts only the
+    # partitions whose outputs are missing/stale (north-rule resume)
+    run_partitioned_stage(
+        "extract", page_files, extracted_dir, extract_one,
         params=f"extractor=v{ENGINE_VERSION}",
     )
+    part_files = [
+        f
+        for d in partition_outputs(extracted_dir)
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
 
     # reject report (the reference's per-reason rejection counts,
     # harvester/solr_updater.py:841-861) — written next to the stage
     rejects = (
-        ray.data.read_parquet(extracted_dir, columns=["reject_reason"])
+        ray.data.read_parquet(part_files, columns=["reject_reason"])
         .map_batches(
             lambda t: t.filter(pc.is_valid(t["reject_reason"])),
             batch_format="pyarrow",
@@ -79,7 +97,7 @@ def build_pages_index(
         json.dump(dict(zip(rejects["reject_reason"], rejects["n"].astype(int))), f)
 
     valid = ray.data.read_parquet(
-        extracted_dir, columns=["doc_id", "text", "reject_reason"]
+        part_files, columns=["doc_id", "text", "reject_reason"]
     ).map_batches(
         lambda t: t.filter(pc.is_null(t["reject_reason"])).select(
             ["doc_id", "text"]

@@ -1,0 +1,99 @@
+"""Tombstone deletions + sources interop tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from harvester_ray.index.maintenance import (
+    clear_tombstones,
+    compact,
+    delete_docs,
+    delete_where,
+    load_tombstones,
+)
+from harvester_ray.index.oracle import OracleIndex
+from harvester_ray.index.query import InvertedIndex
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _fresh_index(tmp_path):
+    from harvester_ray.index.build import build_index
+
+    docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    return build_index(docs, str(tmp_path / "idx"))
+
+
+def test_tombstone_filtering_all_paths(tmp_path, ray_session):
+    paths = _fresh_index(tmp_path)
+    idx = InvertedIndex(paths.root, preload=True)
+    top = idx.search("scan join", k=5, mode="or")
+    dead = [top[0][0], top[2][0]]
+    assert delete_docs(paths.root, dead) == 2
+    assert delete_docs(paths.root, dead) == 2  # idempotent rewrite
+    assert set(load_tombstones(paths.root)) == set(dead)
+
+    idx2 = InvertedIndex(paths.root, preload=True)
+    for mode in ("or", "and"):
+        got = idx2.search("scan join", k=10, mode=mode)
+        assert all(d not in dead for d, _ in got), mode
+    wand = idx2.search("scan join", k=10, mode="or", algorithm="wand")
+    exh = idx2.search("scan join", k=10, mode="or", algorithm="exhaustive")
+    assert [d for d, _ in wand] == [d for d, _ in exh]
+    # survivors keep their relative order and scores
+    before = [(d, s) for d, s in idx.search("scan join", k=12) if d not in dead]
+    after = idx2.search("scan join", k=10)
+    assert [d for d, _ in after] == [d for d, _ in before][:10]
+    for (d1, s1), (d2, s2) in zip(after, before):
+        assert s1 == pytest.approx(s2)
+
+
+def test_delete_where_and_compact(tmp_path, ray_session):
+    paths = _fresh_index(tmp_path)
+    docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    n = delete_where(
+        paths.root, docs, lambda t: pc.match_substring(t["text"], "dup")
+    )
+    assert n > 0
+    idx = InvertedIndex(paths.root, preload=True)
+    assert idx.search("dup", k=10, mode="or") == []  # every 'dup' doc gone
+
+    # compaction: rebuild without the deleted docs; stats recomputed
+    docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    cpaths = compact(docs, paths.root)
+    cidx = InvertedIndex(cpaths.root, preload=True)
+    assert "dup" not in cidx.dictionary
+    assert cidx.n_docs == idx.n_docs - n
+    # compacted index agrees with an oracle over the filtered corpus
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{DOCS}' WHERE NOT contains(text, 'dup')"
+    ).fetchall()
+    oracle = OracleIndex(rows)
+    for q, m in (("scan join", "or"), ("merge sort", "and")):
+        got = cidx.search(q, k=10, mode=m)
+        want = oracle.search(q, k=10, mode=m)
+        assert [d for d, _ in got] == [d for d, _ in want], (q, m)
+
+    clear_tombstones(paths.root)
+    assert len(load_tombstones(paths.root)) == 0
+
+
+def test_jsonl_pages_roundtrip(tmp_path, ray_session):
+    from harvester_ray.corpus import generate_pages
+    from harvester_ray.sources import read_jsonl_pages, write_jsonl_pages
+
+    pages, _ = generate_pages(60)
+    ds = ray.data.from_arrow(pages)
+    out = str(tmp_path / "jsonl")
+    write_jsonl_pages(ds, out)
+    back = read_jsonl_pages(out).to_pandas().sort_values("url").reset_index(drop=True)
+    orig = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == list(orig["url"])
+    assert list(back["html"]) == list(orig["html"])
+    assert list(back["lang"]) == list(orig["lang"])
+    assert [str(a) for a in back["warc_ts"]] == [str(a) for a in orig["warc_ts"]]
