@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": fulltext.doc_stats,
         "bm25_topk_or": fulltext.bm25_topk_or,
         "bm25_topk_and": fulltext.bm25_topk_and,
+        "bm25_topk_wand": fulltext.bm25_topk_wand,
         # relational operator coverage (SURVEY.md §2.5-2.7)
         "q1_pricing": relational.q1_pricing,
         "q3_top_orders": relational.q3_top_orders,
@@ -51,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_decade_facets": relational.orders_decade_facets,
         "events_props_sum": relational.events_props_sum,
         "part_sort_names": relational.part_sort_names,
+        "lineitem_union_counts": relational.lineitem_union_counts,
+        "embedding_norms": relational.embedding_norms,
         # training-data-pipeline operators
         "dedup_exact": relational.dedup_exact,
         "ann_cosine_topk": relational.ann_cosine_topk,
@@ -76,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracles.DOC_STATS,
         "bm25_topk_or": oracles.BM25_TOPK_OR,
         "bm25_topk_and": oracles.BM25_TOPK_AND,
+        "bm25_topk_wand": oracles.BM25_TOPK_OR,
         "q1_pricing": oracles.Q1_PRICING,
         "q3_top_orders": oracles.Q3_TOP_ORDERS,
         "region_customer_stats": oracles.REGION_CUSTOMER_STATS,
@@ -91,6 +95,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_decade_facets": oracles.ORDERS_DECADE_FACETS,
         "events_props_sum": oracles.EVENTS_PROPS_SUM,
         "part_sort_names": oracles.PART_SORT_NAMES,
+        "lineitem_union_counts": oracles.LINEITEM_UNION_COUNTS,
+        "embedding_norms": oracles.EMBEDDING_NORMS,
         "dedup_exact": oracles.DEDUP_EXACT,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
     }

@@ -479,9 +479,16 @@ class QueryActor:
     concurrency=N, batch_format="pyarrow")``.
     The index loads ONCE per actor in __init__ (stateful-stage rule)."""
 
-    def __init__(self, index_dir: str, k: int = 10, preload: bool = True):
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        preload: bool = True,
+        algorithm: str = "auto",
+    ):
         self.index = InvertedIndex(index_dir, preload=preload)
         self.k = k
+        self.algorithm = algorithm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, doc_ids, scores = [], [], [], []
@@ -494,7 +501,10 @@ class QueryActor:
             batch["query_id"].to_pylist(), batch["query"].to_pylist(), modes
         ):
             for rank, (doc_id, score) in enumerate(
-                self.index.search(q, k=self.k, mode=mode), start=1
+                self.index.search(
+                    q, k=self.k, mode=mode, algorithm=self.algorithm
+                ),
+                start=1,
             ):
                 qids.append(qid)
                 ranks.append(rank)

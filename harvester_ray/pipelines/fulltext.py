@@ -100,7 +100,7 @@ def doc_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def _bm25(sf_dir: str, mode: str) -> "ray.data.Dataset":
+def _bm25(sf_dir: str, mode: str, algorithm: str = "auto") -> "ray.data.Dataset":
     """Top-10 per query via the QueryActor pool: (query_id, rank, doc_id).
 
     Scores are intentionally not returned here — the oracle-checked
@@ -115,7 +115,7 @@ def _bm25(sf_dir: str, mode: str) -> "ray.data.Dataset":
     out = queries_ds.map_batches(
         QueryActor,
         fn_constructor_args=(paths.root,),
-        fn_constructor_kwargs={"k": TOP_K},
+        fn_constructor_kwargs={"k": TOP_K, "algorithm": algorithm},
         batch_format="pyarrow",
         concurrency=2,
         batch_size=8,
@@ -138,3 +138,9 @@ def bm25_topk_or(sf_dir: str) -> "ray.data.Dataset":
 
 def bm25_topk_and(sf_dir: str) -> "ray.data.Dataset":
     return _bm25(sf_dir, "and")
+
+
+def bm25_topk_wand(sf_dir: str) -> "ray.data.Dataset":
+    """The Block-Max WAND execution path, checked against the SAME SQL
+    oracle as the exhaustive OR path (rank identity in the driver gate)."""
+    return _bm25(sf_dir, "or", algorithm="wand")

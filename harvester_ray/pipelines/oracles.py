@@ -229,3 +229,19 @@ SELECT p_partkey,
          '^(the|a|an) ', ''), ''), '~title unknown') AS sort_name
 FROM part
 """
+
+
+LINEITEM_UNION_COUNTS = """
+SELECT l_returnflag, count(*) AS n FROM (
+  SELECT l_returnflag FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+  UNION ALL
+  SELECT l_returnflag FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+) GROUP BY l_returnflag
+"""
+
+EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+         AS l2_norm
+FROM embeddings
+"""

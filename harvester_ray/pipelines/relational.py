@@ -422,3 +422,47 @@ def part_sort_names(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def lineitem_union_counts(sf_dir: str) -> "ray.data.Dataset":
+    """``Dataset.union`` coverage (multi-collection harvest analog,
+    scripts/queue_harvest.py:91-103): split lineitem by ship year, union
+    the two halves back, grouped count must equal the plain scan."""
+    path = ["lineitem", ["l_returnflag", "l_shipdate"]]
+    early = _read(sf_dir, *path).map_batches(
+        lambda t: t.filter(
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01")))
+        ),
+        batch_format="pyarrow",
+    )
+    late = _read(sf_dir, *path).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01")))
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        early.union(late)
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def embedding_norms(sf_dir: str) -> "ray.data.Dataset":
+    """(vec_id, l2_norm rounded) — per-row vector math over the
+    embedding list column, float64 end-to-end."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def norms(t: pa.Table) -> pa.Table:
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        n = np.sqrt((E * E).sum(axis=1))
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "l2_norm": pa.array(np.round(n, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")
