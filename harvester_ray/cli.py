@@ -1,0 +1,153 @@
+"""Job driver CLI — the ``ray job submit`` entrypoint of the north rule.
+
+On a real cluster:
+
+    ray job submit -- python -m harvester_ray.cli build \
+        --input s3://bucket/docs/ --out s3://bucket/index/
+
+Locally the same commands run against a local session. The CLI owns
+the Ray session (guarded init + shutdown); library code never does.
+
+Subcommands:
+    build         index a (doc_id, text) parquet table
+    build-pages   full flagship: pages parquet → extract → index
+    query         one interactive query against a built index
+    query-batch   evaluate a parquet query table through the actor pool
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _cfg(args) -> "IndexConfig":
+    from harvester_ray.config import IndexConfig
+
+    kw = {}
+    if getattr(args, "strategy", None):
+        kw["segment_strategy"] = args.strategy
+    if getattr(args, "buckets", None):
+        kw["num_term_buckets"] = args.buckets
+    return IndexConfig(**kw)
+
+
+def cmd_build(args) -> int:
+    ray = _ray_session()
+    import ray.data
+
+    from harvester_ray.index.build import build_index
+    from harvester_ray.state.lineage import dir_fingerprint
+
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    paths = build_index(
+        docs, args.out, _cfg(args), input_fingerprint=dir_fingerprint(args.input)
+    )
+    with open(paths.stats) as f:
+        print(json.dumps({"index": paths.root, **json.load(f)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_build_pages(args) -> int:
+    ray = _ray_session()
+    from harvester_ray.pipelines.pages import build_pages_index
+
+    paths = build_pages_index(args.pages, args.out, _cfg(args))
+    with open(paths.stats) as f:
+        print(json.dumps({"index": paths.root, **json.load(f)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    from harvester_ray.index.query import InvertedIndex
+
+    idx = InvertedIndex(args.index, preload=not args.lazy)
+    hits = idx.search(args.query, k=args.k, mode=args.mode, algorithm=args.algorithm)
+    for rank, (doc_id, score) in enumerate(hits, start=1):
+        print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
+    return 0
+
+
+def cmd_query_batch(args) -> int:
+    ray = _ray_session()
+    import ray.data
+
+    from harvester_ray.index.query import QueryActor
+
+    qs = ray.data.read_parquet(args.queries)
+    out = qs.map_batches(
+        QueryActor,
+        fn_constructor_args=(args.index,),
+        fn_constructor_kwargs={"k": args.k},
+        batch_format="pyarrow",
+        concurrency=args.concurrency,
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"results": args.out, "rows": out.count()}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="harvester_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="index a (doc_id, text) parquet table")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--strategy", choices=["bucket", "sort", "salted_groupby"])
+    b.add_argument("--buckets", type=int)
+    b.set_defaults(fn=cmd_build)
+
+    bp = sub.add_parser("build-pages", help="pages parquet → extract → index")
+    bp.add_argument("--pages", required=True)
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--strategy", choices=["bucket", "sort", "salted_groupby"])
+    bp.add_argument("--buckets", type=int)
+    bp.set_defaults(fn=cmd_build_pages)
+
+    q = sub.add_parser("query", help="one query against a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["or", "and"], default="or")
+    q.add_argument(
+        "--algorithm", choices=["auto", "exhaustive", "wand"], default="auto"
+    )
+    q.add_argument("--lazy", action="store_true",
+                   help="segment blocks fetched per term (no preload)")
+    q.set_defaults(fn=cmd_query)
+
+    qb = sub.add_parser("query-batch", help="evaluate a parquet query table")
+    qb.add_argument("--index", required=True)
+    qb.add_argument("--queries", required=True)
+    qb.add_argument("--out", required=True)
+    qb.add_argument("--k", type=int, default=10)
+    qb.add_argument("--concurrency", type=int, default=2)
+    qb.set_defaults(fn=cmd_query_batch)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

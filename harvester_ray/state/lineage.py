@@ -107,6 +107,10 @@ def run_stage(
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.rename(tmp, out_dir)
+    # test-only fault injection: crash the PROCESS right after this
+    # stage commits, so kill/restart resume is testable deterministically
+    if os.environ.get("HARVESTER_RAY_FAIL_AFTER") == name:
+        os._exit(17)
     return rec
 
 
