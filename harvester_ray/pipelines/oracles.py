@@ -123,9 +123,9 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 20
 
 Q1_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       CAST(floor((sum(l_quantity)) * 10000 + 0.5) AS BIGINT) AS sum_qty,
+       CAST(floor((sum(l_extendedprice)) * 10000 + 0.5) AS BIGINT) AS sum_base,
+       CAST(floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) AS BIGINT) AS sum_disc_price,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -134,7 +134,7 @@ GROUP BY l_returnflag, l_linestatus
 
 Q3_TOP_ORDERS = """
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) AS BIGINT) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -145,7 +145,7 @@ LIMIT 10
 """
 
 REGION_CUSTOMER_STATS = """
-SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+SELECT r_name, count(*) AS n_customers, CAST(floor((sum(c_acctbal)) * 10000 + 0.5) AS BIGINT) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -161,13 +161,13 @@ SELECT DISTINCT c_mktsegment FROM customer
 """
 
 PART_TYPE_STATS = """
-SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+SELECT p_type, count(*) AS n_parts, CAST(floor((avg(p_retailprice)) * 10000 + 0.5) AS BIGINT) AS avg_price
 FROM part GROUP BY p_type
 """
 
 EVENTS_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
-       count(*) AS n, round(sum(value), 4) AS sum_value
+       count(*) AS n, CAST(floor((sum(value)) * 10000 + 0.5) AS BIGINT) AS sum_value
 FROM events GROUP BY event_type, hour
 """
 
@@ -205,7 +205,7 @@ SELECT rank, vec_id FROM r WHERE rank <= {ANN_TOP_K}
 
 ORDERS_YEAR_COUNTS = """
 SELECT year(o_orderdate)::BIGINT AS o_year, count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS sum_total
+       CAST(floor((sum(o_totalprice)) * 10000 + 0.5) AS BIGINT) AS sum_total
 FROM orders GROUP BY o_year
 """
 
@@ -241,7 +241,6 @@ SELECT l_returnflag, count(*) AS n FROM (
 
 EMBEDDING_NORMS = """
 SELECT vec_id,
-       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
-         AS l2_norm
+       CAST(floor((sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) * 10000 + 0.5) AS BIGINT) AS l2_norm
 FROM embeddings
 """

@@ -8,9 +8,11 @@ for two large sides, sorts/top-k/distinct, and a sessionization
 ``groupby(key).map_groups`` for the stream-shaped ``events`` table
 (the `_changes`-feed analog, SURVEY.md §2.9).
 
-Float columns returned to the oracle comparison are rounded to 4
-decimals on BOTH sides (see oracles.py) so parallel summation order
-cannot flip the value hash.
+Float columns returned to the oracle comparison are fixed-point
+encoded (BIGINT of value*10^4, half-up) on BOTH sides (see
+_round_cols / oracles.py): float rounding itself differs across
+engines in the last ulp, so bit-exact cross-engine equality requires
+integers.
 """
 
 from __future__ import annotations
@@ -38,12 +40,19 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _round_cols(ds: "ray.data.Dataset", cols: list[str], digits: int = 4):
+    """Fixed-point encode float columns as BIGINT(value * 10^digits,
+    half-up) — cross-engine float rounding differs in the last ulp
+    (measured: pyarrow round vs DuckDB round disagree by ~5e-14), so
+    bit-exact comparison requires integers. The SQL twins apply
+    CAST(floor(x * 10^digits + 0.5) AS BIGINT) — same definition."""
+    scale = float(10**digits)
+
     def f(t: pa.Table) -> pa.Table:
         for c in cols:
+            x = t[c].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            fx = np.floor(x * scale + 0.5).astype(np.int64)
             t = t.set_column(
-                t.column_names.index(c),
-                c,
-                pc.round(t[c].cast(pa.float64()), ndigits=digits),
+                t.column_names.index(c), c, pa.array(fx, pa.int64())
             )
         return t
 
@@ -458,10 +467,11 @@ def embedding_norms(sf_dir: str) -> "ray.data.Dataset":
     def norms(t: pa.Table) -> pa.Table:
         E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         n = np.sqrt((E * E).sum(axis=1))
+        fx = np.floor(n * 10000 + 0.5).astype(np.int64)  # fixed-point 1e-4
         return pa.table(
             {
                 "vec_id": t["vec_id"],
-                "l2_norm": pa.array(np.round(n, 4), pa.float64()),
+                "l2_norm": pa.array(fx, pa.int64()),
             }
         )
 
