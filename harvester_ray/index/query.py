@@ -382,24 +382,35 @@ class InvertedIndex:
             if live[0].doc == pivot_doc:
                 # block-max refinement: tighter UB from current blocks
                 block_ub = 0.0
+                at_pivot = []
                 for c in live:
                     if c.doc > pivot_doc:
                         break
                     c.seek_block(pivot_doc)
                     block_ub += c.current_block_max(pivot_doc)
+                    at_pivot.append(c)
                 if block_ub > theta:
                     score = 0.0
-                    for c in live:
-                        if c.doc == pivot_doc:
-                            score += c.score_current(self)
+                    for c in at_pivot:
+                        score += c.score_current(self)
                     entry = (round(score, 6), -pivot_doc, score)
                     if len(heap) < k:
                         heapq.heappush(heap, entry)
                     elif entry[:2] > heap[0][:2]:
                         heapq.heapreplace(heap, entry)
-                for c in live:
-                    if c.doc == pivot_doc:
+                    for c in at_pivot:
                         c.advance()
+                else:
+                    # NextShallow (Ding & Suel 2011): every doc up to the
+                    # earliest current-block end shares these block maxima
+                    # and cannot beat theta — jump all pivot cursors past
+                    # it without decoding. Capped at the next cursor's
+                    # doc: beyond it another term could lift the bound.
+                    d_next = min(c.current_block_last() for c in at_pivot) + 1
+                    if len(at_pivot) < len(live):
+                        d_next = min(d_next, live[len(at_pivot)].doc)
+                    for c in at_pivot:
+                        c.seek(max(d_next, pivot_doc + 1))
             else:
                 # advance the earliest cursor before the pivot to >= pivot_doc
                 for i in range(pivot_idx):
@@ -411,11 +422,15 @@ class InvertedIndex:
 
 
 class _WandCursor:
-    """Per-term cursor over undecoded blocks with lazy block decode.
+    """Per-term cursor with LAZY block decode: block position moves by
+    metadata (first/last doc_id per block); a block's postings are
+    decoded only when the cursor must report an exact doc or score.
+    This is what makes Block-Max WAND actually skip decode work.
     Upper bounds = term idf × stored idf-free block-max norms."""
 
     __slots__ = (
-        "blocks", "df", "idf", "bi", "pos", "ids", "tf", "dl", "done", "ub",
+        "blocks", "df", "idf", "bi", "pos", "ids", "tf", "dl", "done",
+        "ub", "_pending_target",
     )
 
     def __init__(self, blocks: _TermBlocks, df: int, idf: float):
@@ -423,51 +438,82 @@ class _WandCursor:
         self.df = df
         self.idf = idf
         self.bi = 0
+        self.pos = 0
+        self.ids = None  # undecoded
+        self.tf = None
+        self.dl = None
         self.ub = idf * blocks.ub_norm
-        self.done = False
-        self._load_block()
+        self.done = len(blocks.first) == 0
+        # when set, the cursor is logically at the first doc >= target
+        # within block bi, but the block is not decoded yet
+        self._pending_target: int | None = None
 
-    def _load_block(self):
+    def _ensure_decoded(self):
+        if self.ids is None and not self.done:
+            self.ids, self.tf, self.dl = self.blocks.decode_block(self.bi)
+            if self._pending_target is not None:
+                self.pos = int(
+                    np.searchsorted(self.ids, self._pending_target, side="left")
+                )
+                self._pending_target = None
+                if self.pos >= len(self.ids):  # defensive; last >= target
+                    self._next_block()
+
+    def _next_block(self):
+        self.bi += 1
+        self.pos = 0
+        self.ids = None
+        self._pending_target = None
         if self.bi >= len(self.blocks.first):
             self.done = True
-            self.ids = None
-            return
-        self.ids, self.tf, self.dl = self.blocks.decode_block(self.bi)
-        self.pos = 0
 
     @property
     def doc(self) -> int:
+        """Exact current doc — decodes the block on first access; while
+        undecoded with no pending target, the block's first_doc_id IS
+        the current doc (pos 0)."""
+        if self.done:
+            return 2**63 - 1
+        if self.ids is None and self._pending_target is None:
+            return int(self.blocks.first[self.bi])
+        self._ensure_decoded()
         return int(self.ids[self.pos]) if not self.done else 2**63 - 1
 
     def advance(self):
+        self._ensure_decoded()
         self.pos += 1
         if self.pos >= len(self.ids):
-            self.bi += 1
-            self._load_block()
+            self._next_block()
 
     def seek(self, target: int):
-        """Move to the first posting with doc_id >= target."""
+        """Move to the first posting with doc_id >= target — skipping
+        whole blocks by metadata, WITHOUT decoding them."""
         while not self.done and self.blocks.last[self.bi] < target:
-            self.bi += 1
-            self._load_block()
+            self._next_block()
         if self.done:
             return
-        self.pos = int(np.searchsorted(self.ids, target, side="left"))
-        if self.pos >= len(self.ids):
-            self.bi += 1
-            self._load_block()
+        if self.ids is not None:
+            self.pos = int(np.searchsorted(self.ids, target, side="left"))
+            if self.pos >= len(self.ids):
+                self._next_block()
+        elif target > int(self.blocks.first[self.bi]):
+            self._pending_target = target
+        # else: block start already >= target; stay undecoded at pos 0
 
     def seek_block(self, target: int):
-        """Advance whole blocks (without decoding) past those ending
-        before ``target``; used for the block-max check."""
+        """Advance whole blocks (metadata only) past those ending before
+        ``target``; never decodes."""
         while not self.done and self.blocks.last[self.bi] < target:
-            self.bi += 1
-            self._load_block()
+            self._next_block()
+
+    def current_block_last(self) -> int:
+        return int(self.blocks.last[self.bi]) if not self.done else 2**63 - 1
 
     def current_block_max(self, _doc: int) -> float:
         return self.idf * float(self.blocks.bmax[self.bi]) if not self.done else 0.0
 
     def score_current(self, index: InvertedIndex) -> float:
+        self._ensure_decoded()
         tf = np.array([self.tf[self.pos]])
         dl = np.array([self.dl[self.pos]])
         return float(index._score(tf, dl, self.df)[0])
