@@ -38,7 +38,7 @@ TOKEN_SQL_RE = "[a-z0-9]+"
 # Arrow split pattern: the complement (split on runs of non-token chars).
 _SPLIT_PATTERN = "[^a-z0-9]+"
 
-_ARTICLES = ("the ", "a ", "an ")
+_ARTICLES = ("the", "a", "an")
 _RE_ALPHANUMSPACE = re.compile(r"[^0-9A-Za-z\s]+")
 
 
@@ -72,23 +72,30 @@ def flatten_tokens(
     return flat.filter(keep), parent.filter(keep)
 
 
-def normalize_sort_text(text: str | None) -> str:
+def normalize_sort_text(
+    text: str | None,
+    default_missing: str = "~title unknown",
+    missing_equivalents: tuple[str, ...] = ("title unknown",),
+) -> str:
     """Reference-parity sort-key normalizer.
 
-    Mirrors ``normalize_sort_field`` (harvester/solr_updater.py:561-573):
-    lowercase, strip non-alphanumeric-non-space, collapse whitespace,
-    drop a leading English article; empty input -> '~title unknown'
-    (sorts after everything alphabetical, as in the reference).
+    Mirrors ``normalize_sort_field`` (harvester/solr_updater.py:561-573)
+    exactly: lowercase, strip non-alphanumeric-non-space, drop a leading
+    English article by WORD comparison (so a bare 'the'/'a'/'an' maps to
+    empty → the sentinel); whitespace collapses only via the
+    article-drop rejoin, as in the reference; empty results and
+    ``missing_equivalents`` values map to ``default_missing`` (sorts
+    after everything alphabetical).
     """
     if not text:
-        return "~title unknown"
+        return default_missing
     s = _RE_ALPHANUMSPACE.sub("", text.lower())
-    s = " ".join(s.split())
-    for art in _ARTICLES:
-        if s.startswith(art):
-            s = s[len(art):]
-            break
-    return s if s else "~title unknown"
+    words = s.split()
+    if words and words[0] in _ARTICLES:
+        s = " ".join(words[1:])
+    if not s or s in missing_equivalents:
+        return default_missing
+    return s
 
 
 def hash64_bytes(data: bytes) -> int:

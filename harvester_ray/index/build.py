@@ -402,6 +402,15 @@ def make_spimi_with_sides(
 
     def fn(batch: pa.Table) -> pa.Table:
         pa.set_cpu_count(1)  # see encode_bucket: avoid Arrow pool thrash
+        # duplicate doc_ids would encode a 0 doc_id gap that only fails
+        # later as an opaque decode assert — fail clearly at build time
+        ids_in = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(np.unique(ids_in)) != len(ids_in):
+            raise ValueError(
+                "build_index input has duplicate doc_id values within a "
+                "batch; doc_id must be unique per document (dedup or "
+                "re-derive ids with functions.text.hash64)"
+            )
         out = spimi_postings_batch(batch)
         if len(out) == 0:
             return out if n_buckets is None else pa.table({"rows": pa.array([0], pa.int64())})
@@ -512,6 +521,38 @@ def build_index(
         params=f"tokenizer=v{ENGINE_VERSION}",
     )
     postings_fp = dir_fingerprint(paths.spimi)
+
+    # Cross-batch doc_id uniqueness: every doc-table row is one doc of
+    # one batch, so a doc_id appearing in two batches shows up as
+    # duplicate rows here. Driver-side under the merge guard (the doc
+    # table is 2 ints/doc); beyond it only the cheap count invariant
+    # (rows <= n_docs) runs — at that scale use a Ray groupby audit.
+    doc_bytes = sum(
+        os.path.getsize(os.path.join(paths.doc_table, f))
+        for f in os.listdir(paths.doc_table)
+    )
+    if doc_bytes <= 256 * 1024 * 1024:
+        dt_ids = pq.read_table(paths.doc_table, columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy()
+        if len(np.unique(dt_ids)) != len(dt_ids):
+            raise ValueError(
+                "build_index input has duplicate doc_id values across "
+                "batches; doc_id must be globally unique per document"
+            )
+        n_with_tokens = len(dt_ids)
+        del dt_ids
+    else:
+        n_with_tokens = sum(
+            pq.ParquetFile(os.path.join(paths.doc_table, f)).metadata.num_rows
+            for f in os.listdir(paths.doc_table)
+            if f.endswith(".parquet")
+        )
+    if n_with_tokens > n_docs:
+        raise ValueError(
+            f"doc table has {n_with_tokens} rows but n_docs={n_docs}; "
+            "duplicate doc_ids or an understated n_docs"
+        )
 
     # avgdl (needed by segment encode): sum of cf over the (small)
     # dictionary partials — no postings re-scan. Driver-side read;

@@ -220,14 +220,30 @@ SELECT event_type, count(*) AS n,
 FROM events GROUP BY event_type
 """
 
+# Mirrors functions.text.normalize_sort_text == the reference's
+# normalize_sort_field (solr_updater.py:561-573): article drop is by
+# FIRST WORD (a bare 'the'/'a'/'an' → empty → sentinel); whitespace
+# collapses only via the article-drop rejoin; 'title unknown'
+# (missing_equivalents) also maps to the sentinel.
 PART_SORT_NAMES = """
+WITH s1 AS (
+  SELECT p_partkey,
+         regexp_replace(lower(p_name), '[^0-9a-z \t\n\r]+', '', 'g') AS s
+  FROM part
+),
+s2 AS (
+  SELECT p_partkey,
+         CASE WHEN regexp_matches(s, '^[ \t\n\r]*(the|a|an)([ \t\n\r]|$)')
+              THEN coalesce(array_to_string(
+                     list_filter(regexp_split_to_array(s, '[ \t\n\r]+'),
+                                 x -> x <> '')[2:], ' '), '')
+              ELSE s END AS s
+  FROM s1
+)
 SELECT p_partkey,
-       coalesce(nullif(
-         regexp_replace(regexp_replace(trim(regexp_replace(
-           lower(p_name), '[^0-9a-z \t\n\r]+', '', 'g')),
-           '[ \t\n\r]+', ' ', 'g'),
-         '^(the|a|an) ', ''), ''), '~title unknown') AS sort_name
-FROM part
+       CASE WHEN s = '' OR s = 'title unknown'
+            THEN '~title unknown' ELSE s END AS sort_name
+FROM s2
 """
 
 

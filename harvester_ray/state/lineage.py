@@ -15,13 +15,16 @@ batch pipeline (SURVEY.md §2.9, §4 "checkpoint/resume" row):
 - on re-run, a stage whose fingerprint matches is SKIPPED — an
   interrupted build resumes without re-extracting
 
-Fingerprints hash the (relpath, size, num_rows) listing of the input
+Fingerprints hash the (relpath, size, mtime_ns) listing of the input
 directory plus a params string — content-addressed enough for
 immutable parquet stage outputs, cheap at any scale (metadata only).
+mtime_ns guards against same-size content rewrites (fixed-width
+parquet edits), which a (relpath, size)-only fingerprint would miss.
 """
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -30,14 +33,19 @@ import time
 from collections.abc import Callable
 
 LINEAGE_FILE = "_lineage.json"
-ENGINE_VERSION = 1
+ENGINE_VERSION = 2
+
+
+def _stat_sig(fp: str) -> str:
+    st = os.stat(fp)
+    return f"{st.st_size}:{st.st_mtime_ns}"
 
 
 def dir_fingerprint(path: str) -> str:
     """Metadata fingerprint of a directory tree (or file)."""
     h = hashlib.md5()
     if os.path.isfile(path):
-        h.update(f"{os.path.basename(path)}:{os.path.getsize(path)}".encode())
+        h.update(f"{os.path.basename(path)}:{_stat_sig(path)}".encode())
         return h.hexdigest()
     for root, _dirs, files in sorted(os.walk(path)):
         for f in sorted(files):
@@ -45,7 +53,7 @@ def dir_fingerprint(path: str) -> str:
                 continue
             fp = os.path.join(root, f)
             rel = os.path.relpath(fp, path)
-            h.update(f"{rel}:{os.path.getsize(fp)}".encode())
+            h.update(f"{rel}:{_stat_sig(fp)}".encode())
     return h.hexdigest()
 
 
@@ -77,6 +85,12 @@ def run_stage(
     key = hashlib.md5(
         f"{input_fingerprint}|{params}|v{ENGINE_VERSION}".encode()
     ).hexdigest()
+    # clean ALL stale tmps (any pid) up front — even when the stage
+    # itself skips: a crashed run leaves '{out_dir}.tmp-<deadpid>'
+    # behind, which must never be globbed as output by downstream
+    # consumers
+    for stale in glob.glob(f"{glob.escape(out_dir)}.tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     lineage_path = os.path.join(out_dir, LINEAGE_FILE)
     if os.path.exists(lineage_path):
         with open(lineage_path) as f:
@@ -86,8 +100,6 @@ def run_stage(
             return rec
         shutil.rmtree(out_dir)  # stale output for different input/params
     tmp = f"{out_dir}.tmp-{os.getpid()}"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
     t0 = time.time()
     fn(tmp)
     rows, nbytes = _dir_stats(tmp)

@@ -73,6 +73,9 @@ def partition_outputs(out_dir: str) -> list[str]:
     return sorted(
         os.path.join(out_dir, d)
         for d in os.listdir(out_dir)
-        if d.startswith("part-") and not d.endswith((".tmp", ".json"))
+        # '.tmp-' anywhere excludes stale 'part-<key>.tmp-<deadpid>'
+        # dirs left by a crash mid-write: only committed (renamed)
+        # partition dirs count as output
+        if d.startswith("part-") and ".tmp" not in d and not d.endswith(".json")
         and os.path.isdir(os.path.join(out_dir, d))
     )

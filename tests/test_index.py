@@ -174,3 +174,11 @@ def test_query_actor_batch(built_index):
     assert by_q[0] == [d for d, _ in oracle.search("scan join", k=5)]
     assert by_q[1] == [d for d, _ in oracle.search("dup", k=5)]
     assert 2 not in by_q  # OOV -> no rows
+
+
+def test_build_rejects_duplicate_doc_ids(tmp_path, ray_session):
+    dup = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 1], "text": ["a b", "b c", "a d"]})
+    )
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        build_index(dup, str(tmp_path / "dupidx"))

@@ -11,6 +11,7 @@ import pytest
 import ray.data
 
 from harvester_ray.index.build import build_index
+import harvester_ray.state.lineage as lineage_mod
 from harvester_ray.state.lineage import dir_fingerprint, read_lineage, run_stage
 
 DOCS = "/root/testdata/sf0.001/documents.parquet"
@@ -136,4 +137,37 @@ def test_lineage_metrics_recorded(tmp_path, ray_session):
         assert rec["rows_out"] > 0
         assert rec["bytes_out"] > 0
         assert rec["wall_sec"] >= 0
-        assert rec["engine_version"] == 1
+        assert rec["engine_version"] == lineage_mod.ENGINE_VERSION
+
+
+def test_dir_fingerprint_detects_same_size_rewrite(tmp_path):
+    from harvester_ray.state.lineage import dir_fingerprint
+
+    d = tmp_path / "in"
+    d.mkdir()
+    f = d / "data.bin"
+    f.write_bytes(b"AAAA")
+    fp1 = dir_fingerprint(str(d))
+    # same-size content change must change the fingerprint (mtime_ns)
+    os.utime(f, ns=(1, 1))
+    f.write_bytes(b"BBBB")
+    assert dir_fingerprint(str(d)) != fp1
+
+
+def test_run_stage_cleans_stale_tmp_dirs(tmp_path):
+    from harvester_ray.state.lineage import run_stage
+
+    out = str(tmp_path / "stage_out")
+    stale = f"{out}.tmp-99999"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "partial.parquet"), "wb") as fh:
+        fh.write(b"junk")
+
+    def fn(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "ok.txt"), "w") as fh:
+            fh.write("done")
+
+    run_stage("s", out, "fp0", fn)
+    assert not os.path.exists(stale)
+    assert os.path.exists(os.path.join(out, "ok.txt"))

@@ -77,3 +77,32 @@ def test_pages_build_partition_resume(tmp_path, ray_session):
     idx2 = InvertedIndex(paths.root, preload=True)
     assert idx2.search("w0 w1", k=10) == top1
     assert set(idx2.dictionary) == set(idx1.dictionary)
+
+
+def test_stale_crash_tmp_not_listed_as_output(tmp_path):
+    """A crash mid-write leaves 'part-<key>.tmp-<deadpid>'; it must not
+    be globbed as a completed partition, and a resumed run cleans it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "in-0.txt")
+    with open(src, "w") as f:
+        f.write("data")
+
+    def fn(path, tmp):
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(pa.table({"src": [path]}), os.path.join(tmp, "o.parquet"))
+
+    out = str(tmp_path / "stage")
+    run_partitioned_stage("s", [src], out, fn, max_concurrent=1)
+    (done,) = partition_outputs(out)
+
+    # simulate a crashed writer from a dead pid
+    stale = f"{done}.tmp-4242"
+    os.makedirs(stale)
+    pq.write_table(pa.table({"src": ["PARTIAL"]}), os.path.join(stale, "o.parquet"))
+
+    assert partition_outputs(out) == [done]  # stale tmp excluded
+    run_partitioned_stage("s", [src], out, fn, max_concurrent=1)
+    assert not os.path.exists(stale)  # resumed run cleaned it
+    assert partition_outputs(out) == [done]

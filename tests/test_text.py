@@ -78,3 +78,18 @@ def test_normalize_sort_text():
     assert normalize_sort_text(None) == "~title unknown"
     assert normalize_sort_text("!!!") == "~title unknown"
     assert normalize_sort_text("another day") == "another day"
+
+
+def test_normalize_sort_text_reference_edges():
+    # bare article (no trailing text) maps to the missing sentinel, as
+    # in the reference's word-split article drop (solr_updater.py:567-570)
+    assert normalize_sort_text("the") == "~title unknown"
+    assert normalize_sort_text("A") == "~title unknown"
+    assert normalize_sort_text("An!") == "~title unknown"
+    # missing_equivalents: 'title unknown' (after normalization) maps
+    # to the sentinel (solr_updater.py:571-572)
+    assert normalize_sort_text("Title Unknown") == "~title unknown"
+    assert normalize_sort_text("The Title Unknown") == "~title unknown"
+    # article is a word prefix only, not a substring prefix
+    assert normalize_sort_text("theory class") == "theory class"
+    assert normalize_sort_text("anchor") == "anchor"
