@@ -35,6 +35,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_or": fulltext.bm25_topk_or,
         "bm25_topk_and": fulltext.bm25_topk_and,
         "bm25_topk_wand": fulltext.bm25_topk_wand,
+        # incremental add (delta segments): same oracles as the
+        # one-shot build — proves add-then-query is exact
+        "term_dictionary_incremental": fulltext.term_dictionary_incremental,
+        "bm25_topk_or_incremental": fulltext.bm25_topk_or_incremental,
         # relational operator coverage (SURVEY.md §2.5-2.7)
         "q1_pricing": relational.q1_pricing,
         "q3_top_orders": relational.q3_top_orders,
@@ -80,6 +84,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or": oracles.BM25_TOPK_OR,
         "bm25_topk_and": oracles.BM25_TOPK_AND,
         "bm25_topk_wand": oracles.BM25_TOPK_OR,
+        "term_dictionary_incremental": oracles.TERM_DICTIONARY,
+        "bm25_topk_or_incremental": oracles.BM25_TOPK_OR,
         "q1_pricing": oracles.Q1_PRICING,
         "q3_top_orders": oracles.Q3_TOP_ORDERS,
         "region_customer_stats": oracles.REGION_CUSTOMER_STATS,

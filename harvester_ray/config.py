@@ -64,6 +64,11 @@ class IndexConfig:
     salt_df_threshold: int = 100_000
     salt_buckets: int = 64
     tokenize_batch_size: int = 8192
+    # bucket-strategy SPIMI batch: the per-batch fixed cost is the side
+    # writes (one file per term bucket per batch), so batches are much
+    # larger than tokenize_batch_size; ~32k docs x ~1KB text ≈ 32 MB in
+    # flight per task. Lower it for wide rows (multi-MB html).
+    spimi_batch_size: int = 32768
     extract_batch_size: int = 128
     # autoscaling (min, max) actor pool: min=1 so concurrent stage
     # executions can never deadlock waiting for a full fixed pool

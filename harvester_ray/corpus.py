@@ -20,6 +20,7 @@ import html as html_mod
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 VOCAB_SIZE = 5000
 ZIPF_S = 1.1
@@ -115,6 +116,80 @@ def generate_pages(
         }
     )
     return table, expected
+
+
+def generate_zipf_docs(
+    n_docs: int,
+    vocab_size: int = 50_000,
+    mean_len: int = 120,
+    seed: int = SEED,
+    doc_id_offset: int = 0,
+    s: float = ZIPF_S,
+) -> pa.Table:
+    """Deterministic (doc_id, text) table with a realistic web-scale
+    token distribution: Zipf(s) over ``vocab_size`` terms, lognormal
+    doc lengths around ``mean_len``.
+
+    Fully vectorized — token ids by inverse-CDF sampling, strings via a
+    DictionaryArray cast, per-doc join via pc.binary_join — so corpora
+    of millions of docs generate in seconds (bench/scaling input;
+    the 31-term driver `documents` table caps term-bucket parallelism
+    and is adversarially un-web-like, BASELINE.md §3).
+    """
+    rng = np.random.default_rng(seed)
+    lens = np.clip(
+        rng.lognormal(np.log(mean_len), 0.6, n_docs).astype(np.int64),
+        8,
+        mean_len * 8,
+    )
+    total = int(lens.sum())
+    cdf = np.cumsum(_zipf_weights(vocab_size, s))
+    tok = np.searchsorted(cdf, rng.random(total), side="right").astype(np.int32)
+    np.minimum(tok, vocab_size - 1, out=tok)
+    vocab_arr = pa.array([f"w{i}" for i in range(vocab_size)], pa.string())
+    flat = pa.DictionaryArray.from_arrays(pa.array(tok), vocab_arr).cast(
+        pa.string()
+    )
+    offsets = np.empty(n_docs + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lens, out=offsets[1:])
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), flat.cast(pa.large_string())
+    )
+    text = pc.binary_join(lst, pa.scalar(" ", pa.large_string()))
+    doc_id = pa.array(
+        np.arange(doc_id_offset, doc_id_offset + n_docs, dtype=np.int64)
+    )
+    return pa.table({"doc_id": doc_id, "text": text})
+
+
+def write_zipf_corpus(
+    out_dir: str,
+    n_docs: int,
+    n_files: int = 32,
+    vocab_size: int = 50_000,
+    mean_len: int = 120,
+    seed: int = SEED,
+) -> str:
+    """Sharded deterministic Zipf corpus: file i holds docs
+    [i*per, ...) generated from seed ``seed*7919+i`` — identical layout
+    regardless of who generates it or at what parallelism."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    for i in range(n_files):
+        lo = i * per
+        cnt = min(per, n_docs - lo)
+        if cnt <= 0:
+            break
+        tbl = generate_zipf_docs(
+            cnt, vocab_size, mean_len, seed * 7919 + i, doc_id_offset=lo
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"zipf-{i:05d}.parquet"))
+    return out_dir
 
 
 def generate_queries(n_queries: int = 200, seed: int = SEED) -> pa.Table:

@@ -99,73 +99,105 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
 
-def spimi_postings_batch(batch: pa.Table) -> pa.Table:
-    """SPIMI combiner: a batch of (doc_id, text) → (term, term_id,
-    doc_id, tf, doc_len) posting rows, aggregated within the batch.
+class _SpimiBatch:
+    """Fused per-batch SPIMI state: postings + doc table + dictionary
+    partials derived from ONE sorted key array (no Arrow group_by —
+    the string-key hash aggregate was the measured hot spot at ~0.5 s
+    per 8 k-doc batch; the int64-key sort is ~10x cheaper).
 
-    All-Arrow: utf8_lower + regex split + list_flatten + group_by; the
-    only Python loop is hashing the batch's *unique* terms (vocabulary-
-    bounded). ``doc_len`` rides along on every posting row so scoring
-    needs no doc-table join at query time (impact-style layout).
+    ``doc_len`` rides along on every posting row so scoring needs no
+    doc-table join at query time (impact-style layout).
     """
-    toks = tokenize_column(batch["text"])
-    flat, parent = flatten_tokens(toks)
-    doc_ids = pc.take(
-        batch["doc_id"].combine_chunks()
-        if isinstance(batch["doc_id"], pa.ChunkedArray)
-        else batch["doc_id"],
-        parent,
+
+    __slots__ = (
+        "dictionary", "uniq_hashes", "term_idx", "doc_row", "tf",
+        "doc_ids_all", "doc_len_per_row", "n_rows",
     )
-    if len(flat) == 0:
+
+    def __init__(self, batch: pa.Table):
+        toks = tokenize_column(batch["text"])
+        flat, parent = flatten_tokens(toks)
+        self.n_rows = len(batch)
+        self.doc_ids_all = (
+            batch["doc_id"].combine_chunks()
+            if isinstance(batch["doc_id"], pa.ChunkedArray)
+            else batch["doc_id"]
+        ).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            self.dictionary = pa.array([], pa.string())
+            self.uniq_hashes = np.empty(0, np.int64)
+            self.term_idx = np.empty(0, np.int64)
+            self.doc_row = np.empty(0, np.int64)
+            self.tf = np.empty(0, np.int32)
+            self.doc_len_per_row = np.zeros(self.n_rows, np.int32)
+            return
+        # unique terms once per batch (vocabulary-bounded Python hash)
+        denc = pc.dictionary_encode(flat)
+        self.dictionary = denc.dictionary
+        self.uniq_hashes = hash64_array(self.dictionary)
+        tidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        # (doc row, term) pair aggregation: one int64 key sort + run-length
+        key = np.sort((par << np.int64(32)) | tidx)
+        change = np.nonzero(np.diff(key))[0] + 1
+        starts = np.concatenate(([0], change))
+        self.tf = np.diff(np.concatenate((starts, [len(key)]))).astype(np.int32)
+        heads = key[starts]
+        self.doc_row = (heads >> np.int64(32)).astype(np.int64)
+        self.term_idx = (heads & np.int64(0xFFFFFFFF)).astype(np.int64)
+        self.doc_len_per_row = np.bincount(
+            par, minlength=self.n_rows
+        ).astype(np.int32)
+
+    def postings_table(self, order: np.ndarray | None = None) -> pa.Table:
+        """(term, term_id, doc_id, tf, doc_len) rows, optionally in a
+        given permutation (bucket order) — the permutation is applied
+        to numpy columns and dictionary indices BEFORE string take."""
+        ti = self.term_idx if order is None else self.term_idx[order]
+        dr = self.doc_row if order is None else self.doc_row[order]
+        tf = self.tf if order is None else self.tf[order]
         return pa.table(
             {
-                "term": pa.array([], pa.string()),
-                "term_id": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "tf": pa.array([], pa.int32()),
-                "doc_len": pa.array([], pa.int32()),
+                "term": pc.take(self.dictionary, pa.array(ti)),
+                "term_id": pa.array(self.uniq_hashes[ti], pa.int64()),
+                "doc_id": pa.array(self.doc_ids_all[dr], pa.int64()),
+                "tf": pa.array(tf, pa.int32()),
+                "doc_len": pa.array(self.doc_len_per_row[dr], pa.int32()),
             }
         )
-    pairs = pa.table({"term": flat, "doc_id": doc_ids})
-    agg = pairs.group_by(["term", "doc_id"]).aggregate([("term", "count")])
-    tf = agg["term_count"].cast(pa.int32())
-    # doc_len = total tokens per doc in this batch (docs never span batches)
-    lens = pairs.group_by(["doc_id"]).aggregate([("term", "count")])
-    len_ids = lens["doc_id"].to_numpy(zero_copy_only=False)
-    len_vals = lens["term_count"].to_numpy(zero_copy_only=False).astype(np.int32)
-    order = np.argsort(len_ids, kind="stable")
-    len_ids, len_vals = len_ids[order], len_vals[order]
-    agg_doc = agg["doc_id"].to_numpy(zero_copy_only=False)
-    doc_len = len_vals[np.searchsorted(len_ids, agg_doc)]
-    # hash only unique terms, then scatter via dictionary indices
-    dict_arr = pc.dictionary_encode(agg["term"].combine_chunks())
-    uniq_hashes = hash64_array(dict_arr.dictionary)
-    term_id = uniq_hashes[dict_arr.indices.to_numpy(zero_copy_only=False)]
-    return pa.table(
-        {
-            "term": agg["term"],
-            "term_id": pa.array(term_id, pa.int64()),
-            "doc_id": agg["doc_id"],
-            "tf": tf,
-            "doc_len": pa.array(doc_len, pa.int32()),
-        }
-    )
+
+    def doc_table(self) -> pa.Table:
+        """One (doc_id, doc_len) row per doc with >= 1 token."""
+        nz = np.nonzero(self.doc_len_per_row)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(self.doc_ids_all[nz], pa.int64()),
+                "doc_len": pa.array(self.doc_len_per_row[nz], pa.int32()),
+            }
+        )
+
+    def dictionary_partial(self) -> pa.Table:
+        """One row per unique term of the batch with partial df
+        (posting count) and cf (sum of tf)."""
+        n_uniq = len(self.dictionary)
+        df = np.bincount(self.term_idx, minlength=n_uniq).astype(np.int64)
+        cf = np.bincount(
+            self.term_idx, weights=self.tf, minlength=n_uniq
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": self.dictionary,
+                "term_id": pa.array(self.uniq_hashes, pa.int64()),
+                "df_part": pa.array(df, pa.int64()),
+                "cf_part": pa.array(cf, pa.int64()),
+            }
+        )
 
 
-def _dictionary_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner for the dictionary groupby: one row per term
-    per batch with partial df (posting count) and cf (sum of tf)."""
-    agg = batch.group_by(["term", "term_id"]).aggregate(
-        [("doc_id", "count"), ("tf", "sum")]
-    )
-    return pa.table(
-        {
-            "term": agg["term"],
-            "term_id": agg["term_id"],
-            "df_part": agg["doc_id_count"].cast(pa.int64()),
-            "cf_part": agg["tf_sum"].cast(pa.int64()),
-        }
-    )
+def spimi_postings_batch(batch: pa.Table) -> pa.Table:
+    """SPIMI combiner: a batch of (doc_id, text) → (term, term_id,
+    doc_id, tf, doc_len) posting rows, aggregated within the batch."""
+    return _SpimiBatch(batch).postings_table()
 
 
 def bm25_norm(
@@ -250,6 +282,76 @@ _EMPTY_SEGMENT_TABLE = pa.table(
 )
 
 
+def _encode_sorted_runs(
+    terms_per_run: pa.Array,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    tid_s: np.ndarray,
+    did_s: np.ndarray,
+    tf_s: np.ndarray,
+    dl_s: np.ndarray,
+    salt: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    bs: int,
+) -> pa.Table:
+    """Encode MANY (term_id, doc_id)-sorted posting runs into block rows
+    (FIXTURES.md §3 layout, block_max = idf-free norm max) in ONE
+    vectorized pass: per-run block boundaries are computed with
+    repeat/cumsum arithmetic, then ONE varint encode per column over
+    the whole sorted slab is sliced into per-block buffers — no
+    per-run numpy work, no per-run table concat (the per-run encode
+    loop was ~40% of segment-task time at 1.5 k runs/bucket)."""
+    n = len(did_s)
+    if n == 0:
+        return _EMPTY_SEGMENT_TABLE
+    norms = bm25_norm(tf_s, dl_s, avgdl, k1, b)
+    run_lens = run_ends - run_starts
+    nb_per_run = (run_lens + bs - 1) // bs
+    total_blocks = int(nb_per_run.sum())
+    first_block_of_run = np.concatenate(([0], np.cumsum(nb_per_run)[:-1]))
+    within = np.arange(total_blocks) - np.repeat(first_block_of_run, nb_per_run)
+    starts = np.repeat(run_starts, nb_per_run) + within * bs
+    ends = np.minimum(starts + bs, np.repeat(run_ends, nb_per_run))
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(did_s[1:], did_s[:-1], out=gaps[1:], casting="unsafe")
+    gaps[starts] = 0  # gap[0] of each block is relative to first_doc_id
+    gap_buf, gap_ends = varint_encode_offsets(gaps)
+    tf_buf, tf_ends = varint_encode_offsets(tf_s)
+    dl_buf, dl_ends = varint_encode_offsets(dl_s)
+
+    def slices(buf: bytes, value_ends: np.ndarray) -> list[bytes]:
+        byte_lo = np.concatenate(([0], value_ends[ends[:-1] - 1]))
+        byte_hi = value_ends[ends - 1]
+        return [buf[a:b_] for a, b_ in zip(byte_lo, byte_hi)]
+
+    block_max = np.maximum.reduceat(norms, starts).astype(np.float32)
+    run_of_block = np.repeat(
+        np.arange(len(run_starts), dtype=np.int64), nb_per_run
+    )
+    term_col = pa.DictionaryArray.from_arrays(
+        pa.array(run_of_block, pa.int64()),
+        terms_per_run.cast(pa.string()),
+    ).cast(pa.string())
+    return pa.table(
+        {
+            "term": term_col,
+            "term_id": pa.array(tid_s[starts], pa.int64()),
+            "salt": pa.array(np.full(total_blocks, salt, np.int32)),
+            "block_id": pa.array(within.astype(np.int32)),
+            "first_doc_id": pa.array(did_s[starts], pa.int64()),
+            "last_doc_id": pa.array(did_s[ends - 1], pa.int64()),
+            "n": pa.array((ends - starts).astype(np.int32)),
+            "doc_id_deltas": pa.array(slices(gap_buf, gap_ends), pa.binary()),
+            "tfs": pa.array(slices(tf_buf, tf_ends), pa.binary()),
+            "doc_lens": pa.array(slices(dl_buf, dl_ends), pa.binary()),
+            "block_max_norm": pa.array(block_max, pa.float32()),
+        }
+    )
+
+
 def _encode_run(
     term: str,
     term_id: int,
@@ -262,46 +364,16 @@ def _encode_run(
     b: float,
     bs: int,
 ) -> pa.Table:
-    """Encode one doc_id-sorted posting run into block rows
-    (FIXTURES.md §3 layout, block_max = idf-free norm max).
-
-    Vectorized whole-run encode: block boundaries first, then ONE varint
-    encode per column with per-value byte offsets, sliced into per-block
-    buffers (no per-block numpy work).
-    """
+    """Encode one doc_id-sorted posting run (single-run wrapper around
+    the vectorized multi-run encoder; used by the salted_groupby
+    strategy where each map_groups group IS one run)."""
     n = len(doc_id)
-    norms = bm25_norm(tf, dl, avgdl, k1, b)
-    starts = np.arange(0, n, bs, dtype=np.int64)
-    ends = np.minimum(starts + bs, n)
-    n_blocks = len(starts)
-    gaps = np.empty(n, dtype=np.uint64)
-    gaps[0] = 0
-    np.subtract(doc_id[1:], doc_id[:-1], out=gaps[1:], casting="unsafe")
-    gaps[starts] = 0  # gap[0] of each block is relative to first_doc_id
-    gap_buf, gap_ends = varint_encode_offsets(gaps)
-    tf_buf, tf_ends = varint_encode_offsets(tf)
-    dl_buf, dl_ends = varint_encode_offsets(dl)
-
-    def slices(buf: bytes, value_ends: np.ndarray) -> list[bytes]:
-        byte_lo = np.concatenate(([0], value_ends[ends[:-1] - 1]))
-        byte_hi = value_ends[ends - 1]
-        return [buf[a:b_] for a, b_ in zip(byte_lo, byte_hi)]
-
-    block_max = np.maximum.reduceat(norms, starts).astype(np.float32)
-    return pa.table(
-        {
-            "term": pa.array([term] * n_blocks, pa.string()),
-            "term_id": pa.array(np.full(n_blocks, term_id, np.int64)),
-            "salt": pa.array(np.full(n_blocks, salt, np.int32)),
-            "block_id": pa.array(np.arange(n_blocks, dtype=np.int32)),
-            "first_doc_id": pa.array(doc_id[starts], pa.int64()),
-            "last_doc_id": pa.array(doc_id[ends - 1], pa.int64()),
-            "n": pa.array((ends - starts).astype(np.int32)),
-            "doc_id_deltas": pa.array(slices(gap_buf, gap_ends), pa.binary()),
-            "tfs": pa.array(slices(tf_buf, tf_ends), pa.binary()),
-            "doc_lens": pa.array(slices(dl_buf, dl_ends), pa.binary()),
-            "block_max_norm": pa.array(block_max, pa.float32()),
-        }
+    return _encode_sorted_runs(
+        pa.array([term], pa.string()),
+        np.array([0], dtype=np.int64),
+        np.array([n], dtype=np.int64),
+        np.full(n, term_id, np.int64),
+        doc_id, tf, dl, salt, avgdl, k1, b, bs,
     )
 
 
@@ -345,20 +417,16 @@ def make_sorted_batch_encoder(avgdl: float, cfg: IndexConfig):
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
         tf = batch["tf"].to_numpy(zero_copy_only=False)
         dl = batch["doc_len"].to_numpy(zero_copy_only=False)
-        terms = batch["term"]
         change = np.nonzero(np.diff(tids))[0] + 1
         run_starts = np.concatenate(([0], change))
         run_ends = np.concatenate((change, [len(tids)]))
-        out = []
-        for s, e in zip(run_starts, run_ends):
-            out.append(
-                _encode_run(
-                    terms[s].as_py(), int(tids[s]), 0,
-                    doc_id[s:e], tf[s:e], dl[s:e],
-                    avgdl, k1, b_, bs,
-                )
-            )
-        return pa.concat_tables(out)
+        terms_per_run = pc.take(
+            batch["term"].combine_chunks(), pa.array(run_starts, pa.int64())
+        )
+        return _encode_sorted_runs(
+            terms_per_run, run_starts, run_ends,
+            tids, doc_id, tf, dl, 0, avgdl, k1, b_, bs,
+        )
 
     return encode_batch
 
@@ -411,31 +479,37 @@ def make_spimi_with_sides(
                 "batch; doc_id must be unique per document (dedup or "
                 "re-derive ids with functions.text.hash64)"
             )
-        out = spimi_postings_batch(batch)
-        if len(out) == 0:
-            return out if n_buckets is None else pa.table({"rows": pa.array([0], pa.int64())})
-        docs = out.group_by(["doc_id"]).aggregate([("doc_len", "max")])
-        doc_tbl = pa.table(
-            {
-                "doc_id": docs["doc_id"],
-                "doc_len": docs["doc_len_max"].cast(pa.int32()),
-            }
-        )
+        sb = _SpimiBatch(batch)
+        if len(sb.term_idx) == 0:
+            return (
+                spimi_postings_batch(batch)
+                if n_buckets is None
+                else pa.table({"rows": pa.array([0], pa.int64())})
+            )
+        doc_tbl = sb.doc_table()
         min_id = int(doc_tbl["doc_id"].to_numpy().min())
         key = f"{min_id & 0xFFFFFFFFFFFFFFFF:016x}"
         _atomic_side_write(doc_tbl, doc_dir, key)
-        _atomic_side_write(_dictionary_partial(out), dict_dir, key)
         if n_buckets is None:
-            return out
+            # non-bucket strategies: dictionary partials shrink the
+            # dictionary groupby input from |postings| to
+            # |batches| x |vocab|
+            _atomic_side_write(sb.dictionary_partial(), dict_dir, key)
+            return sb.postings_table()
         # bucket strategy: the map task writes its postings split by
         # term bucket DIRECTLY (hive layout), so the stage is one fully
         # streaming pass — no repartition barrier, no second write pass.
+        # Bucket assignment is computed per UNIQUE term and scattered;
+        # the permutation is applied to numpy columns + dictionary
+        # indices before the string take (Table.take on a string column
+        # was measured ~1 s per 6 M rows).
         assert post_dir is not None
-        b = (
-            out["term_id"].to_numpy().view(np.uint64) % np.uint64(n_buckets)
+        bucket_of_uniq = (
+            sb.uniq_hashes.view(np.uint64) % np.uint64(n_buckets)
         ).astype(np.int32)
+        b = bucket_of_uniq[sb.term_idx]
         order = np.argsort(b, kind="stable")
-        out_sorted = out.take(pa.array(order))
+        out_sorted = sb.postings_table(order)
         bs = b[order]
         bounds = np.nonzero(np.diff(bs))[0] + 1
         lo = 0
@@ -445,7 +519,7 @@ def make_spimi_with_sides(
             os.makedirs(bdir, exist_ok=True)
             _atomic_side_write(part, bdir, key)
             lo = hi
-        return pa.table({"rows": pa.array([len(out)], pa.int64())})
+        return pa.table({"rows": pa.array([len(out_sorted)], pa.int64())})
 
     return fn
 
@@ -493,7 +567,8 @@ def build_index(
         doc_dir = os.path.join(tmp, "doc_table")
         dict_dir = os.path.join(tmp, "dict_partials")
         os.makedirs(doc_dir, exist_ok=True)
-        os.makedirs(dict_dir, exist_ok=True)
+        if not bucketed:
+            os.makedirs(dict_dir, exist_ok=True)
         ds = docs.map_batches(
             make_spimi_with_sides(
                 doc_dir,
@@ -502,7 +577,10 @@ def build_index(
                 post_dir if bucketed else None,
             ),
             batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
+            # bucket strategy: large batches — the side writes (one
+            # file per bucket per batch) are the per-batch fixed cost,
+            # so fewer, larger batches win
+            batch_size=cfg.spimi_batch_size if bucketed else cfg.tokenize_batch_size,
             zero_copy_batch=True,
         )
         if bucketed:
@@ -522,52 +600,85 @@ def build_index(
     )
     postings_fp = dir_fingerprint(paths.spimi)
 
-    # Cross-batch doc_id uniqueness: every doc-table row is one doc of
-    # one batch, so a doc_id appearing in two batches shows up as
-    # duplicate rows here. Driver-side under the merge guard (the doc
-    # table is 2 ints/doc); beyond it only the cheap count invariant
-    # (rows <= n_docs) runs — at that scale use a Ray groupby audit.
+    # Cross-batch doc_id uniqueness + total token count in ONE read:
+    # every doc-table row is one doc of one batch, so a doc_id
+    # appearing in two batches shows up as duplicate rows here.
+    # Driver-side under the merge guard (the doc table is 2 ints +
+    # 1 int32/doc); beyond it the cheap count invariant (rows <=
+    # n_docs) plus a Ray aggregate run instead.
+    _DRIVER_MERGE_BYTES = 256 * 1024 * 1024
     doc_bytes = sum(
         os.path.getsize(os.path.join(paths.doc_table, f))
         for f in os.listdir(paths.doc_table)
     )
-    if doc_bytes <= 256 * 1024 * 1024:
-        dt_ids = pq.read_table(paths.doc_table, columns=["doc_id"])[
-            "doc_id"
-        ].to_numpy()
+    if doc_bytes <= _DRIVER_MERGE_BYTES:
+        dt = pq.read_table(paths.doc_table, columns=["doc_id", "doc_len"])
+        dt_ids = dt["doc_id"].to_numpy()
         if len(np.unique(dt_ids)) != len(dt_ids):
             raise ValueError(
                 "build_index input has duplicate doc_id values across "
                 "batches; doc_id must be globally unique per document"
             )
         n_with_tokens = len(dt_ids)
-        del dt_ids
+        total_tokens = int(pc.sum(dt["doc_len"]).as_py() or 0)
+        del dt, dt_ids
     else:
         n_with_tokens = sum(
             pq.ParquetFile(os.path.join(paths.doc_table, f)).metadata.num_rows
             for f in os.listdir(paths.doc_table)
             if f.endswith(".parquet")
         )
+        total_tokens = int(
+            ray.data.read_parquet(paths.doc_table).sum("doc_len") or 0
+        )
     if n_with_tokens > n_docs:
         raise ValueError(
             f"doc table has {n_with_tokens} rows but n_docs={n_docs}; "
             "duplicate doc_ids or an understated n_docs"
         )
-
-    # avgdl (needed by segment encode): sum of cf over the (small)
-    # dictionary partials — no postings re-scan. Driver-side read;
-    # beyond ~10^8 vocab x batches swap for a Ray aggregate.
-    part_tbl = pq.read_table(paths.dict_partials, columns=["cf_part"])
-    total_tokens = int(pc.sum(part_tbl["cf_part"]).as_py() or 0)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    # Stage 2a: dictionary — merge of the pre-combined partials
-    # (|batches| x |vocab| rows, not |postings|). Combiner output this
-    # small finishes on the driver with one Arrow group_by; past the
-    # size guard (huge vocabularies) it falls back to a Ray groupby.
-    _DRIVER_MERGE_BYTES = 256 * 1024 * 1024
+    # Stage 2a: dictionary. Bucket strategy: one independent task per
+    # term bucket aggregates df/cf straight off that bucket's hive
+    # partition (postings rows ARE (term, doc) pairs: df = rows per
+    # term, cf = sum tf) — parallel, co-partitioned with the segments,
+    # no driver-side merge. Other strategies: merge of the pre-combined
+    # per-batch dictionary partials (|batches| x |vocab| rows), driver
+    # Arrow group_by under the size guard, Ray groupby beyond.
+    post_root = paths.postings
+
+    def write_dictionary_bucketed(tmp: str) -> None:
+        @ray.remote(num_cpus=1)
+        def dict_bucket(bk: int) -> int:
+            pa.set_cpu_count(1)
+            d = os.path.join(post_root, f"bucket={bk}")
+            if not os.path.isdir(d):
+                return 0
+            t = pq.read_table(
+                d, columns=["term", "term_id", "tf"], use_threads=False
+            )
+            if len(t) == 0:
+                return 0
+            agg = t.group_by(["term", "term_id"]).aggregate(
+                [("term", "count"), ("tf", "sum")]
+            )
+            out = pa.table(
+                {
+                    "term": agg["term"],
+                    "term_id": agg["term_id"],
+                    "df": agg["term_count"].cast(pa.int64()),
+                    "cf": agg["tf_sum"].cast(pa.int64()),
+                }
+            )
+            _atomic_side_write(out, tmp, f"bucket{bk:05d}")
+            return len(out)
+
+        os.makedirs(tmp, exist_ok=True)
+        ray.get([dict_bucket.remote(b) for b in range(cfg.num_term_buckets)])
 
     def write_dictionary(tmp: str) -> None:
+        if bucketed:
+            return write_dictionary_bucketed(tmp)
         size = sum(
             os.path.getsize(os.path.join(paths.dict_partials, f))
             for f in os.listdir(paths.dict_partials)
@@ -672,17 +783,13 @@ def build_index(
             change = np.nonzero(np.diff(tid_s))[0] + 1
             run_starts = np.concatenate(([0], change))
             run_ends = np.concatenate((change, [len(tid_s)]))
-            term_col = t["term"]
-            out = []
-            for s, e in zip(run_starts, run_ends):
-                out.append(
-                    _encode_run(
-                        term_col[int(order[s])].as_py(), int(tid_s[s]), 0,
-                        did_s[s:e], tf_s[s:e], dl_s[s:e],
-                        avgdl, k1, b_, bs,
-                    )
-                )
-            seg = pa.concat_tables(out)
+            terms_per_run = pc.take(
+                t["term"].combine_chunks(), pa.array(order[run_starts])
+            )
+            seg = _encode_sorted_runs(
+                terms_per_run, run_starts, run_ends,
+                tid_s, did_s, tf_s, dl_s, 0, avgdl, k1, b_, bs,
+            )
             _atomic_side_write(seg, tmp, f"bucket{b:05d}c{chunk:02d}")
             return len(seg)
 

