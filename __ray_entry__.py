@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_flagship": pages.pages_flagship,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_near_dup": dedup.simhash_near_dup,
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,

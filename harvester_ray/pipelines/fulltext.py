@@ -15,7 +15,7 @@ import os
 import pyarrow as pa
 import ray.data
 
-from harvester_ray.config import DEFAULT_INDEX_CONFIG
+from harvester_ray.config import DEFAULT_INDEX_CONFIG, stage_concurrency
 from harvester_ray.index.build import ENGINE_VERSION, IndexPaths, build_index
 from harvester_ray.index.query import QueryActor
 
@@ -117,7 +117,9 @@ def _bm25(sf_dir: str, mode: str, algorithm: str = "auto") -> "ray.data.Dataset"
         fn_constructor_args=(paths.root,),
         fn_constructor_kwargs={"k": TOP_K, "algorithm": algorithm},
         batch_format="pyarrow",
-        concurrency=2,
+        # cluster-derived pool bounds (a hard-coded 2 starves a 32-CPU
+        # node; the driver query set is small, so cap the pool too)
+        concurrency=stage_concurrency(divisor=4, hi=8),
         batch_size=8,
     )
     return out.map_batches(
@@ -210,7 +212,7 @@ def bm25_topk_or_incremental(sf_dir: str) -> "ray.data.Dataset":
         fn_constructor_args=(paths.root,),
         fn_constructor_kwargs={"k": TOP_K},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=stage_concurrency(divisor=4, hi=8),
         batch_size=8,
     )
     return out.map_batches(

@@ -54,6 +54,13 @@ def _round_cols(ds: "ray.data.Dataset", cols: list[str], digits: int = 4):
             t = t.set_column(
                 t.column_names.index(c), c, pa.array(fx, pa.int64())
             )
+        # typed empty output: an empty batch must still carry the full
+        # target schema or Ray logs schema-mismatch RefBundle warnings
+        if len(t) == 0:
+            t = pa.table(
+                {c: t[c].cast(pa.int64()) if c in cols else t[c]
+                 for c in t.column_names}
+            )
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -94,26 +101,43 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
 
 
 # -- hash-shuffle join (both sides large) --------------------------------
+# broadcast-semi-join guard: key sets above this spill to a hash join
+# (the customer side of q3 scales WITH the fact data — an unguarded
+# driver set is an unbounded materialization at 100x)
+_BROADCAST_KEYS_GUARD = 8_000_000
+
+
 def q3_top_orders(sf_dir: str) -> "ray.data.Dataset":
-    """customer⋈orders via broadcast semi-join (dimension-scale side),
-    then orders⋈lineitem via hash-partitioned ``Dataset.join`` (both
-    sides scale with the fact data), then groupby + top-k."""
+    """customer⋈orders via broadcast semi-join while the building-key
+    set fits the guard (ray.put once, isin per batch), falling back to
+    a hash-partitioned ``Dataset.join`` beyond it; then orders⋈lineitem
+    via hash join (both sides scale with the fact data), then groupby +
+    top-k."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = cust.map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
         batch_format="pyarrow",
     )
-    custkeys = set(building.unique("c_custkey"))  # dimension-scale: broadcastable
-    ckeys_ref = ray.put(np.fromiter(custkeys, dtype=np.int64))
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_building = building.count()
+    if n_building <= _BROADCAST_KEYS_GUARD:
+        custkeys = set(building.unique("c_custkey"))
+        ckeys_ref = ray.put(np.fromiter(custkeys, dtype=np.int64))
 
-    def filt_orders(t: pa.Table) -> pa.Table:
-        keys = ray.get(ckeys_ref)
-        mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
-        return t.filter(pa.array(mask))
+        def filt_orders(t: pa.Table) -> pa.Table:
+            keys = ray.get(ckeys_ref)
+            mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
+            return t.filter(pa.array(mask))
 
-    orders = orders.map_batches(filt_orders, batch_format="pyarrow")
+        orders = orders.map_batches(filt_orders, batch_format="pyarrow")
+    else:
+        orders = orders.join(
+            building.select_columns(["c_custkey"]),
+            join_type="inner",
+            num_partitions=8,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "o_custkey"])
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -327,11 +351,18 @@ def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
         E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(E, axis=1)
         norms[norms == 0] = 1.0
-        sims = (E @ qv) / norms
+        sims = np.round((E @ qv) / norms, 6)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) > ANN_TOP_K:
+            # per-batch top-k under the global (sim_r DESC, vec_id ASC)
+            # order: lossless, and the global sort input shrinks from
+            # corpus-scale to <= k rows per batch
+            order = np.lexsort((ids, -sims))[:ANN_TOP_K]
+            ids, sims = ids[order], sims[order]
         return pa.table(
             {
-                "vec_id": t["vec_id"],
-                "sim_r": pa.array(np.round(sims, 6), pa.float64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "sim_r": pa.array(sims, pa.float64()),
             }
         )
 

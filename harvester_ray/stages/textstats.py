@@ -134,30 +134,44 @@ WINNOW_W = 8   # winnowing window
 def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     """Winnowing fingerprints (rolling k-gram hash, min per window):
     (doc_id, fingerprint) rows — the document-fingerprinting primitive
-    for plagiarism/overlap detection."""
+    for plagiarism/overlap detection.
+
+    Vectorized: gram hashes are ONE rolling-polynomial pass over the
+    batch's flat token-hash stream (unique tokens dictionary-encoded,
+    so the only Python hashing is vocabulary-bounded — the round-1
+    per-gram blake2b loop was the measured hot spot); the per-doc
+    residue is the sliding-window min over that doc's gram slice."""
+    from harvester_ray.stages.dedup import _POLY, _token_hashes
 
     def fp(batch: pa.Table) -> pa.Table:
+        tok_h, parent = _token_hashes(batch["text"])
         out_ids, out_fps = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            toks = tokenize(text or "")
-            if len(toks) < WINNOW_K:
-                continue
-            grams = np.empty(len(toks) - WINNOW_K + 1, dtype=np.uint64)
-            for i in range(len(grams)):
-                s = " ".join(toks[i : i + WINNOW_K])
-                grams[i] = int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-            if len(grams) <= WINNOW_W:
-                chosen = {int(grams.min())}
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(grams, WINNOW_W)
-                chosen = set(sw.min(axis=1).tolist())
-            for c in sorted(chosen):
-                out_ids.append(doc_id)
-                out_fps.append(c - (1 << 63))
+        n = len(tok_h)
+        k = WINNOW_K
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if n >= k:
+            m = n - k + 1
+            w = np.zeros(m, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(k):  # loop over k, not over tokens
+                    w = w * _POLY + tok_h[j : m + j]
+            valid = parent[:m] == parent[k - 1 :]
+            grams, gp = w[valid], parent[:m][valid]
+            # per-doc gram runs (gp is nondecreasing)
+            change = np.nonzero(np.diff(gp))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(gp)]))
+            for s, e in zip(starts, ends):
+                g = grams[s:e]
+                if len(g) <= WINNOW_W:
+                    chosen = {int(g.min())}
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(g, WINNOW_W)
+                    chosen = set(sw.min(axis=1).tolist())
+                d = int(doc_ids[gp[s]])
+                for c in sorted(chosen):
+                    out_ids.append(d)
+                    out_fps.append(c - (1 << 63))
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, pa.int64()),

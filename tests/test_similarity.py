@@ -1,0 +1,151 @@
+"""ANN-LSH pruned-probe layout + winnowing fingerprint goldens."""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from harvester_ray.stages import similarity
+from harvester_ray.stages.similarity import (
+    ANN_QUERY_VEC_ID,
+    LSH_BITS,
+    _bucket_of,
+    _hyperplanes,
+    ann_lsh_topk,
+    bucketed_layout,
+    probe_dirs,
+)
+
+DIM = 16
+N_VECS = 400
+
+
+@pytest.fixture()
+def emb_dir(tmp_path, monkeypatch):
+    rng = np.random.default_rng(5)
+    E = rng.standard_normal((N_VECS, DIM))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(N_VECS, dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.tolist() for row in E], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    monkeypatch.setattr(similarity, "CACHE_ROOT", str(tmp_path / "cache"))
+    return str(tmp_path), E
+
+
+def test_probe_reads_only_probed_partitions(emb_dir, ray_session):
+    sf_dir, E = emb_dir
+    layout = bucketed_layout(sf_dir)
+    all_dirs = [
+        d for d in os.listdir(layout)
+        if d.startswith("bucket=") and os.path.isdir(os.path.join(layout, d))
+    ]
+    assert len(all_dirs) > LSH_BITS + 1  # corpus spreads over many buckets
+    q = E[ANN_QUERY_VEC_ID]
+    dirs = probe_dirs(layout, q)
+    assert 0 < len(dirs) <= LSH_BITS + 1
+    assert len(dirs) < len(all_dirs)
+
+    def dir_bytes(paths):
+        total = 0
+        for p in paths:
+            for root, _d, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    probed = dir_bytes(dirs)
+    everything = dir_bytes([os.path.join(layout, d) for d in all_dirs])
+    assert probed < 0.5 * everything  # the probe prunes most of the corpus
+
+    # every returned vec lives in a probed bucket; sims exact
+    top = ann_lsh_topk(sf_dir, k=20)
+    planes = _hyperplanes(DIM)
+    probe_set = similarity.probe_buckets(q)
+    qn = q / np.linalg.norm(q)
+    for vid, sim in zip(top["vec_id"], top["sim_r"]):
+        assert int(_bucket_of(E[int(vid)][None, :], planes)[0]) in probe_set
+        want = float(E[int(vid)] @ qn / np.linalg.norm(E[int(vid)]))
+        assert sim == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_lsh_recall_vs_brute_force(emb_dir, ray_session):
+    sf_dir, E = emb_dir
+    q = E[ANN_QUERY_VEC_ID]
+    qn = q / np.linalg.norm(q)
+    sims = (E @ qn) / np.linalg.norm(E, axis=1)
+    exact = set(np.argsort(-np.round(sims, 6), kind="stable")[:20].tolist())
+    approx = set(int(v) for v in ann_lsh_topk(sf_dir, k=20)["vec_id"])
+    recall = len(exact & approx) / 20
+    assert recall >= 0.15  # deterministic (seeded); 8-bit 9-probe LSH
+    # layout build is cached: second call must not rebuild
+    from harvester_ray.state.lineage import read_lineage
+
+    layout = bucketed_layout(sf_dir)
+    rec = read_lineage(layout)
+    assert rec is not None
+    layout2 = bucketed_layout(sf_dir)
+    assert read_lineage(layout2)["key"] == rec["key"]
+
+
+def _py_winnow(text, k, w):
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.stages.dedup import _POLY
+
+    toks = tokenize(text or "")
+    if len(toks) < k:
+        return set()
+    hs = [
+        int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+        )
+        for t in toks
+    ]
+    P, M = int(_POLY), 1 << 64
+    grams = []
+    for i in range(len(hs) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * P + hs[i + j]) % M
+        grams.append(h)
+    if len(grams) <= w:
+        return {min(grams) - (1 << 63)}
+    return {
+        min(grams[i : i + w]) - (1 << 63)
+        for i in range(len(grams) - w + 1)
+    }
+
+
+def test_winnowing_matches_python_oracle(tmp_path, ray_session):
+    from harvester_ray.stages.textstats import WINNOW_K, WINNOW_W, doc_fingerprints
+
+    texts = [
+        "a b c d e f g h i j k l m n o p q r s t",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "short doc",  # < k tokens -> no fingerprints
+        "x y z w v u t s r q p o n m l k j i h g f e d c b a " * 3,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = doc_fingerprints(str(tmp_path)).to_pandas()
+    by_doc: dict[int, set] = {}
+    for d, f in zip(got["doc_id"], got["fingerprint"]):
+        by_doc.setdefault(int(d), set()).add(int(f))
+    for i, text in enumerate(texts):
+        want = _py_winnow(text, WINNOW_K, WINNOW_W)
+        assert by_doc.get(i, set()) == want, i
