@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_decade_facets": relational.orders_decade_facets,
         "events_props_sum": relational.events_props_sum,
         "part_sort_names": relational.part_sort_names,
+        "part_normalized_types": relational.part_normalized_types,
         "lineitem_union_counts": relational.lineitem_union_counts,
         "embedding_norms": relational.embedding_norms,
         # training-data-pipeline operators
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_decade_facets": oracles.ORDERS_DECADE_FACETS,
         "events_props_sum": oracles.EVENTS_PROPS_SUM,
         "part_sort_names": oracles.PART_SORT_NAMES,
+        "part_normalized_types": oracles.PART_NORMALIZED_TYPES,
         "lineitem_union_counts": oracles.LINEITEM_UNION_COUNTS,
         "embedding_norms": oracles.EMBEDDING_NORMS,
         "dedup_exact": oracles.DEDUP_EXACT,

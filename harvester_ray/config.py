@@ -75,6 +75,11 @@ class IndexConfig:
     extract_concurrency: int | tuple[int, int] = (1, 4)
     # columns pruned at the read for the build (prune-at-the-read rule)
     doc_columns: tuple[str, ...] = ("doc_id", "text")
+    # injectable analyzer (SURVEY.md §2.10): resolved via
+    # functions.text.get_analyzer at use sites; the NAME (not the
+    # callable) travels through config/params/stats so resume keys and
+    # serialized stats stay stable
+    analyzer_name: str = "default"
 
 
 DEFAULT_INDEX_CONFIG = IndexConfig()

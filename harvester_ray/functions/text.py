@@ -72,6 +72,48 @@ def flatten_tokens(
     return flat.filter(keep), parent.filter(keep)
 
 
+class Analyzer:
+    """Injectable analyzer — SURVEY.md §2.10's extension surface (the
+    analog of the reference's pluggable enrichment chain,
+    harvester/collection_registry_client.py:123-140).
+
+    An analyzer is a NAME plus two consistent tokenizers: the Python
+    one (queries, oracles) and the Arrow column one (the build hot
+    path); ``text.tokenize(s) == column tokenizer's non-empty pieces``
+    is the contract every index relies on. The name is persisted in
+    stage params and stats.json, so an index remembers its analyzer
+    and resumes/queries resolve it from the registry — register custom
+    analyzers at module import time (workers import the same module).
+    """
+
+    __slots__ = ("name", "tokenize", "tokenize_column")
+
+    def __init__(self, name, tokenize_fn, tokenize_column_fn):
+        self.name = name
+        self.tokenize = tokenize_fn
+        self.tokenize_column = tokenize_column_fn
+
+
+DEFAULT_ANALYZER = Analyzer("default", tokenize, tokenize_column)
+_ANALYZERS: dict[str, Analyzer] = {"default": DEFAULT_ANALYZER}
+
+
+def register_analyzer(analyzer: Analyzer) -> Analyzer:
+    _ANALYZERS[analyzer.name] = analyzer
+    return analyzer
+
+
+def get_analyzer(name: str) -> Analyzer:
+    try:
+        return _ANALYZERS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown analyzer {name!r}; register it with "
+            "functions.text.register_analyzer in a module your workers "
+            f"import (registered: {sorted(_ANALYZERS)})"
+        ) from None
+
+
 def normalize_sort_text(
     text: str | None,
     default_missing: str = "~title unknown",

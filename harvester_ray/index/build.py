@@ -53,7 +53,12 @@ from ray.data.aggregate import Sum
 
 from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
 from harvester_ray.functions.codec import varint_encode_offsets
-from harvester_ray.functions.text import flatten_tokens, hash64_array, tokenize_column
+from harvester_ray.functions.text import (
+    DEFAULT_ANALYZER,
+    flatten_tokens,
+    get_analyzer,
+    hash64_array,
+)
 
 ENGINE_VERSION = 3
 
@@ -114,8 +119,8 @@ class _SpimiBatch:
         "doc_ids_all", "doc_len_per_row", "n_rows",
     )
 
-    def __init__(self, batch: pa.Table):
-        toks = tokenize_column(batch["text"])
+    def __init__(self, batch: pa.Table, analyzer=DEFAULT_ANALYZER):
+        toks = analyzer.tokenize_column(batch["text"])
         flat, parent = flatten_tokens(toks)
         self.n_rows = len(batch)
         self.doc_ids_all = (
@@ -194,10 +199,12 @@ class _SpimiBatch:
         )
 
 
-def spimi_postings_batch(batch: pa.Table) -> pa.Table:
+def spimi_postings_batch(
+    batch: pa.Table, analyzer=DEFAULT_ANALYZER
+) -> pa.Table:
     """SPIMI combiner: a batch of (doc_id, text) → (term, term_id,
     doc_id, tf, doc_len) posting rows, aggregated within the batch."""
-    return _SpimiBatch(batch).postings_table()
+    return _SpimiBatch(batch, analyzer).postings_table()
 
 
 def bm25_norm(
@@ -449,6 +456,7 @@ def make_spimi_with_sides(
     dict_dir: str,
     n_buckets: int | None = None,
     post_dir: str | None = None,
+    analyzer=DEFAULT_ANALYZER,
 ):
     """SPIMI batch fn that emits the doc table, dictionary partials and
     (bucket strategy) the term-bucketed postings as idempotent side
@@ -479,10 +487,10 @@ def make_spimi_with_sides(
                 "batch; doc_id must be unique per document (dedup or "
                 "re-derive ids with functions.text.hash64)"
             )
-        sb = _SpimiBatch(batch)
+        sb = _SpimiBatch(batch, analyzer)
         if len(sb.term_idx) == 0:
             return (
-                spimi_postings_batch(batch)
+                sb.postings_table()
                 if n_buckets is None
                 else pa.table({"rows": pa.array([0], pa.int64())})
             )
@@ -575,6 +583,10 @@ def build_index(
                 dict_dir,
                 cfg.num_term_buckets if bucketed else None,
                 post_dir if bucketed else None,
+                # resolved on the DRIVER and shipped by cloudpickle, so
+                # custom analyzers need no worker-side registration for
+                # the build (query actors resolve by name from stats)
+                analyzer=get_analyzer(cfg.analyzer_name),
             ),
             batch_format="pyarrow",
             # bucket strategy: large batches — the side writes (one
@@ -596,7 +608,7 @@ def build_index(
         paths.spimi,
         input_fingerprint or f"unfingerprinted-{os.getpid()}-{id(docs)}",
         write_spimi,
-        params=f"tokenizer=v{ENGINE_VERSION}",
+        params=f"tokenizer=v{ENGINE_VERSION},analyzer={cfg.analyzer_name}",
     )
     postings_fp = dir_fingerprint(paths.spimi)
 
@@ -863,6 +875,7 @@ def build_index(
                 "k1": cfg.bm25.k1,
                 "b": cfg.bm25.b,
                 "block_size": cfg.block_size,
+                "analyzer": cfg.analyzer_name,
                 "engine_version": ENGINE_VERSION,
             },
             f,

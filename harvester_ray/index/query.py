@@ -34,7 +34,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from harvester_ray.functions.codec import varint_decode
-from harvester_ray.functions.text import tokenize
+from harvester_ray.functions.text import get_analyzer, tokenize
 from harvester_ray.index.build import bm25_score
 
 
@@ -125,7 +125,19 @@ class InvertedIndex:
     term_id's row groups — a query actor never reads the whole index.
     """
 
-    def __init__(self, index_dir: str, preload: bool = False):
+    def __init__(
+        self,
+        index_dir: str,
+        preload: bool = False,
+        analyzer=None,
+        scorer=None,
+    ):
+        """``analyzer``: override the analyzer recorded in stats.json
+        (functions.text.Analyzer). ``scorer``: SURVEY §2.10 scorer plug
+        point — a callable ``(tf, dl, df, n_docs, avgdl, k1, b) ->
+        scores`` replacing BM25 on the exhaustive/dense paths; WAND
+        block maxima are BM25-specific, so algorithm="wand" silently
+        falls back to the exhaustive path under a custom scorer."""
         from harvester_ray.index.build import IndexPaths
         from harvester_ray.index.maintenance import (
             deleted_for_source,
@@ -152,6 +164,10 @@ class InvertedIndex:
         self.avgdl = float(self.stats["avgdl"])
         self.k1 = float(self.stats["k1"])
         self.b = float(self.stats["b"])
+        self.analyzer = analyzer or get_analyzer(
+            self.stats.get("analyzer", "default")
+        )
+        self.scorer = scorer
         # admissible WAND-bound rescale per source (see _TermBlocks)
         self._bmax_scale = [
             max(1.0, self.avgdl / s["avgdl"]) if s["avgdl"] > 0 else 1.0
@@ -299,6 +315,10 @@ class InvertedIndex:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def _score(self, tf, dl, df) -> np.ndarray:
+        if self.scorer is not None:
+            return self.scorer(
+                tf, dl, df, self.n_docs, self.avgdl, self.k1, self.b
+            )
         return bm25_score(tf, dl, df, self.n_docs, self.avgdl, self.k1, self.b)
 
     # -- search ---------------------------------------------------------
@@ -312,12 +332,12 @@ class InvertedIndex:
         """Top-k (doc_id, score). Duplicate query terms are collapsed
         (set semantics); terms are processed in sorted order so float
         accumulation order is deterministic."""
-        terms = sorted(set(tokenize(query)))
+        terms = sorted(set(self.analyzer.tokenize(query)))
         if not terms:
             return []
         if mode == "and":
             return self._search_and(terms, k)
-        if algorithm == "wand":
+        if algorithm == "wand" and self.scorer is None:
             return self._search_wand(terms, k)
         # auto -> vectorized exhaustive: numpy decode+score is ~20 ns per
         # posting, while the Python document-at-a-time WAND loop costs

@@ -247,6 +247,27 @@ FROM s2
 """
 
 
+# Mirrors reference_ops.normalize_type (solr_updater.py:388-418):
+# exact DCMI terms pass; 'physical'/'moving' substrings map; the rest
+# pass through for facet visibility.
+_DCMI_LIST = ", ".join(
+    f"'{t}'"
+    for t in (
+        "collection", "dataset", "event", "image", "interactive resource",
+        "moving image", "service", "software", "sound", "text",
+        "physical object",
+    )
+)
+
+PART_NORMALIZED_TYPES = f"""
+SELECT p_partkey,
+       CASE WHEN p_type IN ({_DCMI_LIST}) THEN p_type
+            WHEN lower(p_type) LIKE '%physical%' THEN 'physical object'
+            WHEN lower(p_type) LIKE '%moving%' THEN 'moving image'
+            ELSE p_type END AS norm_type
+FROM part
+"""
+
 LINEITEM_UNION_COUNTS = """
 SELECT l_returnflag, count(*) AS n FROM (
   SELECT l_returnflag FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'

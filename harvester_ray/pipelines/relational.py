@@ -464,6 +464,26 @@ def part_sort_names(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def part_normalized_types(sf_dir: str) -> "ray.data.Dataset":
+    """DCMI-style vocabulary normalization — the reference's
+    ``normalize_type`` substring-fallback mapping
+    (harvester/solr_updater.py:388-418) over part.p_type."""
+    from harvester_ray.functions.reference_ops import normalize_type
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        vals = [normalize_type(v) for v in t["p_type"].to_pylist()]
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "norm_type": pa.array(vals, pa.string()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def lineitem_union_counts(sf_dir: str) -> "ray.data.Dataset":
     """``Dataset.union`` coverage (multi-collection harvest analog,
     scripts/queue_harvest.py:91-103): split lineitem by ship year, union

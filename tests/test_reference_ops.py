@@ -78,3 +78,119 @@ def test_get_set_prop():
     assert d["a"]["b"]["d"] == 2
     setprop(d, "new/path", 3)
     assert d["new"]["path"] == 3
+
+
+def test_dejson_recursive():
+    from harvester_ray.functions.reference_ops import dejson, unpack_if_json
+
+    # reference semantics, solr_updater.py:137-180
+    assert dejson('{"name": "flat"}') == "flat"
+    assert dejson('{"other": 1}') == '{"other": 1}'  # no name key
+    assert dejson({"item": "i", "name": "n"}) == "i"  # item wins
+    assert dejson({"name": "n", "text": "t"}) == "n"  # then name
+    assert dejson({"text": "t"}) == "t"
+    assert dejson({"x": 1}) == {"x": 1}  # nothing to flatten
+    assert dejson(["a", '{"name": "b"}', {"text": "c"}]) == ["a", "b", "c"]
+    assert dejson([["nested", {"name": "d"}]]) == [["nested", "d"]]
+    assert dejson("") == ""
+    assert dejson(None) is None
+    assert unpack_if_json("not json") == "not json"
+    assert unpack_if_json("[1, 2]") == "[1, 2]"  # json but not dict
+
+
+def test_unpack_date_and_map_date():
+    from datetime import datetime, timezone
+
+    from harvester_ray.functions.reference_ops import map_date, unpack_date
+
+    # solr_updater.py:228-299 semantics
+    assert unpack_date(None) == (None, None, None)
+    assert unpack_date([]) == (None, None, None)
+    d, s, e = unpack_date({"displayDate": "1905", "begin": "1905", "end": "1906"})
+    assert d == ["1905"]
+    assert s == [datetime(1905, 1, 1, tzinfo=timezone.utc)]
+    assert e == [datetime(1906, 1, 1, tzinfo=timezone.utc)]
+    d, s, e = unpack_date(["1999", {"displayDate": "c. 2000", "begin": "2000-05-01"}])
+    assert d == ["1999", "c. 2000"]
+    assert s == [datetime(2000, 5, 1, tzinfo=timezone.utc)] and e == []
+
+    assert map_date({}) == {}
+    m = map_date({"date": [{"displayDate": "x", "begin": "1930"},
+                           {"displayDate": "y", "begin": "1920", "end": "1925"}]})
+    assert m["date"] == ["x", "y"]
+    # earliest start wins; end backfilled from the sorted ends
+    assert m["sort_date_start"] == datetime(1920, 1, 1, tzinfo=timezone.utc)
+    assert m["sort_date_end"] == datetime(1925, 1, 1, tzinfo=timezone.utc)
+    m = map_date({"date": {"displayDate": "z", "end": "1940"}})
+    # only end -> start backfilled from end
+    assert m["sort_date_start"] == m["sort_date_end"]
+
+
+def test_normalize_type():
+    from harvester_ray.functions.reference_ops import normalize_type
+
+    # solr_updater.py:388-418
+    assert normalize_type("text") == "text"
+    assert normalize_type("Physical Object thing") == "physical object"
+    assert normalize_type("MOVING picture") == "moving image"
+    assert normalize_type("weird") == "weird"  # kept for facets
+    assert normalize_type(["text", "physicalness"]) == ["text", "physical object"]
+    assert normalize_type(None) is None
+
+
+def test_map_registry_data():
+    import pytest as _pytest
+
+    from harvester_ray.functions.reference_ops import (
+        OldCollectionException,
+        map_registry_data,
+    )
+
+    coll = {
+        "@id": "https://registry/api/v1/collection/1",
+        "name": "The Test Collection",
+        "campus": [{"@id": "https://registry/campus/UCX", "name": "UCX"}],
+        "repository": [
+            {"@id": "https://registry/repo/9", "name": "Repo Nine",
+             "campus": [{"name": "UCX"}]},
+        ],
+    }
+    out = map_registry_data([coll])
+    assert out["collection_url"] == ["https://registry/api/v1/collection/1/"]
+    assert out["collection_data"] == [
+        "https://registry/api/v1/collection/1/::The Test Collection"
+    ]
+    # single-colon join, article dropped by the sort normalizer
+    assert out["sort_collection_data"] == [
+        "test collection:The Test Collection:https://registry/api/v1/collection/1/"
+    ]
+    assert out["repository_data"] == [
+        "https://registry/repo/9/::Repo Nine::UCX"
+    ]
+    assert out["campus_url"] == ["https://registry/campus/UCX/"]
+    with _pytest.raises(OldCollectionException):
+        map_registry_data([{"@id": "x", "name": "n"}])
+    # no campus key when absent
+    out2 = map_registry_data(
+        [{"@id": "x", "name": "n", "repository": [{"@id": "r", "name": "rn"}]}]
+    )
+    assert "campus_url" not in out2
+
+
+def test_setprop_replace():
+    import pytest as _pytest
+
+    from harvester_ray.functions.reference_ops import setprop_replace
+
+    d = {"a": {"b": ["x-1", "x-2"]}}
+    setprop_replace(d, "a/b", "y", "x")
+    assert d["a"]["b"] == ["y-1", "y-2"]
+    d = {"a": {"b": "hello x"}}
+    setprop_replace(d, "a/b", "world", "x")
+    assert d["a"]["b"] == "hello world"
+    d = {"a": {"b": "v"}}
+    setprop_replace(d, "a/b", "new", None)
+    assert d["a"]["b"] == "new"
+    with _pytest.raises(KeyError):
+        setprop_replace({}, "missing", "v", None)
+    assert setprop_replace({}, "missing", "v", None, key_error_as_none=True) is None
