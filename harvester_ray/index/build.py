@@ -876,6 +876,8 @@ def build_index(
                 "b": cfg.bm25.b,
                 "block_size": cfg.block_size,
                 "analyzer": cfg.analyzer_name,
+                "segment_strategy": cfg.segment_strategy,
+                "segment_doc_chunks": cfg.segment_doc_chunks,
                 "engine_version": ENGINE_VERSION,
             },
             f,

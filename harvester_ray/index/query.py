@@ -131,13 +131,26 @@ class InvertedIndex:
         preload: bool = False,
         analyzer=None,
         scorer=None,
+        shard: "tuple[int, int] | None" = None,
     ):
         """``analyzer``: override the analyzer recorded in stats.json
         (functions.text.Analyzer). ``scorer``: SURVEY §2.10 scorer plug
         point — a callable ``(tf, dl, df, n_docs, avgdl, k1, b) ->
         scores`` replacing BM25 on the exhaustive/dense paths; WAND
         block maxima are BM25-specific, so algorithm="wand" silently
-        falls back to the exhaustive path under a custom scorer."""
+        falls back to the exhaustive path under a custom scorer.
+
+        ``shard=(c, S)``: load ONLY doc_id-chunk ``c`` of ``S`` — the
+        shard-serving mode (index/sharded.py): the index must be built
+        with the bucket strategy and ``segment_doc_chunks == S``, so
+        chunk c's postings live in the ``...c{c}.parquet`` segment
+        files and this actor's slots array is 1/S of the doc table.
+        Global stats/df stay whole-corpus (stats.json + dictionary), so
+        per-shard scores equal the unsharded scores exactly; chunks
+        partition doc space, so scatter-gather top-k merge is lossless.
+        The dictionary is replicated per shard (doc-sharded tier);
+        sharding the vocabulary would be an orthogonal term-shard tier.
+        """
         from harvester_ray.index.build import IndexPaths
         from harvester_ray.index.maintenance import (
             deleted_for_source,
@@ -168,6 +181,24 @@ class InvertedIndex:
             self.stats.get("analyzer", "default")
         )
         self.scorer = scorer
+        self.shard = shard
+        self._shard_shift = None
+        if shard is not None:
+            c, S = shard
+            if S < 1 or (S & (S - 1)) or not (0 <= c < S):
+                raise ValueError(f"shard must be (c, power-of-two S): {shard}")
+            for s, p in zip(stats_list, self._src_paths):
+                if (
+                    s.get("segment_strategy") != "bucket"
+                    or s.get("segment_doc_chunks") != S
+                ):
+                    raise ValueError(
+                        f"source {p.root} was not built with the bucket "
+                        f"strategy at segment_doc_chunks={S}; rebuild "
+                        "with IndexConfig(segment_doc_chunks=S) to serve "
+                        "doc-sharded"
+                    )
+            self._shard_shift = np.uint64(64 - int(math.log2(S))) if S > 1 else None
         # admissible WAND-bound rescale per source (see _TermBlocks)
         self._bmax_scale = [
             max(1.0, self.avgdl / s["avgdl"]) if s["avgdl"] > 0 else 1.0
@@ -199,7 +230,23 @@ class InvertedIndex:
                     merged["cf_sum"].to_pylist(),
                 )
             }
-        self._seg_ds = [pads.dataset(p.segments) for p in self._src_paths]
+        if shard is None:
+            self._seg_ds = [pads.dataset(p.segments) for p in self._src_paths]
+        else:
+            # chunk c's postings live in the ...c{c}.parquet files —
+            # a shard actor opens 1/S of every source's segment files
+            suffix = f"c{shard[0]:02d}.parquet"
+            self._seg_ds = [
+                pads.dataset(
+                    [
+                        os.path.join(p.segments, f)
+                        for f in sorted(os.listdir(p.segments))
+                        if f.endswith(suffix)
+                    ],
+                    format="parquet",
+                )
+                for p in self._src_paths
+            ]
         # per-source tombstone sets (arrays for isin, sets for WAND)
         self._dead = [
             deleted_for_source(index_dir, i) for i in range(len(src_dirs))
@@ -223,11 +270,21 @@ class InvertedIndex:
                 for p in self._src_paths
             ]
             self._slots = np.unique(np.concatenate(id_parts))
+            if shard is not None and self._shard_shift is not None:
+                from harvester_ray.index.build import _SIGN_FLIP
+
+                chunk_of = (
+                    (self._slots.view(np.uint64) ^ _SIGN_FLIP)
+                    >> self._shard_shift
+                )
+                self._slots = self._slots[chunk_of == np.uint64(shard[0])]
         except Exception:
             self._slots = None
         if preload:
             for si, ds in enumerate(self._seg_ds):
                 seg = ds.to_table().to_pandas()
+                if "term_id" not in seg.columns:  # empty shard/source
+                    continue
                 for tid, rows in seg.groupby("term_id"):
                     per_src = self._block_cache.setdefault(
                         int(tid), [None] * len(self._src_paths)
@@ -256,6 +313,9 @@ class InvertedIndex:
                 return None
             blocks = []
             for si, ds in enumerate(self._seg_ds):
+                if not ds.files:  # empty shard/source
+                    blocks.append(None)
+                    continue
                 tbl = ds.to_table(
                     filter=pads.field("term_id") == tid
                 ).to_pandas()

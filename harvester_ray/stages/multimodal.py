@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from harvester_ray.config import stage_concurrency
+
 
 def synthesize_payloads(sf_dir: str) -> "ray.data.Dataset":
     """Derive a deterministic opaque binary payload column from the
@@ -105,5 +107,5 @@ def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
         FakeDecoder,
         batch_format="pyarrow",
         batch_size=64,       # wide binary rows -> small batches
-        concurrency=2,
+        concurrency=stage_concurrency(),
     )

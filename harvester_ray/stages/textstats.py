@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from harvester_ray.config import stage_concurrency
+
 from harvester_ray.functions.text import flatten_tokens, tokenize, tokenize_column
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -77,7 +79,7 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        LangIdActor, batch_format="pyarrow", batch_size=2048, concurrency=2
+        LangIdActor, batch_format="pyarrow", batch_size=2048, concurrency=stage_concurrency()
     )
 
 

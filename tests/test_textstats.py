@@ -1,0 +1,125 @@
+"""Golden tests for the remaining rows-only driver entries: lang_id,
+quality_score, multimodal_features — each checked against an
+independent pure-Python oracle on a crafted corpus."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from harvester_ray.functions.text import tokenize
+
+TEXTS = [
+    "the cat is on the mat and it is a good day for the cat",   # en
+    "der hund ist ein guter hund und das ist der beste tag",    # de
+    "le chat est dans la maison et les chats sont dans le lit", # fr
+    "中文文本测试 中文文本测试 中文文本测试 中文文本测试",                      # zh (cjk)
+    "",                                                         # empty
+    "qwzx bnmp vcgh rtyu",                                      # unknown
+]
+
+
+@pytest.fixture()
+def crafted(tmp_path):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(TEXTS))), pa.int64()),
+                "text": pa.array(TEXTS, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _py_lang(text):
+    from harvester_ray.stages.textstats import _CJK_RANGES, _LANG_PROFILES
+
+    text = text or ""
+    cjk = sum(
+        1 for ch in text[:200]
+        if any(lo <= ord(ch) <= hi for lo, hi in _CJK_RANGES)
+    )
+    if cjk >= 5:
+        return "zh", round(min(1.0, cjk / 50.0), 6)
+    toks = tokenize(text)
+    if not toks:
+        return "unknown", 0.0
+    best_lang, best = "unknown", 0.0
+    for lang, stops in _LANG_PROFILES.items():
+        r = sum(1 for t in toks if t in stops) / len(toks)
+        if r > best:
+            best_lang, best = lang, r
+    return (best_lang if best > 0.02 else "unknown"), round(best, 6)
+
+
+def test_lang_id_golden(crafted, ray_session):
+    from harvester_ray.stages.textstats import lang_id
+
+    got = lang_id(crafted).to_pandas().set_index("doc_id")
+    expected_langs = ["en", "de", "fr", "zh", "unknown", "unknown"]
+    for i, text in enumerate(TEXTS):
+        lang, conf = _py_lang(text)
+        assert got.loc[i, "lang_pred"] == lang == expected_langs[i], i
+        assert got.loc[i, "confidence"] == pytest.approx(conf, abs=1e-9)
+
+
+def test_quality_score_golden(crafted, ray_session):
+    from harvester_ray.stages.textstats import _LANG_PROFILES, quality_score
+
+    got = quality_score(crafted).to_pandas().set_index("doc_id")
+    stops = _LANG_PROFILES["en"]
+    for i, text in enumerate(TEXTS):
+        toks = tokenize(text or "")
+        n = len(toks)
+        n_uniq = len(set(toks))
+        n_stop = sum(1 for t in toks if t in stops)
+        safe = max(n, 1)
+        stop_ratio = n_stop / safe
+        mean_len = sum(len(t) for t in toks) / safe
+        comp = (
+            min(n / 100.0, 1) * 0.4
+            + min(stop_ratio * 5.0, 1) * 0.3
+            + min(n_uniq / safe, 1) * 0.3
+        )
+        assert int(got.loc[i, "n_tokens"]) == n, i
+        assert int(got.loc[i, "n_uniq_tokens"]) == n_uniq, i
+        assert got.loc[i, "stop_ratio"] == pytest.approx(round(stop_ratio, 6))
+        assert got.loc[i, "mean_token_len"] == pytest.approx(round(mean_len, 6))
+        assert got.loc[i, "score"] == pytest.approx(round(comp, 6), abs=2e-6)
+
+
+def test_multimodal_features_golden(crafted, ray_session):
+    from harvester_ray.stages.multimodal import (
+        FakeDecoder,
+        RealDecoder,
+        multimodal_features,
+    )
+
+    got = multimodal_features(crafted).to_pandas().set_index("doc_id")
+    types = ("image/fake", "audio/fake", "video/fake")
+    for i, text in enumerate(TEXTS):
+        payload = (text or "").encode("utf-8")
+        digest = hashlib.blake2b(payload, digest_size=8).digest()
+        h = int.from_bytes(digest, "big")
+        assert got.loc[i, "media_type"] == types[i % 3]
+        assert int(got.loc[i, "n_bytes"]) == len(payload)
+        assert int(got.loc[i, "payload_hash"]) == h - (1 << 63)
+        assert int(got.loc[i, "width"]) == 64 + h % 512
+        assert int(got.loc[i, "height"]) == 64 + (h >> 16) % 512
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if len(arr) == 0:
+            arr = np.zeros(1, dtype=np.uint8)
+        want = [
+            round(float(c.mean()), 6) if len(c) else 0.0
+            for c in np.array_split(arr, 8)
+        ]
+        assert list(got.loc[i, "features"]) == pytest.approx(want)
+    # the production decode stage is an explicit, documented stub
+    with pytest.raises(NotImplementedError):
+        RealDecoder()
+    assert FakeDecoder(feature_dim=8).feature_dim == 8
