@@ -11,6 +11,9 @@ the Ray session (guarded init + shutdown); library code never does.
 Subcommands:
     build         index a (doc_id, text) parquet table
     build-pages   full flagship: pages parquet → extract → index
+    add           incrementally add new docs as a delta source
+    upsert        replace-or-add docs (tombstone old version + delta)
+    delete        tombstone doc_ids
     query         one interactive query against a built index
     query-batch   evaluate a parquet query table through the actor pool
 """
@@ -77,6 +80,30 @@ def cmd_build_pages(args) -> int:
     return 0
 
 
+def cmd_add(args) -> int:
+    ray = _ray_session()
+    import ray.data
+
+    from harvester_ray.index.maintenance import add_docs, upsert_docs
+
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    fn = upsert_docs if args.upsert else add_docs
+    paths = fn(args.index, docs)
+    with open(paths.stats) as f:
+        print(json.dumps({"delta": paths.root, **json.load(f)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from harvester_ray.index.maintenance import delete_docs
+
+    ids = [int(x) for x in args.ids.split(",") if x]
+    n = delete_docs(args.index, ids)
+    print(json.dumps({"tombstoned": n}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from harvester_ray.index.query import InvertedIndex
 
@@ -124,6 +151,23 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--strategy", choices=["bucket", "sort", "salted_groupby"])
     bp.add_argument("--buckets", type=int)
     bp.set_defaults(fn=cmd_build_pages)
+
+    for name, up in (("add", False), ("upsert", True)):
+        a = sub.add_parser(
+            name,
+            help=(
+                "incrementally add a (doc_id, text) parquet table as a "
+                "delta source" + (" (replace-or-add)" if up else "")
+            ),
+        )
+        a.add_argument("--index", required=True)
+        a.add_argument("--input", required=True)
+        a.set_defaults(fn=cmd_add, upsert=up)
+
+    d = sub.add_parser("delete", help="tombstone doc_ids")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", required=True, help="comma-separated doc_ids")
+    d.set_defaults(fn=cmd_delete)
 
     q = sub.add_parser("query", help="one query against a built index")
     q.add_argument("--index", required=True)

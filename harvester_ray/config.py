@@ -80,6 +80,10 @@ class IndexConfig:
     # callable) travels through config/params/stats so resume keys and
     # serialized stats stay stable
     analyzer_name: str = "default"
+    # posting-block codec: "varint" (LEB128, fastest encode/bulk
+    # decode — default) or "for" (FOR bit-packing, the PForDelta
+    # family: tighter blocks, slower per-block encode)
+    codec: str = "varint"
 
 
 DEFAULT_INDEX_CONFIG = IndexConfig()

@@ -62,6 +62,47 @@ def varint_encode(values: np.ndarray) -> bytes:
     return varint_encode_offsets(values)[0]
 
 
+def bitpack_encode(values: np.ndarray) -> bytes:
+    """FOR bit-packing (the PForDelta family, without exception
+    patching): header ``[width:1][n:2 LE]`` then ceil(n*width/8) bytes
+    of LSB-first packed values. All values share the max bit width —
+    the classic frame-of-reference layout; posting blocks are small
+    (<= block_size) and delta-encoded, so the max width is tight.
+    Self-delimiting, so per-block buffers decode independently."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n >= 1 << 16:
+        raise ValueError(f"bitpack block too large: {n}")
+    if n == 0:
+        return (0).to_bytes(1, "little") + (0).to_bytes(2, "little")
+    w = int(v.max()).bit_length()
+    head = w.to_bytes(1, "little") + n.to_bytes(2, "little")
+    if w == 0:
+        return head
+    bits = (
+        (v[:, None] >> np.arange(w, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.uint8)
+    return head + np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def bitpack_decode(buf: bytes) -> np.ndarray:
+    """Decode one bitpack_encode buffer -> uint64 ndarray."""
+    w = buf[0]
+    n = int.from_bytes(buf[1:3], "little")
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if w == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, np.uint8, offset=3),
+        count=n * w,
+        bitorder="little",
+    ).reshape(n, w)
+    return (
+        bits.astype(np.uint64) << np.arange(w, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode concatenated LEB128 varints -> uint64 ndarray."""
     b = np.frombuffer(buf, dtype=np.uint8)

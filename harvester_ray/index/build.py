@@ -52,7 +52,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
-from harvester_ray.functions.codec import varint_encode_offsets
+from harvester_ray.functions.codec import bitpack_encode, varint_encode_offsets
 from harvester_ray.functions.text import (
     DEFAULT_ANALYZER,
     flatten_tokens,
@@ -302,6 +302,7 @@ def _encode_sorted_runs(
     k1: float,
     b: float,
     bs: int,
+    codec: str = "varint",
 ) -> pa.Table:
     """Encode MANY (term_id, doc_id)-sorted posting runs into block rows
     (FIXTURES.md §3 layout, block_max = idf-free norm max) in ONE
@@ -325,14 +326,28 @@ def _encode_sorted_runs(
     gaps[0] = 0
     np.subtract(did_s[1:], did_s[:-1], out=gaps[1:], casting="unsafe")
     gaps[starts] = 0  # gap[0] of each block is relative to first_doc_id
-    gap_buf, gap_ends = varint_encode_offsets(gaps)
-    tf_buf, tf_ends = varint_encode_offsets(tf_s)
-    dl_buf, dl_ends = varint_encode_offsets(dl_s)
+    if codec == "varint":
+        gap_buf, gap_ends = varint_encode_offsets(gaps)
+        tf_buf, tf_ends = varint_encode_offsets(tf_s)
+        dl_buf, dl_ends = varint_encode_offsets(dl_s)
 
-    def slices(buf: bytes, value_ends: np.ndarray) -> list[bytes]:
-        byte_lo = np.concatenate(([0], value_ends[ends[:-1] - 1]))
-        byte_hi = value_ends[ends - 1]
-        return [buf[a:b_] for a, b_ in zip(byte_lo, byte_hi)]
+        def slices(buf: bytes, value_ends: np.ndarray) -> list[bytes]:
+            byte_lo = np.concatenate(([0], value_ends[ends[:-1] - 1]))
+            byte_hi = value_ends[ends - 1]
+            return [buf[a:b_] for a, b_ in zip(byte_lo, byte_hi)]
+
+        gap_col = slices(gap_buf, gap_ends)
+        tf_col = slices(tf_buf, tf_ends)
+        dl_col = slices(dl_buf, dl_ends)
+    elif codec == "for":
+        # FOR bit-packed option (the "varint/PForDelta" alternative of
+        # the north star): tighter blocks, per-block Python encode loop
+        # — pick for storage-bound deployments, varint for build speed
+        gap_col = [bitpack_encode(gaps[a:b_]) for a, b_ in zip(starts, ends)]
+        tf_col = [bitpack_encode(tf_s[a:b_]) for a, b_ in zip(starts, ends)]
+        dl_col = [bitpack_encode(dl_s[a:b_]) for a, b_ in zip(starts, ends)]
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
 
     block_max = np.maximum.reduceat(norms, starts).astype(np.float32)
     run_of_block = np.repeat(
@@ -351,9 +366,9 @@ def _encode_sorted_runs(
             "first_doc_id": pa.array(did_s[starts], pa.int64()),
             "last_doc_id": pa.array(did_s[ends - 1], pa.int64()),
             "n": pa.array((ends - starts).astype(np.int32)),
-            "doc_id_deltas": pa.array(slices(gap_buf, gap_ends), pa.binary()),
-            "tfs": pa.array(slices(tf_buf, tf_ends), pa.binary()),
-            "doc_lens": pa.array(slices(dl_buf, dl_ends), pa.binary()),
+            "doc_id_deltas": pa.array(gap_col, pa.binary()),
+            "tfs": pa.array(tf_col, pa.binary()),
+            "doc_lens": pa.array(dl_col, pa.binary()),
             "block_max_norm": pa.array(block_max, pa.float32()),
         }
     )
@@ -370,6 +385,7 @@ def _encode_run(
     k1: float,
     b: float,
     bs: int,
+    codec: str = "varint",
 ) -> pa.Table:
     """Encode one doc_id-sorted posting run (single-run wrapper around
     the vectorized multi-run encoder; used by the salted_groupby
@@ -380,7 +396,7 @@ def _encode_run(
         np.array([0], dtype=np.int64),
         np.array([n], dtype=np.int64),
         np.full(n, term_id, np.int64),
-        doc_id, tf, dl, salt, avgdl, k1, b, bs,
+        doc_id, tf, dl, salt, avgdl, k1, b, bs, codec,
     )
 
 
@@ -388,6 +404,7 @@ def make_term_group_encoder(avgdl: float, cfg: IndexConfig):
     """map_groups fn for the salted_groupby strategy: encode one
     (term_id, salt) group into block rows."""
     k1, b, bs = cfg.bm25.k1, cfg.bm25.b, cfg.block_size
+    codec = cfg.codec
 
     def encode(group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -400,7 +417,9 @@ def make_term_group_encoder(avgdl: float, cfg: IndexConfig):
         term = group["term"][0].as_py()
         term_id = group["term_id"][0].as_py()
         salt = group["salt"][0].as_py() if "salt" in group.column_names else 0
-        return _encode_run(term, term_id, salt, doc_id, tf, dl, avgdl, k1, b, bs)
+        return _encode_run(
+            term, term_id, salt, doc_id, tf, dl, avgdl, k1, b, bs, codec
+        )
 
     return encode
 
@@ -416,6 +435,7 @@ def make_sorted_batch_encoder(avgdl: float, cfg: IndexConfig):
     is needed.
     """
     k1, b_, bs = cfg.bm25.k1, cfg.bm25.b, cfg.block_size
+    codec = cfg.codec
 
     def encode_batch(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -432,7 +452,7 @@ def make_sorted_batch_encoder(avgdl: float, cfg: IndexConfig):
         )
         return _encode_sorted_runs(
             terms_per_run, run_starts, run_ends,
-            tids, doc_id, tf, dl, 0, avgdl, k1, b_, bs,
+            tids, doc_id, tf, dl, 0, avgdl, k1, b_, bs, codec,
         )
 
     return encode_batch
@@ -752,6 +772,7 @@ def build_index(
         n_chunks = max(1, cfg.segment_doc_chunks)
         shift = np.uint64(64 - int(math.log2(n_chunks))) if n_chunks > 1 else None
         k1, b_, bs = cfg.bm25.k1, cfg.bm25.b, cfg.block_size
+        codec = cfg.codec
 
         # Raw Ray tasks (not a Dataset op) on purpose: the fan-out unit
         # is a CONTROL row (bucket id), and Ray Data bundles tiny
@@ -800,7 +821,7 @@ def build_index(
             )
             seg = _encode_sorted_runs(
                 terms_per_run, run_starts, run_ends,
-                tid_s, did_s, tf_s, dl_s, 0, avgdl, k1, b_, bs,
+                tid_s, did_s, tf_s, dl_s, 0, avgdl, k1, b_, bs, codec,
             )
             _atomic_side_write(seg, tmp, f"bucket{b:05d}c{chunk:02d}")
             return len(seg)
@@ -839,6 +860,7 @@ def build_index(
         f"strategy={cfg.segment_strategy},bs={cfg.block_size},"
         f"thr={cfg.salt_df_threshold},buckets={cfg.salt_buckets},"
         f"tbuckets={cfg.num_term_buckets},chunks={cfg.segment_doc_chunks},"
+        f"codec={cfg.codec},"
         f"k1={cfg.bm25.k1},b={cfg.bm25.b},avgdl={avgdl!r}"
     )
 
@@ -878,6 +900,7 @@ def build_index(
                 "analyzer": cfg.analyzer_name,
                 "segment_strategy": cfg.segment_strategy,
                 "segment_doc_chunks": cfg.segment_doc_chunks,
+                "codec": cfg.codec,
                 "engine_version": ENGINE_VERSION,
             },
             f,

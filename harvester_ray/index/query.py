@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from harvester_ray.functions.codec import varint_decode
+from harvester_ray.functions.codec import bitpack_decode, varint_decode
 from harvester_ray.functions.text import get_analyzer, tokenize
 from harvester_ray.index.build import bm25_score
 
@@ -70,9 +70,14 @@ class _TermBlocks:
     term's idf for score upper bounds.
     """
 
-    __slots__ = ("first", "last", "bmax", "deltas", "tfs", "lens", "ub_norm")
+    __slots__ = (
+        "first", "last", "bmax", "deltas", "tfs", "lens", "ub_norm", "codec",
+    )
 
-    def __init__(self, rows: pd.DataFrame, scale: float = 1.0):
+    def __init__(
+        self, rows: pd.DataFrame, scale: float = 1.0, codec: str = "varint"
+    ):
+        self.codec = codec
         rows = rows.sort_values("first_doc_id", kind="stable")
         self.first = rows["first_doc_id"].to_numpy(np.int64)
         self.last = rows["last_doc_id"].to_numpy(np.int64)
@@ -83,17 +88,32 @@ class _TermBlocks:
         self.ub_norm = float(self.bmax.max()) if len(self.bmax) else 0.0
 
     def decode_block(self, i: int):
-        ids = varint_decode(self.deltas[i]).view(np.int64).cumsum() + self.first[i]
-        tf = varint_decode(self.tfs[i]).astype(np.int64)
-        dl = varint_decode(self.lens[i]).astype(np.int64)
+        dec = varint_decode if self.codec == "varint" else bitpack_decode
+        ids = dec(self.deltas[i]).view(np.int64).cumsum() + self.first[i]
+        tf = dec(self.tfs[i]).astype(np.int64)
+        dl = dec(self.lens[i]).astype(np.int64)
         return ids, tf, dl
 
     def decode_all(self):
-        """Bulk decode: ONE varint decode per column across all blocks,
-        ids reconstructed with a single prefix sum (no per-block loop)."""
+        """Bulk decode. varint: ONE decode per column across all blocks
+        (buffers concatenate), ids reconstructed with a single prefix
+        sum. FOR bitpack buffers are self-delimiting per block, so that
+        codec decodes per block and concatenates."""
         if not len(self.first):
             z = np.empty(0, np.int64)
             return z, z.copy(), z.copy()
+        if self.codec == "for":
+            id_parts, tf_parts, dl_parts = [], [], []
+            for i in range(len(self.first)):
+                ids, tf, dl = self.decode_block(i)
+                id_parts.append(ids)
+                tf_parts.append(tf)
+                dl_parts.append(dl)
+            return (
+                np.concatenate(id_parts),
+                np.concatenate(tf_parts),
+                np.concatenate(dl_parts),
+            )
         gaps = varint_decode(b"".join(self.deltas)).view(np.int64)
         tf = varint_decode(b"".join(self.tfs)).astype(np.int64)
         dl = varint_decode(b"".join(self.lens)).astype(np.int64)
@@ -199,6 +219,7 @@ class InvertedIndex:
                         "doc-sharded"
                     )
             self._shard_shift = np.uint64(64 - int(math.log2(S))) if S > 1 else None
+        self._codecs = [s.get("codec", "varint") for s in stats_list]
         # admissible WAND-bound rescale per source (see _TermBlocks)
         self._bmax_scale = [
             max(1.0, self.avgdl / s["avgdl"]) if s["avgdl"] > 0 else 1.0
@@ -289,7 +310,9 @@ class InvertedIndex:
                     per_src = self._block_cache.setdefault(
                         int(tid), [None] * len(self._src_paths)
                     )
-                    per_src[si] = _TermBlocks(rows, self._bmax_scale[si])
+                    per_src[si] = _TermBlocks(
+                        rows, self._bmax_scale[si], self._codecs[si]
+                    )
             self._preloaded = True
         else:
             self._preloaded = False
@@ -320,7 +343,9 @@ class InvertedIndex:
                     filter=pads.field("term_id") == tid
                 ).to_pandas()
                 blocks.append(
-                    _TermBlocks(tbl, self._bmax_scale[si]) if len(tbl) else None
+                    _TermBlocks(tbl, self._bmax_scale[si], self._codecs[si])
+                    if len(tbl)
+                    else None
                 )
             if not any(b is not None for b in blocks):
                 return None

@@ -112,6 +112,118 @@ def build_pages_index(
     )
 
 
+def update_pages_index(
+    pages_path: str,
+    out_dir: str,
+    cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+) -> IndexPaths:
+    """The reference's incremental main loop (solr_updater.main,
+    harvester/solr_updater.py:875-962: consume changes since the
+    cursor, upsert into the live index) re-expressed for batch shards:
+
+    - extraction runs under partition lineage, so only NEW/changed page
+      shards extract (the `last_seq` cursor analog);
+    - a manifest of already-indexed partition keys
+      (``indexed_partitions.json``) plays the persisted-cursor role;
+    - docs from partitions not yet in the manifest are added as a
+      DELTA source (maintenance.add_docs) — no rebuild of the base.
+
+    First call (no index yet) builds the base over everything. Changed
+    (re-extracted) partitions are upserted via ``upsert_docs``.
+    """
+    import glob
+
+    from harvester_ray.index.maintenance import add_docs, upsert_docs
+    from harvester_ray.state.partitioned import (
+        partition_key,
+        partition_outputs,
+        run_partitioned_stage,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    extracted_dir = os.path.join(out_dir, "extracted")
+    if os.path.isdir(pages_path):
+        shard_dir = os.path.join(pages_path, "pages")
+        if os.path.isdir(shard_dir):
+            page_files = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+        else:
+            page_files = [os.path.join(pages_path, "pages.parquet")]
+    else:
+        page_files = [pages_path]
+
+    def extract_one(src: str, tmp: str) -> None:
+        pages = ray.data.read_parquet(src)
+        extract_pages(
+            pages,
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extract_concurrency,
+        ).write_parquet(tmp)
+
+    recs = run_partitioned_stage(
+        "extract", page_files, extracted_dir, extract_one,
+        params=f"extractor=v{ENGINE_VERSION}",
+    )
+    re_extracted = {
+        partition_key(p)
+        for p, r in zip(page_files, recs)
+        if not r.get("skipped")
+    }
+
+    manifest_path = os.path.join(out_dir, "indexed_partitions.json")
+    indexed: dict[str, str] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            indexed = json.load(f)
+
+    idx_dir = os.path.join(out_dir, "index")
+    parts = partition_outputs(extracted_dir)
+    by_key = {os.path.basename(p).removeprefix("part-"): p for p in parts}
+
+    def docs_of(part_dirs: list[str]):
+        import glob as _g
+
+        files = [
+            f
+            for d in part_dirs
+            for f in sorted(_g.glob(os.path.join(d, "*.parquet")))
+        ]
+        return ray.data.read_parquet(
+            files, columns=["doc_id", "text", "reject_reason"]
+        ).map_batches(
+            lambda t: t.filter(pc.is_null(t["reject_reason"])).select(
+                ["doc_id", "text"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+        paths = build_index(
+            docs_of(parts), idx_dir, cfg,
+            input_fingerprint=dir_fingerprint(extracted_dir),
+        )
+        indexed = {k: "base" for k in by_key}
+    else:
+        paths = IndexPaths(idx_dir)
+        new_keys = [k for k in by_key if k not in indexed]
+        changed_keys = [k for k in by_key if k in indexed and k in re_extracted]
+        if new_keys:
+            paths = add_docs(idx_dir, docs_of([by_key[k] for k in new_keys]), cfg)
+            for k in new_keys:
+                indexed[k] = os.path.basename(paths.root)
+        if changed_keys:
+            paths = upsert_docs(
+                idx_dir, docs_of([by_key[k] for k in changed_keys]), cfg
+            )
+            for k in changed_keys:
+                indexed[k] = os.path.basename(paths.root)
+        paths = IndexPaths(idx_dir)
+    tmp = f"{manifest_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(indexed, f)
+    os.replace(tmp, manifest_path)
+    return paths
+
+
 def pages_flagship(sf_dir: str | None = None, n_pages: int = 500) -> "ray.data.Dataset":
     """End-to-end flagship on the synthetic corpus (deterministic;
     ``sf_dir`` ignored — the pages table is generated, FIXTURES.md §1):

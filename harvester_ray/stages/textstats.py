@@ -35,40 +35,55 @@ class LangIdActor:
     """Stopword-profile + CJK-codepoint language heuristic.
 
     Actor-pool stage: profiles compiled once in __init__ (stateful-stage
-    rule); per-batch work is set lookups over tokens.
-    """
+    rule). Fully vectorized per batch: one Arrow tokenize + one is_in /
+    bincount per language profile for the stopword-ratio matrix, and a
+    regex codepoint-class count over the first 200 chars for CJK — no
+    per-row Python loop (round-1 verdict item)."""
+
+    _CJK_RE = "[一-鿿぀-ヿ가-힯]"
 
     def __init__(self):
-        self.profiles = {k: v for k, v in _LANG_PROFILES.items()}
+        self.langs = list(_LANG_PROFILES)
+        self.stop_arrays = [
+            pa.array(sorted(_LANG_PROFILES[lang])) for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for text in batch["text"].to_pylist():
-            text = text or ""
-            cjk = sum(
-                1 for ch in text[:200]
-                if any(lo <= ord(ch) <= hi for lo, hi in _CJK_RANGES)
+        n = len(batch)
+        text = pc.fill_null(batch["text"], "")
+        cjk = pc.count_substring_regex(
+            pc.utf8_slice_codeunits(text, 0, 200), self._CJK_RE
+        ).to_numpy(zero_copy_only=False)
+        flat, parent = flatten_tokens(tokenize_column(text))
+        par = parent.to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(par, minlength=n).astype(np.float64)
+        safe = np.maximum(n_tokens, 1.0)
+        ratios = np.empty((n, len(self.langs)), dtype=np.float64)
+        for j, stops in enumerate(self.stop_arrays):
+            hit = pc.is_in(flat, value_set=stops).to_numpy(
+                zero_copy_only=False
             )
-            if cjk >= 5:
-                preds.append("zh")
-                confs.append(round(min(1.0, cjk / 50.0), 6))
-                continue
-            toks = tokenize(text)
-            if not toks:
-                preds.append("unknown")
-                confs.append(0.0)
-                continue
-            best_lang, best = "unknown", 0.0
-            for lang, stops in self.profiles.items():
-                r = sum(1 for t in toks if t in stops) / len(toks)
-                if r > best:
-                    best_lang, best = lang, r
-            preds.append(best_lang if best > 0.02 else "unknown")
-            confs.append(round(best, 6))
+            ratios[:, j] = np.bincount(par[hit], minlength=n) / safe
+        best_j = np.argmax(ratios, axis=1)  # ties -> first lang, as before
+        best = ratios[np.arange(n), best_j]
+        preds = np.where(
+            cjk >= 5,
+            "zh",
+            np.where(
+                (n_tokens > 0) & (best > 0.02),
+                np.array(self.langs, dtype=object)[best_j],
+                "unknown",
+            ),
+        )
+        confs = np.where(
+            cjk >= 5,
+            np.round(np.minimum(1.0, cjk / 50.0), 6),
+            np.where(n_tokens > 0, np.round(best, 6), 0.0),
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "lang_pred": pa.array(preds, pa.string()),
+                "lang_pred": pa.array(preds.astype(str), pa.string()),
                 "confidence": pa.array(confs, pa.float64()),
             }
         )

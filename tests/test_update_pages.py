@@ -1,0 +1,51 @@
+"""Incremental pages loop: new shard arrives -> only it extracts ->
+delta-add; results rank-identical to a full rebuild (the reference's
+changes-feed main loop, solr_updater.py:875-962, as batch shards)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from harvester_ray.corpus import generate_pages, write_corpus
+from harvester_ray.index.maintenance import delta_dirs
+from harvester_ray.index.query import InvertedIndex
+from harvester_ray.pipelines.pages import build_pages_index, update_pages_index
+
+
+def test_update_pages_index_delta_add(tmp_path, ray_session):
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 300, n_files=3)
+    out = str(tmp_path / "out")
+
+    # first call builds the base over the 3 shards
+    paths = update_pages_index(corpus, out)
+    assert delta_dirs(os.path.join(out, "index")) == []
+    base_hits = InvertedIndex(paths.root, preload=True).search("w0 w1", k=10)
+    assert base_hits
+
+    # a NEW shard arrives (different seed slice -> new urls/doc_ids)
+    pages, _ = generate_pages(400, seed=42)
+    new_shard = pages.slice(300, 100)
+    pq.write_table(
+        new_shard, os.path.join(corpus, "pages", "pages-00003.parquet")
+    )
+    paths = update_pages_index(corpus, out)
+    # the new shard landed as a delta, base untouched
+    assert len(delta_dirs(os.path.join(out, "index"))) == 1
+    inc = InvertedIndex(paths.root, preload=True)
+
+    # oracle: full rebuild over all 4 shards
+    full_out = str(tmp_path / "full")
+    full = build_pages_index(corpus, full_out)
+    full_idx = InvertedIndex(full.root, preload=True)
+    assert inc.n_docs == full_idx.n_docs
+    assert set(inc.dictionary) == set(full_idx.dictionary)
+    for q in ("w0 w1", "w2 w17 w120", "page 7"):
+        got = inc.search(q, k=10)
+        want = full_idx.search(q, k=10)
+        assert got == want, q
+
+    # idempotent: calling again with nothing new adds no delta
+    update_pages_index(corpus, out)
+    assert len(delta_dirs(os.path.join(out, "index"))) == 1
