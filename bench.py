@@ -297,7 +297,15 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCALING_CHILD="1"
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_SCALING_CHILD="1",
+            # scaling corpus: 1.5 M docs — long enough that the fixed
+            # term is <2% of the 4-CPU wall, short enough that a run
+            # fits inside this VM's quiet windows between steal bursts
+            ZIPF_DOCS=os.environ.get(
+                "SCALING_DOCS", os.environ.get("ZIPF_DOCS", "1500000")
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

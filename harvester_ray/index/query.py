@@ -77,21 +77,64 @@ class _TermBlocks:
     def __init__(
         self, rows: pd.DataFrame, scale: float = 1.0, codec: str = "varint"
     ):
-        self.codec = codec
         rows = rows.sort_values("first_doc_id", kind="stable")
-        self.first = rows["first_doc_id"].to_numpy(np.int64)
-        self.last = rows["last_doc_id"].to_numpy(np.int64)
-        self.bmax = rows["block_max_norm"].to_numpy(np.float64) * scale
-        self.deltas = rows["doc_id_deltas"].tolist()
-        self.tfs = rows["tfs"].tolist()
-        self.lens = rows["doc_lens"].tolist()
+        self._init_sorted(
+            rows["first_doc_id"].to_numpy(np.int64),
+            rows["last_doc_id"].to_numpy(np.int64),
+            rows["block_max_norm"].to_numpy(np.float64) * scale,
+            rows["doc_id_deltas"].tolist(),
+            rows["tfs"].tolist(),
+            rows["doc_lens"].tolist(),
+            codec,
+        )
+
+    @classmethod
+    def from_sorted_arrays(
+        cls, first, last, bmax, deltas, tfs, lens, codec="varint"
+    ) -> "_TermBlocks":
+        """Fast path: already first_doc_id-sorted numpy columns +
+        zero-copy pa.BinaryArray slices (the bulk index-load path —
+        the pandas groupby constructor cost ~10 s on 1.6 M block rows
+        at 2 M docs)."""
+        self = cls.__new__(cls)
+        self._init_sorted(first, last, bmax, deltas, tfs, lens, codec)
+        return self
+
+    def _init_sorted(self, first, last, bmax, deltas, tfs, lens, codec):
+        self.codec = codec
+        self.first = first
+        self.last = last
+        self.bmax = bmax
+        self.deltas = deltas  # list[bytes] OR pa.BinaryArray slice
+        self.tfs = tfs
+        self.lens = lens
         self.ub_norm = float(self.bmax.max()) if len(self.bmax) else 0.0
+
+    @staticmethod
+    def _buf(col, i: int) -> bytes:
+        return col[i] if isinstance(col, list) else col[i].as_py()
+
+    @staticmethod
+    def _joined(col) -> bytes:
+        """All block buffers concatenated: list join, or (zero-copy
+        range + one copy) straight off the BinaryArray values buffer —
+        blocks are contiguous in the sorted array, so the joined bytes
+        ARE a slice of the underlying buffer."""
+        if isinstance(col, list):
+            return b"".join(col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bufs = col.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int32)
+        lo = int(off[col.offset])
+        hi = int(off[col.offset + len(col)])
+        return bufs[2].slice(lo, hi - lo).to_pybytes()
 
     def decode_block(self, i: int):
         dec = varint_decode if self.codec == "varint" else bitpack_decode
-        ids = dec(self.deltas[i]).view(np.int64).cumsum() + self.first[i]
-        tf = dec(self.tfs[i]).astype(np.int64)
-        dl = dec(self.lens[i]).astype(np.int64)
+        ids = dec(self._buf(self.deltas, i)).view(np.int64).cumsum() + self.first[i]
+        tf = dec(self._buf(self.tfs, i)).astype(np.int64)
+        dl = dec(self._buf(self.lens, i)).astype(np.int64)
         return ids, tf, dl
 
     def decode_all(self):
@@ -114,9 +157,9 @@ class _TermBlocks:
                 np.concatenate(tf_parts),
                 np.concatenate(dl_parts),
             )
-        gaps = varint_decode(b"".join(self.deltas)).view(np.int64)
-        tf = varint_decode(b"".join(self.tfs)).astype(np.int64)
-        dl = varint_decode(b"".join(self.lens)).astype(np.int64)
+        gaps = varint_decode(self._joined(self.deltas)).view(np.int64)
+        tf = varint_decode(self._joined(self.tfs)).astype(np.int64)
+        dl = varint_decode(self._joined(self.lens)).astype(np.int64)
         n = len(gaps)
         # doc_ids are strictly increasing within a block, so in-block
         # gaps are >= 1 and gap == 0 appears exactly at block starts
@@ -302,16 +345,47 @@ class InvertedIndex:
         except Exception:
             self._slots = None
         if preload:
+            # bulk load: ONE lexsort + take per source, then zero-copy
+            # binary slices per term run — the pandas-groupby
+            # constructor cost ~10 s on 1.6 M block rows at 2 M docs.
+            # (Arrow binary columns are int32-offset: a source whose
+            # block buffers exceed 2 GB per column should be served
+            # lazily or sharded, not preloaded into one process.)
             for si, ds in enumerate(self._seg_ds):
-                seg = ds.to_table().to_pandas()
-                if "term_id" not in seg.columns:  # empty shard/source
+                seg = ds.to_table()
+                if "term_id" not in seg.column_names or len(seg) == 0:
                     continue
-                for tid, rows in seg.groupby("term_id"):
+                tid = seg["term_id"].to_numpy(zero_copy_only=False)
+                first = seg["first_doc_id"].to_numpy(zero_copy_only=False)
+                order = np.lexsort((first, tid))
+                seg = seg.take(pa.array(order))
+                tid, first = tid[order], first[order]
+                last = seg["last_doc_id"].to_numpy(zero_copy_only=False)
+                bmax = (
+                    seg["block_max_norm"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    * self._bmax_scale[si]
+                )
+                deltas = seg["doc_id_deltas"].combine_chunks()
+                tfs = seg["tfs"].combine_chunks()
+                lens = seg["doc_lens"].combine_chunks()
+                change = np.nonzero(np.diff(tid))[0] + 1
+                starts = np.concatenate(([0], change))
+                ends = np.concatenate((change, [len(tid)]))
+                codec = self._codecs[si]
+                for s_, e_ in zip(starts, ends):
                     per_src = self._block_cache.setdefault(
-                        int(tid), [None] * len(self._src_paths)
+                        int(tid[s_]), [None] * len(self._src_paths)
                     )
-                    per_src[si] = _TermBlocks(
-                        rows, self._bmax_scale[si], self._codecs[si]
+                    per_src[si] = _TermBlocks.from_sorted_arrays(
+                        first[s_:e_],
+                        last[s_:e_],
+                        bmax[s_:e_],
+                        deltas.slice(s_, e_ - s_),
+                        tfs.slice(s_, e_ - s_),
+                        lens.slice(s_, e_ - s_),
+                        codec,
                     )
             self._preloaded = True
         else:
@@ -339,13 +413,26 @@ class InvertedIndex:
                 if not ds.files:  # empty shard/source
                     blocks.append(None)
                     continue
-                tbl = ds.to_table(
-                    filter=pads.field("term_id") == tid
-                ).to_pandas()
+                tbl = ds.to_table(filter=pads.field("term_id") == tid)
+                if len(tbl) == 0:
+                    blocks.append(None)
+                    continue
+                first = tbl["first_doc_id"].to_numpy(zero_copy_only=False)
+                order = np.argsort(first, kind="stable")
+                tbl = tbl.take(pa.array(order))
                 blocks.append(
-                    _TermBlocks(tbl, self._bmax_scale[si], self._codecs[si])
-                    if len(tbl)
-                    else None
+                    _TermBlocks.from_sorted_arrays(
+                        first[order],
+                        tbl["last_doc_id"].to_numpy(zero_copy_only=False),
+                        tbl["block_max_norm"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        * self._bmax_scale[si],
+                        tbl["doc_id_deltas"].combine_chunks(),
+                        tbl["tfs"].combine_chunks(),
+                        tbl["doc_lens"].combine_chunks(),
+                        self._codecs[si],
+                    )
                 )
             if not any(b is not None for b in blocks):
                 return None

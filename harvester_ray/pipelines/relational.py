@@ -174,12 +174,15 @@ def region_customer_stats(sf_dir: str) -> "ray.data.Dataset":
     }
 
     cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    # vectorized lookup: sorted key array + searchsorted + string take
+    # (the per-row dict comprehension was row-rate cost at scale)
+    nk_keys = np.array(sorted(nk_to_region), dtype=np.int64)
+    nk_names = pa.array([nk_to_region[int(k)] for k in nk_keys], pa.string())
 
     def add_region(t: pa.Table) -> pa.Table:
-        nk = t["c_nationkey"].to_pylist()
-        return t.append_column(
-            "r_name", pa.array([nk_to_region[int(k)] for k in nk], pa.string())
-        )
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(nk_keys, nk)
+        return t.append_column("r_name", pc.take(nk_names, pa.array(idx)))
 
     out = (
         cust.map_batches(add_region, batch_format="pyarrow")
@@ -409,8 +412,11 @@ def orders_decade_facets(sf_dir: str) -> "ray.data.Dataset":
 
     def add_decade(t: pa.Table) -> pa.Table:
         years = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
-        decades = [(f"{(int(y) // 10) * 10}s") for y in years]
-        return pa.table({"decade": pa.array(decades, pa.string())})
+        decades = pa.array((years // 10 * 10).astype(np.int64))
+        col = pc.binary_join_element_wise(
+            pc.cast(decades, pa.string()), "s", ""
+        )
+        return pa.table({"decade": col})
 
     return (
         ds.map_batches(add_decade, batch_format="pyarrow")
