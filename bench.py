@@ -213,6 +213,13 @@ def _query_latencies(paths, query_set) -> dict:
     t0 = time.time()
     idx = InvertedIndex(paths.root, preload=True)
     load_sec = time.time() - t0
+    # cold pass (first per-term posting decode) timed separately —
+    # the warm p50/p95 is the bench contract (a serving tier is warm)
+    cold = []
+    for _qid, q, mode in query_set:
+        t0 = time.time()
+        idx.search(q, k=10, mode=mode)
+        cold.append(time.time() - t0)
     lat = []
     for _rep in range(3):
         for _qid, q, mode in query_set:
@@ -224,6 +231,7 @@ def _query_latencies(paths, query_set) -> dict:
         "load_sec": load_sec,
         "p50": statistics.median(lat),
         "p95": lat[int(0.95 * len(lat)) - 1],
+        "cold_max": max(cold),
     }
 
 
@@ -247,6 +255,7 @@ def run_bench(scaling_child: bool = False) -> dict:
             "index_load": round(ql["load_sec"], 3),
             "bm25_p50": round(ql["p50"], 6),
             "bm25_p95": round(ql["p95"], 6),
+            "bm25_cold_max": round(ql["cold_max"], 6),
         },
         "sf": os.path.basename(os.path.abspath(SF_DIR)),
         "num_cpus": NUM_CPUS,
