@@ -86,3 +86,20 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(e.entry())
     assert len(df) > 0
     assert set(df.columns) == {"query_id", "rank", "doc_id"}
+
+
+def test_q3_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """q3's guarded broadcast semi-join and its Dataset.join fallback
+    must produce identical results (the guard only changes the
+    physical plan)."""
+    import pandas as pd
+
+    from harvester_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    via_broadcast = (
+        relational.q3_top_orders(sf).to_pandas().reset_index(drop=True)
+    )
+    monkeypatch.setattr(relational, "_BROADCAST_KEYS_GUARD", 0)
+    via_join = relational.q3_top_orders(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_broadcast, via_join)
