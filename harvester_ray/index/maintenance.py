@@ -187,6 +187,11 @@ def add_docs(
     for replace semantics. The delta's own internal avgdl only shapes
     its stored WAND block maxima; the query engine rescales those
     bounds to the merged avgdl at load, so pruning stays admissible.
+
+    Doc-sharded serving (index/sharded.py) requires every source to be
+    built with the SAME ``segment_doc_chunks``: pass the base's cfg
+    here, or shard loading will reject the mismatched delta with a
+    clear error.
     """
     from harvester_ray.config import DEFAULT_INDEX_CONFIG
     from harvester_ray.index.build import build_index

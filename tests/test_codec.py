@@ -96,3 +96,40 @@ def test_for_codec_index_rank_identical(tmp_path, ray_session):
         a = idx["varint"].search(q, k=10, mode=mode, algorithm=algo)
         b = idx["for"].search(q, k=10, mode=mode, algorithm=algo)
         assert a == b, (q, mode, algo)
+
+
+def test_codec_property_roundtrips():
+    """Hypothesis: arbitrary uint64 arrays round-trip through BOTH
+    codecs, and varint offsets slice-decode consistently."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from harvester_ray.functions.codec import (
+        bitpack_decode,
+        bitpack_encode,
+        varint_decode,
+        varint_encode_offsets,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1), max_size=300
+        )
+    )
+    def check(vals):
+        v = np.array(vals, dtype=np.uint64)
+        buf, ends = varint_encode_offsets(v)
+        assert np.array_equal(varint_decode(buf), v)
+        if len(v):
+            assert int(ends[-1]) == len(buf)
+            # any prefix slices out the prefix values
+            k = len(v) // 2
+            if k:
+                assert np.array_equal(
+                    varint_decode(buf[: ends[k - 1]]), v[:k]
+                )
+        assert np.array_equal(bitpack_decode(bitpack_encode(v)), v)
+
+    check()

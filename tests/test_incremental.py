@@ -144,3 +144,36 @@ def test_delete_then_add_scoping(corpora, ray_session):
     assert [x[0] for x in idx.search("w0 w1", k=10)] == [
         x[0] for x in idx.search("w0 w1", k=10, algorithm="wand")
     ]
+
+
+def test_multi_delta_chain_identical_to_rebuild(corpora, ray_session):
+    """TWO successive adds (base + delta-000 + delta-001) still merge
+    exactly: rank+score identity vs one rebuild over everything."""
+    root, a, b = corpora
+    c = generate_zipf_docs(
+        150, vocab_size=800, mean_len=60, seed=55, doc_id_offset=2000
+    )
+    d = str(root / "chain")
+    build_index(ray.data.from_arrow(a), d, n_docs=len(a))
+    add_docs(d, ray.data.from_arrow(b), n_docs=len(b))
+    add_docs(d, ray.data.from_arrow(c), n_docs=len(c))
+    from harvester_ray.index.maintenance import delta_dirs
+
+    assert len(delta_dirs(d)) == 2
+    idx_inc = InvertedIndex(d, preload=True)
+
+    full_dir = str(root / "chain_full")
+    union = pa.concat_tables([a, b, c])
+    build_index(ray.data.from_arrow(union), full_dir, n_docs=len(union))
+    idx_full = InvertedIndex(full_dir, preload=True)
+    assert idx_inc.n_docs == idx_full.n_docs
+    got = _search_all(idx_inc)
+    want = _search_all(idx_full)
+    for key in want:
+        assert got[key] == want[key] or (
+            [x[0] for x in got[key]] == [x[0] for x in want[key]]
+            and all(
+                abs(s1 - s2) < 1e-9
+                for (_, s1), (_, s2) in zip(got[key], want[key])
+            )
+        ), key
