@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "doc_fingerprints": textstats.doc_fingerprints,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "multimodal_features": multimodal.multimodal_features,
     }
 

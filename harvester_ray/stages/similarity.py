@@ -145,6 +145,168 @@ def _topk_batch(qn_ref, k: int):
     return f
 
 
+IVF_LISTS = 16
+IVF_NPROBE = 4
+IVF_TRAIN_ROWS = 4096
+IVF_ITERS = 10
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means (seeded init, fixed iterations) —
+    the IVF coarse quantizer. Training happens ONCE on a driver-side
+    sample (IVF_TRAIN_ROWS); assignment is distributed."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+class IvfAssigner:
+    """Actor-pool stage: centroids held per actor; per batch one
+    (rows x lists) distance matmul assigns the nearest list."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids
+        self._c2 = (centroids**2).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        d2 = self._c2[None, :] - 2.0 * (E @ self.centroids.T)
+        return batch.append_column(
+            "list_id", pa.array(d2.argmin(axis=1).astype(np.int64))
+        )
+
+
+def ivf_layout(sf_dir: str) -> str:
+    """Materialize (once, cached+resumable) the IVF layout: k-means
+    centroids (parquet, next to the partitions) + embeddings
+    hive-partitioned by nearest-centroid ``list_id``. A probe reads
+    only the IVF_NPROBE closest lists — the same pruned-read contract
+    as the LSH layout, with data-adaptive partitions."""
+    from harvester_ray.state.lineage import dir_fingerprint, run_stage
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(emb_path)}:ivf".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"emb_ivf_{key}")
+
+    def write(tmp: str) -> None:
+        import ray
+
+        pf = pq.ParquetFile(emb_path)
+        sample_rows = []
+        need = IVF_TRAIN_ROWS
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg, columns=["embedding"])
+            sample_rows.append(t)
+            need -= len(t)
+            if need <= 0:
+                break
+        sample = np.asarray(
+            pa.concat_tables(sample_rows)["embedding"]
+            .to_pylist()[:IVF_TRAIN_ROWS],
+            dtype=np.float64,
+        )
+        centroids = _kmeans(sample, IVF_LISTS, IVF_ITERS, LSH_SEED)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "list_id": pa.array(
+                        np.arange(len(centroids), dtype=np.int64)
+                    ),
+                    "centroid": pa.array(
+                        [c.tolist() for c in centroids],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            os.path.join(tmp, "_centroids.parquet"),
+        )
+        cen_ref = ray.put(centroids)
+
+        class Assign(IvfAssigner):
+            def __init__(self):
+                super().__init__(ray.get(cen_ref))
+
+        (
+            ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(
+                Assign,
+                batch_format="pyarrow",
+                concurrency=stage_concurrency(),
+            )
+            .write_parquet(tmp, partition_cols=["list_id"])
+        )
+
+    run_stage(
+        "emb_ivf_layout",
+        out,
+        dir_fingerprint(emb_path),
+        write,
+        params=f"lists={IVF_LISTS},iters={IVF_ITERS},seed={LSH_SEED}",
+    )
+    return out
+
+
+def ivf_probe_dirs(layout: str, q: np.ndarray) -> list[str]:
+    """The IVF_NPROBE nearest lists' partition dirs for query ``q``."""
+    cen = pq.read_table(os.path.join(layout, "_centroids.parquet"))
+    centroids = np.asarray(cen["centroid"].to_pylist(), dtype=np.float64)
+    lids = cen["list_id"].to_numpy()
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = lids[np.argsort(d2, kind="stable")[:IVF_NPROBE]]
+    return [
+        d
+        for b in sorted(int(x) for x in probe)
+        if os.path.isdir(d := os.path.join(layout, f"list_id={b}"))
+    ]
+
+
+def ann_ivf_topk(sf_dir: str, k: int = ANN_TOP_K) -> pd.DataFrame:
+    """(rank, vec_id, sim_r) IVF approximate top-k: probe the
+    IVF_NPROBE nearest inverted lists only (pruned hive read),
+    per-batch top-k, tiny final sort."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qrow = qtbl.filter(pc.equal(qtbl["vec_id"], ANN_QUERY_VEC_ID))
+    q = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    layout = ivf_layout(sf_dir)
+    dirs = ivf_probe_dirs(layout, q)
+    if not dirs:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "vec_id": pd.Series([], dtype=np.int64),
+                "sim_r": pd.Series([], dtype=np.float64),
+            }
+        )
+    qn_ref = ray.put(q / np.linalg.norm(q))
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    top = (
+        ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+        .map_batches(_topk_batch(qn_ref, k), batch_format="pyarrow")
+        .sort(["sim_r", "vec_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[["rank", "vec_id", "sim_r"]]
+
+
 def ann_lsh_topk(sf_dir: str, k: int = ANN_TOP_K) -> pd.DataFrame:
     """(rank, vec_id, sim_r) approximate top-k for the fixed query
     vector: pruned read of the probed hive partitions only, per-batch

@@ -149,3 +149,41 @@ def test_winnowing_matches_python_oracle(tmp_path, ray_session):
     for i, text in enumerate(texts):
         want = _py_winnow(text, WINNOW_K, WINNOW_W)
         assert by_doc.get(i, set()) == want, i
+
+
+def test_ivf_probe_prunes_and_recalls(emb_dir, ray_session):
+    from harvester_ray.stages.similarity import (
+        IVF_NPROBE,
+        ann_ivf_topk,
+        ivf_layout,
+        ivf_probe_dirs,
+    )
+
+    sf_dir, E = emb_dir
+    layout = ivf_layout(sf_dir)
+    all_dirs = [
+        d for d in os.listdir(layout)
+        if d.startswith("list_id=") and os.path.isdir(os.path.join(layout, d))
+    ]
+    assert len(all_dirs) > IVF_NPROBE  # corpus spreads over many lists
+    q = E[similarity.ANN_QUERY_VEC_ID]
+    dirs = ivf_probe_dirs(layout, q)
+    assert 0 < len(dirs) <= IVF_NPROBE < len(all_dirs)
+
+    top = ann_ivf_topk(sf_dir, k=20)
+    qn = q / np.linalg.norm(q)
+    # sims are exact for every returned vec
+    for vid, sim in zip(top["vec_id"], top["sim_r"]):
+        want = float(E[int(vid)] @ qn / np.linalg.norm(E[int(vid)]))
+        assert sim == pytest.approx(round(want, 6), abs=2e-6)
+    # recall floor vs brute force (deterministic seeded layout).
+    # NOTE: random gaussian vectors are the adversarial case for IVF
+    # (no cluster structure) — real embedding spaces cluster.
+    sims = (E @ qn) / np.linalg.norm(E, axis=1)
+    exact = set(np.argsort(-np.round(sims, 6), kind="stable")[:20].tolist())
+    recall = len(exact & set(int(v) for v in top["vec_id"])) / 20
+    assert recall >= 0.15
+    # cached: second call resumes, same layout
+    from harvester_ray.state.lineage import read_lineage
+
+    assert read_lineage(ivf_layout(sf_dir))["key"] == read_lineage(layout)["key"]
