@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_or": fulltext.bm25_topk_or,
         "bm25_topk_and": fulltext.bm25_topk_and,
         "bm25_topk_wand": fulltext.bm25_topk_wand,
+        "bm25_topk_and_bmand": fulltext.bm25_topk_and_bmand,
         # incremental add (delta segments): same oracles as the
         # one-shot build — proves add-then-query is exact
         "term_dictionary_incremental": fulltext.term_dictionary_incremental,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or": oracles.BM25_TOPK_OR,
         "bm25_topk_and": oracles.BM25_TOPK_AND,
         "bm25_topk_wand": oracles.BM25_TOPK_OR,
+        "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
         "term_dictionary_incremental": oracles.TERM_DICTIONARY,
         "bm25_topk_or_incremental": oracles.BM25_TOPK_OR,
         "q1_pricing": oracles.Q1_PRICING,

@@ -508,6 +508,8 @@ class InvertedIndex:
         if not terms:
             return []
         if mode == "and":
+            if algorithm == "wand" and self.scorer is None:
+                return self._search_and_bm(terms, k)
             return self._search_and(terms, k)
         if algorithm == "wand" and self.scorer is None:
             return self._search_wand(terms, k)
@@ -624,6 +626,104 @@ class InvertedIndex:
             pos = np.searchsorted(p.doc_ids, common)
             sums += self._score(p.tfs[pos], p.doc_lens[pos], p.df)
         return self._topk(common, sums, k)
+
+    # -- Block-Max AND (conjunctive leapfrog with block-max pruning) -----
+    def _search_and_bm(self, terms: list[str], k: int):
+        """Conjunctive top-k with block skipping: leapfrog
+        intersection driven by candidate alignment, plus the block-max
+        prune — once the heap holds k results, a candidate whose
+        summed per-term current-block maxima cannot beat the threshold
+        is skipped WITHOUT decoding, jumping to the earliest current
+        block boundary (the bounds hold until some term's block
+        changes). Rank- and score-identical to the dense AND path
+        (same sorted-term accumulation order).
+
+        Incremental sources: one cursor per (term, source) grouped per
+        term; a doc matches a term if ANY source holds a live
+        (non-tombstoned) posting for it."""
+        INF = 2**63 - 1
+        groups: list[list[_WandCursor]] = []
+        for t in terms:
+            blocks_per_src = self.term_blocks_per_source(t)
+            meta = self.dictionary.get(t)
+            if blocks_per_src is None or meta is None:
+                return []  # conjunctive + missing term -> empty
+            subs = [
+                _WandCursor(b, meta[1], self.idf(meta[1]), self._dead_sets[si])
+                for si, b in enumerate(blocks_per_src)
+                if b is not None and len(b.first)
+            ]
+            if not subs:
+                return []
+            groups.append(subs)
+        heap: list[tuple[float, int, float]] = []
+        eps = 1e-6
+
+        def gdoc(subs):
+            return min((s.doc for s in subs if not s.done), default=INF)
+
+        candidate = max(gdoc(subs) for subs in groups)
+        while candidate < INF:
+            for subs in groups:
+                for s in subs:
+                    if not s.done and s.doc < candidate:
+                        s.seek(candidate)
+            docs = [gdoc(subs) for subs in groups]
+            m = max(docs)
+            if m == INF:
+                break
+            if m != candidate or any(d != candidate for d in docs):
+                candidate = m
+                continue
+            theta = (heap[0][0] - eps) if len(heap) >= k else -math.inf
+            ub = 0.0
+            for subs in groups:
+                for s in subs:
+                    s.seek_block(candidate)
+                ub += max(
+                    (
+                        s.current_block_max(candidate)
+                        for s in subs
+                        if not s.done
+                    ),
+                    default=0.0,
+                )
+            if ub > theta:
+                score = 0.0
+                matched = True
+                for subs in groups:  # sorted-term order (groups order)
+                    contrib = 0.0
+                    live = False
+                    for s in subs:
+                        if s.done or s.doc != candidate:
+                            continue
+                        if s.dead is not None and candidate in s.dead:
+                            continue
+                        contrib += s.score_current(self)
+                        live = True
+                    if not live:
+                        matched = False
+                        break
+                    score += contrib
+                if matched:
+                    entry = (round(score, 6), -candidate, score)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry[:2] > heap[0][:2]:
+                        heapq.heapreplace(heap, entry)
+                candidate += 1
+            else:
+                # shared-block skip: every doc up to the earliest
+                # current-block end has the same per-term bounds
+                d_next = min(
+                    s.current_block_last()
+                    for subs in groups
+                    for s in subs
+                    if not s.done
+                )
+                candidate = max(candidate + 1, d_next + 1)
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return [(-neg_doc, score) for _r, neg_doc, score in out][:k]
 
     # -- Block-Max WAND --------------------------------------------------
     def _search_wand(self, terms: list[str], k: int):

@@ -148,6 +148,13 @@ def bm25_topk_wand(sf_dir: str) -> "ray.data.Dataset":
     return _bm25(sf_dir, "or", algorithm="wand")
 
 
+def bm25_topk_and_bmand(sf_dir: str) -> "ray.data.Dataset":
+    """The conjunctive Block-Max AND path (leapfrog intersection with
+    block-max pruning), checked against the SAME SQL oracle as the
+    exhaustive AND path."""
+    return _bm25(sf_dir, "and", algorithm="wand")
+
+
 # -- incremental add (delta segments) ------------------------------------
 def index_for_incremental(sf_dir: str) -> IndexPaths:
     """Build a BASE index over the even doc_ids, then incrementally ADD

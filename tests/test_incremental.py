@@ -34,8 +34,7 @@ def _search_all(idx, k=10):
     out = {}
     for q, mode in QUERIES:
         out[(q, mode)] = idx.search(q, k=k, mode=mode)
-        if mode == "or":
-            out[(q, "wand")] = idx.search(q, k=k, algorithm="wand")
+        out[(q, mode, "wand")] = idx.search(q, k=k, mode=mode, algorithm="wand")
     return out
 
 

@@ -80,12 +80,12 @@ def test_search_rank_identical_to_oracle(built_index, query, mode):
 
 @pytest.mark.parametrize("query,mode", QUERIES)
 def test_wand_rank_identical_to_exhaustive(built_index, query, mode):
-    if mode == "and":
-        pytest.skip("WAND is the disjunctive path")
+    """OR -> Block-Max WAND; AND -> conjunctive Block-Max leapfrog —
+    both must be rank+score identical to the exhaustive paths."""
     idx = InvertedIndex(built_index.root, preload=True)
-    ex = idx.search(query, k=10, mode="or", algorithm="exhaustive")
-    wd = idx.search(query, k=10, mode="or", algorithm="wand")
-    assert [d for d, _ in wd] == [d for d, _ in ex], query
+    ex = idx.search(query, k=10, mode=mode, algorithm="exhaustive")
+    wd = idx.search(query, k=10, mode=mode, algorithm="wand")
+    assert [d for d, _ in wd] == [d for d, _ in ex], (query, mode)
     for (_, s1), (_, s2) in zip(wd, ex):
         assert s1 == pytest.approx(s2, rel=1e-12)
 

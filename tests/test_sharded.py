@@ -20,7 +20,9 @@ QUERIES = [
     ("w3 w17 w120", "or", "auto"),
     ("w500 w77", "or", "wand"),
     ("w0 w1", "and", "auto"),
+    ("w0 w1", "and", "wand"),
     ("w12 w120", "and", "auto"),
+    ("w12 w120", "and", "wand"),
     ("absent w0", "and", "auto"),
 ]
 

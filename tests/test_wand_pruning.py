@@ -99,3 +99,31 @@ def test_wand_prunes_across_many_queries(zipf_index):
         assert [d for d, _ in wnd] == [d for d, _ in exh], q
         total_wand += n_w
     assert total_wand < total_blocks
+
+
+def test_bmand_decodes_fewer_blocks(zipf_index):
+    """Conjunctive Block-Max AND: a rare+head conjunction must decode
+    far fewer head-term blocks than the exhaustive AND path touches
+    (only blocks that can contain the rare term's candidates)."""
+    idx = InvertedIndex(zipf_index.root, preload=True)
+    by_df = sorted(idx.dictionary.items(), key=lambda kv: -kv[1][1])
+    head = by_df[0][0]
+    rare = next(t for t, (_, df, _) in by_df if 2 <= df <= 8)
+    query = f"{head} {rare}"
+
+    exh = idx.search(query, k=10, mode="and", algorithm="exhaustive")
+    total_blocks = sum(
+        len(idx.term_blocks(t).first)
+        for t in (head, rare)
+        if idx.term_blocks(t) is not None
+    )
+    idx_b = InvertedIndex(zipf_index.root, preload=True)
+    got, n_dec = _count_decodes(
+        idx_b, lambda: idx_b.search(query, k=10, mode="and", algorithm="wand")
+    )
+    assert [d for d, _ in got] == [d for d, _ in exh]
+    for (_, s1), (_, s2) in zip(got, exh):
+        assert s1 == pytest.approx(s2, rel=1e-12)
+    # the rare term has <= 8 postings -> candidates visit <= 8 head
+    # blocks (plus the rare term's own); everything else skips
+    assert n_dec < 0.5 * total_blocks, (n_dec, total_blocks)
