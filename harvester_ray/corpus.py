@@ -16,8 +16,6 @@ duplicate paragraphs, entities).
 
 from __future__ import annotations
 
-import html as html_mod
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc

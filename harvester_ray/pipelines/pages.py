@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
-from harvester_ray.corpus import generate_queries, write_corpus
+from harvester_ray.corpus import write_corpus
 from harvester_ray.index.build import ENGINE_VERSION, IndexPaths, build_index
 from harvester_ray.index.query import QueryActor
 from harvester_ray.stages.extract import extract_pages

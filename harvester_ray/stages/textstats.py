@@ -9,7 +9,6 @@ kernel allows; everything deterministic (seeded/hash-based).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -19,7 +18,7 @@ import ray.data
 
 from harvester_ray.config import stage_concurrency
 
-from harvester_ray.functions.text import flatten_tokens, tokenize, tokenize_column
+from harvester_ray.functions.text import flatten_tokens, tokenize_column
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_PROFILES: dict[str, frozenset[str]] = {
