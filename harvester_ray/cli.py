@@ -11,6 +11,8 @@ the Ray session (guarded init + shutdown); library code never does.
 Subcommands:
     build         index a (doc_id, text) parquet table
     build-pages   full flagship: pages parquet → extract → index
+    update-pages  incremental pages loop: extract only new/changed
+                  shards, delta-add/upsert them into the live index
     add           incrementally add new docs as a delta source
     upsert        replace-or-add docs (tombstone old version + delta)
     delete        tombstone doc_ids
@@ -74,6 +76,17 @@ def cmd_build_pages(args) -> int:
     from harvester_ray.pipelines.pages import build_pages_index
 
     paths = build_pages_index(args.pages, args.out, _cfg(args))
+    with open(paths.stats) as f:
+        print(json.dumps({"index": paths.root, **json.load(f)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_update_pages(args) -> int:
+    ray = _ray_session()
+    from harvester_ray.pipelines.pages import update_pages_index
+
+    paths = update_pages_index(args.pages, args.out, _cfg(args))
     with open(paths.stats) as f:
         print(json.dumps({"index": paths.root, **json.load(f)}))
     ray.shutdown()
@@ -151,6 +164,16 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--strategy", choices=["bucket", "sort", "salted_groupby"])
     bp.add_argument("--buckets", type=int)
     bp.set_defaults(fn=cmd_build_pages)
+
+    up_p = sub.add_parser(
+        "update-pages",
+        help="incremental pages loop: new/changed shards only",
+    )
+    up_p.add_argument("--pages", required=True)
+    up_p.add_argument("--out", required=True)
+    up_p.add_argument("--strategy", choices=["bucket", "sort", "salted_groupby"])
+    up_p.add_argument("--buckets", type=int)
+    up_p.set_defaults(fn=cmd_update_pages)
 
     for name, up in (("add", False), ("upsert", True)):
         a = sub.add_parser(
