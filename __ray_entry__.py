@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": relational.embedding_norms,
         # training-data-pipeline operators
         "dedup_exact": relational.dedup_exact,
+        "dedup_embedding": dedup.embedding_cosine_dups,
         "ann_cosine_topk": relational.ann_cosine_topk,
         # non-SQL-expressible (rows-only checks)
         "pages_flagship": pages.pages_flagship,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dup": dedup.simhash_near_dup,
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
+        "dedup_embedding_lsh": dedup.embedding_lsh_dups,
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
         "doc_fingerprints": textstats.doc_fingerprints,
@@ -110,5 +112,6 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_union_counts": oracles.LINEITEM_UNION_COUNTS,
         "embedding_norms": oracles.EMBEDDING_NORMS,
         "dedup_exact": oracles.DEDUP_EXACT,
+        "dedup_embedding": oracles.DEDUP_EMBEDDING,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
     }

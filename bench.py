@@ -41,6 +41,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "600000"))
+# headline build repeats (min reported): this VM's host throttles
+# invisibly (0% guest steal, yet the measured spin ceiling swings ~2x
+# between sessions), so a single sample is not meaningful
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 ZIPF_DOCS = int(os.environ.get("ZIPF_DOCS", "2000000"))
 ZIPF_VOCAB = int(os.environ.get("ZIPF_VOCAB", "50000"))
 ZIPF_MEAN_LEN = int(os.environ.get("ZIPF_MEAN_LEN", "100"))
@@ -239,9 +243,18 @@ def run_bench(scaling_child: bool = False) -> dict:
     _init_ray()
     _warm_workers()
 
-    # headline: Zipf-vocabulary corpus build + warm BM25 latency
+    # headline: Zipf-vocabulary corpus build + warm BM25 latency.
+    # min of BENCH_REPEATS builds: the host throttles this VM invisibly
+    # (0% guest steal, ~2x spin-ceiling swings between sessions), so
+    # min-of-N is the only meaningful wall-clock estimator here.
     zipf_dir = _zipf_corpus(ZIPF_DOCS)
     zb = _timed_build(zipf_dir, ZIPF_DOCS, "zipf")
+    build_secs = [zb["sec"]]
+    for _rep in range(1, BENCH_REPEATS):
+        shutil.rmtree(zb["out_dir"], ignore_errors=True)
+        zb = _timed_build(zipf_dir, ZIPF_DOCS, "zipf")
+        build_secs.append(zb["sec"])
+    zb["sec"] = min(build_secs)
     ql = _query_latencies(zb["paths"], ZIPF_QUERY_SET)
     shutil.rmtree(zb["out_dir"], ignore_errors=True)
     result = {
@@ -261,6 +274,11 @@ def run_bench(scaling_child: bool = False) -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": int(ZIPF_DOCS),
         "docs_per_sec": round(ZIPF_DOCS / zb["sec"], 1),
+        "build_samples_sec": [round(s, 3) for s in build_secs],
+        # measured machine speed (M spin-iters/s aggregate at NUM_CPUS
+        # procs): divides out the host's invisible throttling when
+        # comparing across sessions/rounds (BASELINE.md §3)
+        "spin_mips": _spin_mips(NUM_CPUS),
     }
     if scaling_child:
         return result
@@ -298,6 +316,18 @@ def _spin(_: float) -> int:
     return x
 
 
+def _spin_mips(procs: int) -> int:
+    """Aggregate M spin-iters/s over ``procs`` OS processes — the
+    machine-speed yardstick reported next to every wall-clock number."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        t0 = time.perf_counter()
+        total = sum(pool.map(_spin, [2.0] * procs))
+        wall = time.perf_counter() - t0
+    return int(total / 1e6 / wall)
+
+
 def run_scaling() -> dict:
     """Same Zipf build, fresh processes, SCALING_LO vs SCALING_HI CPUs
     on the same input. Interleaved (hi, lo, hi, lo) so both levels
@@ -309,6 +339,9 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_SCALING_CHILD="1",
+            # one build per child: the interleaved-pairs min already
+            # de-noises; child-level repeats would double the runtime
+            BENCH_REPEATS="1",
             # scaling corpus: 1.5 M docs — long enough that the fixed
             # term is <2% of the 4-CPU wall, short enough that a run
             # fits inside this VM's quiet windows between steal bursts

@@ -281,3 +281,22 @@ SELECT vec_id,
        CAST(floor((sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))) * 10000 + 0.5) AS BIGINT) AS l2_norm
 FROM embeddings
 """
+
+
+def _dedup_embedding_sql() -> str:
+    from harvester_ray.stages.dedup import EMB_DUP_TAU
+
+    tau_fp = int(round(EMB_DUP_TAU * 1_000_000))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             CAST(floor(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v)))
+                  * 1000000 + 0.5) AS BIGINT) AS sim_r6
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_id_a, vec_id_b, sim_r6 FROM p WHERE sim_r6 >= {tau_fp}
+"""
+
+
+DEDUP_EMBEDDING = _dedup_embedding_sql()

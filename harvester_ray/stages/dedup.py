@@ -629,3 +629,188 @@ def ngram_jaccard_dups(
     return sided.groupby(["doc_a", "doc_b"]).map_groups(
         verify, batch_format="pandas"
     )
+
+
+# -- embedding-cosine near-dup --------------------------------------------
+# Completes the dedup family with the semantic variant: two documents
+# are near-duplicates when their embedding vectors' cosine similarity
+# reaches EMB_DUP_TAU. Two implementations share one output contract
+# (vec_id_a < vec_id_b, sim_r = round(cosine, 6) >= tau):
+#
+# - embedding_cosine_dups: EXACT all-pairs via distributed block-
+#   nested-loop (normalized matrix broadcast once with ray.put, each
+#   batch one matmul against it). O(n^2) FLOPs by definition — the
+#   DuckDB-oracled baseline, usable up to ~10^6 vectors.
+# - embedding_lsh_dups: the 100-TB path. L sign-random-projection
+#   hash tables (classic cosine LSH, Charikar 2002): a vector lands in
+#   L buckets; candidate pairs are same-bucket pairs; the EXACT cosine
+#   is verified inside the (table_id, bucket) groupby, so precision is
+#   1.0 and only recall is approximate (planted-pair recall is pytest-
+#   checked against the exact variant). Shuffle volume is L x the
+#   normalized vectors — no all-pairs stage anywhere; degenerate
+#   buckets are capped at MAX_BUCKET_REPS with a logged drop count.
+
+EMB_DUP_TAU = 0.4
+EMB_LSH_TABLES = 16
+EMB_LSH_BITS = 8
+EMB_LSH_SEED = 1234
+
+
+def _fixed6(x: np.ndarray) -> np.ndarray:
+    """Fixed-point 6-decimal encode (floor(x*1e6 + 0.5)) — the oracle
+    float convention (see oracles.py): integer columns hash bit-exact
+    across engines, and the tau threshold compares integers."""
+    return np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+
+
+def embedding_cosine_dups(
+    sf_dir: str, tau: float = EMB_DUP_TAU
+) -> "ray.data.Dataset":
+    """(vec_id_a, vec_id_b, sim_r6): exact cosine near-dup pairs over the
+    embeddings table. sim_r6 matches the DuckDB oracle's
+    dot/(norm_a*norm_b) association, fixed-point-6 before thresholding."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    full = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    all_ids = full["vec_id"].to_numpy()
+    A = np.asarray(full["embedding"].to_pylist(), dtype=np.float64)
+    na = np.sqrt((A * A).sum(axis=1))
+    na[na == 0] = 1.0
+    ref = ray.put((all_ids, A, na))
+    tau_fp = int(round(tau * 1_000_000))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_b = t["vec_id"].to_numpy(zero_copy_only=False)
+        B = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        nb = np.sqrt((B * B).sum(axis=1))
+        nb[nb == 0] = 1.0
+        aid, am, an = ray.get(ref)
+        S = _fixed6((B @ am.T) / (nb[:, None] * an[None, :]))
+        mask = (S >= tau_fp) & (ids_b[:, None] < aid[None, :])
+        bi, ai = np.nonzero(mask)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(ids_b[bi], pa.int64()),
+                "vec_id_b": pa.array(aid[ai], pa.int64()),
+                "sim_r6": pa.array(S[bi, ai], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(pairs, batch_format="pyarrow", batch_size=1024)
+        .sort(["vec_id_a", "vec_id_b"])
+    )
+
+
+class _EmbLshExploder:
+    """Actor-pool stage: each embedding row explodes into
+    EMB_LSH_TABLES (table_id, bucket) rows carrying the normalized
+    vector as a fixed-width float64 blob (planes drawn once per
+    actor, seeded)."""
+
+    def __init__(self, dim: int):
+        rng = np.random.default_rng(EMB_LSH_SEED)
+        self.planes = rng.standard_normal((EMB_LSH_TABLES, EMB_LSH_BITS, dim))
+        self._pow = 1 << np.arange(EMB_LSH_BITS, dtype=np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        n = len(ids)
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0] = 1.0
+        V = E / norms[:, None]
+        # (tables x bits x dim) . (n x dim) -> bits per table
+        bits = np.einsum("tbd,nd->ntb", self.planes, V) > 0
+        buckets = (bits * self._pow[None, None, :]).sum(axis=2)  # n x T
+        T = EMB_LSH_TABLES
+        return pa.table(
+            {
+                "table_id": pa.array(
+                    np.tile(np.arange(T, dtype=np.int32), n)
+                ),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, T), pa.int64()),
+                "vec": pa.array(
+                    np.repeat(
+                        np.frombuffer(
+                            V.tobytes(), dtype=np.dtype((np.void, V.shape[1] * 8))
+                        ),
+                        T,
+                    ).tolist(),
+                    pa.binary(),
+                ),
+            }
+        )
+
+
+def _emb_bucket_pairs(tau: float):
+    tau_fp = int(round(tau * 1_000_000))
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id_a": pd.Series([], dtype=np.int64),
+                "vec_id_b": pd.Series([], dtype=np.int64),
+                "sim_r6": pd.Series([], dtype=np.int64),
+            }
+        )
+        g = g.sort_values("vec_id", kind="stable").drop_duplicates("vec_id")
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy(np.int64)
+        if len(ids) > MAX_BUCKET_REPS:
+            logger.warning(
+                "embedding LSH bucket of %d capped at %d",
+                len(ids), MAX_BUCKET_REPS,
+            )
+            ids = ids[:MAX_BUCKET_REPS]
+            g = g.iloc[:MAX_BUCKET_REPS]
+        V = np.stack([np.frombuffer(b, dtype=np.float64) for b in g["vec"]])
+        S = _fixed6(V @ V.T)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = S[ai, bi] >= tau_fp
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ai[keep]],
+                "vec_id_b": ids[bi[keep]],
+                "sim_r6": S[ai[keep], bi[keep]],
+            }
+        )
+
+    return f
+
+
+def embedding_lsh_dups(
+    sf_dir: str, tau: float = EMB_DUP_TAU
+) -> "ray.data.Dataset":
+    """(vec_id_a, vec_id_b, sim_r6): LSH-bucketed cosine near-dup pairs —
+    the scale path (no all-pairs stage; see module section comment).
+    Exact cosine verified in-bucket; pairs surfacing in several tables
+    are deduped by the final (vec_id_a, vec_id_b) groupby."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = len(
+        pq.ParquetFile(emb_path)
+        .read_row_group(0, columns=["embedding"])["embedding"][0]
+    )
+    rows = ray.data.read_parquet(
+        emb_path, columns=["vec_id", "embedding"]
+    ).map_batches(
+        _EmbLshExploder,
+        fn_constructor_args=(dim,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=stage_concurrency(),
+    )
+    pairs = rows.groupby(["table_id", "bucket"]).map_groups(
+        _emb_bucket_pairs(tau), batch_format="pandas"
+    )
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(
+        ray.data.aggregate.Max("sim_r6", alias_name="sim_r6")
+    )

@@ -251,3 +251,89 @@ def test_simhash_near_dup_finds_pairs(dup_corpus, ray_session):
         for a, b, h in zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])
     }
     assert ham[(0, 100)] == 0
+
+
+# -- embedding-cosine near-dup --------------------------------------------
+@pytest.fixture()
+def emb_corpus(tmp_path):
+    """embeddings.parquet with planted near-duplicate vector pairs:
+    30 random base vectors, 10 of which get a lightly-noised twin
+    (cosine >= ~0.99) — the regime the LSH path is built for."""
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.standard_normal((30, dim))
+    vecs, ids = [], []
+    for i, v in enumerate(base):
+        ids.append(i)
+        vecs.append(v)
+    for j in range(10):
+        twin = base[j] + 0.02 * rng.standard_normal(dim)
+        ids.append(100 + j)
+        vecs.append(twin)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    return str(tmp_path), ids, np.stack(vecs)
+
+
+def _brute_cosine_pairs(ids, V, tau):
+    n = np.linalg.norm(V, axis=1)
+    S = (V @ V.T) / (n[:, None] * n[None, :])
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            s = int(np.floor(S[x, y] * 1_000_000 + 0.5))
+            if s >= int(round(tau * 1_000_000)):
+                a, b = sorted((ids[x], ids[y]))
+                out[(a, b)] = s
+    return out
+
+
+def test_embedding_cosine_dups_match_brute_force(emb_corpus, ray_session):
+    sf_dir, ids, V = emb_corpus
+    tau = 0.9
+    got = dedup.embedding_cosine_dups(sf_dir, tau=tau).to_pandas()
+    found = {
+        (int(a), int(b)): int(s)
+        for a, b, s in zip(got.vec_id_a, got.vec_id_b, got.sim_r6)
+    }
+    want = _brute_cosine_pairs(ids, V.astype(np.float32).astype(np.float64), tau)
+    assert set(found) == set(want)
+    for k in want:
+        assert abs(found[k] - want[k]) <= 1  # last-ulp rounding slack
+
+
+def test_embedding_lsh_recall_and_precision(emb_corpus, ray_session):
+    """On genuinely near-dup pairs (cos >= 0.9) the multi-table LSH
+    candidate stage must reach ~certain recall, and in-bucket exact
+    verification makes precision 1.0 by construction."""
+    sf_dir, ids, V = emb_corpus
+    tau = 0.9
+    exact = _brute_cosine_pairs(ids, V.astype(np.float32).astype(np.float64), tau)
+    got = dedup.embedding_lsh_dups(sf_dir, tau=tau).to_pandas()
+    found = {
+        (int(a), int(b)): int(s)
+        for a, b, s in zip(got.vec_id_a, got.vec_id_b, got.sim_r6)
+    }
+    assert set(found) <= set(exact)          # precision 1.0
+    assert len(exact) >= 10                  # the planted twins qualify
+    recall = len(set(found) & set(exact)) / len(exact)
+    assert recall >= 0.95, f"recall {recall}: {set(exact) - set(found)}"
+
+
+def test_embedding_lsh_subset_of_exact_on_testdata(ray_session):
+    sf = "/root/testdata/sf0.001"
+    exact = dedup.embedding_cosine_dups(sf).to_pandas()
+    lsh = dedup.embedding_lsh_dups(sf).to_pandas()
+    ex = set(zip(exact.vec_id_a.astype(int), exact.vec_id_b.astype(int)))
+    ls = set(zip(lsh.vec_id_a.astype(int), lsh.vec_id_b.astype(int)))
+    assert ls <= ex
