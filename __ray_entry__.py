@@ -113,5 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": oracles.EMBEDDING_NORMS,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
+        "quality_score": oracles.QUALITY_SCORE,
+        "lang_id": oracles.LANG_ID,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
     }

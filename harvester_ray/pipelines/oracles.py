@@ -300,3 +300,85 @@ SELECT vec_id_a, vec_id_b, sim_r6 FROM p WHERE sim_r6 >= {tau_fp}
 
 
 DEDUP_EMBEDDING = _dedup_embedding_sql()
+
+
+def _quality_score_sql() -> str:
+    from harvester_ray.stages.textstats import _LANG_PROFILES
+
+    stops = ", ".join(f"'{s}'" for s in sorted(_LANG_PROFILES["en"]))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n_tokens,
+         len(list_distinct(ts))::BIGINT AS n_uniq_tokens,
+         len(list_filter(ts, t -> list_contains([{stops}], t)))::BIGINT AS n_stop,
+         coalesce(list_sum(list_transform(ts, t -> length(t))), 0)::BIGINT AS sum_len,
+         greatest(len(ts), 1)::BIGINT AS safe
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_uniq_tokens,
+       CAST(floor(n_stop / safe * 1000000 + 0.5) AS BIGINT) AS stop_ratio_r6,
+       CAST(floor(sum_len / safe * 1000000 + 0.5) AS BIGINT) AS mean_token_len_r6,
+       CAST(floor((least(n_tokens / 100.0, 1) * 0.4
+                   + least(n_stop / safe * 5.0, 1) * 0.3
+                   + least(n_uniq_tokens / safe, 1) * 0.3)
+                  * 1000000 + 0.5) AS BIGINT) AS score_r6
+FROM feat
+"""
+
+
+QUALITY_SCORE = _quality_score_sql()
+
+
+def _lang_id_sql() -> str:
+    from harvester_ray.stages.textstats import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)  # insertion order = argmax tie order
+
+    def stop_list(lang: str) -> str:
+        return ", ".join(f"'{s}'" for s in sorted(_LANG_PROFILES[lang]))
+
+    ratio_cols = ",\n         ".join(
+        f"len(list_filter(ts, x -> list_contains([{stop_list(lang)}], x)))"
+        f" / greatest(len(ts), 1) AS r_{lang}"
+        for lang in langs
+    )
+    best = ", ".join(f"r_{lang}" for lang in langs)
+    # first-index argmax: compare in profile order against the max
+    pick = " ".join(
+        f"WHEN r_{lang} = best THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(substr(txt, 1, 200), '[一-鿿぀-ヿ가-힯]'))::BIGINT AS cjk,
+         len(ts)::BIGINT AS n_tokens,
+         {ratio_cols}
+  FROM t
+),
+g AS (SELECT *, greatest({best}) AS best FROM f)
+SELECT doc_id,
+       CASE WHEN cjk >= 5 THEN 'zh'
+            WHEN n_tokens > 0 AND best > 0.02 THEN
+              CASE {pick} ELSE '{langs[-1]}' END
+            ELSE 'unknown' END AS lang_pred,
+       CASE WHEN cjk >= 5
+              THEN CAST(floor(least(1.0, cjk / 50.0) * 1000000 + 0.5) AS BIGINT)
+            WHEN n_tokens > 0
+              THEN CAST(floor(best * 1000000 + 0.5) AS BIGINT)
+            ELSE 0 END AS confidence_r6
+FROM g
+"""
+
+
+LANG_ID = _lang_id_sql()

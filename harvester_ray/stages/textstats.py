@@ -74,16 +74,18 @@ class LangIdActor:
                 "unknown",
             ),
         )
+        from harvester_ray.stages.dedup import _fixed6
+
         confs = np.where(
             cjk >= 5,
-            np.round(np.minimum(1.0, cjk / 50.0), 6),
-            np.where(n_tokens > 0, np.round(best, 6), 0.0),
+            _fixed6(np.minimum(1.0, cjk / 50.0)),
+            np.where(n_tokens > 0, _fixed6(best), 0),
         )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": pa.array(preds.astype(str), pa.string()),
-                "confidence": pa.array(confs, pa.float64()),
+                "confidence_r6": pa.array(confs, pa.int64()),
             }
         )
 
@@ -99,9 +101,12 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
 
 def quality_score(sf_dir: str) -> "ray.data.Dataset":
     """Heuristic document-quality features + composite score:
-    (doc_id, n_tokens, n_uniq_tokens, stop_ratio, mean_token_len, score).
-    Vectorized Arrow/numpy throughout (no per-row Python in the token
-    math)."""
+    (doc_id, n_tokens, n_uniq_tokens, stop_ratio_r6, mean_token_len_r6,
+    score_r6). Ratio columns are fixed-point-6 BIGINTs (the oracle
+    float convention; DuckDB-oracled since round 2). Vectorized
+    Arrow/numpy throughout (no per-row Python in the token math)."""
+    from harvester_ray.stages.dedup import _fixed6
+
     stop_set = pa.array(sorted(_LANG_PROFILES["en"]))
 
     def score(t: pa.Table) -> pa.Table:
@@ -132,9 +137,9 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
                 "doc_id": t["doc_id"],
                 "n_tokens": pa.array(n_tokens, pa.int64()),
                 "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
-                "stop_ratio": pa.array(np.round(stop_ratio, 6), pa.float64()),
-                "mean_token_len": pa.array(np.round(mean_len, 6), pa.float64()),
-                "score": pa.array(np.round(comp, 6), pa.float64()),
+                "stop_ratio_r6": pa.array(_fixed6(stop_ratio), pa.int64()),
+                "mean_token_len_r6": pa.array(_fixed6(mean_len), pa.int64()),
+                "score_r6": pa.array(_fixed6(comp), pa.int64()),
             }
         )
 

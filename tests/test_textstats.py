@@ -44,17 +44,20 @@ def _py_lang(text):
         1 for ch in text[:200]
         if any(lo <= ord(ch) <= hi for lo, hi in _CJK_RANGES)
     )
+    def fp6(x: float) -> int:
+        return int(np.floor(x * 1_000_000 + 0.5))
+
     if cjk >= 5:
-        return "zh", round(min(1.0, cjk / 50.0), 6)
+        return "zh", fp6(min(1.0, cjk / 50.0))
     toks = tokenize(text)
     if not toks:
-        return "unknown", 0.0
+        return "unknown", 0
     best_lang, best = "unknown", 0.0
     for lang, stops in _LANG_PROFILES.items():
         r = sum(1 for t in toks if t in stops) / len(toks)
         if r > best:
             best_lang, best = lang, r
-    return (best_lang if best > 0.02 else "unknown"), round(best, 6)
+    return (best_lang if best > 0.02 else "unknown"), fp6(best)
 
 
 def test_lang_id_golden(crafted, ray_session):
@@ -65,7 +68,7 @@ def test_lang_id_golden(crafted, ray_session):
     for i, text in enumerate(TEXTS):
         lang, conf = _py_lang(text)
         assert got.loc[i, "lang_pred"] == lang == expected_langs[i], i
-        assert got.loc[i, "confidence"] == pytest.approx(conf, abs=1e-9)
+        assert int(got.loc[i, "confidence_r6"]) == conf, i
 
 
 def test_quality_score_golden(crafted, ray_session):
@@ -88,9 +91,12 @@ def test_quality_score_golden(crafted, ray_session):
         )
         assert int(got.loc[i, "n_tokens"]) == n, i
         assert int(got.loc[i, "n_uniq_tokens"]) == n_uniq, i
-        assert got.loc[i, "stop_ratio"] == pytest.approx(round(stop_ratio, 6))
-        assert got.loc[i, "mean_token_len"] == pytest.approx(round(mean_len, 6))
-        assert got.loc[i, "score"] == pytest.approx(round(comp, 6), abs=2e-6)
+        def fp6(x: float) -> int:
+            return int(np.floor(x * 1_000_000 + 0.5))
+
+        assert int(got.loc[i, "stop_ratio_r6"]) == fp6(stop_ratio)
+        assert int(got.loc[i, "mean_token_len_r6"]) == fp6(mean_len)
+        assert abs(int(got.loc[i, "score_r6"]) - fp6(comp)) <= 2
 
 
 def test_multimodal_features_golden(crafted, ray_session):
