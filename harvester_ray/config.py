@@ -81,8 +81,9 @@ class IndexConfig:
     # serialized stats stay stable
     analyzer_name: str = "default"
     # posting-block codec: "varint" (LEB128, fastest encode/bulk
-    # decode — default) or "for" (FOR bit-packing, the PForDelta
-    # family: tighter blocks, slower per-block encode)
+    # decode — default), "for" (FOR bit-packing: tighter uniform
+    # blocks, slower per-block encode) or "pfor" (PForDelta with
+    # patched exceptions: smallest segments, outlier-immune)
     codec: str = "varint"
 
 

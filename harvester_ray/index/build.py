@@ -52,7 +52,11 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
-from harvester_ray.functions.codec import bitpack_encode, varint_encode_offsets
+from harvester_ray.functions.codec import (
+    bitpack_encode,
+    pfor_encode,
+    varint_encode_offsets,
+)
 from harvester_ray.functions.text import (
     DEFAULT_ANALYZER,
     flatten_tokens,
@@ -346,6 +350,13 @@ def _encode_sorted_runs(
         gap_col = [bitpack_encode(gaps[a:b_]) for a, b_ in zip(starts, ends)]
         tf_col = [bitpack_encode(tf_s[a:b_]) for a, b_ in zip(starts, ends)]
         dl_col = [bitpack_encode(dl_s[a:b_]) for a, b_ in zip(starts, ends)]
+    elif codec == "pfor":
+        # PForDelta with patched exceptions (codec.pfor_encode): FOR's
+        # tight widths without outlier blow-up — the smallest segments
+        # of the three; per-block Python encode loop like "for"
+        gap_col = [pfor_encode(gaps[a:b_]) for a, b_ in zip(starts, ends)]
+        tf_col = [pfor_encode(tf_s[a:b_]) for a, b_ in zip(starts, ends)]
+        dl_col = [pfor_encode(dl_s[a:b_]) for a, b_ in zip(starts, ends)]
     else:
         raise ValueError(f"unknown codec {codec!r}")
 

@@ -33,7 +33,19 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from harvester_ray.functions.codec import bitpack_decode, varint_decode
+from harvester_ray.functions.codec import (
+    bitpack_decode,
+    pfor_decode,
+    varint_decode,
+)
+
+# per-block decoders for the self-delimiting codecs; "varint" also has
+# a bulk whole-column path in decode_all
+_BLOCK_DECODERS = {
+    "varint": varint_decode,
+    "for": bitpack_decode,
+    "pfor": pfor_decode,
+}
 from harvester_ray.functions.text import get_analyzer, tokenize
 from harvester_ray.index.build import bm25_score
 
@@ -131,7 +143,7 @@ class _TermBlocks:
         return bufs[2].slice(lo, hi - lo).to_pybytes()
 
     def decode_block(self, i: int):
-        dec = varint_decode if self.codec == "varint" else bitpack_decode
+        dec = _BLOCK_DECODERS[self.codec]
         ids = dec(self._buf(self.deltas, i)).view(np.int64).cumsum() + self.first[i]
         tf = dec(self._buf(self.tfs, i)).astype(np.int64)
         dl = dec(self._buf(self.lens, i)).astype(np.int64)
@@ -145,7 +157,7 @@ class _TermBlocks:
         if not len(self.first):
             z = np.empty(0, np.int64)
             return z, z.copy(), z.copy()
-        if self.codec == "for":
+        if self.codec in ("for", "pfor"):
             id_parts, tf_parts, dl_parts = [], [], []
             for i in range(len(self.first)):
                 ids, tf, dl = self.decode_block(i)

@@ -79,7 +79,7 @@ def test_for_codec_index_rank_identical(tmp_path, ray_session):
 
     docs = generate_zipf_docs(300, vocab_size=400, mean_len=40, seed=13)
     idx = {}
-    for codec in ("varint", "for"):
+    for codec in ("varint", "for", "pfor"):
         out = str(tmp_path / f"idx_{codec}")
         build_index(
             ray.data.from_arrow(docs), out,
@@ -87,6 +87,7 @@ def test_for_codec_index_rank_identical(tmp_path, ray_session):
         )
         idx[codec] = InvertedIndex(out, preload=True)
     assert idx["for"].stats["codec"] == "for"
+    assert idx["pfor"].stats["codec"] == "pfor"
     for q, mode, algo in [
         ("w0 w1", "or", "auto"),
         ("w0 w1", "or", "wand"),
@@ -95,7 +96,8 @@ def test_for_codec_index_rank_identical(tmp_path, ray_session):
     ]:
         a = idx["varint"].search(q, k=10, mode=mode, algorithm=algo)
         b = idx["for"].search(q, k=10, mode=mode, algorithm=algo)
-        assert a == b, (q, mode, algo)
+        c = idx["pfor"].search(q, k=10, mode=mode, algorithm=algo)
+        assert a == b == c, (q, mode, algo)
 
 
 def test_codec_property_roundtrips():
@@ -133,3 +135,37 @@ def test_codec_property_roundtrips():
         assert np.array_equal(bitpack_decode(bitpack_encode(v)), v)
 
     check()
+
+
+def test_pfor_property_roundtrip():
+    """Hypothesis: arbitrary uint64 arrays round-trip through pfor, and
+    pfor beats plain FOR on outlier-skewed blocks."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from harvester_ray.functions.codec import (
+        bitpack_encode,
+        pfor_decode,
+        pfor_encode,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1),
+            min_size=0,
+            max_size=300,
+        )
+    )
+    def check(xs):
+        v = np.array(xs, dtype=np.uint64)
+        assert np.array_equal(pfor_decode(pfor_encode(v)), v)
+
+    check()
+
+    rng = np.random.default_rng(11)
+    skewed = np.concatenate(
+        [rng.integers(0, 16, 120), rng.integers(1 << 40, 1 << 50, 8)]
+    ).astype(np.uint64)
+    assert len(pfor_encode(skewed)) < len(bitpack_encode(skewed))
