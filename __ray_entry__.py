@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
         "dedup_embedding_lsh": dedup.embedding_lsh_dups,
         "lang_id": textstats.lang_id,
+        "token_counts": textstats.token_counts,
         "quality_score": textstats.quality_score,
         "doc_fingerprints": textstats.doc_fingerprints,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -115,5 +116,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
         "quality_score": oracles.QUALITY_SCORE,
         "lang_id": oracles.LANG_ID,
+        "token_counts": oracles.TOKEN_COUNTS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
     }

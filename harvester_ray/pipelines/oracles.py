@@ -382,3 +382,18 @@ FROM g
 
 
 LANG_ID = _lang_id_sql()
+
+
+def _token_counts_sql() -> str:
+    from harvester_ray.stages.textstats import BPE_TOKEN_RE
+
+    bpe = BPE_TOKEN_RE.replace("'", "''").replace("\\", "\\\\")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(coalesce(text, ''), '{bpe}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+TOKEN_COUNTS = _token_counts_sql()

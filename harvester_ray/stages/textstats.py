@@ -203,3 +203,36 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(fp, batch_format="pyarrow", batch_size=1024)
+
+
+# BPE-ish pre-tokenizer (GPT-2 style, RE2-compatible: the \s+(?!\S)
+# lookahead branch is dropped — RE2 has no lookahead — so trailing
+# whitespace counts as one token). Shared verbatim with the DuckDB
+# oracle (both engines run RE2).
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+WS_TOKEN_RE = r"\S+"
+
+
+def token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace-token and
+    BPE-ish-pretoken counts per document — the cost estimator a
+    training-data pipeline runs before tokenizing for real. One
+    count_substring_regex kernel pass per column per batch."""
+
+    def count(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.count_substring_regex(
+                    text, WS_TOKEN_RE
+                ).cast(pa.int64()),
+                "n_bpe_tokens": pc.count_substring_regex(
+                    text, BPE_TOKEN_RE
+                ).cast(pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(count, batch_format="pyarrow")

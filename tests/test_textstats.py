@@ -129,3 +129,17 @@ def test_multimodal_features_golden(crafted, ray_session):
     with pytest.raises(NotImplementedError):
         RealDecoder()
     assert FakeDecoder(feature_dim=8).feature_dim == 8
+
+
+def test_token_counts_golden(crafted, ray_session):
+    import re
+
+    from harvester_ray.stages.textstats import BPE_TOKEN_RE, token_counts
+
+    got = token_counts(crafted).to_pandas().set_index("doc_id")
+    for i, text in enumerate(TEXTS):
+        text = text or ""
+        assert int(got.loc[i, "n_ws_tokens"]) == len(text.split()), i
+        assert int(got.loc[i, "n_bpe_tokens"]) == len(
+            re.findall(BPE_TOKEN_RE, text)
+        ), i
