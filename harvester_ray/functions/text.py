@@ -167,3 +167,30 @@ def hash64_array(strings: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
         d = blake2b((s or "").encode("utf-8"), digest_size=8).digest()
         out[i] = from_bytes(d, "big", signed=True)
     return out
+
+
+def apply_over_unique(
+    col: pa.Array | pa.ChunkedArray,
+    fn,
+    out_type: pa.DataType = None,
+) -> pa.Array:
+    """Apply a Python scalar function to a column in O(unique values):
+    dictionary-encode, run ``fn`` once per dictionary entry, take by
+    index. The scale pattern for bounded-vocabulary scalar UDFs
+    (normalize_type-style remaps: millions of rows, dozens of distinct
+    inputs) — per-row cost collapses to one int take."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    denc = col.dictionary_encode()
+    mapped = pa.array(
+        [fn(v) for v in denc.dictionary.to_pylist()],
+        out_type or pa.string(),
+    )
+    out = mapped.take(denc.indices)
+    if col.null_count:
+        # parity with a per-row loop: nulls go THROUGH fn, they don't
+        # short-circuit (fn(None) may map to a sentinel)
+        null_mapped = fn(None)
+        if null_mapped is not None:
+            out = pc.fill_null(out, pa.scalar(null_mapped, out.type))
+    return out

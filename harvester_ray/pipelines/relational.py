@@ -454,16 +454,20 @@ def part_sort_names(sf_dir: str) -> "ray.data.Dataset":
     """Sort-key normalization — the reference's ``normalize_sort_field``
     (harvester/solr_updater.py:561-573): lowercase, strip punctuation,
     collapse whitespace, drop a leading article."""
-    from harvester_ray.functions.text import normalize_sort_text
+    from harvester_ray.functions.text import (
+        apply_over_unique,
+        normalize_sort_text,
+    )
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
 
     def norm(t: pa.Table) -> pa.Table:
-        names = [normalize_sort_text(n) for n in t["p_name"].to_pylist()]
         return pa.table(
             {
                 "p_partkey": t["p_partkey"],
-                "sort_name": pa.array(names, pa.string()),
+                "sort_name": apply_over_unique(
+                    t["p_name"], normalize_sort_text
+                ),
             }
         )
 
@@ -475,15 +479,17 @@ def part_normalized_types(sf_dir: str) -> "ray.data.Dataset":
     ``normalize_type`` substring-fallback mapping
     (harvester/solr_updater.py:388-418) over part.p_type."""
     from harvester_ray.functions.reference_ops import normalize_type
+    from harvester_ray.functions.text import apply_over_unique
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
 
     def norm(t: pa.Table) -> pa.Table:
-        vals = [normalize_type(v) for v in t["p_type"].to_pylist()]
+        # p_type is a bounded vocabulary (~150 values at any scale):
+        # the per-row Python remap collapses to one take per batch
         return pa.table(
             {
                 "p_partkey": t["p_partkey"],
-                "norm_type": pa.array(vals, pa.string()),
+                "norm_type": apply_over_unique(t["p_type"], normalize_type),
             }
         )
 
