@@ -16,6 +16,8 @@ Subcommands:
     add           incrementally add new docs as a delta source
     upsert        replace-or-add docs (tombstone old version + delta)
     delete        tombstone doc_ids
+    merge         compact base+deltas+tombstones into one fresh index
+                  (no retokenize; maintenance.merge_sources)
     query         one interactive query against a built index
     query-batch   evaluate a parquet query table through the actor pool
 """
@@ -117,6 +119,17 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    ray = _ray_session()
+    from harvester_ray.index.maintenance import merge_sources
+
+    paths = merge_sources(args.index, args.out)
+    with open(paths.stats) as f:
+        print(json.dumps({"index": paths.root, **json.load(f)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     from harvester_ray.index.query import InvertedIndex
 
@@ -186,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
         a.add_argument("--index", required=True)
         a.add_argument("--input", required=True)
         a.set_defaults(fn=cmd_add, upsert=up)
+
+    m = sub.add_parser(
+        "merge",
+        help="compact base+deltas+tombstones into one fresh index dir",
+    )
+    m.add_argument("--index", required=True)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=cmd_merge)
 
     d = sub.add_parser("delete", help="tombstone doc_ids")
     d.add_argument("--index", required=True)

@@ -266,3 +266,236 @@ def compact(docs_ds, index_dir: str, cfg=None) -> IndexPaths:
     out = os.path.join(index_dir, "compacted")
     paths = build_index(filtered, out, cfg or DEFAULT_INDEX_CONFIG)
     return paths
+
+
+def _source_stats(src: str) -> dict:
+    import json
+
+    with open(IndexPaths(src).stats) as f:
+        return json.load(f)
+
+
+def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
+    """True LSM-style compaction: merge base + all delta sources (and
+    consume tombstones) into ONE new index WITHOUT retokenizing — the
+    background segment merge of a Lucene/Solr deployment
+    (vs ``compact``, which re-runs the whole build from the doc source).
+
+    Works off each source's retained SPIMI postings hive buckets
+    (term_id is a stable hash of the term, so the id space needs no
+    remapping across sources; bucket layout is a function of term_id
+    and is identical across sources built with one config). Per term
+    bucket: read every source's partition, drop that source's scoped
+    tombstoned docs, concatenate, lexsort (term_id, doc_id), re-encode
+    segments at the MERGED avgdl — embarrassingly parallel over
+    buckets x doc chunks, no shuffle (the bucket co-partitioning IS the
+    partitioning assumption; documented per module docstring). The
+    merged index retains its own postings buckets, so it stays
+    re-mergeable.
+
+    Global stats (N, avgdl, df) are recomputed from surviving docs —
+    the post-compaction rescoring semantics (scores legitimately shift
+    once deletes are applied for real, exactly like the reference's
+    Solr after commit+optimize; rank parity with a fresh build over the
+    surviving corpus is the tested contract)."""
+    import json
+    import shutil
+
+    import ray
+
+    from harvester_ray.index.build import (
+        ENGINE_VERSION,
+        _SIGN_FLIP,
+        _atomic_side_write,
+        _encode_sorted_runs,
+    )
+
+    srcs = source_dirs(index_dir)
+    stats = [_source_stats(s) for s in srcs]
+    for key in ("block_size", "codec", "k1", "b", "analyzer",
+                "segment_doc_chunks"):
+        vals = {s[key] for s in stats}
+        if len(vals) > 1:
+            raise ValueError(
+                f"merge_sources: sources disagree on {key}: {vals}"
+            )
+    for s in srcs:
+        if not os.path.isdir(IndexPaths(s).postings):
+            raise ValueError(
+                f"merge_sources needs the retained SPIMI postings of "
+                f"{s}; rebuild with compact() instead"
+            )
+
+    dead = [deleted_for_source(index_dir, i) for i in range(len(srcs))]
+    dead_refs = [ray.put(d) for d in dead]
+    src_post_roots = [IndexPaths(s).postings for s in srcs]
+
+    out = IndexPaths(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out.postings, exist_ok=True)
+    os.makedirs(out.doc_table, exist_ok=True)
+    os.makedirs(out.dictionary, exist_ok=True)
+    os.makedirs(out.segments, exist_ok=True)
+
+    # -- doc tables: concat minus per-source tombstones ------------------
+    @ray.remote(num_cpus=1)
+    def merge_doc_table(i: int) -> tuple[int, int]:
+        pa.set_cpu_count(1)
+        dt_dir = IndexPaths(srcs[i]).doc_table
+        if not os.path.isdir(dt_dir):
+            return 0, 0
+        t = pq.read_table(dt_dir, use_threads=False)
+        d = ray.get(dead_refs[i])
+        if len(d):
+            keep = ~np.isin(t["doc_id"].to_numpy(zero_copy_only=False), d)
+            t = t.filter(pa.array(keep))
+        _atomic_side_write(t, out.doc_table, f"src{i:03d}")
+        import pyarrow.compute as pc
+
+        return len(t), int(pc.sum(t["doc_len"]).as_py() or 0)
+
+    sizes = ray.get([merge_doc_table.remote(i) for i in range(len(srcs))])
+    n_docs = sum(a for a, _ in sizes)
+    total_tokens = sum(b for _, b in sizes)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    buckets = sorted(
+        {
+            int(d.split("=", 1)[1])
+            for root in src_post_roots
+            if os.path.isdir(root)
+            for d in os.listdir(root)
+            if d.startswith("bucket=")
+        }
+    )
+
+    def read_bucket_filtered(b: int) -> pa.Table | None:
+        parts = []
+        for i, root in enumerate(src_post_roots):
+            d = os.path.join(root, f"bucket={b}")
+            if not os.path.isdir(d):
+                continue
+            t = pq.read_table(
+                d,
+                columns=["term", "term_id", "doc_id", "tf", "doc_len"],
+                use_threads=False,
+            )
+            dd = ray.get(dead_refs[i])
+            if len(dd):
+                keep = ~np.isin(
+                    t["doc_id"].to_numpy(zero_copy_only=False), dd
+                )
+                t = t.filter(pa.array(keep))
+            if len(t):
+                parts.append(t)
+        if not parts:
+            return None
+        return pa.concat_tables(parts)
+
+    # -- per-bucket: merged postings partition + dictionary part ---------
+    @ray.remote(num_cpus=1)
+    def merge_bucket(b: int) -> int:
+        pa.set_cpu_count(1)
+        t = read_bucket_filtered(b)
+        if t is None:
+            return 0
+        bdir = os.path.join(out.postings, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        _atomic_side_write(t, bdir, "merged")
+        agg = t.group_by(["term", "term_id"]).aggregate(
+            [("term", "count"), ("tf", "sum")]
+        )
+        dic = pa.table(
+            {
+                "term": agg["term"],
+                "term_id": agg["term_id"],
+                "df": agg["term_count"].cast(pa.int64()),
+                "cf": agg["tf_sum"].cast(pa.int64()),
+            }
+        )
+        _atomic_side_write(dic, out.dictionary, f"bucket{b:05d}")
+        return len(t)
+
+    # -- per (bucket, chunk): re-encoded segments at merged avgdl --------
+    # segment params come from the sources' own stats (asserted equal
+    # above), NOT the cfg arg — the merge must reproduce their layout
+    n_chunks = max(1, int(stats[0]["segment_doc_chunks"]))
+    shift = (
+        np.uint64(64 - int(np.log2(n_chunks))) if n_chunks > 1 else None
+    )
+    k1 = float(stats[0]["k1"])
+    b_ = float(stats[0]["b"])
+    bs = int(stats[0]["block_size"])
+    codec = stats[0]["codec"]
+
+    @ray.remote(num_cpus=1)
+    def encode_bucket_chunk(b: int, chunk: int) -> int:
+        import pyarrow.compute as pc
+
+        pa.set_cpu_count(1)
+        t = read_bucket_filtered(b)
+        if t is None:
+            return 0
+        tid = t["term_id"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        dl = t["doc_len"].to_numpy(zero_copy_only=False)
+        if shift is not None:
+            keep = (
+                (did.view(np.uint64) ^ _SIGN_FLIP) >> shift
+            ) == np.uint64(chunk)
+            if not keep.any():
+                return 0
+            idx = np.nonzero(keep)[0]
+        else:
+            idx = np.arange(len(did))
+        order = idx[np.lexsort((did[idx], tid[idx]))]
+        tid_s, did_s = tid[order], did[order]
+        tf_s, dl_s = tf[order], dl[order]
+        change = np.nonzero(np.diff(tid_s))[0] + 1
+        run_starts = np.concatenate(([0], change))
+        run_ends = np.concatenate((change, [len(tid_s)]))
+        terms_per_run = pc.take(
+            t["term"].combine_chunks(), pa.array(order[run_starts])
+        )
+        seg = _encode_sorted_runs(
+            terms_per_run, run_starts, run_ends,
+            tid_s, did_s, tf_s, dl_s, 0, avgdl, k1, b_, bs, codec,
+        )
+        _atomic_side_write(seg, out.segments, f"bucket{b:05d}c{chunk:02d}")
+        return len(seg)
+
+    ray.get([merge_bucket.remote(b) for b in buckets])
+    ray.get(
+        [
+            encode_bucket_chunk.remote(b, c)
+            for b in buckets
+            for c in range(n_chunks)
+        ]
+    )
+
+    n_terms = sum(
+        pq.ParquetFile(os.path.join(out.dictionary, f)).metadata.num_rows
+        for f in os.listdir(out.dictionary)
+        if f.endswith(".parquet")
+    )
+    base = stats[0]
+    with open(out.stats, "w") as f:
+        json.dump(
+            {
+                "n_docs": int(n_docs),
+                "total_tokens": int(total_tokens),
+                "avgdl": avgdl,
+                "n_terms": int(n_terms),
+                "k1": base["k1"],
+                "b": base["b"],
+                "block_size": base["block_size"],
+                "analyzer": base["analyzer"],
+                "segment_strategy": base["segment_strategy"],
+                "segment_doc_chunks": base["segment_doc_chunks"],
+                "codec": base["codec"],
+                "engine_version": ENGINE_VERSION,
+            },
+            f,
+        )
+    return out

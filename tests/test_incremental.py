@@ -7,6 +7,8 @@ full rebuild over the union (merged dictionaries + merged global
 stats), across all three execution paths (dense OR, AND, Block-Max
 WAND)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -176,3 +178,58 @@ def test_multi_delta_chain_identical_to_rebuild(corpora, ray_session):
                 for (_, s1), (_, s2) in zip(got[key], want[key])
             )
         ), key
+
+
+def test_merge_sources_equals_fresh_build(tmp_path, ray_session):
+    """True compaction: merge_sources over base + delta + tombstones
+    (no retokenize) must equal a fresh build over the surviving corpus
+    — stats, dictionary, and rank+score on every execution path."""
+    import pyarrow.compute as pc
+
+    from harvester_ray.index.maintenance import merge_sources
+
+    a = generate_zipf_docs(300, vocab_size=600, mean_len=50, seed=31)
+    b = generate_zipf_docs(
+        180, vocab_size=600, mean_len=50, seed=32, doc_id_offset=300
+    )
+    base_dir = str(tmp_path / "base")
+    build_index(ray.data.from_arrow(a), base_dir, n_docs=len(a))
+    add_docs(base_dir, ray.data.from_arrow(b), n_docs=len(b))
+    doomed = [3, 7, 150, 299, 301, 410]  # from base AND delta
+    delete_docs(base_dir, doomed)
+
+    merged = merge_sources(base_dir, str(tmp_path / "merged"))
+    idx_m = InvertedIndex(merged.root, preload=True)
+
+    union = pa.concat_tables([a, b])
+    keep = ~np.isin(union["doc_id"].to_numpy(), np.array(doomed))
+    survivors = union.filter(pa.array(keep))
+    fresh_dir = str(tmp_path / "fresh")
+    build_index(
+        ray.data.from_arrow(survivors), fresh_dir, n_docs=len(survivors)
+    )
+    idx_f = InvertedIndex(fresh_dir, preload=True)
+
+    assert idx_m.n_docs == idx_f.n_docs == len(survivors)
+    assert idx_m.avgdl == pytest.approx(idx_f.avgdl, rel=1e-12)
+    assert set(idx_m.dictionary) == set(idx_f.dictionary)
+    for t, (tid, df, cf) in idx_f.dictionary.items():
+        assert idx_m.dictionary[t] == (tid, df, cf), t
+
+    got, want = _search_all(idx_m), _search_all(idx_f)
+    for key in want:
+        assert [d for d, _ in got[key]] == [d for d, _ in want[key]], key
+        for (d1, s1), (d2, s2) in zip(got[key], want[key]):
+            assert s1 == pytest.approx(s2, rel=1e-12), (key, d1, d2)
+    # deleted docs are really gone (not just tombstone-filtered)
+    for q, mode in QUERIES:
+        for d, _s in idx_m.search(q, k=50, mode=mode):
+            assert d not in doomed
+    # the merged index is itself re-mergeable (postings retained) and
+    # carries no deltas/tombstones forward
+    from harvester_ray.index.build import IndexPaths
+    from harvester_ray.index.maintenance import delta_dirs, load_tombstones
+
+    assert os.path.isdir(IndexPaths(merged.root).postings)
+    assert delta_dirs(merged.root) == []
+    assert len(load_tombstones(merged.root)) == 0
