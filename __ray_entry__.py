@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": relational.text_stats,
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
+        "events_asof_orders": relational.events_asof_orders,
+        "top_orders_per_priority": relational.top_orders_per_priority,
         # reference scalar operators (SURVEY.md §2.3/§2.8)
         "orders_year_counts": relational.orders_year_counts,
         "orders_decade_facets": relational.orders_decade_facets,
@@ -105,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracles.TEXT_STATS,
         "events_hourly": oracles.EVENTS_HOURLY,
         "events_sessions": oracles.EVENTS_SESSIONS,
+        "events_asof_orders": oracles.EVENTS_ASOF_ORDERS,
+        "top_orders_per_priority": oracles.TOP_ORDERS_PER_PRIORITY,
         "orders_year_counts": oracles.ORDERS_YEAR_COUNTS,
         "orders_decade_facets": oracles.ORDERS_DECADE_FACETS,
         "events_props_sum": oracles.EVENTS_PROPS_SUM,

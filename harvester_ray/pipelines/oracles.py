@@ -397,3 +397,30 @@ FROM documents
 
 
 TOKEN_COUNTS = _token_counts_sql()
+
+
+EVENTS_ASOF_ORDERS = """
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, o_orderkey,
+       CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS price_r4
+FROM j WHERE rn = 1
+"""
+
+TOP_ORDERS_PER_PRIORITY = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_orderpriority, rn AS rank, o_orderkey,
+       CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS price_r4
+FROM r WHERE rn <= 3
+"""

@@ -539,3 +539,81 @@ def embedding_norms(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(norms, batch_format="pyarrow")
+
+
+def events_asof_orders(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (stages/joins.asof_join — the inequality-key join
+    Ray Data lacks): each event matched to the MOST RECENT order of the
+    same customer at or before the event timestamp; ties on order date
+    break to the greatest o_orderkey. Inner as-of (unmatched events
+    dropped); price fixed-point-4 for the hash gate."""
+    from harvester_ray.stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "price_r4": pa.array(
+                    np.floor(price * 10_000 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Grouped top-k with a per-batch combiner: each batch forwards at
+    most k rows per group (so the shuffle moves O(k x groups x batches)
+    rows, not the fact table), then one groupby finalizes. Rank rule:
+    o_totalprice DESC, o_orderkey ASC."""
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return df.groupby("o_orderpriority", sort=False).head(k)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="stable",
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "price_r4": np.floor(
+                    g["o_totalprice"].to_numpy() * 10_000 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(topk, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(finalize, batch_format="pandas")
+    )
