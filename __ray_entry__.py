@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sessions": relational.events_sessions,
         "events_asof_orders": relational.events_asof_orders,
+        "events_window_1h": relational.events_window_1h,
         "top_orders_per_priority": relational.top_orders_per_priority,
         # reference scalar operators (SURVEY.md §2.3/§2.8)
         "orders_year_counts": relational.orders_year_counts,
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": oracles.EVENTS_HOURLY,
         "events_sessions": oracles.EVENTS_SESSIONS,
         "events_asof_orders": oracles.EVENTS_ASOF_ORDERS,
+        "events_window_1h": oracles.EVENTS_WINDOW_1H,
         "top_orders_per_priority": oracles.TOP_ORDERS_PER_PRIORITY,
         "orders_year_counts": oracles.ORDERS_YEAR_COUNTS,
         "orders_decade_facets": oracles.ORDERS_DECADE_FACETS,

@@ -424,3 +424,13 @@ SELECT o_orderpriority, rn AS rank, o_orderkey,
        CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS price_r4
 FROM r WHERE rn <= 3
 """
+
+
+EVENTS_WINDOW_1H = """
+SELECT event_id,
+       count(*) OVER w AS n_1h,
+       CAST(floor(sum(value) OVER w * 10000 + 0.5) AS BIGINT) AS sum_1h_r4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""

@@ -617,3 +617,32 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         .groupby("o_orderpriority")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def events_window_1h(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding-window aggregate (the windowed-aggregate member of the
+    as-of/range/window custom-operator family): per event, the count
+    and value-sum of the same user's events in the closed interval
+    [ts - 1h, ts] — RANGE-frame semantics (timestamp peers included on
+    both sides, exactly like SQL RANGE ... CURRENT ROW). One
+    groupby(user) + two vectorized searchsorteds per group; same
+    one-key-per-task partitioning contract as sessionization."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lo = np.searchsorted(t, t - HOUR_US, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        cs = np.concatenate(([0.0], np.cumsum(g["value"].to_numpy())))
+        wsum = cs[hi] - cs[lo]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "n_1h": (hi - lo).astype(np.int64),
+                "sum_1h_r4": np.floor(wsum * 10_000 + 0.5).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(win, batch_format="pandas")
