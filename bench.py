@@ -316,6 +316,24 @@ def _spin(_: float) -> int:
     return x
 
 
+def _membw(sec: float) -> float:
+    """Bytes moved by LLC-busting 64 MB copies for ``sec`` seconds —
+    the memory-bandwidth twin of _spin."""
+    import numpy as np
+
+    a = np.empty(64_000_000, dtype=np.uint8)
+    a[:] = 1  # touch every page: np.zeros maps the shared zero page
+    # and reads would come from cache, not RAM
+    b = np.empty_like(a)
+    b[:] = 0
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < sec:
+        np.copyto(b, a)
+        n += 1
+    return float(n * len(a) * 2)
+
+
 def _spin_mips(procs: int) -> int:
     """Aggregate M spin-iters/s over ``procs`` OS processes — the
     machine-speed yardstick reported next to every wall-clock number."""
@@ -359,24 +377,38 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def hardware_ceiling(lo: int, hi: int) -> float:
+    def hardware_ceiling(lo: int, hi: int) -> tuple[float, float]:
         """The VM's vCPUs are hypervisor-shared: measure the actual
-        aggregate compute ratio between `hi` and `lo` busy processes —
-        the ceiling any CPU-bound job can reach on this box at these
-        levels."""
+        aggregate ratio between `hi` and `lo` busy processes for BOTH
+        machine resources a build consumes — registers (spin) and
+        memory bandwidth (LLC-busting copies). Returns (spin_ceiling,
+        membw_ceiling). A host can deliver near-linear spin scaling
+        while its memory subsystem is flat (measured on this sandbox:
+        spin 0.91 vs membw 0.32 at 4→16) — a real 4N-node cluster
+        multiplies BOTH, so the binding single-box ceiling is whichever
+        resource the job leans on."""
         import multiprocessing as mp
 
-        def agg(procs: int) -> float:
+        def agg_spin(procs: int) -> float:
             with mp.Pool(procs) as p:
                 return sum(p.map(_spin, [0.0] * procs))
 
-        agg(lo)  # warm the pool machinery
-        return (agg(hi) / agg(lo)) / (hi / lo)
+        def agg_membw(procs: int) -> float:
+            with mp.Pool(procs) as p:
+                t0 = time.perf_counter()
+                tot = sum(p.map(_membw, [2.0] * procs))
+                return tot / (time.perf_counter() - t0)
+
+        agg_spin(lo)  # warm the pool machinery
+        spin = (agg_spin(hi) / agg_spin(lo)) / (hi / lo)
+        membw = (agg_membw(hi) / agg_membw(lo)) / (hi / lo)
+        return spin, membw
 
     lo = int(os.environ.get("SCALING_LO", "4"))
     hi = int(os.environ.get("SCALING_HI", "16"))
     pairs = int(os.environ.get("SCALING_PAIRS", "3"))
-    ceiling = hardware_ceiling(lo, hi)
+    spin_ceiling, membw_ceiling = hardware_ceiling(lo, hi)
+    ceiling = spin_ceiling
     # interleaved pairs; min per level. The VM suffers minute-scale
     # steal bursts (identical runs vary ~2x), so 3 pairs materially
     # improve the odds that each level samples a quiet window.
@@ -406,6 +438,10 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         # what a perfectly-scaling job could reach on THIS machine
         "hardware_ceiling_efficiency": round(ceiling, 3),
+        # the memory subsystem's own hi/lo scaling — on a
+        # bandwidth-capped host this binds long before the spin
+        # ceiling (a real 4N-node cluster multiplies membw too)
+        "membw_ceiling_efficiency": round(membw_ceiling, 3),
         "normalized_efficiency": round(min(1.0, eff / ceiling), 3),
         "all_runs": [
             {"num_cpus": r["num_cpus"], "sec": r["value"]} for r in runs
