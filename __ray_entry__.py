@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": fulltext.bm25_topk_and,
         "bm25_topk_wand": fulltext.bm25_topk_wand,
         "bm25_topk_and_bmand": fulltext.bm25_topk_and_bmand,
+        "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # incremental add (delta segments): same oracles as the
         # one-shot build — proves add-then-query is exact
         "term_dictionary_incremental": fulltext.term_dictionary_incremental,
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": relational.events_sessions,
         "events_asof_orders": relational.events_asof_orders,
         "events_window_1h": relational.events_window_1h,
+        "events_orders_range_join": relational.events_orders_range_join,
         "top_orders_per_priority": relational.top_orders_per_priority,
         # reference scalar operators (SURVEY.md §2.3/§2.8)
         "orders_year_counts": relational.orders_year_counts,
@@ -95,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": oracles.BM25_TOPK_AND,
         "bm25_topk_wand": oracles.BM25_TOPK_OR,
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
+        "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "term_dictionary_incremental": oracles.TERM_DICTIONARY,
         "bm25_topk_or_incremental": oracles.BM25_TOPK_OR,
         "q1_pricing": oracles.Q1_PRICING,
@@ -110,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": oracles.EVENTS_SESSIONS,
         "events_asof_orders": oracles.EVENTS_ASOF_ORDERS,
         "events_window_1h": oracles.EVENTS_WINDOW_1H,
+        "events_orders_range_join": oracles.EVENTS_ORDERS_RANGE_JOIN,
         "top_orders_per_priority": oracles.TOP_ORDERS_PER_PRIORITY,
         "orders_year_counts": oracles.ORDERS_YEAR_COUNTS,
         "orders_decade_facets": oracles.ORDERS_DECADE_FACETS,

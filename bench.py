@@ -256,6 +256,11 @@ def run_bench(scaling_child: bool = False) -> dict:
         build_secs.append(zb["sec"])
     zb["sec"] = min(build_secs)
     ql = _query_latencies(zb["paths"], ZIPF_QUERY_SET)
+    seg_bytes = sum(
+        os.path.getsize(os.path.join(zb["paths"].segments, f))
+        for f in os.listdir(zb["paths"].segments)
+        if f.endswith(".parquet")
+    )
     shutil.rmtree(zb["out_dir"], ignore_errors=True)
     result = {
         "metric": (
@@ -275,6 +280,8 @@ def run_bench(scaling_child: bool = False) -> dict:
         "n_docs": int(ZIPF_DOCS),
         "docs_per_sec": round(ZIPF_DOCS / zb["sec"], 1),
         "build_samples_sec": [round(s, 3) for s in build_secs],
+        "segment_bytes": int(seg_bytes),
+        "segment_bytes_per_doc": round(seg_bytes / max(1, ZIPF_DOCS), 1),
         # measured machine speed (M spin-iters/s aggregate at NUM_CPUS
         # procs): divides out the host's invisible throttling when
         # comparing across sessions/rounds (BASELINE.md §3)

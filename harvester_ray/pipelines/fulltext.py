@@ -232,3 +232,41 @@ def bm25_topk_or_incremental(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def bm25_topk_or_sharded(sf_dir: str, n_shards: int = 4) -> "object":
+    """The doc-sharded serving tier (index/sharded.py) under the driver
+    gate: the same OR query set answered by ShardedIndex scatter-gather
+    over ``n_shards`` shard actors, each loading 1/S of doc space from
+    an index built with ``segment_doc_chunks=n_shards``. Same SQL
+    oracle as bm25_topk_or — rank identity proves shard-merge
+    losslessness end to end."""
+    import pandas as pd
+
+    from harvester_ray.config import IndexConfig
+    from harvester_ray.index.sharded import ShardedIndex
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:chunks{n_shards}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_sh_{key}")
+    paths = IndexPaths(out)
+    if not os.path.exists(paths.stats):
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=list(DEFAULT_INDEX_CONFIG.doc_columns),
+        )
+        build_index(
+            docs, out, IndexConfig(segment_doc_chunks=n_shards)
+        )
+    sh = ShardedIndex(out, n_shards)
+    try:
+        rows = []
+        for qid, q in queries_for_mode("or"):
+            for rank, (doc_id, _s) in enumerate(
+                sh.search(q, k=TOP_K, mode="or"), start=1
+            ):
+                rows.append((qid, rank, doc_id))
+    finally:
+        sh.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])

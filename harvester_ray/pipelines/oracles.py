@@ -434,3 +434,16 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+EVENTS_ORDERS_RANGE_JOIN = """
+SELECT e.event_id,
+       count(o.o_custkey)::BIGINT AS n_orders_7d,
+       CAST(floor(coalesce(sum(o.o_totalprice), 0) * 10000 + 0.5) AS BIGINT)
+         AS sum_price_7d_r4
+FROM events e
+LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+GROUP BY e.event_id
+"""

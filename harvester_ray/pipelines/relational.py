@@ -646,3 +646,69 @@ def events_window_1h(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.groupby("user_id").map_groups(win, batch_format="pandas")
+
+
+def events_orders_range_join(sf_dir: str) -> "ray.data.Dataset":
+    """Range join (the interval member of the as-of/range/window
+    family): per event, the count and total price of the same
+    customer's orders in the closed interval [ts - 7 days, ts]. Same
+    tag-union + one-groupby + searchsorted plan as asof_join — the
+    range predicate resolves to two binary searches per left row."""
+    WEEK_US = 7 * 24 * 3_600_000_000
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag_e(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["user_id"].cast(pa.int64()),
+                "ts": t["ts"],
+                "side": pa.array(np.zeros(len(t), np.int8)),
+                "event_id": t["event_id"],
+                "price": pa.nulls(len(t), pa.float64()),
+            }
+        )
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_custkey"].cast(pa.int64()),
+                "ts": t["o_orderdate"],
+                "side": pa.array(np.ones(len(t), np.int8)),
+                "event_id": pa.nulls(len(t), pa.int64()),
+                "price": t["o_totalprice"],
+            }
+        )
+
+    tagged = events.map_batches(tag_e, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        lefts = g[g["side"] == 0]
+        rights = g[g["side"] == 1].sort_values("ts", kind="stable")
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "n_orders_7d": pd.Series([], dtype=np.int64),
+                "sum_price_7d_r4": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(lefts) == 0:
+            return empty
+        lt = lefts["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rt = rights["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lo = np.searchsorted(rt, lt - WEEK_US, side="left")
+        hi = np.searchsorted(rt, lt, side="right")
+        cs = np.concatenate(([0.0], np.cumsum(rights["price"].to_numpy())))
+        return pd.DataFrame(
+            {
+                "event_id": lefts["event_id"].to_numpy().astype(np.int64),
+                "n_orders_7d": (hi - lo).astype(np.int64),
+                "sum_price_7d_r4": np.floor(
+                    (cs[hi] - cs[lo]) * 10_000 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return tagged.groupby("key").map_groups(resolve, batch_format="pandas")
