@@ -7,7 +7,10 @@ rounding, same ranking rules — see relational.py / fulltext.py):
 - BM25:           idf = ln(1 + (N - df + 0.5)/(df + 0.5)); N counts ALL
                   docs; avgdl = total_tokens / N; k1 = 1.2, b = 0.75
 - ranking:        ORDER BY round(score, 6) DESC, doc_id ASC
-- float columns:  round(x, 4) on both sides
+- float columns:  fixed-point at the ROW (BIGINT of value*10^4,
+                  half-up), then INTEGER sums — float sums are not
+                  associative and cross fixed-point boundaries at
+                  scale (sum-of-fp, not fp-of-sum, on both sides)
 """
 
 from __future__ import annotations
@@ -123,9 +126,9 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 20
 
 Q1_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       CAST(floor((sum(l_quantity)) * 10000 + 0.5) AS BIGINT) AS sum_qty,
-       CAST(floor((sum(l_extendedprice)) * 10000 + 0.5) AS BIGINT) AS sum_base,
-       CAST(floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) AS BIGINT) AS sum_disc_price,
+       SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_base,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_disc_price,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -134,7 +137,7 @@ GROUP BY l_returnflag, l_linestatus
 
 Q3_TOP_ORDERS = """
 SELECT o_orderkey,
-       CAST(floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) AS BIGINT) AS revenue
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))::BIGINT AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -145,7 +148,7 @@ LIMIT 10
 """
 
 REGION_CUSTOMER_STATS = """
-SELECT r_name, count(*) AS n_customers, CAST(floor((sum(c_acctbal)) * 10000 + 0.5) AS BIGINT) AS sum_acctbal
+SELECT r_name, count(*) AS n_customers, SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -161,13 +164,13 @@ SELECT DISTINCT c_mktsegment FROM customer
 """
 
 PART_TYPE_STATS = """
-SELECT p_type, count(*) AS n_parts, CAST(floor((avg(p_retailprice)) * 10000 + 0.5) AS BIGINT) AS avg_price
+SELECT p_type, count(*) AS n_parts, CAST(floor(SUM(CAST(floor(p_retailprice * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) AS BIGINT) AS avg_price
 FROM part GROUP BY p_type
 """
 
 EVENTS_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
-       count(*) AS n, CAST(floor((sum(value)) * 10000 + 0.5) AS BIGINT) AS sum_value
+       count(*) AS n, SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_value
 FROM events GROUP BY event_type, hour
 """
 
@@ -205,7 +208,7 @@ SELECT rank, vec_id FROM r WHERE rank <= {ANN_TOP_K}
 
 ORDERS_YEAR_COUNTS = """
 SELECT year(o_orderdate)::BIGINT AS o_year, count(*) AS n_orders,
-       CAST(floor((sum(o_totalprice)) * 10000 + 0.5) AS BIGINT) AS sum_total
+       SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_total
 FROM orders GROUP BY o_year
 """
 
@@ -429,7 +432,7 @@ FROM r WHERE rn <= 3
 EVENTS_WINDOW_1H = """
 SELECT event_id,
        count(*) OVER w AS n_1h,
-       CAST(floor(sum(value) OVER w * 10000 + 0.5) AS BIGINT) AS sum_1h_r4
+       (SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w)::BIGINT AS sum_1h_r4
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -439,7 +442,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 EVENTS_ORDERS_RANGE_JOIN = """
 SELECT e.event_id,
        count(o.o_custkey)::BIGINT AS n_orders_7d,
-       CAST(floor(coalesce(sum(o.o_totalprice), 0) * 10000 + 0.5) AS BIGINT)
+       coalesce(SUM(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT)), 0)::BIGINT
          AS sum_price_7d_r4
 FROM events e
 LEFT JOIN orders o

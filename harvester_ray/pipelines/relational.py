@@ -87,9 +87,16 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
         )
         return t.append_column("disc_price", disc)
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+    # fixed-point at the ROW, then integer sums: float sums are not
+    # associative, and once |sum|*10^4 nears 2^53 the engines' partial
+    # orders land on different integers (observed at sf0.1) — integer
+    # sums are exact at any scale
+    prepped = _round_cols(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_quantity", "l_extendedprice", "disc_price"],
+    )
+    return (
+        prepped.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("l_extendedprice", alias_name="sum_base"),
@@ -97,7 +104,6 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
             Count(alias_name="n_rows"),
         )
     )
-    return _round_cols(out, ["sum_qty", "sum_base", "sum_disc_price"])
 
 
 # -- hash-shuffle join (both sides large) --------------------------------
@@ -147,13 +153,15 @@ def q3_top_orders(sf_dir: str) -> "ray.data.Dataset":
         )
         return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
 
-    line = line.map_batches(revenue, batch_format="pyarrow")
+    # row-level fixed point before the sum (see q1 note)
+    line = _round_cols(
+        line.map_batches(revenue, batch_format="pyarrow"), ["revenue"]
+    )
     joined = line.join(
         orders, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     agg = joined.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
-    agg = _round_cols(agg, ["revenue"])
     top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
     return top.map_batches(
         lambda t: pa.table({"o_orderkey": t["l_orderkey"], "revenue": t["revenue"]}),
@@ -184,15 +192,17 @@ def region_customer_stats(sf_dir: str) -> "ray.data.Dataset":
         idx = np.searchsorted(nk_keys, nk)
         return t.append_column("r_name", pc.take(nk_names, pa.array(idx)))
 
-    out = (
-        cust.map_batches(add_region, batch_format="pyarrow")
+    return (
+        _round_cols(
+            cust.map_batches(add_region, batch_format="pyarrow"),
+            ["c_acctbal"],
+        )
         .groupby("r_name")
         .aggregate(
             Count(alias_name="n_customers"),
             Sum("c_acctbal", alias_name="sum_acctbal"),
         )
     )
-    return _round_cols(out, ["sum_acctbal"])
 
 
 # -- simple aggregates / distinct / top-k --------------------------------
@@ -210,15 +220,33 @@ def distinct_segments(sf_dir: str) -> pa.Table:
 
 
 def part_type_stats(sf_dir: str) -> "ray.data.Dataset":
-    out = (
-        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+    # mean = exact integer sum of row-level fixed-point prices / count
+    # (one final division of exact ints — deterministic on both sides)
+    agg = (
+        _round_cols(
+            _read(sf_dir, "part", ["p_type", "p_retailprice"]),
+            ["p_retailprice"],
+        )
         .groupby("p_type")
         .aggregate(
             Count(alias_name="n_parts"),
-            Mean("p_retailprice", alias_name="avg_price"),
+            Sum("p_retailprice", alias_name="price_fp_sum"),
         )
     )
-    return _round_cols(out, ["avg_price"])
+
+    def mean_fp(t: pa.Table) -> pa.Table:
+        s = t["price_fp_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_parts"].to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = np.floor(s / np.maximum(n, 1.0) + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "p_type": t["p_type"],
+                "n_parts": t["n_parts"],
+                "avg_price": pa.array(avg, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(mean_fp, batch_format="pyarrow")
 
 
 def top_docs_by_chars(sf_dir: str) -> "ray.data.Dataset":
@@ -273,12 +301,11 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     def bucket(t: pa.Table) -> pa.Table:
         return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
 
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+    return (
+        _round_cols(ds.map_batches(bucket, batch_format="pyarrow"), ["value"])
         .groupby(["event_type", "hour"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     )
-    return _round_cols(out, ["sum_value"])
 
 
 def events_sessions(sf_dir: str) -> "ray.data.Dataset":
@@ -394,15 +421,17 @@ def orders_year_counts(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    out = (
-        ds.map_batches(add_year, batch_format="pyarrow")
+    return (
+        _round_cols(
+            ds.map_batches(add_year, batch_format="pyarrow"),
+            ["o_totalprice"],
+        )
         .groupby("o_year")
         .aggregate(
             Count(alias_name="n_orders"),
             Sum("o_totalprice", alias_name="sum_total"),
         )
     )
-    return _round_cols(out, ["sum_total"])
 
 
 def orders_decade_facets(sf_dir: str) -> "ray.data.Dataset":
@@ -635,13 +664,14 @@ def events_window_1h(sf_dir: str) -> "ray.data.Dataset":
         t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         lo = np.searchsorted(t, t - HOUR_US, side="left")
         hi = np.searchsorted(t, t, side="right")
-        cs = np.concatenate(([0.0], np.cumsum(g["value"].to_numpy())))
-        wsum = cs[hi] - cs[lo]
+        # row-level fixed point, integer cumsum: exact at any scale
+        v_fp = np.floor(g["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(v_fp)))
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 "n_1h": (hi - lo).astype(np.int64),
-                "sum_1h_r4": np.floor(wsum * 10_000 + 0.5).astype(np.int64),
+                "sum_1h_r4": (cs[hi] - cs[lo]).astype(np.int64),
             }
         )
 
@@ -700,14 +730,15 @@ def events_orders_range_join(sf_dir: str) -> "ray.data.Dataset":
         rt = rights["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         lo = np.searchsorted(rt, lt - WEEK_US, side="left")
         hi = np.searchsorted(rt, lt, side="right")
-        cs = np.concatenate(([0.0], np.cumsum(rights["price"].to_numpy())))
+        p_fp = np.floor(
+            rights["price"].to_numpy() * 10_000 + 0.5
+        ).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(p_fp)))
         return pd.DataFrame(
             {
                 "event_id": lefts["event_id"].to_numpy().astype(np.int64),
                 "n_orders_7d": (hi - lo).astype(np.int64),
-                "sum_price_7d_r4": np.floor(
-                    (cs[hi] - cs[lo]) * 10_000 + 0.5
-                ).astype(np.int64),
+                "sum_price_7d_r4": (cs[hi] - cs[lo]).astype(np.int64),
             }
         )
 
