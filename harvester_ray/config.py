@@ -85,6 +85,10 @@ class IndexConfig:
     # blocks, slower per-block encode) or "pfor" (PForDelta with
     # patched exceptions: smallest segments, outlier-immune)
     codec: str = "varint"
+    # auto-compaction policy for the incremental pages loop: fold the
+    # delta chain into one source (maintenance.merge_sources) once it
+    # reaches this length — bounds per-query multi-source overhead
+    merge_after_deltas: int = 8
 
 
 DEFAULT_INDEX_CONFIG = IndexConfig()

@@ -216,6 +216,25 @@ def update_pages_index(
             )
             for k in changed_keys:
                 indexed[k] = os.path.basename(paths.root)
+        # auto-compaction policy (the Lucene merge-policy analog):
+        # once the delta chain is long enough that per-query
+        # multi-source overhead matters, fold everything into one
+        # source with the no-retokenize merge. Crash-safe swap: the
+        # old dir is renamed away FIRST, so a crash between renames
+        # leaves no index dir and the next call rebuilds under
+        # lineage (cheap — extraction is already cached).
+        from harvester_ray.index.maintenance import delta_dirs, merge_sources
+
+        if len(delta_dirs(idx_dir)) >= cfg.merge_after_deltas:
+            merged_tmp = os.path.join(out_dir, "index.merged")
+            merge_sources(idx_dir, merged_tmp)
+            old = f"{idx_dir}.old-{os.getpid()}"
+            os.rename(idx_dir, old)
+            os.rename(merged_tmp, idx_dir)
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+            indexed = {k: "base" for k in indexed}
         paths = IndexPaths(idx_dir)
     tmp = f"{manifest_path}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:

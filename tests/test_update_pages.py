@@ -49,3 +49,43 @@ def test_update_pages_index_delta_add(tmp_path, ray_session):
     # idempotent: calling again with nothing new adds no delta
     update_pages_index(corpus, out)
     assert len(delta_dirs(os.path.join(out, "index"))) == 1
+
+
+def test_update_pages_auto_compaction(tmp_path, ray_session):
+    """With merge_after_deltas=1 a delta add triggers merge_sources:
+    the chain folds into one source, results unchanged, manifest keys
+    all point at the base, and the next update still works."""
+    from dataclasses import replace
+
+    from harvester_ray.config import DEFAULT_INDEX_CONFIG
+
+    cfg = replace(DEFAULT_INDEX_CONFIG, merge_after_deltas=1)
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 300, n_files=3)
+    out = str(tmp_path / "out")
+    update_pages_index(corpus, out, cfg)
+
+    pages, _ = generate_pages(400, seed=42)
+    pq.write_table(
+        pages.slice(300, 100),
+        os.path.join(corpus, "pages", "pages-00003.parquet"),
+    )
+    paths = update_pages_index(corpus, out, cfg)
+    idx_dir = os.path.join(out, "index")
+    assert delta_dirs(idx_dir) == []          # compacted
+    merged = InvertedIndex(paths.root, preload=True)
+
+    full = build_pages_index(corpus, str(tmp_path / "full"))
+    full_idx = InvertedIndex(full.root, preload=True)
+    assert merged.n_docs == full_idx.n_docs
+    for q in ("w0 w1", "w2 w17 w120", "page 7"):
+        assert merged.search(q, k=10) == full_idx.search(q, k=10), q
+
+    # a further new shard delta-adds onto the compacted base
+    more_pages, _ = generate_pages(500, seed=42)
+    pq.write_table(
+        more_pages.slice(400, 100),
+        os.path.join(corpus, "pages", "pages-00004.parquet"),
+    )
+    update_pages_index(corpus, out, cfg)
+    assert delta_dirs(idx_dir) == []          # compacted again (>=1)
