@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_union_counts": relational.lineitem_union_counts,
         "embedding_norms": relational.embedding_norms,
         # training-data-pipeline operators
+        "sample_documents": relational.sample_documents,
         "dedup_exact": relational.dedup_exact,
         "dedup_embedding": dedup.embedding_cosine_dups,
         "ann_cosine_topk": relational.ann_cosine_topk,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "part_normalized_types": oracles.PART_NORMALIZED_TYPES,
         "lineitem_union_counts": oracles.LINEITEM_UNION_COUNTS,
         "embedding_norms": oracles.EMBEDDING_NORMS,
+        "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
         "quality_score": oracles.QUALITY_SCORE,

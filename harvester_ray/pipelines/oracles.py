@@ -450,3 +450,20 @@ LEFT JOIN orders o
  AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
 GROUP BY e.event_id
 """
+
+
+def _sample_documents_sql() -> str:
+    from harvester_ray.pipelines.relational import (
+        SAMPLE_PCT,
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+    )
+
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (((doc_id % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % 4294967296) % 100
+      < {SAMPLE_PCT}
+"""
+
+
+SAMPLE_DOCUMENTS = _sample_documents_sql()

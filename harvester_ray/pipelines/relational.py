@@ -743,3 +743,26 @@ def events_orders_range_join(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return tagged.groupby("key").map_groups(resolve, batch_format="pandas")
+
+
+SAMPLE_PCT = 5
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+_SAMPLE_MOD = 1_000_003    # prime pre-mod keeps the product in int64
+
+
+def sample_documents(sf_dir: str, pct: int = SAMPLE_PCT) -> "ray.data.Dataset":
+    """Deterministic hash-sampling — the scale-correct way to
+    downsample a training corpus: membership depends only on doc_id
+    (reproducible across runs, partitionings and engines; no RNG
+    state, no coordination), unlike random_sample whose output depends
+    on block layout. Keep a doc iff
+    hash(doc_id) % 100 < pct, hash = (id % P) * KNUTH % 2^32."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % _SAMPLE_MOD) * _SAMPLE_MULT) % (1 << 32)
+        return t.filter(pa.array((h % 100) < pct))
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
