@@ -64,12 +64,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_sort_names": relational.part_sort_names,
         "part_normalized_types": relational.part_normalized_types,
         "lineitem_union_counts": relational.lineitem_union_counts,
+        "lineitem_quantity_quantiles": relational.lineitem_quantity_quantiles,
         "embedding_norms": relational.embedding_norms,
         # training-data-pipeline operators
         "sample_documents": relational.sample_documents,
         "dedup_exact": relational.dedup_exact,
         "dedup_embedding": dedup.embedding_cosine_dups,
         "ann_cosine_topk": relational.ann_cosine_topk,
+        "ann_cosine_topk_batch": relational.ann_cosine_topk_batch,
         # non-SQL-expressible (rows-only checks)
         "pages_flagship": pages.pages_flagship,
         "minhash_near_dup": dedup.minhash_near_dup,
@@ -122,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "part_sort_names": oracles.PART_SORT_NAMES,
         "part_normalized_types": oracles.PART_NORMALIZED_TYPES,
         "lineitem_union_counts": oracles.LINEITEM_UNION_COUNTS,
+        "lineitem_quantity_quantiles": oracles.LINEITEM_QUANTITY_QUANTILES,
         "embedding_norms": oracles.EMBEDDING_NORMS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "dedup_exact": oracles.DEDUP_EXACT,
@@ -130,4 +133,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.LANG_ID,
         "token_counts": oracles.TOKEN_COUNTS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
+        "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
     }

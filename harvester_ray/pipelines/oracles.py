@@ -467,3 +467,48 @@ WHERE (((doc_id % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % 4294967296) % 100
 
 
 SAMPLE_DOCUMENTS = _sample_documents_sql()
+
+
+def _ann_batch_sql() -> str:
+    from harvester_ray.pipelines.relational import (
+        ANN_BATCH_QUERY_IDS,
+        ANN_BATCH_TOP_K,
+    )
+
+    ids = ", ".join(str(i) for i in ANN_BATCH_QUERY_IDS)
+    return f"""
+WITH q AS (SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN ({ids})),
+s AS (SELECT q.query_vec_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS sim
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_vec_id, vec_id,
+             row_number() OVER (PARTITION BY query_vec_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= {ANN_BATCH_TOP_K}
+"""
+
+
+ANN_COSINE_TOPK_BATCH = _ann_batch_sql()
+
+
+def _quantiles_sql() -> str:
+    from harvester_ray.pipelines.relational import QUANTILES_R4
+
+    vals = ", ".join(f"({q})" for q in QUANTILES_R4)
+    return f"""
+WITH h AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY v),
+t AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+             (SELECT sum(c) FROM h) AS n
+      FROM h),
+qs(q_r4) AS (VALUES {vals})
+SELECT q_r4,
+       CAST(floor(min(v) * 10000 + 0.5) AS BIGINT) AS value_r4
+FROM qs JOIN t ON t.cum >= CAST(ceil(q_r4 * t.n / 10000.0) AS BIGINT)
+GROUP BY q_r4
+"""
+
+
+LINEITEM_QUANTITY_QUANTILES = _quantiles_sql()

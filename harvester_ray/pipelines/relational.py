@@ -766,3 +766,109 @@ def sample_documents(sf_dir: str, pct: int = SAMPLE_PCT) -> "ray.data.Dataset":
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+ANN_BATCH_QUERY_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
+ANN_BATCH_TOP_K = 5
+
+
+def ann_cosine_topk_batch(sf_dir: str) -> "ray.data.Dataset":
+    """Batched brute-force ANN: top-k neighbors for a whole QUERY SET
+    in one pipeline — each batch does ONE (rows x dim) @ (dim x Q)
+    matmul against the broadcast normalized query matrix and keeps k
+    rows per query (per-batch per-query top-k, lossless under the
+    (sim DESC, vec_id ASC) order), so the final groupby handles
+    <= k x Q x batches rows. The batched-inference shape every
+    embedding-scoring stage uses at scale."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    mask = pc.is_in(
+        qtbl["vec_id"],
+        value_set=pa.array(list(ANN_BATCH_QUERY_IDS), pa.int64()),
+    )
+    qrows = qtbl.filter(mask)
+    q_ids = qrows["vec_id"].to_numpy()
+    Q = np.asarray(qrows["embedding"].to_pylist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1)[:, None]
+    q_ref = ray.put((q_ids, Qn))
+    k = ANN_BATCH_TOP_K
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0] = 1.0
+        S = np.round((E @ qm.T) / norms[:, None], 6)  # rows x Q
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            col = S[:, j]
+            take = (
+                np.lexsort((ids, -col))[:k] if len(ids) > k
+                else np.arange(len(ids))
+            )
+            out_q.append(np.full(len(take), qid, np.int64))
+            out_v.append(ids[take])
+            out_s.append(col[take])
+        return pa.table(
+            {
+                "query_vec_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    cands = ray.data.read_parquet(
+        emb_path, columns=["vec_id", "embedding"]
+    ).map_batches(score, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["vec_id"].to_numpy(), -g["sim_r"].to_numpy())
+        )[:k]
+        return pd.DataFrame(
+            {
+                "query_vec_id": g["query_vec_id"].to_numpy()[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                "vec_id": g["vec_id"].to_numpy()[order],
+            }
+        )
+
+    return cands.groupby("query_vec_id").map_groups(
+        finalize, batch_format="pandas"
+    )
+
+
+QUANTILES_R4 = (2500, 5000, 7500, 9500)
+
+
+def lineitem_quantity_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles via histogram: the combiner groupby
+    builds the value histogram (the only corpus-scale work — countable
+    in one shuffle of |distinct values| rows), the tiny histogram comes
+    to the driver, and each quantile is the smallest value whose
+    cumulative count reaches ceil(q * n) — the deterministic rule both
+    engines implement verbatim (no interpolation-mode ambiguity)."""
+    hist = (
+        _read(sf_dir, "lineitem", ["l_quantity"])
+        .groupby("l_quantity")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("l_quantity", kind="stable")
+    )
+    v = hist["l_quantity"].to_numpy(dtype=np.float64)
+    c = hist["c"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q_r4 in QUANTILES_R4:
+        target = int(np.ceil(q_r4 * n / 10_000.0))
+        i = int(np.searchsorted(cum, target, side="left"))
+        out_q.append(q_r4)
+        out_v.append(int(np.floor(v[i] * 10_000 + 0.5)))
+    return pa.table(
+        {
+            "q_r4": pa.array(out_q, pa.int64()),
+            "value_r4": pa.array(out_v, pa.int64()),
+        }
+    )
