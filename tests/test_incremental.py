@@ -233,3 +233,36 @@ def test_merge_sources_equals_fresh_build(tmp_path, ray_session):
     assert os.path.isdir(IndexPaths(merged.root).postings)
     assert delta_dirs(merged.root) == []
     assert len(load_tombstones(merged.root)) == 0
+
+
+def test_merge_sources_multi_chunk_sharded(tmp_path, ray_session):
+    """Merge preserves the sharded-serving layout: sources built with
+    segment_doc_chunks=4 merge into an index the 4-shard scatter-gather
+    tier serves rank+score-identical to single-process."""
+    from dataclasses import replace
+
+    from harvester_ray.config import DEFAULT_INDEX_CONFIG
+    from harvester_ray.index.maintenance import merge_sources
+    from harvester_ray.index.sharded import ShardedIndex
+
+    cfg = replace(DEFAULT_INDEX_CONFIG, segment_doc_chunks=4)
+    a = generate_zipf_docs(250, vocab_size=500, mean_len=40, seed=41)
+    b = generate_zipf_docs(
+        150, vocab_size=500, mean_len=40, seed=42, doc_id_offset=250
+    )
+    base_dir = str(tmp_path / "base")
+    build_index(ray.data.from_arrow(a), base_dir, cfg, n_docs=len(a))
+    add_docs(base_dir, ray.data.from_arrow(b), cfg, n_docs=len(b))
+    delete_docs(base_dir, [1, 255])
+
+    merged = merge_sources(base_dir, str(tmp_path / "merged"))
+    single = InvertedIndex(merged.root, preload=True)
+    tier = ShardedIndex(merged.root, n_shards=4)
+    try:
+        assert tier.total_docs() == single.n_docs == len(a) + len(b) - 2
+        for q, mode in QUERIES:
+            assert tier.search(q, k=10, mode=mode) == single.search(
+                q, k=10, mode=mode
+            ), (q, mode)
+    finally:
+        tier.shutdown()
