@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-shot build — proves add-then-query is exact
         "term_dictionary_incremental": fulltext.term_dictionary_incremental,
         "bm25_topk_or_incremental": fulltext.bm25_topk_or_incremental,
+        "term_dictionary_merged": fulltext.term_dictionary_merged,
         # relational operator coverage (SURVEY.md §2.5-2.7)
         "q1_pricing": relational.q1_pricing,
         "q3_top_orders": relational.q3_top_orders,
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "term_dictionary_incremental": oracles.TERM_DICTIONARY,
         "bm25_topk_or_incremental": oracles.BM25_TOPK_OR,
+        "term_dictionary_merged": oracles.TERM_DICTIONARY,
         "q1_pricing": oracles.Q1_PRICING,
         "q3_top_orders": oracles.Q3_TOP_ORDERS,
         "region_customer_stats": oracles.REGION_CUSTOMER_STATS,

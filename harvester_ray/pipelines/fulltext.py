@@ -270,3 +270,32 @@ def bm25_topk_or_sharded(sf_dir: str, n_shards: int = 4) -> "object":
     finally:
         sh.shutdown()
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
+
+
+def term_dictionary_merged(sf_dir: str) -> pa.Table:
+    """(term, df, cf) AFTER true compaction: base (even ids) + delta
+    (odd ids) merged by maintenance.merge_sources (no retokenize) —
+    must still equal the full-corpus TERM_DICTIONARY oracle bit for
+    bit, proving the merge under the external gate."""
+    from harvester_ray.index.maintenance import merge_sources
+
+    inc = index_for_incremental(sf_dir)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:merged".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_{key}")
+    paths = IndexPaths(out)
+    if not os.path.exists(paths.stats):
+        paths = merge_sources(inc.root, out)
+    return ray.data.read_parquet(
+        paths.dictionary, columns=["term", "df", "cf"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "term": t["term"],
+                "df": t["df"].cast(pa.int64()),
+                "cf": t["cf"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
