@@ -73,16 +73,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.embedding_cosine_dups,
         "ann_cosine_topk": relational.ann_cosine_topk,
         "ann_cosine_topk_batch": relational.ann_cosine_topk_batch,
-        # non-SQL-expressible (rows-only checks)
+        # text analysis (DuckDB-oracled since round 2)
+        "lang_id": textstats.lang_id,
+        "token_counts": textstats.token_counts,
+        "quality_score": textstats.quality_score,
+        # non-SQL-expressible (rows-only driver check; each has a
+        # pinned pure-Python golden test in tests/)
         "pages_flagship": pages.pages_flagship,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dup": dedup.simhash_near_dup,
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
         "dedup_embedding_lsh": dedup.embedding_lsh_dups,
-        "lang_id": textstats.lang_id,
-        "token_counts": textstats.token_counts,
-        "quality_score": textstats.quality_score,
         "doc_fingerprints": textstats.doc_fingerprints,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
