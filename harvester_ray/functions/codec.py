@@ -165,7 +165,6 @@ def pfor_encode(values: np.ndarray) -> bytes:
         thresh = np.uint64(1) << np.uint64(w) if w < 64 else thresh
     candidates = np.unique(widths)
     best_b, best_cost = None, None
-    vsize = _varint_size(v)
     for b in candidates:
         b = int(b)
         exc = widths > b

@@ -189,8 +189,13 @@ def apply_over_unique(
     out = mapped.take(denc.indices)
     if col.null_count:
         # parity with a per-row loop: nulls go THROUGH fn, they don't
-        # short-circuit (fn(None) may map to a sentinel)
+        # short-circuit (fn(None) may map to a sentinel). Fill ONLY the
+        # positions where the INPUT was null — a non-null input that fn
+        # legitimately mapped to None must stay None (blanket fill_null
+        # would overwrite it too).
         null_mapped = fn(None)
         if null_mapped is not None:
-            out = pc.fill_null(out, pa.scalar(null_mapped, out.type))
+            out = pc.if_else(
+                pc.is_null(col), pa.scalar(null_mapped, out.type), out
+            )
     return out

@@ -390,7 +390,12 @@ LANG_ID = _lang_id_sql()
 def _token_counts_sql() -> str:
     from harvester_ray.stages.textstats import BPE_TOKEN_RE
 
-    bpe = BPE_TOKEN_RE.replace("'", "''").replace("\\", "\\\\")
+    # DuckDB regular string literals do NOT process backslash escapes,
+    # so the regex must be embedded verbatim (quote-doubling only) —
+    # doubling backslashes would turn \s into a literal-backslash match
+    # and silently diverge from the engine on punctuation-adjacent
+    # whitespace runs.
+    bpe = BPE_TOKEN_RE.replace("'", "''")
     return f"""
 SELECT doc_id,
        len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_ws_tokens,
@@ -461,7 +466,7 @@ def _sample_documents_sql() -> str:
 
     return f"""
 SELECT doc_id, lang, n_chars FROM documents
-WHERE (((doc_id % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % 4294967296) % 100
+WHERE (((abs(doc_id) % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % 4294967296) % 100
       < {SAMPLE_PCT}
 """
 

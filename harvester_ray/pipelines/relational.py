@@ -756,11 +756,17 @@ def sample_documents(sf_dir: str, pct: int = SAMPLE_PCT) -> "ray.data.Dataset":
     (reproducible across runs, partitionings and engines; no RNG
     state, no coordination), unlike random_sample whose output depends
     on block layout. Keep a doc iff
-    hash(doc_id) % 100 < pct, hash = (id % P) * KNUTH % 2^32."""
+    hash(doc_id) % 100 < pct, hash = (|id| % P) * KNUTH % 2^32.
+
+    The id is abs()'d FIRST on both sides: numpy ``%`` is floored
+    (always non-negative for a positive divisor) while SQL ``%`` takes
+    the dividend's sign, so signed ids (blake2b-derived ids elsewhere
+    in this engine are signed) would otherwise hash differently in the
+    engine and the DuckDB oracle."""
 
     def keep(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = ((ids % _SAMPLE_MOD) * _SAMPLE_MULT) % (1 << 32)
+        h = ((np.abs(ids) % _SAMPLE_MOD) * _SAMPLE_MULT) % (1 << 32)
         return t.filter(pa.array((h % 100) < pct))
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(

@@ -103,3 +103,38 @@ def test_q3_join_fallback_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(relational, "_BROADCAST_KEYS_GUARD", 0)
     via_join = relational.q3_top_orders(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(via_broadcast, via_join)
+
+
+def test_sample_documents_negative_ids_match_oracle(tmp_path, ray_session):
+    """Regression: numpy %% is floored (non-negative) while SQL %% takes
+    the dividend's sign — signed doc_ids hashed differently on the two
+    sides until both abs() first. Crafted corpus with negative ids."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.pipelines import oracles
+    from harvester_ray.pipelines.relational import sample_documents
+
+    rng = np.random.RandomState(7)
+    ids = rng.randint(-(2**62), 2**62, size=4000, dtype=np.int64)
+    ids = np.unique(ids)
+    assert (ids < 0).any() and (ids > 0).any()
+    path = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "lang": pa.array(["en"] * len(ids)),
+                "n_chars": pa.array(np.abs(ids) % 1000),
+            }
+        ),
+        str(path),
+    )
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    mine = _canon(sample_documents(str(tmp_path)).to_pandas())
+    want = _canon(c.execute(oracles.SAMPLE_DOCUMENTS).fetchdf())
+    assert len(mine) > 0, "crafted sample should be non-empty"
+    assert (mine["doc_id"] < 0).any(), "negative ids must be sampleable"
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)

@@ -93,3 +93,26 @@ def test_normalize_sort_text_reference_edges():
     # article is a word prefix only, not a substring prefix
     assert normalize_sort_text("theory class") == "theory class"
     assert normalize_sort_text("anchor") == "anchor"
+
+
+def test_apply_over_unique_preserves_legit_none_mapping():
+    """fn mapping a NON-null input to None must yield null at exactly
+    those positions — fn(None)'s sentinel fills only input-null rows
+    (regression: blanket fill_null overwrote both)."""
+    from harvester_ray.functions.text import apply_over_unique
+
+    col = pa.array(["keep", "drop", None, "drop", "keep"])
+    fn = lambda v: "SENTINEL" if v is None else (None if v == "drop" else v)
+    out = apply_over_unique(col, fn)
+    assert out.to_pylist() == ["keep", None, "SENTINEL", None, "keep"]
+
+
+def test_apply_over_unique_null_through_fn():
+    from harvester_ray.functions.text import apply_over_unique
+
+    col = pa.array(["a", None, "b"])
+    out = apply_over_unique(col, lambda v: (v or "?") + "!")
+    assert out.to_pylist() == ["a!", "?!", "b!"]
+    # fn(None) -> None stays None
+    out2 = apply_over_unique(col, lambda v: v and v.upper())
+    assert out2.to_pylist() == ["A", None, "B"]

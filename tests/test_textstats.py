@@ -143,3 +143,48 @@ def test_token_counts_golden(crafted, ray_session):
         assert int(got.loc[i, "n_bpe_tokens"]) == len(
             re.findall(BPE_TOKEN_RE, text)
         ), i
+
+
+def test_token_counts_matches_duckdb_oracle_on_punctuation(
+    tmp_path, ray_session
+):
+    """Regression: DuckDB regular string literals do NOT process
+    backslash escapes, so the oracle regex must be embedded verbatim
+    (quote-doubling only). With doubled backslashes 'a !  ? b' scored
+    oracle 3 vs engine 5 — a silently vacuous gate on corpora that
+    never put punctuation next to a multi-space run."""
+    import duckdb
+    import pandas as pd
+
+    from harvester_ray.pipelines.oracles import TOKEN_COUNTS
+    from harvester_ray.stages.textstats import token_counts
+
+    texts = [
+        "a !  ? b",            # the advisor's reproducer
+        "x ,.   ;y  !",        # punctuation runs next to space runs
+        "tab\t ! end  ",       # trailing whitespace run
+        "it's the 3rd   try!", # apostrophe branch + digits
+        None,
+        "",
+    ]
+    path = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(path),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = (
+        con.execute(TOKEN_COUNTS).fetchdf().set_index("doc_id").sort_index()
+    )
+    got = (
+        token_counts(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the reproducer row really exercises the divergent pattern
+    assert int(got.loc[0, "n_bpe_tokens"]) == 5
