@@ -369,9 +369,10 @@ def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
     numpy matmul against a broadcast query vector (ray.put once), then
     a small global sort. The IVF/LSH scale path lives in
     stages/similarity.py; this is the exact baseline."""
+    from harvester_ray.stages.similarity import fetch_query_vectors
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    qrow = qtbl.filter(pc.equal(qtbl["vec_id"], ANN_QUERY_VEC_ID))
+    qrow = fetch_query_vectors(emb_path, [ANN_QUERY_VEC_ID])
     q = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
@@ -786,13 +787,10 @@ def ann_cosine_topk_batch(sf_dir: str) -> "ray.data.Dataset":
     (sim DESC, vec_id ASC) order), so the final groupby handles
     <= k x Q x batches rows. The batched-inference shape every
     embedding-scoring stage uses at scale."""
+    from harvester_ray.stages.similarity import fetch_query_vectors
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    mask = pc.is_in(
-        qtbl["vec_id"],
-        value_set=pa.array(list(ANN_BATCH_QUERY_IDS), pa.int64()),
-    )
-    qrows = qtbl.filter(mask)
+    qrows = fetch_query_vectors(emb_path, ANN_BATCH_QUERY_IDS)
     q_ids = qrows["vec_id"].to_numpy()
     Q = np.asarray(qrows["embedding"].to_pylist(), dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1)[:, None]

@@ -62,6 +62,38 @@ def _emb_dim(emb_path: str) -> int:
     return len(head["embedding"][0].as_py())
 
 
+def _covering_row_groups(md, col_idx: int, want: list[int]) -> list[int]:
+    """Row groups whose vec_id [min,max] statistics cover any wanted id.
+    Missing stats on a group keep it (safe fallback)."""
+    groups = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            groups.append(g)
+        elif any(st.min <= i <= st.max for i in want):
+            groups.append(g)
+    return groups
+
+
+def fetch_query_vectors(emb_path: str, ids) -> pa.Table:
+    """Row-group-pruned fetch of a handful of query vectors: read ONLY
+    the row groups whose vec_id statistics cover the requested ids,
+    never the whole embeddings table. At 100-TB embeddings the old
+    driver-side full ``pq.read_table`` was a full-table read to pick
+    1-8 rows; this touches O(|ids|) row groups."""
+    want = sorted({int(i) for i in ids})
+    pf = pq.ParquetFile(emb_path)
+    md = pf.metadata
+    col_idx = next(
+        i
+        for i in range(md.row_group(0).num_columns)
+        if md.row_group(0).column(i).path_in_schema == "vec_id"
+    )
+    groups = _covering_row_groups(md, col_idx, want)
+    t = pf.read_row_groups(groups, columns=["vec_id", "embedding"])
+    return t.filter(pc.is_in(t["vec_id"], value_set=pa.array(want, pa.int64())))
+
+
 def bucketed_layout(sf_dir: str) -> str:
     """Materialize (once, cached+resumable via run_stage) the
     hive-partitioned embeddings layout ``bucket=N/*.parquet``. At
@@ -276,8 +308,7 @@ def ann_ivf_topk(sf_dir: str, k: int = ANN_TOP_K) -> pd.DataFrame:
     IVF_NPROBE nearest inverted lists only (pruned hive read),
     per-batch top-k, tiny final sort."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    qrow = qtbl.filter(pc.equal(qtbl["vec_id"], ANN_QUERY_VEC_ID))
+    qrow = fetch_query_vectors(emb_path, [ANN_QUERY_VEC_ID])
     q = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
     layout = ivf_layout(sf_dir)
     dirs = ivf_probe_dirs(layout, q)
@@ -312,8 +343,7 @@ def ann_lsh_topk(sf_dir: str, k: int = ANN_TOP_K) -> pd.DataFrame:
     vector: pruned read of the probed hive partitions only, per-batch
     top-k, tiny final sort."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qtbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    qrow = qtbl.filter(pc.equal(qtbl["vec_id"], ANN_QUERY_VEC_ID))
+    qrow = fetch_query_vectors(emb_path, [ANN_QUERY_VEC_ID])
     q = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
     layout = bucketed_layout(sf_dir)
     dirs = probe_dirs(layout, q)

@@ -187,3 +187,56 @@ def test_ivf_probe_prunes_and_recalls(emb_dir, ray_session):
     from harvester_ray.state.lineage import read_lineage
 
     assert read_lineage(ivf_layout(sf_dir))["key"] == read_lineage(layout)["key"]
+
+
+def test_fetch_query_vectors_prunes_row_groups(tmp_path):
+    """Verdict r2 #2: the query-vector fetch must NOT read the whole
+    embeddings table — only row groups whose vec_id stats cover the
+    requested ids."""
+    from harvester_ray.stages.similarity import (
+        _covering_row_groups,
+        fetch_query_vectors,
+    )
+
+    n, dim, rg = 2000, 8, 100
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.tolist() for r in rng.standard_normal((n, dim))],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        path,
+        row_group_size=rg,
+    )
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    assert md.num_row_groups == n // rg
+    col_idx = next(
+        i
+        for i in range(md.row_group(0).num_columns)
+        if md.row_group(0).column(i).path_in_schema == "vec_id"
+    )
+    # 3 ids spread across the table -> exactly 3 of 20 groups touched
+    want = [0, 950, 1999]
+    groups = _covering_row_groups(md, col_idx, want)
+    assert len(groups) == 3
+    rows_read = sum(md.row_group(g).num_rows for g in groups)
+    assert rows_read <= 3 * rg < n  # bytes read << table size
+
+    t = fetch_query_vectors(path, want)
+    assert sorted(t["vec_id"].to_pylist()) == want
+    # values round-trip exactly
+    got = {int(v): e for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    full = pq.read_table(path)
+    ref = {
+        int(v): e
+        for v, e in zip(full["vec_id"].to_pylist(), full["embedding"].to_pylist())
+        if int(v) in set(want)
+    }
+    assert got == ref
