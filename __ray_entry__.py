@@ -73,22 +73,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.embedding_cosine_dups,
         "ann_cosine_topk": relational.ann_cosine_topk,
         "ann_cosine_topk_batch": relational.ann_cosine_topk_batch,
+        # exact similarity join (prefix-filtered, guaranteed recall)
+        # and its LSH-candidate twin — both DuckDB-oracled (round 3)
+        "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
+        "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
         # text analysis (DuckDB-oracled since round 2)
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
         "quality_score": textstats.quality_score,
+        # the two entries the round-2 driver run never reached sit
+        # BEFORE the expensive rows-only dedup family on purpose
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "multimodal_features": multimodal.multimodal_features,
         # non-SQL-expressible (rows-only driver check; each has a
         # pinned pure-Python golden test in tests/)
         "pages_flagship": pages.pages_flagship,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dup": dedup.simhash_near_dup,
-        "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
         "dedup_embedding_lsh": dedup.embedding_lsh_dups,
         "doc_fingerprints": textstats.doc_fingerprints,
         "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "multimodal_features": multimodal.multimodal_features,
     }
 
 
@@ -138,4 +143,6 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.TOKEN_COUNTS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
+        "ngram_jaccard_exact": oracles.NGRAM_JACCARD,
+        "ngram_jaccard_dups": oracles.NGRAM_JACCARD,
     }

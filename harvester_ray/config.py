@@ -115,3 +115,23 @@ def stage_concurrency(
     if hi is not None:
         top = min(top, hi)
     return (lo, max(lo, top))
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count (or ``default`` before ray.init)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 0)) or default
+    except Exception:
+        pass
+    return default
+
+
+def shuffle_partitions(mult: int = 2, lo: int = 8) -> int:
+    """Partition count for hash-partitioned grouped stages and joins —
+    derived from cluster size, never hard-coded. Used to turn
+    "groupby(key) with millions of tiny groups" into "groupby(part)
+    with O(cluster) composite groups processed vectorized"."""
+    return max(lo, cluster_cpus() * mult)

@@ -517,3 +517,42 @@ GROUP BY q_r4
 
 
 LINEITEM_QUANTITY_QUANTILES = _quantiles_sql()
+
+
+# Exact all-pairs n-gram (3-token shingle) set-Jaccard >= 0.5.
+# Shared contract with stages/dedup.py (_shingles_flat /
+# ngram_jaccard_exact / ngram_jaccard_dups):
+# - shingles: 3-token windows joined per doc; a non-empty doc shorter
+#   than 3 tokens contributes ONE shingle over all its tokens;
+# - set semantics (list_distinct <-> sorted-unique hashes);
+# - jaccard quantized half-up at 1e-6 with the same IEEE double ops
+#   (floor(j*1e6 + 0.5)/1e6) on both sides, threshold applied to the
+#   UNROUNDED value.
+# The engine side hashes shingles (blake2b tokens + rolling poly); the
+# oracle compares strings — equal modulo 2^-64 hash collisions.
+NGRAM_JACCARD = """
+WITH shg AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+                list_distinct(list_transform(
+                  generate_series(1, len(ts) - 2),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents)
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+cnt AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT inter.doc_a, inter.doc_b,
+       floor((i::DOUBLE / (ca.c + cb.c - i)) * 1000000 + 0.5) / 1000000
+         AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = inter.doc_a
+JOIN cnt cb ON cb.doc_id = inter.doc_b
+WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5
+"""

@@ -97,13 +97,44 @@ def test_band_keys_shape_and_determinism():
     assert (k1[0] == k1[2]).all()  # exact dups share every band
 
 
-def test_bucket_pairs_identical_signatures_linear():
-    """10^3 identical docs in one bucket must produce |bucket|-1
-    representative pairs, not O(n^2)."""
+def test_bucket_pairs_member_level_complete_below_cap():
+    """Below MAX_BUCKET_REPS the expansion is COMPLETE at member
+    level: identical-signature clusters yield ALL their pairs (the
+    round-2 rep-collapse silently dropped member-cross pairs), and
+    overflow docs chain to their signature group (cluster cover)."""
+    import pandas as pd
+
+    sig1 = np.arange(dedup.NUM_PERMS, dtype=np.uint64).tobytes()
+    sig2 = (np.arange(dedup.NUM_PERMS, dtype=np.uint64) + 7).tobytes()
+    # two identical-sig clusters {0,1,2} and {10,11} in one bucket
+    g = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2, 10, 11], np.int64),
+            "signature": [sig1, sig1, sig1, sig2, sig2],
+        }
+    )
+    out = _bucket_pairs(g)
+    pairs = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    # all 10 member-level pairs, including (1,2) within a cluster and
+    # (1,10)/(2,11) across clusters — the pairs round 2 lost
+    assert pairs == {
+        (0, 1), (0, 2), (1, 2), (10, 11),
+        (0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 11),
+    }
+    est = dict(zip(zip(out["doc_a"], out["doc_b"]), out["est_jaccard"]))
+    assert est[(1, 2)] == 1.0 and est[(10, 11)] == 1.0
+    assert est[(1, 10)] == est[(0, 10)] < 1.0  # sig-pair agreement
+
+
+def test_bucket_pairs_identical_signatures_capped_with_cover():
+    """10^3 identical docs: pairwise expansion caps at
+    MAX_BUCKET_REPS docs; the overflow chains to the cluster (est
+    1.0) so every doc still appears in at least one pair."""
     import pandas as pd
 
     sig = np.arange(dedup.NUM_PERMS, dtype=np.uint64).tobytes()
     n = 1000
+    cap = dedup.MAX_BUCKET_REPS
     g = pd.DataFrame(
         {
             "doc_id": np.arange(n, dtype=np.int64),
@@ -111,9 +142,10 @@ def test_bucket_pairs_identical_signatures_linear():
         }
     )
     out = _bucket_pairs(g)
-    assert len(out) == n - 1
-    assert (out["doc_a"] == 0).all()  # min-doc_id representative
+    assert len(out) == cap * (cap - 1) // 2 + (n - cap)
     assert (out["est_jaccard"] == 1.0).all()
+    covered = set(out["doc_a"]) | set(out["doc_b"])
+    assert covered == set(range(n))  # cluster cover survives the cap
 
 
 def test_bucket_pairs_cap_logged(monkeypatch, caplog):
@@ -337,3 +369,79 @@ def test_embedding_lsh_subset_of_exact_on_testdata(ray_session):
     ex = set(zip(exact.vec_id_a.astype(int), exact.vec_id_b.astype(int)))
     ls = set(zip(lsh.vec_id_a.astype(int), lsh.vec_id_b.astype(int)))
     assert ls <= ex
+
+
+@pytest.fixture()
+def adversarial_corpus(tmp_path):
+    """Corpus engineered for the EXACT similarity join: an identical
+    triple (all 3 pairs are truth), a borderline pair near J=0.5,
+    short (<k tokens) docs, and background noise."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts, ids = [], []
+    for i in range(30):
+        texts.append(" ".join(vocab[j] for j in rng.integers(0, 300, 25)))
+        ids.append(i)
+    # identical triple -> 3 truth pairs at J=1.0
+    ids += [200, 201, 202]
+    texts += [texts[0], texts[0], texts[0]]
+    # borderline pair: share exactly half their shingle sets.
+    # 21-token docs: first 12 tokens shared -> 10 shared shingles,
+    # 9 private each -> J = 10/28 < 0.5; tune overlap to cross 0.5:
+    # share 16 of 22 tokens -> 14 shared, 6+6 private -> 14/26 = 0.538
+    shared = [vocab[i] for i in range(16)]
+    pa_doc = shared + "aa1 aa2 aa3 aa4 aa5 aa6".split()
+    pb_doc = shared + "bb1 bb2 bb3 bb4 bb5 bb6".split()
+    ids += [300, 301]
+    texts += [" ".join(pa_doc), " ".join(pb_doc)]
+    # short docs: identical 2-token docs (one whole-doc shingle, J=1)
+    ids += [400, 401, 402]
+    texts += ["tiny pair", "tiny pair", "tiny other"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path), ids, texts
+
+
+def test_ngram_jaccard_exact_equals_brute_force(adversarial_corpus, ray_session):
+    """The prefix-filtered exact join reproduces brute-force truth in
+    BOTH directions (no missed pair, no extra pair, exact values)."""
+    sf_dir, ids, texts = adversarial_corpus
+    got = dedup.ngram_jaccard_exact(sf_dir, threshold=0.5).to_pandas()
+    got_pairs = {
+        (min(a, b), max(a, b)): j
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+    }
+    want = _brute_jaccard_pairs(ids, texts, 0.5)
+    assert set(got_pairs) == set(want)
+    for pair, j in want.items():
+        assert got_pairs[pair] == pytest.approx(j, abs=1e-6), pair
+    # the engineered structures are all present
+    assert {(0, 200), (0, 201), (0, 202), (200, 201), (200, 202),
+            (201, 202)} <= set(got_pairs)
+    assert (300, 301) in got_pairs  # borderline 14/26 pair
+    assert (400, 401) in got_pairs and got_pairs[(400, 401)] == 1.0
+    assert (400, 402) not in got_pairs
+
+
+def test_ngram_lsh_path_matches_exact_on_high_jaccard(adversarial_corpus, ray_session):
+    """The LSH-candidate path must agree with the exact join on
+    clearly-duplicate pairs (J >= 0.9; banding miss prob < 1e-7) —
+    the member-expansion fix makes identical-signature clusters
+    complete."""
+    sf_dir, ids, texts = adversarial_corpus
+    lsh = dedup.ngram_jaccard_dups(sf_dir, threshold=0.9).to_pandas()
+    lsh_pairs = {
+        (min(a, b), max(a, b)): j
+        for a, b, j in zip(lsh["doc_a"], lsh["doc_b"], lsh["jaccard"])
+    }
+    want = {
+        p: j for p, j in _brute_jaccard_pairs(ids, texts, 0.9).items()
+    }
+    assert set(lsh_pairs) == set(want)
