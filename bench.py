@@ -175,6 +175,21 @@ def _init_ray():
 
     DataContext.get_current().enable_progress_bars = False
 
+    # Ray Data's aggregate shuffle emits one cosmetic "RefBundle with a
+    # different schema" WARNING per empty shuffle partition even for a
+    # bare read_parquet -> groupby -> aggregate (reproduced upstream,
+    # not caused by our stages) — drop just that message so the bench
+    # output stays a clean single JSON line.
+    import logging
+
+    class _DropRefBundleSchemaWarn(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropRefBundleSchemaWarn())
+
 
 def _warm_workers():
     import ray
@@ -287,6 +302,12 @@ def run_bench(scaling_child: bool = False) -> dict:
         # comparing across sessions/rounds (BASELINE.md §3)
         "spin_mips": _spin_mips(NUM_CPUS),
     }
+    # machine-normalized throughput (round-2 verdict #7): docs/s per
+    # spin-MIPS lets rounds assert non-regression mechanically even
+    # when one bench lands in a hypervisor-throttle trough
+    result["docs_per_sec_per_mips"] = round(
+        result["docs_per_sec"] / max(1, result["spin_mips"]), 2
+    )
     if scaling_child:
         return result
 
@@ -300,6 +321,9 @@ def run_bench(scaling_child: bool = False) -> dict:
     shutil.rmtree(sb["out_dir"], ignore_errors=True)
     result["queries"]["index_build_smallvocab"] = round(sb["sec"], 3)
     result["queries"]["smallvocab_docs_per_sec"] = round(n_small / sb["sec"], 1)
+    result["queries"]["smallvocab_docs_per_sec_per_mips"] = round(
+        (n_small / sb["sec"]) / max(1, result["spin_mips"]), 2
+    )
 
     # a couple of secondary pipeline timings at the raw sf dir
     from harvester_ray.pipelines import relational

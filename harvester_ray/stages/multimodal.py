@@ -7,16 +7,18 @@ reproduces that shape for a training-data pipeline: media as an opaque
 ``binary`` column + typed metadata, processed by an actor-pool decode /
 feature-extract stage with small batches (binary rows are large).
 
-The actual image/audio decode libraries are NOT in this container, so
-``RealDecoder`` is an explicitly marked stub (NotImplementedError); the
+``RealDecoder`` decodes images through PIL when it is importable
+(optional dependency); in this container the libs are absent, so
+``default_decoder()`` auto-selects ``FakeDecoder`` (a deterministic
+byte-statistics "decoder" sharing the exact output schema). The
 Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real and tested with ``FakeDecoder`` (a deterministic
-byte-statistics "decoder").
+layout — is identical either way and tested with the fake.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import os
 
 import numpy as np
@@ -24,6 +26,11 @@ import pyarrow as pa
 import ray.data
 
 from harvester_ray.config import stage_concurrency
+
+try:  # optional dependency: real image decode path
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - absent in this container
+    _PILImage = None
 
 
 def synthesize_payloads(sf_dir: str) -> "ray.data.Dataset":
@@ -49,15 +56,17 @@ def synthesize_payloads(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(make, batch_format="pyarrow")
 
 
-class RealDecoder:
-    """The production decode stage — requires PIL/ffmpeg-class libs that
-    are not installed here. Kept as the documented extension point."""
-
-    def __init__(self):
-        raise NotImplementedError(
-            "media decode libraries are not available in this environment; "
-            "use FakeDecoder for the pipeline plumbing"
-        )
+def _byte_features(payload: bytes, dim: int) -> tuple[int, int, int, list]:
+    """Deterministic byte-statistics fallback: (payload_hash, width,
+    height, features) derived from the raw bytes alone."""
+    digest = hashlib.blake2b(payload, digest_size=8).digest()
+    h = int.from_bytes(digest, "big")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    chunks = np.array_split(arr, dim)
+    feats = [round(float(c.mean()), 6) if len(c) else 0.0 for c in chunks]
+    return h - (1 << 63), 64 + h % 512, 64 + (h >> 16) % 512, feats
 
 
 class FakeDecoder:
@@ -68,28 +77,26 @@ class FakeDecoder:
     def __init__(self, feature_dim: int = 8):
         self.feature_dim = feature_dim
 
+    def _decode_one(self, media_type: str, payload: bytes):
+        return _byte_features(payload, self.feature_dim)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        dims_w, dims_h, feats, hashes = [], [], [], []
-        for payload in batch["payload"].to_pylist():
+        dims_w, dims_h, feats, hashes, sizes = [], [], [], [], []
+        for mt, payload in zip(
+            batch["media_type"].to_pylist(), batch["payload"].to_pylist()
+        ):
             payload = payload or b""
-            digest = hashlib.blake2b(payload, digest_size=8).digest()
-            h = int.from_bytes(digest, "big")
-            dims_w.append(64 + h % 512)           # fake "width"
-            dims_h.append(64 + (h >> 16) % 512)   # fake "height"
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            if len(arr) == 0:
-                arr = np.zeros(1, dtype=np.uint8)
-            chunks = np.array_split(arr, self.feature_dim)
-            feats.append([round(float(c.mean()), 6) if len(c) else 0.0 for c in chunks])
-            hashes.append(h - (1 << 63))
+            h, w, ht, f = self._decode_one(mt or "", payload)
+            hashes.append(h)
+            dims_w.append(w)
+            dims_h.append(ht)
+            feats.append(f)
+            sizes.append(len(payload))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "media_type": batch["media_type"],
-                "n_bytes": pa.array(
-                    [len(p or b"") for p in batch["payload"].to_pylist()],
-                    pa.int64(),
-                ),
+                "n_bytes": pa.array(sizes, pa.int64()),
                 "payload_hash": pa.array(hashes, pa.int64()),
                 "width": pa.array(dims_w, pa.int64()),
                 "height": pa.array(dims_h, pa.int64()),
@@ -98,13 +105,52 @@ class FakeDecoder:
         )
 
 
+class RealDecoder(FakeDecoder):
+    """The production decode stage: images decode through PIL (width,
+    height, grayscale grid-mean features); non-image media and
+    undecodable payloads fall back to the byte-statistics features so
+    the output schema never changes. Requires the optional PIL
+    dependency — ``default_decoder()`` auto-selects."""
+
+    def __init__(self, feature_dim: int = 8):
+        if _PILImage is None:
+            raise NotImplementedError(
+                "PIL is not available in this environment; "
+                "default_decoder() falls back to FakeDecoder"
+            )
+        super().__init__(feature_dim)
+
+    def _decode_one(self, media_type: str, payload: bytes):
+        if not media_type.startswith("image/"):
+            return _byte_features(payload, self.feature_dim)
+        try:
+            img = _PILImage.open(io.BytesIO(payload))
+            w, h = img.size
+            gray = np.asarray(
+                img.convert("L").resize((self.feature_dim, 1)),
+                dtype=np.float64,
+            ).reshape(-1)
+        except Exception:
+            return _byte_features(payload, self.feature_dim)
+        digest = hashlib.blake2b(payload, digest_size=8).digest()
+        ph = int.from_bytes(digest, "big") - (1 << 63)
+        feats = [round(float(v) / 255.0, 6) for v in gray]
+        return ph, int(w), int(h), feats
+
+
+def default_decoder() -> type:
+    """RealDecoder when PIL is importable, FakeDecoder otherwise —
+    same constructor signature and output schema either way."""
+    return FakeDecoder if _PILImage is None else RealDecoder
+
+
 def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
     """The end-to-end multimodal plumbing pipeline: synthesize payloads
     → actor-pool decode (small batches: binary rows are wide) →
     feature rows. Rows-only correctness (no SQL analog)."""
     payloads = synthesize_payloads(sf_dir)
     return payloads.map_batches(
-        FakeDecoder,
+        default_decoder(),
         batch_format="pyarrow",
         batch_size=64,       # wide binary rows -> small batches
         concurrency=stage_concurrency(),

@@ -188,3 +188,34 @@ def test_token_counts_matches_duckdb_oracle_on_punctuation(
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # the reproducer row really exercises the divergent pattern
     assert int(got.loc[0, "n_bpe_tokens"]) == 5
+
+
+def test_default_decoder_autoselect_and_real_guard():
+    """default_decoder() picks FakeDecoder when PIL is absent and
+    RealDecoder when present; RealDecoder without PIL raises the
+    documented NotImplementedError; schemas are identical."""
+    from harvester_ray.stages import multimodal
+
+    cls = multimodal.default_decoder()
+    if multimodal._PILImage is None:
+        assert cls is multimodal.FakeDecoder
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            multimodal.RealDecoder()
+    else:  # pragma: no cover - PIL absent in this container
+        assert cls is multimodal.RealDecoder
+        # non-image media falls back to byte features => same values
+        import pyarrow as _pa
+
+        batch = _pa.table(
+            {
+                "doc_id": _pa.array([1], _pa.int64()),
+                "media_type": _pa.array(["audio/fake"]),
+                "payload": _pa.array([b"abc"], _pa.binary()),
+            }
+        )
+        assert (
+            multimodal.RealDecoder()(batch).to_pylist()
+            == multimodal.FakeDecoder()(batch).to_pylist()
+        )
