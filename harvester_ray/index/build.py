@@ -64,7 +64,7 @@ from harvester_ray.functions.text import (
     hash64_array,
 )
 
-ENGINE_VERSION = 3
+ENGINE_VERSION = 4  # v4: stats.json records num_term_buckets (term-shard tier)
 
 # Map signed int64 order onto unsigned order (flip the sign bit), so
 # salt buckets are *ordered, disjoint* doc_id ranges in signed order.
@@ -911,6 +911,13 @@ def build_index(
                 "analyzer": cfg.analyzer_name,
                 "segment_strategy": cfg.segment_strategy,
                 "segment_doc_chunks": cfg.segment_doc_chunks,
+                # serving tiers need the bucket count: doc shards select
+                # segment files by chunk suffix, term shards by bucket
+                # prefix (index/sharded.py routes a query term to shard
+                # (hash(term_id) % num_term_buckets) % n_term_shards)
+                "num_term_buckets": (
+                    cfg.num_term_buckets if bucketed else None
+                ),
                 "codec": cfg.codec,
                 "engine_version": ENGINE_VERSION,
             },

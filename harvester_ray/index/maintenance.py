@@ -493,6 +493,7 @@ def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
                 "analyzer": base["analyzer"],
                 "segment_strategy": base["segment_strategy"],
                 "segment_doc_chunks": base["segment_doc_chunks"],
+                "num_term_buckets": base.get("num_term_buckets"),
                 "codec": base["codec"],
                 "engine_version": ENGINE_VERSION,
             },

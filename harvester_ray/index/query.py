@@ -49,6 +49,14 @@ _BLOCK_DECODERS = {
 from harvester_ray.functions.text import get_analyzer, tokenize
 from harvester_ray.index.build import bm25_score
 
+import re
+
+# per-term-bucket artifact names (bucket strategy): dictionary parts
+# and (bucket, chunk) segment parts — the term-shard tier selects
+# files by parsing the bucket id out of these
+_DICT_PART_RE = re.compile(r"^part-bucket(\d+)\.parquet$")
+_SEG_PART_RE = re.compile(r"^part-bucket(\d+)c(\d+)\.parquet$")
+
 
 class _TermPostings:
     """Decoded, globally doc_id-sorted postings of one term."""
@@ -207,6 +215,7 @@ class InvertedIndex:
         analyzer=None,
         scorer=None,
         shard: "tuple[int, int] | None" = None,
+        term_shard: "tuple[int, int] | None" = None,
     ):
         """``analyzer``: override the analyzer recorded in stats.json
         (functions.text.Analyzer). ``scorer``: SURVEY §2.10 scorer plug
@@ -224,7 +233,22 @@ class InvertedIndex:
         per-shard scores equal the unsharded scores exactly; chunks
         partition doc space, so scatter-gather top-k merge is lossless.
         The dictionary is replicated per shard (doc-sharded tier);
-        sharding the vocabulary would be an orthogonal term-shard tier.
+        ``term_shard`` is the orthogonal vocabulary tier.
+
+        ``term_shard=(s, T)``: load ONLY the vocabulary slice whose
+        term buckets satisfy ``bucket % T == s`` — dictionary parts AND
+        segment files are per-term-bucket artifacts of the bucket
+        strategy, so a term-shard actor opens ~1/T of the dictionary
+        and ~1/T of the segment files (memory ∝ vocab/T: at a 10⁹+
+        vocabulary a single actor cannot hold the whole dict — this is
+        the tier the doc-shard docstring used to only name). The doc
+        table / slots array is NOT loaded (term-shard actors serve
+        per-term scored postings to a router, index/sharded.py
+        TermShardedIndex, which owns the cross-term merge); global
+        stats N/avgdl and per-term df stay whole-corpus, so shard
+        scores equal unsharded scores exactly. Composable with
+        ``shard`` (a (term × doc) grid actor loads bucket-and-chunk
+        filtered files).
         """
         from harvester_ray.index.build import IndexPaths
         from harvester_ray.index.maintenance import (
@@ -274,6 +298,34 @@ class InvertedIndex:
                         "doc-sharded"
                     )
             self._shard_shift = np.uint64(64 - int(math.log2(S))) if S > 1 else None
+        self.term_shard = term_shard
+        if term_shard is not None:
+            ts, T = term_shard
+            if T < 1 or not (0 <= ts < T):
+                raise ValueError(
+                    f"term_shard must be (s, T) with 0 <= s < T: {term_shard}"
+                )
+            nbs = set()
+            for s, p in zip(stats_list, self._src_paths):
+                if s.get("segment_strategy") != "bucket":
+                    raise ValueError(
+                        f"source {p.root} was not built with the bucket "
+                        "strategy; term-sharded serving selects "
+                        "per-term-bucket dictionary/segment files"
+                    )
+                nbs.add(s.get("num_term_buckets"))
+            if len(nbs) > 1:
+                raise ValueError(
+                    f"sources disagree on num_term_buckets: {nbs}; "
+                    "merge or rebuild with one config before term-"
+                    "sharded serving"
+                )
+            nb = nbs.pop()
+            if nb is not None and T > nb:
+                raise ValueError(
+                    f"n_term_shards={T} exceeds num_term_buckets={nb}; "
+                    "shards beyond the bucket count would be empty"
+                )
         self._codecs = [s.get("codec", "varint") for s in stats_list]
         # admissible WAND-bound rescale per source (see _TermBlocks)
         self._bmax_scale = [
@@ -282,7 +334,7 @@ class InvertedIndex:
         ]
         # merged dictionary: term -> (term_id, sum df, sum cf) — df/cf
         # count tombstoned postings until compaction (Lucene-style)
-        dict_tbls = [pq.read_table(p.dictionary) for p in self._src_paths]
+        dict_tbls = [self._read_dictionary(p) for p in self._src_paths]
         if len(dict_tbls) == 1:
             d = dict_tbls[0].to_pandas()
             self.dictionary = {
@@ -306,18 +358,37 @@ class InvertedIndex:
                     merged["cf_sum"].to_pylist(),
                 )
             }
-        if shard is None:
+        if shard is None and term_shard is None:
             self._seg_ds = [pads.dataset(p.segments) for p in self._src_paths]
         else:
-            # chunk c's postings live in the ...c{c}.parquet files —
-            # a shard actor opens 1/S of every source's segment files
-            suffix = f"c{shard[0]:02d}.parquet"
+            # chunk c's postings live in the ...c{c}.parquet files (doc
+            # shard opens 1/S of every source's segment files); bucket
+            # b's postings live in the part-bucket{b}... files (term
+            # shard opens ~1/T). A (term × doc) grid actor applies both.
+            suffix = (
+                f"c{shard[0]:02d}.parquet" if shard is not None else None
+            )
+
+            def _owned(f: str) -> bool:
+                if not f.endswith(".parquet"):
+                    return False
+                if suffix is not None and not f.endswith(suffix):
+                    return False
+                if term_shard is not None:
+                    m = _SEG_PART_RE.match(f)
+                    if m is None:
+                        return False
+                    ts, T = term_shard
+                    if int(m.group(1)) % T != ts:
+                        return False
+                return True
+
             self._seg_ds = [
                 pads.dataset(
                     [
                         os.path.join(p.segments, f)
                         for f in sorted(os.listdir(p.segments))
-                        if f.endswith(suffix)
+                        if _owned(f)
                     ],
                     format="parquet",
                 )
@@ -338,6 +409,15 @@ class InvertedIndex:
         # that shard's doc table, not the whole corpus.
         self._slots: np.ndarray | None = None
         self._dense_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if term_shard is not None:
+            # a term-shard actor never loads the doc table: it serves
+            # per-term scored postings to the router (TermShardedIndex),
+            # which owns the cross-term accumulation — actor memory is
+            # vocab/T + its segment slice, independent of corpus size
+            self._preloaded = False
+            if preload:
+                self._preload_segments()
+            return
         try:
             id_parts = [
                 pq.read_table(p.doc_table, columns=["doc_id"])[
@@ -357,51 +437,78 @@ class InvertedIndex:
         except Exception:
             self._slots = None
         if preload:
-            # bulk load: ONE lexsort + take per source, then zero-copy
-            # binary slices per term run — the pandas-groupby
-            # constructor cost ~10 s on 1.6 M block rows at 2 M docs.
-            # (Arrow binary columns are int32-offset: a source whose
-            # block buffers exceed 2 GB per column should be served
-            # lazily or sharded, not preloaded into one process.)
-            for si, ds in enumerate(self._seg_ds):
-                seg = ds.to_table()
-                if "term_id" not in seg.column_names or len(seg) == 0:
-                    continue
-                tid = seg["term_id"].to_numpy(zero_copy_only=False)
-                first = seg["first_doc_id"].to_numpy(zero_copy_only=False)
-                order = np.lexsort((first, tid))
-                seg = seg.take(pa.array(order))
-                tid, first = tid[order], first[order]
-                last = seg["last_doc_id"].to_numpy(zero_copy_only=False)
-                bmax = (
-                    seg["block_max_norm"]
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.float64)
-                    * self._bmax_scale[si]
-                )
-                deltas = seg["doc_id_deltas"].combine_chunks()
-                tfs = seg["tfs"].combine_chunks()
-                lens = seg["doc_lens"].combine_chunks()
-                change = np.nonzero(np.diff(tid))[0] + 1
-                starts = np.concatenate(([0], change))
-                ends = np.concatenate((change, [len(tid)]))
-                codec = self._codecs[si]
-                for s_, e_ in zip(starts, ends):
-                    per_src = self._block_cache.setdefault(
-                        int(tid[s_]), [None] * len(self._src_paths)
-                    )
-                    per_src[si] = _TermBlocks.from_sorted_arrays(
-                        first[s_:e_],
-                        last[s_:e_],
-                        bmax[s_:e_],
-                        deltas.slice(s_, e_ - s_),
-                        tfs.slice(s_, e_ - s_),
-                        lens.slice(s_, e_ - s_),
-                        codec,
-                    )
-            self._preloaded = True
+            self._preload_segments()
         else:
             self._preloaded = False
+
+    def _preload_segments(self) -> None:
+        """Bulk load: ONE lexsort + take per source, then zero-copy
+        binary slices per term run — the pandas-groupby constructor
+        cost ~10 s on 1.6 M block rows at 2 M docs. (Arrow binary
+        columns are int32-offset: a source whose block buffers exceed
+        2 GB per column should be served lazily or sharded, not
+        preloaded into one process.)"""
+        for si, ds in enumerate(self._seg_ds):
+            seg = ds.to_table()
+            if "term_id" not in seg.column_names or len(seg) == 0:
+                continue
+            tid = seg["term_id"].to_numpy(zero_copy_only=False)
+            first = seg["first_doc_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((first, tid))
+            seg = seg.take(pa.array(order))
+            tid, first = tid[order], first[order]
+            last = seg["last_doc_id"].to_numpy(zero_copy_only=False)
+            bmax = (
+                seg["block_max_norm"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                * self._bmax_scale[si]
+            )
+            deltas = seg["doc_id_deltas"].combine_chunks()
+            tfs = seg["tfs"].combine_chunks()
+            lens = seg["doc_lens"].combine_chunks()
+            change = np.nonzero(np.diff(tid))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(tid)]))
+            codec = self._codecs[si]
+            for s_, e_ in zip(starts, ends):
+                per_src = self._block_cache.setdefault(
+                    int(tid[s_]), [None] * len(self._src_paths)
+                )
+                per_src[si] = _TermBlocks.from_sorted_arrays(
+                    first[s_:e_],
+                    last[s_:e_],
+                    bmax[s_:e_],
+                    deltas.slice(s_, e_ - s_),
+                    tfs.slice(s_, e_ - s_),
+                    lens.slice(s_, e_ - s_),
+                    codec,
+                )
+        self._preloaded = True
+
+    def _read_dictionary(self, p) -> pa.Table:
+        """One source's dictionary — term-sharded loads ONLY the owned
+        per-bucket parts (bucket % T == s), so actor dict memory is
+        ∝ vocab/T; unsharded reads the whole directory as before."""
+        d = p.dictionary
+        if self.term_shard is None or not os.path.isdir(d):
+            return pq.read_table(d)
+        ts, T = self.term_shard
+        files = []
+        for f in sorted(os.listdir(d)):
+            m = _DICT_PART_RE.match(f)
+            if m is not None and int(m.group(1)) % T == ts:
+                files.append(os.path.join(d, f))
+        if not files:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "term_id": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "cf": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables([pq.read_table(f) for f in files])
 
     @property
     def n_sources(self) -> int:
@@ -494,6 +601,20 @@ class InvertedIndex:
         p = _TermPostings(ids, tf, dl, meta[1])  # df from the dictionary
         self._postings_cache[meta[0]] = p
         return p
+
+    def scored_postings(
+        self, term: str
+    ) -> "tuple[np.ndarray, np.ndarray] | None":
+        """(doc_ids, per-posting BM25 scores) for one term, or None if
+        the term is absent from this (shard's) dictionary — the unit a
+        term-shard actor ships to the TermShardedIndex router. Scores
+        use the same ``_score`` as the local search paths, so the
+        router's sorted-term accumulation reproduces single-process
+        scores bit for bit."""
+        p = self.postings(term)
+        if p is None:
+            return None
+        return p.doc_ids, self._score(p.tfs, p.doc_lens, p.df)
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))

@@ -90,3 +90,169 @@ class ShardedIndex:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+@ray.remote
+class TermShardQueryActor:
+    """One VOCABULARY shard's server: loads only the dictionary parts
+    and segment files of its term buckets (bucket % T == s) once in
+    __init__ — memory ∝ vocab/T + its postings slice, independent of
+    corpus size (the 10⁹⁺-term tier: a full dictionary cannot load
+    into one actor). Serves per-term scored postings; the router owns
+    the cross-term merge."""
+
+    def __init__(
+        self, index_dir: str, shard_idx: int, n_shards: int,
+        preload: bool = True,
+    ):
+        self.index = InvertedIndex(
+            index_dir, preload=preload, term_shard=(shard_idx, n_shards)
+        )
+
+    def scored_postings(self, terms: list[str]) -> dict:
+        """{term: (doc_ids, scores)} for the requested terms found in
+        this shard's dictionary slice."""
+        out = {}
+        for t in terms:
+            sp = self.index.scored_postings(t)
+            if sp is not None:
+                out[t] = sp
+        return out
+
+    def vocab_size_local(self) -> int:
+        return len(self.index.dictionary)
+
+    def n_segment_files_local(self) -> int:
+        return sum(len(ds.files) for ds in self.index._seg_ds)
+
+
+class TermShardedIndex:
+    """Scatter-gather facade over T TermShardQueryActors — the
+    vocabulary-partitioned serving tier (term-partitioned distributed
+    index; the reference analog is the sharded Solr collection the
+    harvester delegates search to, SURVEY.md §2.7).
+
+    Routing: a query term's bucket is ``hash64(term) (as uint64) %
+    num_term_buckets`` (the SAME assignment the build's partitioned
+    side-write uses, index/build.py make_spimi_with_sides); shard s
+    owns buckets with ``bucket % T == s``. Each shard returns per-term
+    (doc_ids, scores); the router accumulates in global sorted-term
+    order — exactly the single-process accumulation order — so results
+    are rank- AND score-identical to one process (tests/
+    test_term_sharded.py). Trade-off vs the doc-sharded tier: term
+    routing touches only the shards owning query terms (k fan-out, not
+    T), but ships per-term posting contributions instead of k-row
+    top-ks — the classic term- vs document-partitioning bandwidth
+    trade; pair with the doc tier as a (term × doc) grid when both
+    vocab and corpus exceed one node.
+    """
+
+    def __init__(self, index_dir: str, n_shards: int, preload: bool = True):
+        import json
+        import os
+
+        from harvester_ray.functions.text import get_analyzer, hash64
+        from harvester_ray.index.build import IndexPaths
+        from harvester_ray.index.maintenance import source_dirs
+
+        self.n_shards = n_shards
+        self._hash64 = hash64
+        nbs = set()
+        analyzer_name = "default"
+        for src in source_dirs(index_dir):
+            with open(IndexPaths(src).stats) as f:
+                st = json.load(f)
+            nbs.add(st.get("num_term_buckets"))
+            analyzer_name = st.get("analyzer", "default")
+        if len(nbs) != 1 or None in nbs:
+            raise ValueError(
+                "term-sharded serving needs a consistent num_term_buckets "
+                f"recorded in every source's stats.json (got {nbs}); "
+                "rebuild/merge with the current engine"
+            )
+        self.num_term_buckets = nbs.pop()
+        self.analyzer = get_analyzer(analyzer_name)
+        self.actors = [
+            TermShardQueryActor.remote(index_dir, s, n_shards, preload)
+            for s in range(n_shards)
+        ]
+
+    def shard_of(self, term: str) -> int:
+        b = (self._hash64(term) & 0xFFFFFFFFFFFFFFFF) % self.num_term_buckets
+        return b % self.n_shards
+
+    def _gather(self, terms: list[str]) -> dict:
+        by_shard: dict[int, list[str]] = {}
+        for t in terms:
+            by_shard.setdefault(self.shard_of(t), []).append(t)
+        refs = [
+            self.actors[s].scored_postings.remote(ts)
+            for s, ts in by_shard.items()
+        ]
+        merged: dict = {}
+        for part in ray.get(refs):
+            merged.update(part)
+        return merged
+
+    def search(
+        self, query: str, k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) — the exhaustive OR/AND semantics of
+        InvertedIndex.search (WAND is a document-at-a-time algorithm;
+        under term partitioning its pruning would need cross-shard
+        round trips per pivot, so this tier serves the vectorized
+        exhaustive paths)."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        if not terms:
+            return []
+        got = self._gather(terms)
+        if mode == "and":
+            # replicate InvertedIndex._search_and (non-dense path)
+            if any(t not in got for t in terms):
+                return []  # conjunctive + missing term -> empty
+            common = got[terms[0]][0]
+            for t in terms[1:]:
+                common = np.intersect1d(
+                    common, got[t][0], assume_unique=True
+                )
+                if len(common) == 0:
+                    return []
+            sums = np.zeros(len(common), dtype=np.float64)
+            for t in terms:  # sorted-term order -> deterministic sums
+                ids, scores = got[t]
+                pos = np.searchsorted(ids, common)
+                sums += scores[pos]
+            return InvertedIndex._topk(common, sums, k)
+        # replicate InvertedIndex._search_or (non-dense path)
+        id_parts, score_parts = [], []
+        for t in terms:  # sorted-term order -> deterministic sums
+            if t not in got:
+                continue
+            id_parts.append(got[t][0])
+            score_parts.append(got[t][1])
+        if not id_parts:
+            return []
+        all_ids = np.concatenate(id_parts)
+        all_scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, all_scores)
+        return InvertedIndex._topk(uniq, sums, k)
+
+    def total_vocab(self) -> int:
+        return sum(
+            ray.get([a.vocab_size_local.remote() for a in self.actors])
+        )
+
+    def vocab_sizes(self) -> list[int]:
+        return ray.get([a.vocab_size_local.remote() for a in self.actors])
+
+    def segment_file_counts(self) -> list[int]:
+        return ray.get(
+            [a.n_segment_files_local.remote() for a in self.actors]
+        )
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

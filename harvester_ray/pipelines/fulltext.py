@@ -272,6 +272,31 @@ def bm25_topk_or_sharded(sf_dir: str, n_shards: int = 4) -> "object":
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
 
 
+def bm25_topk_or_termsharded(sf_dir: str, n_shards: int = 4) -> "object":
+    """The TERM-sharded (vocabulary-partitioned) serving tier under the
+    driver gate: the same OR query set answered by TermShardedIndex —
+    each shard actor loads only its term buckets' dictionary parts +
+    segment files, the router accumulates per-term scored postings in
+    sorted-term order. Same SQL oracle as bm25_topk_or — rank identity
+    proves the vocabulary partition + router merge end to end."""
+    import pandas as pd
+
+    from harvester_ray.index.sharded import TermShardedIndex
+
+    paths = index_for(sf_dir)
+    tier = TermShardedIndex(paths.root, n_shards)
+    try:
+        rows = []
+        for qid, q in queries_for_mode("or"):
+            for rank, (doc_id, _s) in enumerate(
+                tier.search(q, k=TOP_K, mode="or"), start=1
+            ):
+                rows.append((qid, rank, doc_id))
+    finally:
+        tier.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
+
+
 def term_dictionary_merged(sf_dir: str) -> pa.Table:
     """(term, df, cf) AFTER true compaction: base (even ids) + delta
     (odd ids) merged by maintenance.merge_sources (no retokenize) —
