@@ -57,9 +57,12 @@ class IndexConfig:
     # tasks = buckets x chunks, so a hot term cannot pin one task's
     # memory/runtime; per-term runs from different chunks are disjoint
     # ordered doc ranges and merge at query load (same invariant the
-    # salted strategy relies on). Each chunk task re-reads its bucket,
-    # so raise this only when skew demands it (default 1: no
-    # amplification; parallelism comes from num_term_buckets).
+    # salted strategy relies on). Chunk membership is a contiguous
+    # signed doc_id range and the SPIMI bucket files are doc_id-sorted
+    # with sized row groups, so each chunk task's range filter prunes
+    # its read to ~1/chunks of the bucket by row-group statistics —
+    # no read amplification. Doc-sharded serving requires
+    # segment_doc_chunks == n_shards (power of two).
     segment_doc_chunks: int = 1
     salt_df_threshold: int = 100_000
     salt_buckets: int = 64

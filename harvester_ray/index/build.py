@@ -469,17 +469,40 @@ def make_sorted_batch_encoder(avgdl: float, cfg: IndexConfig):
     return encode_batch
 
 
-def _atomic_side_write(tbl: pa.Table, out_dir: str, key: str) -> None:
+def _atomic_side_write(
+    tbl: pa.Table, out_dir: str, key: str, row_group_size: int | None = None
+) -> None:
     """Idempotent side-output write from inside a map_batches task:
     deterministic content-derived file name + atomic rename, so task
     retries overwrite rather than duplicate (the side-output pattern;
-    same shared-storage assumption as write_parquet itself)."""
+    same shared-storage assumption as write_parquet itself).
+
+    ``row_group_size``: set small when the rows are sorted on a column
+    downstream tasks range-filter on (doc_id chunk reads) — row-group
+    min/max statistics then prune the read to ~1/chunks of the file."""
     import pyarrow.parquet as pq
 
     final = os.path.join(out_dir, f"part-{key}.parquet")
     tmp = f"{final}.tmp-{os.getpid()}"
-    pq.write_table(tbl, tmp)
+    pq.write_table(tbl, tmp, row_group_size=row_group_size)
     os.replace(tmp, final)
+
+
+def _chunk_signed_range(chunk: int, n_chunks: int) -> tuple[int, int]:
+    """Inclusive signed-doc_id range of doc chunk ``chunk`` of
+    ``n_chunks`` (chunk = top log2(n_chunks) bits of sign-flipped
+    doc_id). Sign-flip is monotonic int64→uint64, so each chunk IS a
+    contiguous signed range — which makes chunk membership expressible
+    as a parquet range filter that row-group statistics can prune."""
+    shift = 64 - int(math.log2(n_chunks))
+    u_lo = chunk << shift
+    u_hi = ((chunk + 1) << shift) - 1
+
+    def signed(u: int) -> int:
+        v = u ^ (1 << 63)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return signed(u_lo), signed(u_hi)
 
 
 def make_spimi_with_sides(
@@ -488,6 +511,7 @@ def make_spimi_with_sides(
     n_buckets: int | None = None,
     post_dir: str | None = None,
     analyzer=DEFAULT_ANALYZER,
+    doc_chunks: int = 1,
 ):
     """SPIMI batch fn that emits the doc table, dictionary partials and
     (bucket strategy) the term-bucketed postings as idempotent side
@@ -547,7 +571,18 @@ def make_spimi_with_sides(
             sb.uniq_hashes.view(np.uint64) % np.uint64(n_buckets)
         ).astype(np.int32)
         b = bucket_of_uniq[sb.term_idx]
-        order = np.argsort(b, kind="stable")
+        # when the config fans segment encoding out over doc chunks,
+        # rows land doc_id-SORTED within each bucket and in small row
+        # groups — the chunk tasks' range filters then prune the read
+        # to ~1/chunks of each file instead of re-reading the whole
+        # bucket per chunk (the ×S read amplification fix). At
+        # doc_chunks=1 the cheaper bucket-only sort keeps the SPIMI
+        # hot path free of the extra int64 lexsort key.
+        if doc_chunks > 1:
+            did_rows = sb.doc_ids_all[sb.doc_row]
+            order = np.lexsort((did_rows, b))
+        else:
+            order = np.argsort(b, kind="stable")
         out_sorted = sb.postings_table(order)
         bs = b[order]
         bounds = np.nonzero(np.diff(bs))[0] + 1
@@ -556,7 +591,12 @@ def make_spimi_with_sides(
             part = out_sorted.slice(lo, hi - lo)
             bdir = os.path.join(post_dir, f"bucket={bs[lo]}")
             os.makedirs(bdir, exist_ok=True)
-            _atomic_side_write(part, bdir, key)
+            rgs = (
+                max(1024, -(-len(part) // (4 * doc_chunks)))
+                if doc_chunks > 1
+                else None
+            )
+            _atomic_side_write(part, bdir, key, row_group_size=rgs)
             lo = hi
         return pa.table({"rows": pa.array([len(out_sorted)], pa.int64())})
 
@@ -618,6 +658,7 @@ def build_index(
                 # custom analyzers need no worker-side registration for
                 # the build (query actors resolve by name from stats)
                 analyzer=get_analyzer(cfg.analyzer_name),
+                doc_chunks=max(1, cfg.segment_doc_chunks),
             ),
             batch_format="pyarrow",
             # bucket strategy: large batches — the side writes (one
@@ -801,27 +842,32 @@ def build_index(
             d = os.path.join(post_root, f"bucket={b}")
             if not os.path.isdir(d):
                 return 0
-            t = pq.read_table(
-                d,
-                columns=["term", "term_id", "doc_id", "tf", "doc_len"],
-                use_threads=False,  # the task owns 1 CPU
-            )
+            if shift is not None:
+                # chunk membership is a contiguous signed doc_id range
+                # (see _chunk_signed_range); the SPIMI side-writes are
+                # doc_id-sorted with sized row groups, so this filter
+                # PRUNES the read by row-group statistics — each chunk
+                # task reads ~1/chunks of the bucket, not all of it
+                lo, hi = _chunk_signed_range(chunk, n_chunks)
+                t = pq.read_table(
+                    d,
+                    columns=["term", "term_id", "doc_id", "tf", "doc_len"],
+                    use_threads=False,  # the task owns 1 CPU
+                    filters=[("doc_id", ">=", lo), ("doc_id", "<=", hi)],
+                )
+            else:
+                t = pq.read_table(
+                    d,
+                    columns=["term", "term_id", "doc_id", "tf", "doc_len"],
+                    use_threads=False,
+                )
             if len(t) == 0:
                 return 0
             tid = t["term_id"].to_numpy(zero_copy_only=False)
             did = t["doc_id"].to_numpy(zero_copy_only=False)
             tf = t["tf"].to_numpy(zero_copy_only=False)
             dl = t["doc_len"].to_numpy(zero_copy_only=False)
-            if shift is not None:
-                keep = ((did.view(np.uint64) ^ _SIGN_FLIP) >> shift) == np.uint64(
-                    chunk
-                )
-                if not keep.any():
-                    return 0
-                idx = np.nonzero(keep)[0]
-            else:
-                idx = np.arange(len(did))
-            order = idx[np.lexsort((did[idx], tid[idx]))]
+            order = np.lexsort((did, tid))
             tid_s, did_s = tid[order], did[order]
             tf_s, dl_s = tf[order], dl[order]
             change = np.nonzero(np.diff(tid_s))[0] + 1

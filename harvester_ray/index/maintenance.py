@@ -392,16 +392,44 @@ def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
             return None
         return pa.concat_tables(parts)
 
-    # -- per-bucket: merged postings partition + dictionary part ---------
+    # segment params come from the sources' own stats (asserted equal
+    # above), NOT the cfg arg — the merge must reproduce their layout
+    n_chunks = max(1, int(stats[0]["segment_doc_chunks"]))
+    shift = (
+        np.uint64(64 - int(np.log2(n_chunks))) if n_chunks > 1 else None
+    )
+    k1 = float(stats[0]["k1"])
+    b_ = float(stats[0]["b"])
+    bs = int(stats[0]["block_size"])
+    codec = stats[0]["codec"]
+
+    # -- per-bucket: merged postings partition + dictionary part + ALL
+    # chunk segment encodes off ONE in-memory read (was 1 + n_chunks
+    # full bucket reads/filters per bucket)
     @ray.remote(num_cpus=1)
     def merge_bucket(b: int) -> int:
+        import pyarrow.compute as pc
+
         pa.set_cpu_count(1)
         t = read_bucket_filtered(b)
         if t is None:
             return 0
+        tid = t["term_id"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        dl = t["doc_len"].to_numpy(zero_copy_only=False)
+        # merged postings land doc_id-sorted with sized row groups, so
+        # a future re-merge/rebuild gets the same pruned chunk reads as
+        # fresh SPIMI output (build.make_spimi_with_sides)
         bdir = os.path.join(out.postings, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
-        _atomic_side_write(t, bdir, "merged")
+        rgs = (
+            max(1024, -(-len(t) // (4 * n_chunks))) if n_chunks > 1 else None
+        )
+        did_order = np.argsort(did, kind="stable")
+        _atomic_side_write(
+            t.take(pa.array(did_order)), bdir, "merged", row_group_size=rgs
+        )
         agg = t.group_by(["term", "term_id"]).aggregate(
             [("term", "count"), ("tf", "sum")]
         )
@@ -414,65 +442,38 @@ def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
             }
         )
         _atomic_side_write(dic, out.dictionary, f"bucket{b:05d}")
-        return len(t)
-
-    # -- per (bucket, chunk): re-encoded segments at merged avgdl --------
-    # segment params come from the sources' own stats (asserted equal
-    # above), NOT the cfg arg — the merge must reproduce their layout
-    n_chunks = max(1, int(stats[0]["segment_doc_chunks"]))
-    shift = (
-        np.uint64(64 - int(np.log2(n_chunks))) if n_chunks > 1 else None
-    )
-    k1 = float(stats[0]["k1"])
-    b_ = float(stats[0]["b"])
-    bs = int(stats[0]["block_size"])
-    codec = stats[0]["codec"]
-
-    @ray.remote(num_cpus=1)
-    def encode_bucket_chunk(b: int, chunk: int) -> int:
-        import pyarrow.compute as pc
-
-        pa.set_cpu_count(1)
-        t = read_bucket_filtered(b)
-        if t is None:
-            return 0
-        tid = t["term_id"].to_numpy(zero_copy_only=False)
-        did = t["doc_id"].to_numpy(zero_copy_only=False)
-        tf = t["tf"].to_numpy(zero_copy_only=False)
-        dl = t["doc_len"].to_numpy(zero_copy_only=False)
-        if shift is not None:
-            keep = (
-                (did.view(np.uint64) ^ _SIGN_FLIP) >> shift
-            ) == np.uint64(chunk)
-            if not keep.any():
-                return 0
-            idx = np.nonzero(keep)[0]
-        else:
-            idx = np.arange(len(did))
-        order = idx[np.lexsort((did[idx], tid[idx]))]
+        # one global (term_id, doc_id) lexsort; each chunk is a mask of
+        # the sorted arrays (masking preserves order), encoded and
+        # written under the same deterministic name as a fresh build
+        order = np.lexsort((did, tid))
         tid_s, did_s = tid[order], did[order]
         tf_s, dl_s = tf[order], dl[order]
-        change = np.nonzero(np.diff(tid_s))[0] + 1
-        run_starts = np.concatenate(([0], change))
-        run_ends = np.concatenate((change, [len(tid_s)]))
-        terms_per_run = pc.take(
-            t["term"].combine_chunks(), pa.array(order[run_starts])
+        chunk_of = (
+            ((did_s.view(np.uint64) ^ _SIGN_FLIP) >> shift).astype(np.int64)
+            if shift is not None
+            else np.zeros(len(did_s), np.int64)
         )
-        seg = _encode_sorted_runs(
-            terms_per_run, run_starts, run_ends,
-            tid_s, did_s, tf_s, dl_s, 0, avgdl, k1, b_, bs, codec,
-        )
-        _atomic_side_write(seg, out.segments, f"bucket{b:05d}c{chunk:02d}")
-        return len(seg)
+        term_col = t["term"].combine_chunks()
+        for chunk in range(n_chunks):
+            sel = np.nonzero(chunk_of == chunk)[0]
+            if len(sel) == 0:
+                continue
+            tid_c, did_c = tid_s[sel], did_s[sel]
+            tf_c, dl_c = tf_s[sel], dl_s[sel]
+            change = np.nonzero(np.diff(tid_c))[0] + 1
+            run_starts = np.concatenate(([0], change))
+            run_ends = np.concatenate((change, [len(tid_c)]))
+            terms_per_run = pc.take(
+                term_col, pa.array(order[sel[run_starts]])
+            )
+            seg = _encode_sorted_runs(
+                terms_per_run, run_starts, run_ends,
+                tid_c, did_c, tf_c, dl_c, 0, avgdl, k1, b_, bs, codec,
+            )
+            _atomic_side_write(seg, out.segments, f"bucket{b:05d}c{chunk:02d}")
+        return len(t)
 
     ray.get([merge_bucket.remote(b) for b in buckets])
-    ray.get(
-        [
-            encode_bucket_chunk.remote(b, c)
-            for b in buckets
-            for c in range(n_chunks)
-        ]
-    )
 
     n_terms = sum(
         pq.ParquetFile(os.path.join(out.dictionary, f)).metadata.num_rows

@@ -92,6 +92,46 @@ class ShardedIndex:
         self.actors = []
 
 
+def _rank_from_scored_postings(
+    terms: list[str], got: dict, k: int, mode: str
+) -> list[tuple[int, float]]:
+    """The router-side merge shared by the term-sharded and grid
+    tiers: given {term: (sorted doc_ids, scores)} for the query terms
+    found in the index, reproduce InvertedIndex's non-dense exhaustive
+    paths exactly (sorted-term accumulation order → bit-identical
+    scores)."""
+    if mode == "and":
+        # replicate InvertedIndex._search_and (non-dense path)
+        if any(t not in got for t in terms):
+            return []  # conjunctive + missing term -> empty
+        common = got[terms[0]][0]
+        for t in terms[1:]:
+            common = np.intersect1d(common, got[t][0], assume_unique=True)
+            if len(common) == 0:
+                return []
+        sums = np.zeros(len(common), dtype=np.float64)
+        for t in terms:  # sorted-term order -> deterministic sums
+            ids, scores = got[t]
+            pos = np.searchsorted(ids, common)
+            sums += scores[pos]
+        return InvertedIndex._topk(common, sums, k)
+    # replicate InvertedIndex._search_or (non-dense path)
+    id_parts, score_parts = [], []
+    for t in terms:  # sorted-term order -> deterministic sums
+        if t not in got:
+            continue
+        id_parts.append(got[t][0])
+        score_parts.append(got[t][1])
+    if not id_parts:
+        return []
+    all_ids = np.concatenate(id_parts)
+    all_scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(sums, inv, all_scores)
+    return InvertedIndex._topk(uniq, sums, k)
+
+
 @ray.remote
 class TermShardQueryActor:
     """One VOCABULARY shard's server: loads only the dictionary parts
@@ -99,14 +139,20 @@ class TermShardQueryActor:
     __init__ — memory ∝ vocab/T + its postings slice, independent of
     corpus size (the 10⁹⁺-term tier: a full dictionary cannot load
     into one actor). Serves per-term scored postings; the router owns
-    the cross-term merge."""
+    the cross-term merge.
+
+    ``doc_shard=(c, S)`` additionally restricts the cell to doc chunk
+    c — the (term × doc) grid cell for corpora where BOTH vocab and
+    doc space exceed one node (GridShardedIndex)."""
 
     def __init__(
         self, index_dir: str, shard_idx: int, n_shards: int,
         preload: bool = True,
+        doc_shard: "tuple[int, int] | None" = None,
     ):
         self.index = InvertedIndex(
-            index_dir, preload=preload, term_shard=(shard_idx, n_shards)
+            index_dir, preload=preload,
+            term_shard=(shard_idx, n_shards), shard=doc_shard,
         )
 
     def scored_postings(self, terms: list[str]) -> dict:
@@ -205,39 +251,7 @@ class TermShardedIndex:
         terms = sorted(set(self.analyzer.tokenize(query)))
         if not terms:
             return []
-        got = self._gather(terms)
-        if mode == "and":
-            # replicate InvertedIndex._search_and (non-dense path)
-            if any(t not in got for t in terms):
-                return []  # conjunctive + missing term -> empty
-            common = got[terms[0]][0]
-            for t in terms[1:]:
-                common = np.intersect1d(
-                    common, got[t][0], assume_unique=True
-                )
-                if len(common) == 0:
-                    return []
-            sums = np.zeros(len(common), dtype=np.float64)
-            for t in terms:  # sorted-term order -> deterministic sums
-                ids, scores = got[t]
-                pos = np.searchsorted(ids, common)
-                sums += scores[pos]
-            return InvertedIndex._topk(common, sums, k)
-        # replicate InvertedIndex._search_or (non-dense path)
-        id_parts, score_parts = [], []
-        for t in terms:  # sorted-term order -> deterministic sums
-            if t not in got:
-                continue
-            id_parts.append(got[t][0])
-            score_parts.append(got[t][1])
-        if not id_parts:
-            return []
-        all_ids = np.concatenate(id_parts)
-        all_scores = np.concatenate(score_parts)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        sums = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(sums, inv, all_scores)
-        return InvertedIndex._topk(uniq, sums, k)
+        return _rank_from_scored_postings(terms, self._gather(terms), k, mode)
 
     def total_vocab(self) -> int:
         return sum(
@@ -256,3 +270,106 @@ class TermShardedIndex:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class GridShardedIndex:
+    """(term × doc) grid serving tier: T×S TermShardQueryActor cells,
+    cell (ts, c) loading the INTERSECTION of term buckets ``% T == ts``
+    and doc chunk ``c`` — the shape for corpora where vocabulary AND
+    doc space each exceed one node (10⁹⁺ terms × 10¹²⁺ docs): cell
+    memory ∝ (vocab/T) + (postings/(T·S)).
+
+    Routing: a query term goes to term-row ``bucket % T``; all S cells
+    of that row return the term's chunk-local scored postings; chunks
+    are ORDERED disjoint doc_id ranges, so concatenating them in chunk
+    order yields the term's doc_id-sorted postings — then the same
+    sorted-term router merge as the term tier (bit-identical scores to
+    a single process)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        n_term_shards: int,
+        n_doc_shards: int,
+        preload: bool = True,
+    ):
+        import json
+
+        from harvester_ray.functions.text import get_analyzer, hash64
+        from harvester_ray.index.build import IndexPaths
+        from harvester_ray.index.maintenance import source_dirs
+
+        self.n_term_shards = n_term_shards
+        self.n_doc_shards = n_doc_shards
+        self._hash64 = hash64
+        nbs = set()
+        analyzer_name = "default"
+        for src in source_dirs(index_dir):
+            with open(IndexPaths(src).stats) as f:
+                st = json.load(f)
+            nbs.add(st.get("num_term_buckets"))
+            analyzer_name = st.get("analyzer", "default")
+        if len(nbs) != 1 or None in nbs:
+            raise ValueError(
+                "grid serving needs a consistent num_term_buckets in "
+                f"every source's stats.json (got {nbs})"
+            )
+        self.num_term_buckets = nbs.pop()
+        self.analyzer = get_analyzer(analyzer_name)
+        self.cells = [
+            [
+                TermShardQueryActor.remote(
+                    index_dir, ts, n_term_shards, preload,
+                    doc_shard=(c, n_doc_shards),
+                )
+                for c in range(n_doc_shards)
+            ]
+            for ts in range(n_term_shards)
+        ]
+
+    def shard_of(self, term: str) -> int:
+        b = (self._hash64(term) & 0xFFFFFFFFFFFFFFFF) % self.num_term_buckets
+        return b % self.n_term_shards
+
+    def _gather(self, terms: list[str]) -> dict:
+        by_row: dict[int, list[str]] = {}
+        for t in terms:
+            by_row.setdefault(self.shard_of(t), []).append(t)
+        # fan out each term row's terms to ALL its doc cells (chunk
+        # order preserved so per-term concatenation is doc_id-sorted)
+        plan = [
+            (ts, c, self.cells[ts][c].scored_postings.remote(ts_terms))
+            for ts, ts_terms in by_row.items()
+            for c in range(self.n_doc_shards)
+        ]
+        parts = ray.get([r for _, _, r in plan])
+        per_term: dict[str, list] = {}
+        for (_ts, _c, _r), part in zip(plan, parts):
+            for t, (ids, scores) in part.items():
+                per_term.setdefault(t, []).append((ids, scores))
+        merged: dict = {}
+        for t, chunks in per_term.items():
+            ids = np.concatenate([i for i, _ in chunks])
+            scores = np.concatenate([s for _, s in chunks])
+            merged[t] = (ids, scores)
+        return merged
+
+    def search(
+        self, query: str, k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        if not terms:
+            return []
+        return _rank_from_scored_postings(terms, self._gather(terms), k, mode)
+
+    def cell_segment_file_counts(self) -> list[list[int]]:
+        return [
+            ray.get([c.n_segment_files_local.remote() for c in row])
+            for row in self.cells
+        ]
+
+    def shutdown(self) -> None:
+        for row in self.cells:
+            for c in row:
+                ray.kill(c)
+        self.cells = []

@@ -129,6 +129,75 @@ def test_term_sharded_with_delta_and_deletes(tmp_path_factory, ray_session):
         tier.shutdown()
 
 
+def test_term_by_doc_grid_partitions_postings(tmp_path_factory, ray_session):
+    """Composability claim: a (term_shard × doc_shard) grid cell loads
+    the bucket∩chunk file intersection; for any term, the owning term
+    shard's cells partition that term's postings across doc chunks,
+    and non-owning term shards don't know the term at all."""
+    from harvester_ray.config import IndexConfig
+
+    S = 2  # doc chunks
+    T = 2  # term shards
+    root = tmp_path_factory.mktemp("grid")
+    docs = generate_zipf_docs(300, vocab_size=200, mean_len=30, seed=13)
+    out = str(root / "idx")
+    build_index(
+        ray.data.from_arrow(docs), out,
+        IndexConfig(segment_doc_chunks=S), n_docs=300,
+    )
+    single = InvertedIndex(out, preload=True)
+    grid = {
+        (ts, c): InvertedIndex(out, term_shard=(ts, T), shard=(c, S))
+        for ts in range(T)
+        for c in range(S)
+    }
+    for term in list(single.dictionary)[:30]:
+        want = single.postings(term)
+        owners = [ts for ts in range(T) if term in grid[(ts, 0)].dictionary]
+        assert len(owners) == 1  # exactly one term shard knows the term
+        ts = owners[0]
+        parts = []
+        for c in range(S):
+            sp = grid[(ts, c)].scored_postings(term)
+            if sp is not None:
+                parts.append(sp[0])
+        got = np.sort(np.concatenate(parts))
+        np.testing.assert_array_equal(got, np.sort(want.doc_ids))
+
+
+def test_grid_tier_rank_and_score_identical(tmp_path_factory, ray_session):
+    """GridShardedIndex (T×S cells) must equal the single process on
+    rank AND score, and every cell must load a strict subset of the
+    segment files (intersection of its term row and doc column)."""
+    from harvester_ray.config import IndexConfig
+    from harvester_ray.index.sharded import GridShardedIndex
+
+    T, S = 2, 2
+    root = tmp_path_factory.mktemp("grid_tier")
+    docs = generate_zipf_docs(500, vocab_size=400, mean_len=40, seed=21)
+    out = str(root / "idx")
+    build_index(
+        ray.data.from_arrow(docs), out,
+        IndexConfig(segment_doc_chunks=S), n_docs=500,
+    )
+    single = InvertedIndex(out, preload=True)
+    grid = GridShardedIndex(out, T, S)
+    try:
+        total_files = sum(len(ds.files) for ds in single._seg_ds)
+        counts = grid.cell_segment_file_counts()
+        flat = [c for row in counts for c in row]
+        assert sum(flat) == total_files  # cells partition the files
+        assert max(flat) < total_files
+        for q, mode in QUERIES:
+            want = single.search(q, k=10, mode=mode)
+            got = grid.search(q, k=10, mode=mode)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, mode)
+            for (d1, s1), (d2, s2) in zip(got, want):
+                assert s1 == s2, (q, mode, d1)
+    finally:
+        grid.shutdown()
+
+
 def test_term_shard_rejects_bad_config(term_sharded_setup, ray_session):
     with pytest.raises(ValueError, match="0 <= s < T"):
         InvertedIndex(term_sharded_setup, term_shard=(4, 4))
