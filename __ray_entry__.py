@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
+        # positional tier: exact phrase queries (overlap-exact counts)
+        "phrase_match": fulltext.phrase_match,
         # incremental add (delta segments): same oracles as the
         # one-shot build — proves add-then-query is exact
         "term_dictionary_incremental": fulltext.term_dictionary_incremental,
@@ -112,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
+        "phrase_match": oracles.PHRASE_MATCH,
         "term_dictionary_incremental": oracles.TERM_DICTIONARY,
         "bm25_topk_or_incremental": oracles.BM25_TOPK_OR,
         "term_dictionary_merged": oracles.TERM_DICTIONARY,

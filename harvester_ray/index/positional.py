@@ -1,0 +1,362 @@
+"""Positional index sidecar + exact phrase queries.
+
+The base index (index/build.py) stores (doc_id, tf) postings — enough
+for BM25 but not for phrase search. This module adds the classic
+positional tier: for every (term, doc) pair, the ordinal token
+positions of the term inside the document, stored in the SAME
+map-side hive term-bucket layout as the SPIMI postings
+(``bucket = hash64(term) % num_buckets``), so a phrase query reads
+ONLY the buckets of its own terms.
+
+Reference analog: the harvester delegates phrase/proximity search to
+Solr (its schema indexes full text with positions; queries in
+harvester/solr_updater.py are field-level writes into that engine).
+Here the positional tier is first-class engine code.
+
+Layout (one resumable lineage stage)::
+
+    out_root/
+      positions/bucket=N/part-*.parquet
+          term_id int64, doc_id int64, positions list<int32>
+      stats.json   {n_docs, num_buckets, analyzer, engine_version}
+
+Positions are ordinals within the document's token list as produced by
+the shared analyzer contract (functions/text.py): position p means
+"the p-th non-empty token, 0-based" — identical to the index of
+``re.findall('[a-z0-9]+', text.lower())`` and to DuckDB's 1-based
+``regexp_extract_all(...)[p+1]``, which is what the oracle SQL uses.
+
+Scale notes (100 TB):
+
+- The build is ONE streaming map_batches pass: a document never splits
+  across batches, so every (term, doc) positions list is complete
+  within its batch — no groupby/shuffle is needed at all. The
+  partitioned side-write IS the shuffle (same argument as the SPIMI
+  bucket strategy, build.py:562-600).
+- Rows are grouped per (term, doc) with a list<int32> column — the
+  per-token row explosion never exists on disk or in flight.
+- A phrase query reads only ``len(set(buckets(terms)))`` of the
+  ``num_buckets`` hive partitions, with a ``term_id in (...)`` filter
+  pushed to parquet (dictionary/row-group pruning).
+- Phrase verification is the (doc, base)-anchor groupby trick: a
+  k-token phrase occurs at base position p iff for every ordinal i,
+  (doc, p+i) holds term i. Each positional row explodes to
+  (doc_id, base = pos - i, ordinal i) candidates; a phrase occurrence
+  is a (doc, base) group with k distinct ordinals. Counting rows per
+  (doc, base) IS counting distinct ordinals (for fixed ordinal+doc,
+  positions are unique), so the whole verification is one
+  groupby-count — overlap-exact, vectorized, and distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from harvester_ray.config import DEFAULT_INDEX_CONFIG, IndexConfig
+from harvester_ray.functions.text import (
+    flatten_tokens,
+    get_analyzer,
+    hash64,
+    hash64_array,
+)
+
+POSITIONAL_VERSION = 1
+
+
+def _positions_subdir(root: str) -> str:
+    return os.path.join(root, "positions")
+
+
+def _stats_path(root: str) -> str:
+    return os.path.join(root, "stats.json")
+
+
+def _atomic_write(tbl: pa.Table, out_dir: str, key: str) -> None:
+    """Idempotent side write (same pattern as build._atomic_side_write)."""
+    import pyarrow.parquet as pq
+
+    final = os.path.join(out_dir, f"part-{key}.parquet")
+    tmp = f"{final}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+
+
+def make_positions_batch(post_dir: str, n_buckets: int, analyzer):
+    """map_batches fn: documents batch -> hive-bucketed positional rows.
+
+    Stateless (analyzer resolved on the driver, shipped by pickle);
+    emits only a row-count table — the real output is the idempotent
+    per-bucket side write, exactly like the SPIMI bucket strategy.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = analyzer.tokenize_column(batch["text"])
+        flat, parent = flatten_tokens(toks)
+        n = len(flat)
+        if n == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        parent_np = parent.to_numpy()
+        # ordinal position within each doc (parent indices are sorted,
+        # tokens arrive in document order)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = parent_np[1:] != parent_np[:-1]
+        starts = idx[run_start]
+        run_len = np.diff(np.append(starts, n))
+        pos = (idx - np.repeat(starts, run_len)).astype(np.int32)
+        # term ids: hash only unique tokens (dictionary encode)
+        enc = flat.dictionary_encode()
+        uniq_hashes = hash64_array(enc.dictionary)
+        t_idx = enc.indices.to_numpy(zero_copy_only=False)
+        tid = uniq_hashes[t_idx]
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)[parent_np]
+        bucket_u = (uniq_hashes.view(np.uint64) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        b = bucket_u[t_idx]
+        # stable lexsort by (bucket, term, doc): positions stay
+        # ascending within each (term, doc) run
+        order = np.lexsort((did, tid, b))
+        bs, ts, ds_, ps = b[order], tid[order], did[order], pos[order]
+        change = np.empty(len(ts), dtype=bool)
+        change[0] = True
+        change[1:] = (ts[1:] != ts[:-1]) | (ds_[1:] != ds_[:-1])
+        run_idx = np.nonzero(change)[0]
+        offsets = np.append(run_idx, len(ts)).astype(np.int32)
+        positions = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(ps, pa.int32())
+        )
+        out = pa.table(
+            {
+                "term_id": pa.array(ts[run_idx], pa.int64()),
+                "doc_id": pa.array(ds_[run_idx], pa.int64()),
+                "positions": positions,
+            }
+        )
+        run_bucket = bs[run_idx]
+        min_id = int(ds_.min())
+        key = f"{min_id & 0xFFFFFFFFFFFFFFFF:016x}"
+        bounds = np.nonzero(np.diff(run_bucket))[0] + 1
+        lo = 0
+        for hi in list(bounds) + [len(run_bucket)]:
+            bdir = os.path.join(post_dir, f"bucket={run_bucket[lo]}")
+            os.makedirs(bdir, exist_ok=True)
+            _atomic_write(out.slice(lo, hi - lo), bdir, key)
+            lo = hi
+        return pa.table({"rows": pa.array([len(run_idx)], pa.int64())})
+
+    return fn
+
+
+def build_positions(
+    docs: "ray.data.Dataset",
+    out_root: str,
+    cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+    input_fingerprint: str | None = None,
+) -> str:
+    """Build the positional store over ``docs`` (doc_id, text).
+
+    One streaming pass; resumable via state.lineage.run_stage (skipped
+    wholesale when input + params are unchanged).
+    """
+    from harvester_ray.state.lineage import run_stage
+
+    os.makedirs(out_root, exist_ok=True)
+
+    def write_positions(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        ds = docs.map_batches(
+            make_positions_batch(
+                tmp, cfg.num_term_buckets, get_analyzer(cfg.analyzer_name)
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.spimi_batch_size,
+            zero_copy_batch=True,
+        )
+        ds.sum("rows")
+
+    run_stage(
+        "positions",
+        _positions_subdir(out_root),
+        input_fingerprint or f"unfingerprinted-{os.getpid()}-{id(docs)}",
+        write_positions,
+        params=(
+            f"positional=v{POSITIONAL_VERSION},"
+            f"tbuckets={cfg.num_term_buckets},analyzer={cfg.analyzer_name}"
+        ),
+    )
+    stats = {
+        "engine_version": POSITIONAL_VERSION,
+        "num_buckets": cfg.num_term_buckets,
+        "analyzer": cfg.analyzer_name,
+    }
+    tmp = f"{_stats_path(out_root)}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, _stats_path(out_root))
+    return out_root
+
+
+def _read_term_positions(
+    root: str, term_ids: list[int], num_buckets: int
+) -> "ray.data.Dataset":
+    """Pruned read: only the hive buckets of the query terms, with a
+    ``term_id in (...)`` filter pushed into the parquet scan."""
+    import pyarrow.dataset as pads
+
+    # note: int() first — numpy uint64 % python-int promotes to float64
+    buckets = sorted(
+        {int(tid) % num_buckets for tid in np.array(term_ids).view(np.uint64)}
+    )
+    import glob as _glob
+
+    paths = [
+        fp
+        for b in buckets
+        for fp in sorted(
+            _glob.glob(
+                os.path.join(
+                    _glob.escape(_positions_subdir(root)),
+                    f"bucket={b}",
+                    "part-*.parquet",
+                )
+            )
+        )
+    ]
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "term_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "positions": pa.array([], pa.list_(pa.int32())),
+                }
+            )
+        )
+    return ray.data.read_parquet(
+        paths,
+        columns=["term_id", "doc_id", "positions"],
+        filter=pads.field("term_id").isin(pa.array(term_ids, pa.int64())),
+    )
+
+
+def _explode_anchors(ordinals_of_tid: dict[int, list[int]]):
+    """map_batches fn: positional rows -> (doc_id, base) anchor rows.
+
+    For each phrase ordinal i whose term matches the row's term_id,
+    every position p yields an anchor base = p - i. A (doc, base)
+    group with k rows is a phrase occurrence at that base.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "base": pa.array([], pa.int64()),
+                }
+            )
+        tid = batch["term_id"].to_numpy(zero_copy_only=False)
+        positions = batch["positions"].combine_chunks()
+        flat = positions.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = pc.list_parent_indices(positions).to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc: list[np.ndarray] = []
+        out_base: list[np.ndarray] = []
+        flat_tid = tid[parent]
+        flat_did = did[parent]
+        for t, ords in ordinals_of_tid.items():
+            mask = flat_tid == t
+            if not mask.any():
+                continue
+            p = flat[mask]
+            d = flat_did[mask]
+            for i in ords:
+                out_doc.append(d)
+                out_base.append(p - i)
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "base": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "base": pa.array(np.concatenate(out_base), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def phrase_occurrences(
+    root: str, phrase: str, analyzer_name: str | None = None
+) -> pa.Table:
+    """Exact (overlap-counted) phrase match over the positional store.
+
+    Returns (doc_id, n_occurrences) for every document containing the
+    phrase, sorted by doc_id. A k-term phrase with an OOV term, or an
+    empty phrase, matches nothing.
+    """
+    with open(_stats_path(root)) as f:
+        stats = json.load(f)
+    analyzer = get_analyzer(analyzer_name or stats["analyzer"])
+    terms = analyzer.tokenize(phrase)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_occurrences": pa.array([], pa.int64()),
+        }
+    )
+    if not terms:
+        return empty
+    k = len(terms)
+    ordinals_of_tid: dict[int, list[int]] = {}
+    for i, t in enumerate(terms):
+        ordinals_of_tid.setdefault(hash64(t), []).append(i)
+    ds = _read_term_positions(
+        root, sorted(ordinals_of_tid), stats["num_buckets"]
+    )
+    anchors = ds.map_batches(
+        _explode_anchors(ordinals_of_tid),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # one distributed groupby-count on (doc, base); bases with k
+    # supporting ordinals are occurrences. The count per (doc, base)
+    # can never exceed k, so count == k is the exact phrase predicate.
+    counts = anchors.groupby(["doc_id", "base"]).count()
+
+    def keep_full(batch: pa.Table) -> pa.Table:
+        cnt_col = "count()" if "count()" in batch.column_names else "count"
+        m = pc.equal(batch[cnt_col], pa.scalar(k, batch[cnt_col].type))
+        return batch.filter(m).select(["doc_id"])
+
+    occ = counts.map_batches(keep_full, batch_format="pyarrow")
+    per_doc = occ.groupby("doc_id").count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cnt_col = "count()" if "count()" in batch.column_names else "count"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_occurrences": batch[cnt_col].cast(pa.int64()),
+            }
+        )
+
+    out = per_doc.map_batches(rename, batch_format="pyarrow").sort("doc_id")
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return empty
+    return pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    ).combine_chunks()

@@ -43,6 +43,19 @@ QUERY_SET: list[tuple[int, str, str]] = [
 
 TOP_K = 10
 
+# (phrase_id, phrase) — the phrase-query set for the positional tier:
+# adjacent bigrams/trigrams from the corpus vocabulary, a self-
+# overlapping phrase ("batch batch" — overlap-exact counting), a rare
+# trigram, an OOV conjunct (matches nothing) and a stopword-ish bigram.
+PHRASE_SET: list[tuple[int, str]] = [
+    (0, "scan join"),
+    (1, "group order window"),
+    (2, "batch batch"),
+    (3, "key value table"),
+    (4, "zzzq scan"),
+    (5, "the a"),
+]
+
 
 def queries_for_mode(mode: str) -> list[tuple[int, str]]:
     return [(qid, q) for qid, q, m in QUERY_SET if m == mode]
@@ -324,3 +337,59 @@ def term_dictionary_merged(sf_dir: str) -> pa.Table:
         ),
         batch_format="pyarrow",
     )
+
+
+# -- positional tier: exact phrase queries --------------------------------
+def positions_for(sf_dir: str) -> str:
+    """Build (or reuse a cached) positional store over
+    ``sf_dir``/documents.parquet (index/positional.py)."""
+    from harvester_ray.index.positional import (
+        POSITIONAL_VERSION,
+        build_positions,
+    )
+    from harvester_ray.state.lineage import dir_fingerprint
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:pos{POSITIONAL_VERSION}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"pos_{key}")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(os.path.join(out, "stats.json")):
+        return out
+    docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    return build_positions(
+        docs, out, input_fingerprint=dir_fingerprint(src)
+    )
+
+
+def phrase_match(sf_dir: str) -> pa.Table:
+    """(phrase_id, doc_id, n_occurrences) for every PHRASE_SET phrase
+    over the positional store — occurrence counts are overlap-exact
+    (see index/positional.py), checked against a DuckDB list-
+    comprehension oracle (oracles.PHRASE_MATCH)."""
+    from harvester_ray.index.positional import phrase_occurrences
+
+    root = positions_for(sf_dir)
+    parts = []
+    for pid, phrase in PHRASE_SET:
+        t = phrase_occurrences(root, phrase)
+        if t.num_rows == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "phrase_id": pa.array([pid] * t.num_rows, pa.int64()),
+                    "doc_id": t["doc_id"],
+                    "n_occurrences": t["n_occurrences"],
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                "phrase_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).combine_chunks()

@@ -556,3 +556,46 @@ JOIN cnt ca ON ca.doc_id = inter.doc_a
 JOIN cnt cb ON cb.doc_id = inter.doc_b
 WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5
 """
+
+
+# Exact phrase match over the positional tier (index/positional.py):
+# (phrase_id, doc_id, n_occurrences) for each PHRASE_SET phrase, with
+# OVERLAP-exact occurrence counts — the list comprehension checks every
+# base position i, so "batch batch" in "batch batch batch" counts 2,
+# matching the engine's (doc, base)-anchor groupby. Positions are
+# 1-based here (DuckDB lists) vs 0-based in the engine; only counts
+# and membership are compared, so the offset convention cancels.
+def _phrase_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import PHRASE_SET
+
+    branches = []
+    for pid, phrase in PHRASE_SET:
+        terms = tokenize(phrase)
+        if not terms:
+            continue
+        k = len(terms)
+        conds = " AND ".join(
+            f"ts[i+{i}] = '{t}'" if i else f"ts[i] = '{t}'"
+            for i, t in enumerate(terms)
+        )
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, n_occurrences FROM (\n"
+            f"  SELECT doc_id,\n"
+            f"         len([i FOR i IN range(1, greatest(len(ts) - {k} + 2, 1))\n"
+            f"              IF {conds}])::BIGINT AS n_occurrences\n"
+            f"  FROM toks)\n"
+            f"WHERE n_occurrences > 0"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return (
+        "WITH toks AS (\n"
+        "  SELECT doc_id,\n"
+        "         regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+') AS ts\n"
+        "  FROM documents\n"
+        ")\n" + union
+    )
+
+
+PHRASE_MATCH = _phrase_sql()

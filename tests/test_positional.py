@@ -1,0 +1,190 @@
+"""Positional index + phrase queries (index/positional.py).
+
+Golden contract: phrase occurrence counts equal a pure-Python scan of
+``re.findall('[a-z0-9]+', text.lower())`` with OVERLAPPING matches
+counted (every base position checked independently).
+"""
+
+import os
+import re
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick brown quick brown quick"),
+    (3, "a a a a"),  # self-overlapping phrase territory
+    (4, "brown fox? Quick--brown FOX!"),  # punctuation + case folding
+    (5, ""),  # empty doc
+    (6, "zzz unique singleton"),
+    (7, "the fox the fox the"),
+]
+
+
+def py_phrase_count(text: str, phrase_terms: list[str]) -> int:
+    toks = TOKEN_RE.findall(text.lower())
+    k = len(phrase_terms)
+    return sum(
+        1
+        for i in range(len(toks) - k + 1)
+        if toks[i : i + k] == phrase_terms
+    )
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, tmp_path_factory):
+    import ray.data
+
+    from harvester_ray.index.positional import build_positions
+
+    root = str(tmp_path_factory.mktemp("pos") / "store")
+    src = str(tmp_path_factory.mktemp("pos_src") / "documents.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+            "text": pa.array([t for _, t in DOCS], pa.string()),
+        }
+    )
+    pq.write_table(tbl, src)
+    docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    build_positions(docs, root)
+    return root
+
+
+PHRASES = [
+    "quick brown",
+    "the fox",
+    "a a",  # overlap: doc 3 has 3 occurrences
+    "brown fox",
+    "the lazy dog",
+    "quick brown quick",
+    "nosuchterm fox",  # OOV conjunct
+    "zzz",
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_counts_match_python_oracle(store, phrase):
+    from harvester_ray.index.positional import phrase_occurrences
+
+    terms = TOKEN_RE.findall(phrase.lower())
+    want = {
+        d: py_phrase_count(t, terms)
+        for d, t in DOCS
+        if py_phrase_count(t, terms) > 0
+    }
+    got = phrase_occurrences(store, phrase)
+    got_map = dict(
+        zip(
+            got["doc_id"].to_pylist(),
+            got["n_occurrences"].to_pylist(),
+        )
+    )
+    assert got_map == want, phrase
+    # sorted by doc_id
+    ids = got["doc_id"].to_pylist()
+    assert ids == sorted(ids)
+
+
+def test_overlap_exact(store):
+    from harvester_ray.index.positional import phrase_occurrences
+
+    got = phrase_occurrences(store, "a a")
+    assert dict(
+        zip(got["doc_id"].to_pylist(), got["n_occurrences"].to_pylist())
+    ) == {3: 3}
+
+
+def test_empty_phrase(store):
+    from harvester_ray.index.positional import phrase_occurrences
+
+    assert phrase_occurrences(store, "").num_rows == 0
+    assert phrase_occurrences(store, "!!!").num_rows == 0
+
+
+def test_pruned_read_only_touches_query_buckets(store, tmp_path):
+    """Corrupt every bucket NOT owned by the phrase terms: the query
+    must still succeed — proof the read is pruned to the terms'
+    buckets (hash64(term) % num_buckets), not a full-store scan."""
+    import json
+
+    import numpy as np
+
+    from harvester_ray.functions.text import hash64
+    from harvester_ray.index.positional import phrase_occurrences
+
+    # work on a copy — other tests share the module-scoped store
+    root = str(tmp_path / "copy")
+    shutil.copytree(store, root)
+    with open(os.path.join(root, "stats.json")) as f:
+        nb = json.load(f)["num_buckets"]
+    terms = ["quick", "brown"]
+    keep = {int(np.int64(hash64(t)).view(np.uint64)) % nb for t in terms}
+    pos_dir = os.path.join(root, "positions")
+    for name in os.listdir(pos_dir):
+        if not name.startswith("bucket="):
+            continue
+        if int(name.split("=")[1]) in keep:
+            continue
+        for f in os.listdir(os.path.join(pos_dir, name)):
+            # truncate to garbage: any attempt to read it would raise
+            with open(os.path.join(pos_dir, name, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    got = phrase_occurrences(root, "quick brown")
+    want = {
+        d: py_phrase_count(t, terms)
+        for d, t in DOCS
+        if py_phrase_count(t, terms) > 0
+    }
+    assert (
+        dict(
+            zip(got["doc_id"].to_pylist(), got["n_occurrences"].to_pylist())
+        )
+        == want
+    )
+
+
+def test_build_resumes_unchanged(ray_session, tmp_path):
+    """Second build with the same input fingerprint skips the stage
+    (lineage resume): no file rewrites, identical query results."""
+    import ray.data
+
+    from harvester_ray.index.positional import (
+        build_positions,
+        phrase_occurrences,
+    )
+
+    root = str(tmp_path / "store")
+
+    def docs():
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                    "text": pa.array([t for _, t in DOCS], pa.string()),
+                }
+            )
+        )
+
+    build_positions(docs(), root, input_fingerprint="fp-same")
+    pos_dir = os.path.join(root, "positions")
+    before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(pos_dir)
+        for f in fs
+    }
+    first = phrase_occurrences(root, "quick brown")
+    build_positions(docs(), root, input_fingerprint="fp-same")
+    after = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(pos_dir)
+        for f in fs
+    }
+    assert before == after  # stage skipped wholesale
+    second = phrase_occurrences(root, "quick brown")
+    assert first.equals(second)
