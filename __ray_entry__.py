@@ -40,7 +40,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
         # positional tier: exact phrase queries (overlap-exact counts)
+        # + ordered-window proximity queries (greedy-minimal chain)
         "phrase_match": fulltext.phrase_match,
+        "proximity_match": fulltext.proximity_match,
         # incremental add (delta segments): same oracles as the
         # one-shot build — proves add-then-query is exact
         "term_dictionary_incremental": fulltext.term_dictionary_incremental,
@@ -115,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,
+        "proximity_match": oracles.PROXIMITY_MATCH,
         "term_dictionary_incremental": oracles.TERM_DICTIONARY,
         "bm25_topk_or_incremental": oracles.BM25_TOPK_OR,
         "term_dictionary_merged": oracles.TERM_DICTIONARY,

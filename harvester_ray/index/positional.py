@@ -360,3 +360,84 @@ def phrase_occurrences(
     return pa.concat_tables(
         [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
     ).combine_chunks()
+
+
+def proximity_occurrences(
+    root: str,
+    phrase: str,
+    window: int,
+    analyzer_name: str | None = None,
+) -> pa.Table:
+    """Ordered-window proximity match: the phrase terms appear in
+    ORDER with total span <= ``window`` tokens (positions strictly
+    increasing, last - first <= window).
+
+    Counts, per doc, the number of first-term occurrences that start a
+    match. "Exists an ordered chain within the span" is decided by the
+    greedy-minimal chain (always pick the smallest next position —
+    optimal for a span upper bound), which is what both this
+    implementation and the DuckDB oracle compute, so counts agree
+    exactly. ``window = k-1`` degenerates to the exact phrase.
+
+    Verification is a groupby(doc).map_groups stage over the pruned
+    positional read: per-doc work is a vectorized searchsorted chain
+    (O(occurrences · log)), distributed by the doc shuffle.
+    """
+    with open(_stats_path(root)) as f:
+        stats = json.load(f)
+    analyzer = get_analyzer(analyzer_name or stats["analyzer"])
+    terms = analyzer.tokenize(phrase)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }
+    )
+    if not terms:
+        return empty
+    tid_seq = [hash64(t) for t in terms]
+    uniq_tids = sorted(set(tid_seq))
+    ds = _read_term_positions(root, uniq_tids, stats["num_buckets"])
+    k = len(tid_seq)
+    w = int(window)
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        tids = g["term_id"].to_numpy(zero_copy_only=False)
+        if len(np.unique(tids)) < len(set(tid_seq)):
+            return empty  # some phrase term absent from this doc
+        plists = g["positions"].to_pylist()
+        pos_map = {
+            int(t): np.asarray(pl, dtype=np.int64)
+            for t, pl in zip(tids, plists)
+        }
+        base = cur = pos_map[tid_seq[0]]
+        for tid in tid_seq[1:]:
+            nxt = pos_map[tid]
+            idx = np.searchsorted(nxt, cur, side="right")
+            valid = idx < len(nxt)
+            base, idx = base[valid], idx[valid]
+            if len(base) == 0:
+                return empty
+            cur = nxt[idx]
+        n = int(np.count_nonzero(cur - base <= w))
+        if n == 0:
+            return empty
+        did = int(g["doc_id"][0].as_py())
+        return pa.table(
+            {
+                "doc_id": pa.array([did], pa.int64()),
+                "n_matches": pa.array([n], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("doc_id")
+        .map_groups(group_fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return empty
+    return pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    ).combine_chunks()

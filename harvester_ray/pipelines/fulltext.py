@@ -56,6 +56,18 @@ PHRASE_SET: list[tuple[int, str]] = [
     (5, "the a"),
 ]
 
+# (proximity_id, phrase, window) — ordered-window proximity queries:
+# terms in order, total span (last - first) <= window tokens.
+# window = k-1 degenerates to the exact phrase (checked by a test).
+PROXIMITY_SET: list[tuple[int, str, int]] = [
+    (0, "scan join", 4),
+    (1, "key table", 6),
+    (2, "group window", 5),
+    (3, "sort merge join", 8),
+    (4, "zzzq scan", 10),  # OOV conjunct -> empty
+    (5, "scan", 3),  # k=1: every occurrence matches
+]
+
 
 def queries_for_mode(mode: str) -> list[tuple[int, str]]:
     return [(qid, q) for qid, q, m in QUERY_SET if m == mode]
@@ -390,6 +402,39 @@ def phrase_match(sf_dir: str) -> pa.Table:
                 "phrase_id": pa.array([], pa.int64()),
                 "doc_id": pa.array([], pa.int64()),
                 "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def proximity_match(sf_dir: str) -> pa.Table:
+    """(proximity_id, doc_id, n_matches) for every PROXIMITY_SET entry
+    — ordered-window proximity over the positional store, greedy-
+    minimal chain semantics shared verbatim with the DuckDB oracle
+    (oracles.PROXIMITY_MATCH)."""
+    from harvester_ray.index.positional import proximity_occurrences
+
+    root = positions_for(sf_dir)
+    parts = []
+    for pid, phrase, window in PROXIMITY_SET:
+        t = proximity_occurrences(root, phrase, window)
+        if t.num_rows == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "proximity_id": pa.array([pid] * t.num_rows, pa.int64()),
+                    "doc_id": t["doc_id"],
+                    "n_matches": t["n_matches"],
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                "proximity_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
             }
         )
     return pa.concat_tables(parts).combine_chunks()

@@ -599,3 +599,55 @@ def _phrase_sql() -> str:
 
 
 PHRASE_MATCH = _phrase_sql()
+
+
+# Ordered-window proximity (index/positional.py proximity_occurrences):
+# count, per doc, the first-term occurrences p that start an ordered
+# chain p < q1 < ... < q(k-1) with q(k-1) - p <= window. The oracle
+# computes the same GREEDY-MINIMAL chain (always the smallest next
+# position — optimal under a span bound, so greedy == exists): qi is a
+# nested list_min(list_filter(...)); a missing link propagates NULL,
+# and the final NULL-checked span condition rejects it.
+def _proximity_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import PROXIMITY_SET
+
+    branches = []
+    for pid, phrase, window in PROXIMITY_SET:
+        terms = tokenize(phrase)
+        if not terms:
+            continue
+        ps = [
+            f"[j FOR j IN range(1, len(ts) + 1) IF ts[j] = '{t}']"
+            for t in terms
+        ]
+        if len(terms) == 1:
+            n_expr = f"len({ps[0]})::BIGINT"
+        else:
+            chain = "p"
+            for i in range(1, len(terms)):
+                chain = (
+                    f"list_min(list_filter({ps[i]}, "
+                    f"x{i} -> x{i} > {chain}))"
+                )
+            n_expr = (
+                f"len([p FOR p IN {ps[0]} IF {chain} IS NOT NULL "
+                f"AND {chain} - p <= {window}])::BIGINT"
+            )
+        branches.append(
+            f"SELECT {pid} AS proximity_id, doc_id, n_matches FROM (\n"
+            f"  SELECT doc_id, {n_expr} AS n_matches FROM toks)\n"
+            f"WHERE n_matches > 0"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return (
+        "WITH toks AS (\n"
+        "  SELECT doc_id,\n"
+        "         regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+') AS ts\n"
+        "  FROM documents\n"
+        ")\n" + union
+    )
+
+
+PROXIMITY_MATCH = _proximity_sql()

@@ -188,3 +188,73 @@ def test_build_resumes_unchanged(ray_session, tmp_path):
     assert before == after  # stage skipped wholesale
     second = phrase_occurrences(root, "quick brown")
     assert first.equals(second)
+
+
+# -- ordered-window proximity ---------------------------------------------
+def py_proximity_count(text: str, terms: list[str], window: int) -> int:
+    """Greedy-minimal chain reference (same semantics as engine+oracle)."""
+    toks = TOKEN_RE.findall(text.lower())
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+    if any(not pos[t] for t in terms):
+        return 0
+    n = 0
+    for p in pos[terms[0]]:
+        cur = p
+        ok = True
+        for t in terms[1:]:
+            nxt = [q for q in pos[t] if q > cur]
+            if not nxt:
+                ok = False
+                break
+            cur = nxt[0]
+        if ok and cur - p <= window:
+            n += 1
+    return n
+
+
+PROX_CASES = [
+    ("quick brown", 1),   # adjacency: == phrase
+    ("quick brown", 4),
+    ("the dog", 8),
+    ("the fox", 2),
+    ("a a", 3),
+    ("quick fox", 50),
+    ("fox nosuchterm", 9),
+]
+
+
+@pytest.mark.parametrize("phrase,window", PROX_CASES)
+def test_proximity_matches_python_oracle(store, phrase, window):
+    from harvester_ray.index.positional import proximity_occurrences
+
+    terms = TOKEN_RE.findall(phrase.lower())
+    want = {
+        d: py_proximity_count(t, terms, window)
+        for d, t in DOCS
+        if py_proximity_count(t, terms, window) > 0
+    }
+    got = proximity_occurrences(store, phrase, window)
+    assert (
+        dict(zip(got["doc_id"].to_pylist(), got["n_matches"].to_pylist()))
+        == want
+    ), (phrase, window)
+
+
+def test_proximity_window_k_minus_1_equals_phrase(store):
+    """window = k-1 degenerates to the exact phrase: same docs, and
+    every phrase occurrence base is a proximity match base."""
+    from harvester_ray.index.positional import (
+        phrase_occurrences,
+        proximity_occurrences,
+    )
+
+    for phrase in ["quick brown", "the lazy dog", "a a"]:
+        k = len(phrase.split())
+        ph = phrase_occurrences(store, phrase)
+        px = proximity_occurrences(store, phrase, k - 1)
+        # same doc set; n_matches >= n_occurrences can differ only when
+        # a greedy chain is non-contiguous yet within span k-1 — which
+        # forces contiguity, so counts are equal too
+        assert ph.equals(
+            px.rename_columns(["doc_id", "n_occurrences"])
+        ), phrase
