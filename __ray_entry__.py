@@ -25,7 +25,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from harvester_ray.pipelines import fulltext, pages, relational
-    from harvester_ray.stages import dedup, multimodal, similarity, textstats
+    from harvester_ray.stages import (
+        chunking,
+        dedup,
+        multimodal,
+        similarity,
+        textstats,
+    )
 
     return {
         # fulltext index engine (flagship; SURVEY.md §7)
@@ -74,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantity_quantiles": relational.lineitem_quantity_quantiles,
         "embedding_norms": relational.embedding_norms,
         # training-data-pipeline operators
+        "doc_chunks": chunking.doc_chunks,
+        "token_shards": chunking.token_shards,
         "sample_documents": relational.sample_documents,
         "dedup_exact": relational.dedup_exact,
         "dedup_embedding": dedup.embedding_cosine_dups,
@@ -144,6 +152,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_union_counts": oracles.LINEITEM_UNION_COUNTS,
         "lineitem_quantity_quantiles": oracles.LINEITEM_QUANTITY_QUANTILES,
         "embedding_norms": oracles.EMBEDDING_NORMS,
+        "doc_chunks": oracles.DOC_CHUNKS,
+        "token_shards": oracles.TOKEN_SHARDS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_embedding": oracles.DEDUP_EMBEDDING,

@@ -651,3 +651,61 @@ def _proximity_sql() -> str:
 
 
 PROXIMITY_MATCH = _proximity_sql()
+
+
+# Fixed-size token-window chunking (stages/chunking.py doc_chunks):
+# chunk i of a doc covers tokens [i*stride, i*stride + chunk_size),
+# starts while i*stride < n_tokens; 0-token docs yield no chunks; the
+# chunk text is the space-joined token window (both sides join the
+# SAME analyzer tokens, so text equality is exact).
+def _doc_chunks_sql() -> str:
+    from harvester_ray.stages.chunking import CHUNK_OVERLAP, CHUNK_SIZE
+
+    c, stride = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+)
+SELECT doc_id, u.i AS chunk_id,
+       least({c}, len(ts) - u.i * {stride})::BIGINT AS n_tokens,
+       array_to_string(ts[u.i * {stride} + 1 : u.i * {stride} + {c}], ' ')
+         AS chunk_text
+FROM toks, unnest(range(0, (len(ts) + {stride} - 1) // {stride})) AS u(i)
+"""
+
+
+DOC_CHUNKS = _doc_chunks_sql()
+
+
+# Global token-offset sharding (stages/chunking.py token_shards): the
+# exclusive prefix sum of token counts in doc_id order, shard =
+# offset // budget (docs never split across shards). The engine
+# computes it as a two-level distributed scan; the oracle as one
+# window function.
+def _token_shards_sql() -> str:
+    from harvester_ray.stages.chunking import SHARD_TOKEN_BUDGET
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+             '[a-z0-9]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+scan AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS token_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, token_offset,
+       (token_offset // {SHARD_TOKEN_BUDGET})::BIGINT AS shard_id
+FROM scan
+"""
+
+
+TOKEN_SHARDS = _token_shards_sql()

@@ -1,0 +1,241 @@
+"""Training-data chunking / packing operators over `documents`.
+
+Two operators a 100-TB LLM-training pipeline needs between "clean
+text" and "tokenized shards":
+
+- ``doc_chunks``: split every document into fixed-size token windows
+  with overlap (the RAG / long-context chunking step). Embarrassingly
+  parallel — one vectorized map_batches pass, no shuffle.
+- ``token_shards``: assign every document a GLOBAL token offset (the
+  exclusive prefix sum of token counts in doc_id order) and a shard id
+  ``offset // budget`` (the "pack sequential docs into fixed token
+  budget shards" step). The prefix sum is distributed as a two-level
+  scan: per-range sums -> tiny driver exclusive scan -> per-range
+  local cumsum, the textbook parallel-scan shape.
+
+Reference analog: the reference ships documents to Solr in fixed-size
+batches counted by rows (harvester/solr_updater.py:900-920 push loop);
+these operators are the token-budget generalization a training
+pipeline needs.
+
+Both are DuckDB-oracled (pipelines/oracles.py DOC_CHUNKS /
+TOKEN_SHARDS) with shared tokenizer + chunk-boundary rules:
+
+- tokens: the analyzer contract (functions/text.py) —
+  ``re.findall('[a-z0-9]+', lower(text))``.
+- chunk starts: 0, stride, 2·stride, ... while start < n_tokens
+  (stride = chunk_size - overlap); a doc with 0 tokens yields no
+  chunks; the last chunk may be short (down to 1 token).
+- shard of a doc: floor(exclusive_prefix_tokens / budget) — docs are
+  never split across shards (sequence packing that respects document
+  boundaries).
+
+Scale notes:
+
+- ``doc_chunks`` is a single streaming pass; chunk text is built by
+  one vectorized gather + ``binary_join_element_wise``-free
+  list-join kernel per batch (no Python loop over rows or chunks).
+- ``token_shards``' only communication is P partial sums (P = number
+  of doc_id ranges) to the driver and P offsets back — O(P), not
+  O(rows). Each range's docs must fit one worker for the local sort +
+  cumsum (same contiguous-range trick as index/build.py
+  ``_chunk_signed_range``; raise ``num_ranges`` at scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from harvester_ray.functions.text import (
+    DEFAULT_ANALYZER,
+    flatten_tokens,
+)
+
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+SHARD_TOKEN_BUDGET = 4096
+NUM_SCAN_RANGES = 16
+
+_SIGN_FLIP = np.uint64(1) << np.uint64(63)
+
+
+def _docs_path(sf_dir: str) -> str:
+    import os
+
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def make_chunker(chunk_size: int, overlap: int, analyzer=DEFAULT_ANALYZER):
+    """Vectorized map_batches fn: (doc_id, text) -> one row per chunk
+    (doc_id, chunk_id, n_tokens, chunk_text)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        toks = analyzer.tokenize_column(batch["text"])
+        flat, parent = flatten_tokens(toks)
+        if len(flat) == 0:
+            return empty
+        parent_np = parent.to_numpy()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # tokens per ROW of the batch (zero for token-free rows)
+        row_len = np.zeros(len(batch), dtype=np.int64)
+        uniq_rows, counts = np.unique(parent_np, return_counts=True)
+        row_len[uniq_rows] = counts
+        row_tok_start = np.concatenate(([0], np.cumsum(row_len)[:-1]))
+        n_chunks = -(-row_len // stride)  # ceil; 0 tokens -> 0 chunks
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        chunk_row = np.repeat(np.arange(len(batch)), n_chunks)
+        chunk_first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_ord = np.arange(total) - np.repeat(chunk_first, n_chunks)
+        s = chunk_ord * stride
+        e = np.minimum(s + chunk_size, row_len[chunk_row])
+        lengths = e - s
+        # gather indices: for each chunk, row_tok_start + [s, e)
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        gather = (
+            np.arange(offsets[-1])
+            - np.repeat(offsets[:-1], lengths)
+            + np.repeat(row_tok_start[chunk_row] + s, lengths)
+        )
+        taken = flat.take(pa.array(gather, pa.int64()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), taken
+        )
+        chunk_text = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[chunk_row], pa.int64()),
+                "chunk_id": pa.array(chunk_ord, pa.int64()),
+                "n_tokens": pa.array(lengths, pa.int64()),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return fn
+
+
+def doc_chunks(
+    sf_dir: str,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> "ray.data.Dataset":
+    """(doc_id, chunk_id, n_tokens, chunk_text) token windows."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(
+        make_chunker(chunk_size, overlap),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _token_counts_batch(analyzer=DEFAULT_ANALYZER):
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = analyzer.tokenize_column(batch["text"])
+        _, parent = flatten_tokens(toks)  # non-empty tokens only
+        n = np.bincount(
+            parent.to_numpy(zero_copy_only=False), minlength=len(batch)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def token_shards(
+    sf_dir: str,
+    budget: int = SHARD_TOKEN_BUDGET,
+    num_ranges: int = NUM_SCAN_RANGES,
+) -> pa.Table:
+    """(doc_id, n_tokens, token_offset, shard_id) — the global
+    exclusive token prefix sum in doc_id order and the resulting
+    fixed-token-budget shard assignment.
+
+    Two-level distributed scan:
+      1. one streaming pass computes per-doc token counts AND per-range
+         partial sums (range = contiguous signed doc_id interval, the
+         top bits of sign-flipped doc_id — ranges are ordered, so their
+         sums form the scan's upper level);
+      2. the driver exclusive-scans the P range sums (P rows, O(P));
+      3. a groupby(range).map_groups pass sorts each range by doc_id,
+         local-cumsums, and adds the range's base offset.
+    """
+    shift = np.uint64(64 - int(np.log2(num_ranges)))
+
+    counts = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"]
+    ).map_batches(
+        _token_counts_batch(), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rng = ((did.view(np.uint64) ^ _SIGN_FLIP) >> shift).astype(np.int64)
+        return batch.append_column("range_id", pa.array(rng, pa.int64()))
+
+    ranged = counts.map_batches(
+        add_range, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # upper level: P partial sums -> exclusive scan on the driver.
+    # materialize() so the shared upstream (read + tokenize) runs once
+    # and both consumers (sums, map_groups) reuse its blocks.
+    ranged = ranged.materialize()
+    sums = ranged.groupby("range_id").sum("n_tokens").take_all()
+    base: dict[int, int] = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["range_id"]):
+        base[row["range_id"]] = acc
+        acc += int(row["sum(n_tokens)"])
+
+    def scan_group(g: pa.Table) -> pa.Table:
+        rid = int(g["range_id"][0].as_py())
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        did, n = did[order], n[order]
+        excl = np.concatenate(([0], np.cumsum(n)[:-1])) + base[rid]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "token_offset": pa.array(excl, pa.int64()),
+                "shard_id": pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    out = (
+        ranged.groupby("range_id")
+        .map_groups(scan_group, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "token_offset": pa.array([], pa.int64()),
+                "shard_id": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    ).combine_chunks()

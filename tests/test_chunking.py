@@ -1,0 +1,127 @@
+"""Chunking / packing operators (stages/chunking.py) — python goldens
+for the boundary rules; the sf0.001 oracle equality runs in
+test_oracle_gate.py (doc_chunks / token_shards entries)."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def py_chunks(text, chunk_size, overlap):
+    toks = TOKEN_RE.findall(text.lower())
+    stride = chunk_size - overlap
+    out = []
+    s, i = 0, 0
+    while s < len(toks):
+        w = toks[s : s + chunk_size]
+        out.append((i, len(w), " ".join(w)))
+        i += 1
+        s += stride
+    return out
+
+
+CASES = [
+    ("", 4, 1),
+    ("one", 4, 1),
+    ("a b c d", 4, 1),            # exactly one chunk
+    ("a b c d e", 4, 1),          # second chunk from overlap
+    ("a b c d e f g h i j", 4, 2),
+    ("x " * 9, 3, 0),             # no overlap, exact multiple
+    ("x " * 10, 3, 0),            # trailing short chunk
+]
+
+
+@pytest.mark.parametrize("text,c,o", CASES)
+def test_chunker_matches_python_golden(ray_session, text, c, o):
+    from harvester_ray.stages.chunking import make_chunker
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array([text], pa.string()),
+        }
+    )
+    got = make_chunker(c, o)(batch)
+    want = py_chunks(text, c, o)
+    assert got.num_rows == len(want)
+    for row, (cid, n, txt) in zip(got.to_pylist(), want):
+        assert (row["chunk_id"], row["n_tokens"], row["chunk_text"]) == (
+            cid,
+            n,
+            txt,
+        )
+
+
+def test_chunker_multi_doc_batch(ray_session):
+    from harvester_ray.stages.chunking import make_chunker
+
+    texts = ["a b c d e", "", "q r", "z " * 7]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(4)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = make_chunker(3, 1)(batch)
+    by_doc = {}
+    for row in got.to_pylist():
+        by_doc.setdefault(row["doc_id"], []).append(row)
+    for d, text in enumerate(texts):
+        want = py_chunks(text, 3, 1)
+        rows = by_doc.get(d, [])
+        assert len(rows) == len(want), d
+        for row, (cid, n, txt) in zip(rows, want):
+            assert row["chunk_text"] == txt
+
+
+def test_chunker_rejects_bad_overlap():
+    from harvester_ray.stages.chunking import make_chunker
+
+    with pytest.raises(ValueError):
+        make_chunker(4, 4)
+    with pytest.raises(ValueError):
+        make_chunker(4, -1)
+
+
+def test_token_shards_is_exact_prefix_sum(ray_session, tmp_path):
+    """Engine two-level scan == single-process cumsum, docs never
+    split, shard boundaries at exact token budgets."""
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.chunking import token_shards
+
+    rng = np.random.default_rng(7)
+    n = 300
+    # signed ids spread over the full range so multiple scan ranges
+    # are exercised (including negatives)
+    ids = np.unique(
+        rng.integers(-(2**62), 2**62, n * 2, dtype=np.int64)
+    )[:n]
+    texts = [" ".join(["tok"] * int(k)) for k in rng.integers(0, 50, n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = token_shards(str(tmp_path), budget=100, num_ranges=8)
+    lens = {i: len(TOKEN_RE.findall(t)) for i, t in zip(ids, texts)}
+    order = sorted(lens)
+    acc = 0
+    want_offsets = {}
+    for d in order:
+        want_offsets[d] = acc
+        acc += lens[d]
+    assert got["doc_id"].to_pylist() == order
+    assert got["n_tokens"].to_pylist() == [lens[d] for d in order]
+    assert got["token_offset"].to_pylist() == [want_offsets[d] for d in order]
+    assert got["shard_id"].to_pylist() == [
+        want_offsets[d] // 100 for d in order
+    ]
