@@ -247,55 +247,150 @@ def _read_term_positions(
     )
 
 
-def _explode_anchors(ordinals_of_tid: dict[int, list[int]]):
-    """map_batches fn: positional rows -> (doc_id, base) anchor rows.
+def _collect(out: "ray.data.Dataset", empty: pa.Table) -> pa.Table:
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return empty
+    return pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    ).combine_chunks()
 
-    For each phrase ordinal i whose term matches the row's term_id,
-    every position p yields an anchor base = p - i. A (doc, base)
-    group with k rows is a phrase occurrence at that base.
+
+def _explode_anchors_multi(specs: dict[int, dict[int, list[int]]]):
+    """map_batches fn: positional rows -> (phrase_id, doc_id, base)
+    anchor rows for EVERY phrase in one pass.
+
+    ``specs[phrase_id][term_id] = ordinals``. For each phrase ordinal
+    i whose term matches the row's term_id, every position p yields an
+    anchor base = p - i; a (phrase, doc, base) group with k rows is a
+    phrase occurrence at that base.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "phrase_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "base": pa.array([], pa.int64()),
+            }
+        )
         if len(batch) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "base": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         tid = batch["term_id"].to_numpy(zero_copy_only=False)
         positions = batch["positions"].combine_chunks()
         flat = positions.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         parent = pc.list_parent_indices(positions).to_numpy(zero_copy_only=False)
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_doc: list[np.ndarray] = []
-        out_base: list[np.ndarray] = []
         flat_tid = tid[parent]
         flat_did = did[parent]
-        for t, ords in ordinals_of_tid.items():
+        out_pid: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        out_base: list[np.ndarray] = []
+        # mask once per UNIQUE term across all phrases
+        uniq_tids = {t for spec in specs.values() for t in spec}
+        per_tid = {}
+        for t in uniq_tids:
             mask = flat_tid == t
-            if not mask.any():
-                continue
-            p = flat[mask]
-            d = flat_did[mask]
-            for i in ords:
-                out_doc.append(d)
-                out_base.append(p - i)
+            if mask.any():
+                per_tid[t] = (flat[mask], flat_did[mask])
+        for pid, spec in specs.items():
+            for t, ords in spec.items():
+                if t not in per_tid:
+                    continue
+                p, d = per_tid[t]
+                for i in ords:
+                    out_pid.append(np.full(len(p), pid, dtype=np.int64))
+                    out_doc.append(d)
+                    out_base.append(p - i)
         if not out_doc:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "base": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         return pa.table(
             {
+                "phrase_id": pa.array(np.concatenate(out_pid), pa.int64()),
                 "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
                 "base": pa.array(np.concatenate(out_base), pa.int64()),
             }
         )
 
     return fn
+
+
+def phrase_occurrences_multi(
+    root: str,
+    phrases: list[tuple[int, str]],
+    analyzer_name: str | None = None,
+) -> pa.Table:
+    """Exact (overlap-counted) phrase match for a whole QUERY SET in
+    ONE pipeline: one pruned read over the union of all phrases' term
+    buckets, one anchor explode, two groupbys.
+
+    Returns (phrase_id, doc_id, n_occurrences) sorted by
+    (phrase_id, doc_id). Phrases that tokenize to nothing, or contain
+    an OOV term, contribute no rows.
+    """
+    with open(_stats_path(root)) as f:
+        stats = json.load(f)
+    analyzer = get_analyzer(analyzer_name or stats["analyzer"])
+    empty = pa.table(
+        {
+            "phrase_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_occurrences": pa.array([], pa.int64()),
+        }
+    )
+    specs: dict[int, dict[int, list[int]]] = {}
+    k_of: dict[int, int] = {}
+    for pid, phrase in phrases:
+        terms = analyzer.tokenize(phrase)
+        if not terms:
+            continue
+        spec: dict[int, list[int]] = {}
+        for i, t in enumerate(terms):
+            spec.setdefault(hash64(t), []).append(i)
+        specs[int(pid)] = spec
+        k_of[int(pid)] = len(terms)
+    if not specs:
+        return empty
+    all_tids = sorted({t for spec in specs.values() for t in spec})
+    ds = _read_term_positions(root, all_tids, stats["num_buckets"])
+    anchors = ds.map_batches(
+        _explode_anchors_multi(specs),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # distributed groupby-count on (phrase, doc, base); a base with
+    # k(phrase) supporting ordinals is an occurrence (count can never
+    # exceed k, so equality is the exact predicate).
+    counts = anchors.groupby(["phrase_id", "doc_id", "base"]).count()
+    pid_keys = np.array(sorted(k_of), dtype=np.int64)
+    k_vals = np.array([k_of[p] for p in pid_keys], dtype=np.int64)
+
+    def keep_full(batch: pa.Table) -> pa.Table:
+        cnt_col = "count()" if "count()" in batch.column_names else "count"
+        pid = batch["phrase_id"].to_numpy(zero_copy_only=False)
+        need = k_vals[np.searchsorted(pid_keys, pid)]
+        cnt = batch[cnt_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(cnt == need)).select(
+            ["phrase_id", "doc_id"]
+        )
+
+    occ = counts.map_batches(keep_full, batch_format="pyarrow")
+    per_doc = occ.groupby(["phrase_id", "doc_id"]).count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cnt_col = "count()" if "count()" in batch.column_names else "count"
+        return pa.table(
+            {
+                "phrase_id": batch["phrase_id"],
+                "doc_id": batch["doc_id"],
+                "n_occurrences": batch[cnt_col].cast(pa.int64()),
+            }
+        )
+
+    out = per_doc.map_batches(rename, batch_format="pyarrow").sort(
+        ["phrase_id", "doc_id"]
+    )
+    return _collect(out, empty)
 
 
 def phrase_occurrences(
@@ -305,61 +400,98 @@ def phrase_occurrences(
 
     Returns (doc_id, n_occurrences) for every document containing the
     phrase, sorted by doc_id. A k-term phrase with an OOV term, or an
-    empty phrase, matches nothing.
+    empty phrase, matches nothing. (Single-query wrapper around
+    ``phrase_occurrences_multi``.)
+    """
+    t = phrase_occurrences_multi(root, [(0, phrase)], analyzer_name)
+    return t.select(["doc_id", "n_occurrences"])
+
+
+def proximity_occurrences_multi(
+    root: str,
+    queries: list[tuple[int, str, int]],
+    analyzer_name: str | None = None,
+) -> pa.Table:
+    """Ordered-window proximity match for a whole QUERY SET in ONE
+    pipeline: (proximity_id, phrase, window) triples -> rows
+    (proximity_id, doc_id, n_matches) sorted by (proximity_id, doc_id).
+
+    Semantics per query: the phrase terms appear in ORDER with total
+    span (last - first) <= window tokens; counts the first-term
+    occurrences that start a match, decided by the greedy-minimal
+    chain (always the smallest next position — optimal under a span
+    bound, so greedy == exists). ``window = k-1`` degenerates to the
+    exact phrase.
+
+    One pruned read over the union of all queries' term buckets, then
+    a groupby(doc).map_groups stage runs EVERY query against each
+    candidate doc — per-doc work is a vectorized searchsorted chain
+    per query, distributed by the doc shuffle.
     """
     with open(_stats_path(root)) as f:
         stats = json.load(f)
     analyzer = get_analyzer(analyzer_name or stats["analyzer"])
-    terms = analyzer.tokenize(phrase)
     empty = pa.table(
         {
+            "proximity_id": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
-            "n_occurrences": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
         }
     )
-    if not terms:
+    plans: list[tuple[int, list[int], int]] = []
+    for pid, phrase, window in queries:
+        terms = analyzer.tokenize(phrase)
+        if not terms:
+            continue
+        plans.append((int(pid), [hash64(t) for t in terms], int(window)))
+    if not plans:
         return empty
-    k = len(terms)
-    ordinals_of_tid: dict[int, list[int]] = {}
-    for i, t in enumerate(terms):
-        ordinals_of_tid.setdefault(hash64(t), []).append(i)
-    ds = _read_term_positions(
-        root, sorted(ordinals_of_tid), stats["num_buckets"]
-    )
-    anchors = ds.map_batches(
-        _explode_anchors(ordinals_of_tid),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    # one distributed groupby-count on (doc, base); bases with k
-    # supporting ordinals are occurrences. The count per (doc, base)
-    # can never exceed k, so count == k is the exact phrase predicate.
-    counts = anchors.groupby(["doc_id", "base"]).count()
+    all_tids = sorted({t for _, seq, _ in plans for t in seq})
+    ds = _read_term_positions(root, all_tids, stats["num_buckets"])
 
-    def keep_full(batch: pa.Table) -> pa.Table:
-        cnt_col = "count()" if "count()" in batch.column_names else "count"
-        m = pc.equal(batch[cnt_col], pa.scalar(k, batch[cnt_col].type))
-        return batch.filter(m).select(["doc_id"])
-
-    occ = counts.map_batches(keep_full, batch_format="pyarrow")
-    per_doc = occ.groupby("doc_id").count()
-
-    def rename(batch: pa.Table) -> pa.Table:
-        cnt_col = "count()" if "count()" in batch.column_names else "count"
+    def group_fn(g: pa.Table) -> pa.Table:
+        tids = g["term_id"].to_numpy(zero_copy_only=False)
+        plists = g["positions"].to_pylist()
+        pos_map = {
+            int(t): np.asarray(pl, dtype=np.int64)
+            for t, pl in zip(tids, plists)
+        }
+        out_pid: list[int] = []
+        out_n: list[int] = []
+        for pid, tid_seq, w in plans:
+            if any(t not in pos_map for t in tid_seq):
+                continue
+            base = cur = pos_map[tid_seq[0]]
+            for tid in tid_seq[1:]:
+                nxt = pos_map[tid]
+                idx = np.searchsorted(nxt, cur, side="right")
+                valid = idx < len(nxt)
+                base, idx = base[valid], idx[valid]
+                if len(base) == 0:
+                    break
+                cur = nxt[idx]
+            else:
+                n = int(np.count_nonzero(cur - base <= w))
+                if n:
+                    out_pid.append(pid)
+                    out_n.append(n)
+        if not out_pid:
+            return empty
+        did = int(g["doc_id"][0].as_py())
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "n_occurrences": batch[cnt_col].cast(pa.int64()),
+                "proximity_id": pa.array(out_pid, pa.int64()),
+                "doc_id": pa.array([did] * len(out_pid), pa.int64()),
+                "n_matches": pa.array(out_n, pa.int64()),
             }
         )
 
-    out = per_doc.map_batches(rename, batch_format="pyarrow").sort("doc_id")
-    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not parts:
-        return empty
-    return pa.concat_tables(
-        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    ).combine_chunks()
+    out = (
+        ds.groupby("doc_id")
+        .map_groups(group_fn, batch_format="pyarrow")
+        .sort(["proximity_id", "doc_id"])
+    )
+    return _collect(out, empty)
 
 
 def proximity_occurrences(
@@ -368,76 +500,7 @@ def proximity_occurrences(
     window: int,
     analyzer_name: str | None = None,
 ) -> pa.Table:
-    """Ordered-window proximity match: the phrase terms appear in
-    ORDER with total span <= ``window`` tokens (positions strictly
-    increasing, last - first <= window).
-
-    Counts, per doc, the number of first-term occurrences that start a
-    match. "Exists an ordered chain within the span" is decided by the
-    greedy-minimal chain (always pick the smallest next position —
-    optimal for a span upper bound), which is what both this
-    implementation and the DuckDB oracle compute, so counts agree
-    exactly. ``window = k-1`` degenerates to the exact phrase.
-
-    Verification is a groupby(doc).map_groups stage over the pruned
-    positional read: per-doc work is a vectorized searchsorted chain
-    (O(occurrences · log)), distributed by the doc shuffle.
-    """
-    with open(_stats_path(root)) as f:
-        stats = json.load(f)
-    analyzer = get_analyzer(analyzer_name or stats["analyzer"])
-    terms = analyzer.tokenize(phrase)
-    empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "n_matches": pa.array([], pa.int64()),
-        }
-    )
-    if not terms:
-        return empty
-    tid_seq = [hash64(t) for t in terms]
-    uniq_tids = sorted(set(tid_seq))
-    ds = _read_term_positions(root, uniq_tids, stats["num_buckets"])
-    k = len(tid_seq)
-    w = int(window)
-
-    def group_fn(g: pa.Table) -> pa.Table:
-        tids = g["term_id"].to_numpy(zero_copy_only=False)
-        if len(np.unique(tids)) < len(set(tid_seq)):
-            return empty  # some phrase term absent from this doc
-        plists = g["positions"].to_pylist()
-        pos_map = {
-            int(t): np.asarray(pl, dtype=np.int64)
-            for t, pl in zip(tids, plists)
-        }
-        base = cur = pos_map[tid_seq[0]]
-        for tid in tid_seq[1:]:
-            nxt = pos_map[tid]
-            idx = np.searchsorted(nxt, cur, side="right")
-            valid = idx < len(nxt)
-            base, idx = base[valid], idx[valid]
-            if len(base) == 0:
-                return empty
-            cur = nxt[idx]
-        n = int(np.count_nonzero(cur - base <= w))
-        if n == 0:
-            return empty
-        did = int(g["doc_id"][0].as_py())
-        return pa.table(
-            {
-                "doc_id": pa.array([did], pa.int64()),
-                "n_matches": pa.array([n], pa.int64()),
-            }
-        )
-
-    out = (
-        ds.groupby("doc_id")
-        .map_groups(group_fn, batch_format="pyarrow")
-        .sort("doc_id")
-    )
-    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not parts:
-        return empty
-    return pa.concat_tables(
-        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    ).combine_chunks()
+    """Single-query wrapper around ``proximity_occurrences_multi``:
+    (doc_id, n_matches) sorted by doc_id."""
+    t = proximity_occurrences_multi(root, [(0, phrase, window)], analyzer_name)
+    return t.select(["doc_id", "n_matches"])

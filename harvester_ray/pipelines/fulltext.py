@@ -378,63 +378,21 @@ def phrase_match(sf_dir: str) -> pa.Table:
     """(phrase_id, doc_id, n_occurrences) for every PHRASE_SET phrase
     over the positional store — occurrence counts are overlap-exact
     (see index/positional.py), checked against a DuckDB list-
-    comprehension oracle (oracles.PHRASE_MATCH)."""
-    from harvester_ray.index.positional import phrase_occurrences
+    comprehension oracle (oracles.PHRASE_MATCH). The whole set runs
+    as ONE pipeline (batch query execution: union-pruned read, one
+    anchor explode, two groupbys)."""
+    from harvester_ray.index.positional import phrase_occurrences_multi
 
-    root = positions_for(sf_dir)
-    parts = []
-    for pid, phrase in PHRASE_SET:
-        t = phrase_occurrences(root, phrase)
-        if t.num_rows == 0:
-            continue
-        parts.append(
-            pa.table(
-                {
-                    "phrase_id": pa.array([pid] * t.num_rows, pa.int64()),
-                    "doc_id": t["doc_id"],
-                    "n_occurrences": t["n_occurrences"],
-                }
-            )
-        )
-    if not parts:
-        return pa.table(
-            {
-                "phrase_id": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "n_occurrences": pa.array([], pa.int64()),
-            }
-        )
-    return pa.concat_tables(parts).combine_chunks()
+    return phrase_occurrences_multi(positions_for(sf_dir), PHRASE_SET)
 
 
 def proximity_match(sf_dir: str) -> pa.Table:
     """(proximity_id, doc_id, n_matches) for every PROXIMITY_SET entry
     — ordered-window proximity over the positional store, greedy-
     minimal chain semantics shared verbatim with the DuckDB oracle
-    (oracles.PROXIMITY_MATCH)."""
-    from harvester_ray.index.positional import proximity_occurrences
+    (oracles.PROXIMITY_MATCH). The whole set runs as ONE pipeline
+    (union-pruned read, one groupby(doc).map_groups running every
+    query per candidate doc)."""
+    from harvester_ray.index.positional import proximity_occurrences_multi
 
-    root = positions_for(sf_dir)
-    parts = []
-    for pid, phrase, window in PROXIMITY_SET:
-        t = proximity_occurrences(root, phrase, window)
-        if t.num_rows == 0:
-            continue
-        parts.append(
-            pa.table(
-                {
-                    "proximity_id": pa.array([pid] * t.num_rows, pa.int64()),
-                    "doc_id": t["doc_id"],
-                    "n_matches": t["n_matches"],
-                }
-            )
-        )
-    if not parts:
-        return pa.table(
-            {
-                "proximity_id": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "n_matches": pa.array([], pa.int64()),
-            }
-        )
-    return pa.concat_tables(parts).combine_chunks()
+    return proximity_occurrences_multi(positions_for(sf_dir), PROXIMITY_SET)
