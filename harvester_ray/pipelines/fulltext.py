@@ -396,3 +396,137 @@ def proximity_match(sf_dir: str) -> pa.Table:
     from harvester_ray.index.positional import proximity_occurrences_multi
 
     return proximity_occurrences_multi(positions_for(sf_dir), PROXIMITY_SET)
+
+
+# -- passage retrieval: BM25 over chunks + doc-level max-pooling ----------
+def chunk_corpus_for(sf_dir: str) -> tuple[IndexPaths, str]:
+    """Build (or reuse) the CHUNK-granularity index: documents are
+    split into token windows (stages/chunking.py), each chunk becomes
+    an index "document" keyed by hash64("{doc_id}:{chunk_id}"), and
+    the chunk corpus checkpoint doubles as the chunk_key -> parent doc
+    mapping. Returns (index paths, mapping dir)."""
+    import pyarrow.compute as pc
+
+    from harvester_ray.functions.text import hash64_array
+    from harvester_ray.stages.chunking import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        doc_chunks,
+    )
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:chunks:"
+        f"{CHUNK_SIZE}:{CHUNK_OVERLAP}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_{key}")
+    mapping = os.path.join(CACHE_ROOT, f"chunkmap_{key}")
+    paths = IndexPaths(out)
+    if os.path.exists(paths.stats) and os.path.isdir(mapping):
+        return paths, mapping
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        label = pc.binary_join_element_wise(
+            pc.cast(batch["doc_id"], pa.string()),
+            pc.cast(batch["chunk_id"], pa.string()),
+            ":",
+        )
+        keys = hash64_array(label.combine_chunks() if hasattr(label, "combine_chunks") else label)
+        return pa.table(
+            {
+                "doc_id": pa.array(keys, pa.int64()),  # index doc key
+                "parent_doc": batch["doc_id"],
+                "chunk_id": batch["chunk_id"],
+                "text": batch["chunk_text"],
+            }
+        )
+
+    if not os.path.isdir(mapping):
+        tmp = f"{mapping}.tmp-{os.getpid()}"
+        doc_chunks(sf_dir).map_batches(
+            keyed, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tmp)
+        os.rename(tmp, mapping)
+    chunks = ray.data.read_parquet(mapping, columns=["doc_id", "text"])
+    build_index(chunks, out)
+    return paths, mapping
+
+
+def passage_topk(sf_dir: str) -> pa.Table:
+    """Passage retrieval with doc-level max-pooling ("maxP"): BM25
+    top-k over the CHUNK index, then each document is scored by its
+    best chunk; top-10 docs per query by (round(score,6) DESC, doc_id).
+
+    Exactness of the chunk top-k': if a doc is in the true doc-level
+    top-10, chunks scoring above its best chunk belong to at most 9
+    other docs, each contributing at most max_chunks_per_doc of them —
+    so its best chunk ranks within 10 * max_chunks_per_doc and
+    k' = TOP_K * max_chunks_per_doc retrieves every chunk that can
+    decide the doc top-10.
+    """
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    paths, mapping = chunk_corpus_for(sf_dir)
+    # distributed: chunks per parent doc -> max (tiny result)
+    per_doc = (
+        ray.data.read_parquet(mapping, columns=["parent_doc"])
+        .groupby("parent_doc")
+        .count()
+    )
+    max_chunks = int(per_doc.max("count()"))
+    kprime = TOP_K * max_chunks
+    qs = queries_for_mode("or")
+    queries_ds = ray.data.from_items(
+        [{"query_id": qid, "query": q, "mode": "or"} for qid, q in qs]
+    )
+    hits = queries_ds.map_batches(
+        QueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={"k": kprime},
+        batch_format="pyarrow",
+        concurrency=stage_concurrency(divisor=4, hi=8),
+        batch_size=8,
+    ).take_all()  # <= |queries| * k' rows — the top-k scatter-gather tail
+    if not hits:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    chunk_keys = sorted({int(r["doc_id"]) for r in hits})
+    # pruned mapping read: only the hit chunk keys (row-group pruning)
+    mds = pads.dataset(mapping)
+    mtbl = mds.to_table(
+        columns=["doc_id", "parent_doc"],
+        filter=pads.field("doc_id").isin(pa.array(chunk_keys, pa.int64())),
+    )
+    parent_of = dict(
+        zip(mtbl["doc_id"].to_pylist(), mtbl["parent_doc"].to_pylist())
+    )
+    best: dict[tuple[int, int], float] = {}
+    for r in hits:
+        kq = (int(r["query_id"]), int(parent_of[int(r["doc_id"])]))
+        s = float(r["score"])
+        if kq not in best or s > best[kq]:
+            best[kq] = s
+    out_q, out_rank, out_doc = [], [], []
+    for qid, _ in qs:
+        rows = [(d, s) for (q, d), s in best.items() if q == qid]
+        if not rows:
+            continue
+        docs = np.array([d for d, _ in rows], dtype=np.int64)
+        scores = np.round(np.array([s for _, s in rows]), 6)
+        order = np.lexsort((docs, -scores))[:TOP_K]
+        for rank, i in enumerate(order, start=1):
+            out_q.append(qid)
+            out_rank.append(rank)
+            out_doc.append(int(docs[i]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        }
+    )

