@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
         "quality_score": textstats.quality_score,
+        "collocations": textstats.collocations,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracles.QUALITY_SCORE,
         "lang_id": oracles.LANG_ID,
         "token_counts": oracles.TOKEN_COUNTS,
+        "collocations": oracles.COLLOCATIONS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,

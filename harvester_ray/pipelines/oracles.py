@@ -775,3 +775,46 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 
 
 PASSAGE_TOPK = _passage_sql()
+
+
+# Collocation statistics (stages/textstats.py collocations): top-N
+# adjacent bigrams by PMI, c_ab >= min_count. Both sides compute
+#   pmi = ln((c_ab/N_bigrams) / ((c_a/N_uni) * (c_b/N_uni)))
+# with the SAME IEEE double op order, emitted fixed-point
+# floor(pmi*1e6 + 0.5); N_bigrams = N_uni - (#docs with >=1 token).
+def _collocations_sql() -> str:
+    from harvester_ray.stages.textstats import (
+        COLLOC_MIN_COUNT,
+        COLLOC_TOP_N,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+uni AS (SELECT unnest(ts) AS term FROM toks),
+ucnt AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+big AS (
+  SELECT ts[u.i] AS term_a, ts[u.i + 1] AS term_b
+  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+),
+bcnt AS (SELECT term_a, term_b, count(*) AS c_ab
+         FROM big GROUP BY term_a, term_b),
+tot AS (SELECT (SELECT count(*) FROM uni)::DOUBLE AS nu,
+               (SELECT count(*) FROM big)::DOUBLE AS nb)
+SELECT term_a, term_b, c_ab::BIGINT AS n_ab,
+       floor(ln((c_ab::DOUBLE / nb)
+                / ((ca.c::DOUBLE / nu) * (cb.c::DOUBLE / nu)))
+             * 1000000 + 0.5)::BIGINT AS pmi_fp
+FROM bcnt
+JOIN ucnt ca ON ca.term = term_a
+JOIN ucnt cb ON cb.term = term_b, tot
+WHERE c_ab >= {COLLOC_MIN_COUNT}
+ORDER BY pmi_fp DESC, term_a, term_b
+LIMIT {COLLOC_TOP_N}
+"""
+
+
+COLLOCATIONS = _collocations_sql()

@@ -219,3 +219,47 @@ def test_default_decoder_autoselect_and_real_guard():
             multimodal.RealDecoder()(batch).to_pylist()
             == multimodal.FakeDecoder()(batch).to_pylist()
         )
+
+
+def test_collocations_pmi_golden(ray_session, tmp_path):
+    """Hand-computed PMI on a tiny corpus: 'x y' always adjacent (high
+    PMI), 'a b' sometimes adjacent, min_count filters rare pairs."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.textstats import collocations
+
+    texts = ["x y a b", "x y b a", "x y a b"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = collocations(str(tmp_path), min_count=2, top_n=10)
+    rows = {
+        (a, b): (n, p)
+        for a, b, n, p in zip(
+            got["term_a"].to_pylist(),
+            got["term_b"].to_pylist(),
+            got["n_ab"].to_pylist(),
+            got["pmi_fp"].to_pylist(),
+        )
+    }
+    # unigrams: x=3 y=3 a=3 b=3, N_uni=12; bigrams per doc 3, N_big=9
+    def fp(c_ab, c_a, c_b):
+        return math.floor(
+            math.log((c_ab / 9.0) / ((c_a / 12.0) * (c_b / 12.0))) * 1e6
+            + 0.5
+        )
+
+    assert rows[("x", "y")] == (3, fp(3, 3, 3))
+    assert rows[("a", "b")] == (2, fp(2, 3, 3))
+    assert ("b", "a") not in rows  # c_ab = 1 < min_count
+    # ranked by pmi_fp desc: the always-adjacent pair wins
+    assert got["term_a"][0].as_py() == "x"
