@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": fulltext.bm25_topk_and,
         "bm25_topk_wand": fulltext.bm25_topk_wand,
         "bm25_topk_and_bmand": fulltext.bm25_topk_and_bmand,
+        # injected cosine TF-IDF scorer (SURVEY §2.10 plug point)
+        "tfidf_topk": fulltext.tfidf_topk,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -125,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": oracles.BM25_TOPK_AND,
         "bm25_topk_wand": oracles.BM25_TOPK_OR,
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
+        "tfidf_topk": oracles.TFIDF_TOPK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

@@ -58,6 +58,33 @@ _DICT_PART_RE = re.compile(r"^part-bucket(\d+)\.parquet$")
 _SEG_PART_RE = re.compile(r"^part-bucket(\d+)c(\d+)\.parquet$")
 
 
+def tfidf_score(
+    tf: np.ndarray,
+    doc_len: np.ndarray,
+    df: float,
+    n_docs: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> np.ndarray:
+    """SMART-style cosine TF-IDF: (1 + ln tf) · ln((N+1)/(df+1)) / √dl.
+
+    Same signature as bm25_score so it plugs into the SURVEY §2.10
+    scorer injection point; k1/b/avgdl are unused by this weighting.
+    Shared verbatim (as SQL) with the DuckDB oracle."""
+    return (
+        (1.0 + np.log(tf.astype(np.float64)))
+        * math.log((n_docs + 1.0) / (df + 1.0))
+        / np.sqrt(doc_len.astype(np.float64))
+    )
+
+
+# named scorers for actor construction: map_batches actor ctor args must
+# be picklable/stable, so QueryActor takes a NAME here rather than a
+# callable (None = the default BM25 fast paths, incl. WAND block maxima)
+SCORERS: dict[str, "object"] = {"bm25": None, "tfidf": tfidf_score}
+
+
 class _TermPostings:
     """Decoded, globally doc_id-sorted postings of one term."""
 
@@ -1076,8 +1103,13 @@ class QueryActor:
         k: int = 10,
         preload: bool = True,
         algorithm: str = "auto",
+        scorer: "str | None" = None,
     ):
-        self.index = InvertedIndex(index_dir, preload=preload)
+        self.index = InvertedIndex(
+            index_dir,
+            preload=preload,
+            scorer=SCORERS[scorer] if scorer else None,
+        )
         self.k = k
         self.algorithm = algorithm
 

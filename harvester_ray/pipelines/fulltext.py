@@ -125,7 +125,12 @@ def doc_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def _bm25(sf_dir: str, mode: str, algorithm: str = "auto") -> "ray.data.Dataset":
+def _bm25(
+    sf_dir: str,
+    mode: str,
+    algorithm: str = "auto",
+    scorer: "str | None" = None,
+) -> "ray.data.Dataset":
     """Top-10 per query via the QueryActor pool: (query_id, rank, doc_id).
 
     Scores are intentionally not returned here — the oracle-checked
@@ -140,7 +145,9 @@ def _bm25(sf_dir: str, mode: str, algorithm: str = "auto") -> "ray.data.Dataset"
     out = queries_ds.map_batches(
         QueryActor,
         fn_constructor_args=(paths.root,),
-        fn_constructor_kwargs={"k": TOP_K, "algorithm": algorithm},
+        fn_constructor_kwargs={
+            "k": TOP_K, "algorithm": algorithm, "scorer": scorer
+        },
         batch_format="pyarrow",
         # cluster-derived pool bounds (a hard-coded 2 starves a 32-CPU
         # node; the driver query set is small, so cap the pool too)
@@ -178,6 +185,15 @@ def bm25_topk_and_bmand(sf_dir: str) -> "ray.data.Dataset":
     block-max pruning), checked against the SAME SQL oracle as the
     exhaustive AND path."""
     return _bm25(sf_dir, "and", algorithm="wand")
+
+
+def tfidf_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Disjunctive top-10 under the injected cosine TF-IDF scorer
+    (query.tfidf_score) — the SURVEY §2.10 scorer plug point exercised
+    end-to-end through the actor pool, oracled against the same SQL
+    formula. Reference analog: the Solr relevancy knobs the harvester's
+    query layer delegates to (couchdb/views, SURVEY §2.10)."""
+    return _bm25(sf_dir, "or", scorer="tfidf")
 
 
 # -- incremental add (delta segments) ------------------------------------

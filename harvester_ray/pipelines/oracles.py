@@ -51,7 +51,20 @@ FROM toks GROUP BY doc_id
 """
 
 
-def _bm25_sql(mode: str) -> str:
+# per-posting score expressions shared (as SQL) with the engine's
+# scorers: bm25 <-> build.bm25_score, tfidf <-> query.tfidf_score
+_SCORE_EXPRS = {
+    "bm25": f"""ln(1 + ((SELECT n FROM corpus) - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * {_K1 + 1.0})
+              / (p.tf + {_K1} * ({1.0 - _B} + {_B} * l.dl
+                                 / (SELECT avgdl FROM corpus)))""",
+    "tfidf": """(1 + ln(p.tf))
+              * ln(((SELECT n FROM corpus) + 1) / (d.df + 1))
+              / sqrt(l.dl)""",
+}
+
+
+def _bm25_sql(mode: str, weighting: str = "bm25") -> str:
     from harvester_ray.functions.text import tokenize
 
     pairs = []
@@ -76,10 +89,7 @@ dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
 q(query_id, term) AS (VALUES {values}),
 scored AS (
   SELECT q.query_id, p.doc_id,
-         sum( ln(1 + ((SELECT n FROM corpus) - d.df + 0.5) / (d.df + 0.5))
-              * (p.tf * {_K1 + 1.0})
-              / (p.tf + {_K1} * ({1.0 - _B} + {_B} * l.dl
-                                 / (SELECT avgdl FROM corpus))) ) AS score
+         sum( {_SCORE_EXPRS[weighting]} ) AS score
   FROM q
   JOIN postings p USING (term)
   JOIN dict d USING (term)
@@ -99,6 +109,7 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 
 BM25_TOPK_OR = _bm25_sql("or")
 BM25_TOPK_AND = _bm25_sql("and")
+TFIDF_TOPK = _bm25_sql("or", weighting="tfidf")
 
 DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

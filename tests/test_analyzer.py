@@ -86,6 +86,33 @@ def test_scorer_plug_point(tmp_path, ray_session):
     ]
 
 
+def test_named_tfidf_scorer(tmp_path, ray_session):
+    """QueryActor(scorer="tfidf") ranks by query.tfidf_score — the
+    named-scorer registry used by pipelines.fulltext.tfidf_topk."""
+    import math
+
+    from harvester_ray.index.query import QueryActor, tfidf_score
+
+    out = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(DOCS), out, n_docs=3)
+    actor = QueryActor(out, k=10, scorer="tfidf")
+    batch = pa.table(
+        {"query_id": [0], "query": ["dog"], "mode": ["or"]}
+    )
+    res = actor(batch)
+    idx = actor.index
+    df = float(idx.dictionary["dog"][1])
+    # doc 3 = 'dog dog' (tf=2, dl=2); expected per the shared formula
+    expect = float(
+        tfidf_score(
+            np.array([2]), np.array([2]), df, idx.n_docs, idx.avgdl, 0, 0
+        )[0]
+    )
+    top = res.to_pylist()[0]
+    assert top["doc_id"] == 3
+    assert math.isclose(top["score"], expect, rel_tol=1e-12)
+
+
 def test_jsonl_pages_round_trip(tmp_path, ray_session):
     from harvester_ray.corpus import generate_pages
     from harvester_ray.sources.readers import (
