@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and_bmand": fulltext.bm25_topk_and_bmand,
         # injected cosine TF-IDF scorer (SURVEY §2.10 plug point)
         "tfidf_topk": fulltext.tfidf_topk,
+        # dictionary-expansion queries (prefix / fuzzy / suggestion)
+        "prefix_search": fulltext.prefix_search,
+        "fuzzy_search": fulltext.fuzzy_search,
+        "did_you_mean": fulltext.did_you_mean,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -128,6 +132,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": oracles.BM25_TOPK_OR,
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
         "tfidf_topk": oracles.TFIDF_TOPK,
+        "prefix_search": oracles.PREFIX_SEARCH,
+        "fuzzy_search": oracles.FUZZY_SEARCH,
+        "did_you_mean": oracles.DID_YOU_MEAN,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

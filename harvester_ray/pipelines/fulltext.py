@@ -196,6 +196,122 @@ def tfidf_topk(sf_dir: str) -> "ray.data.Dataset":
     return _bm25(sf_dir, "or", scorer="tfidf")
 
 
+# -- dictionary-expansion queries (index/expand.py) -----------------------
+
+# (query_id, prefix): multi-term expansions, a cap-exercising head
+# prefix, single-term, and an OOV prefix (empty result set)
+PREFIX_SET: list[tuple[int, str]] = [
+    (0, "s"),    # scan slow small sort spark stream -> capped at 4
+    (1, "gr"),   # group
+    (2, "c"),    # column customer
+    (3, "zz"),   # no expansion -> no rows
+    (4, "qu"),   # query
+]
+PREFIX_CAP = 4
+
+# (query_id, query): per-token edit<=1 expansion; covers substitution
+# ("scann"->scan? no: deletion), deletion, insertion, an ed-2 typo that
+# must NOT match ("tabel" vs table) and a pure-OOV token
+FUZZY_SET: list[tuple[int, str]] = [
+    (0, "scann sort"),   # scan (ins) + sort/sorts...
+    (1, "joim"),         # join (sub)
+    (2, "tabel"),        # ed 2 from table -> expands to nothing
+    (3, "qzzzz"),        # OOV
+    (4, "windoq merg"),  # window? (windoq ed1 of window) + merge (ins)
+]
+
+# (query_id, misspelled term) for did-you-mean suggestions (<= ed 2)
+SUGGEST_SET: list[tuple[int, str]] = [
+    (0, "scann"),
+    (1, "tabel"),    # ed 2 -> table
+    (2, "qzzzz"),    # nothing within 2 -> no row
+    (3, "ordr"),
+    (4, "window"),
+]
+
+
+def _dict_ds(paths: IndexPaths) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        paths.dictionary, columns=["term", "df", "cf"]
+    )
+
+
+def _ranked_for_expansions(
+    paths: IndexPaths, exp: "object"
+) -> "ray.data.Dataset":
+    """Run the OR BM25 path over per-query expanded term sets.
+    ``exp``: DataFrame (query_id, term). Queries with an empty
+    expansion produce no rows (same as the SQL side)."""
+    by_q: dict[int, list[str]] = {}
+    for qid, term in zip(exp["query_id"], exp["term"]):
+        by_q.setdefault(int(qid), []).append(str(term))
+    items = [
+        {"query_id": qid, "query": " ".join(sorted(set(ts))), "mode": "or"}
+        for qid, ts in sorted(by_q.items())
+    ]
+    if not items:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = ray.data.from_items(items).map_batches(
+        QueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={"k": TOP_K},
+        batch_format="pyarrow",
+        concurrency=stage_concurrency(divisor=4, hi=8),
+        batch_size=8,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def prefix_search(sf_dir: str) -> "ray.data.Dataset":
+    """Prefix queries: expand each prefix against the dictionary
+    (top-PREFIX_CAP by df DESC, term ASC), then BM25-OR over the
+    expansion — Lucene-style multi-term rewrite, with the expansion
+    itself a distributed dictionary scan (index/expand.py)."""
+    from harvester_ray.index.expand import prefix_expansions
+
+    paths = index_for(sf_dir)
+    exp = prefix_expansions(_dict_ds(paths), PREFIX_SET, PREFIX_CAP)
+    return _ranked_for_expansions(paths, exp)
+
+
+def fuzzy_search(sf_dir: str) -> "ray.data.Dataset":
+    """Fuzzy queries: per-token edit-distance<=1 dictionary expansion
+    (vectorized byte-matrix kernel, exact vs Levenshtein), union per
+    query, then BM25-OR over the expanded set."""
+    from harvester_ray.index.expand import fuzzy_expansions
+
+    paths = index_for(sf_dir)
+    exp = fuzzy_expansions(_dict_ds(paths), FUZZY_SET)
+    return _ranked_for_expansions(paths, exp)
+
+
+def did_you_mean(sf_dir: str) -> pa.Table:
+    """Spelling suggestion: the dictionary term at minimal edit
+    distance (<= 2) per query term, ties by cf DESC then term ASC —
+    per-batch local best (combiner) + tiny grouped global reduction."""
+    from harvester_ray.index.expand import best_suggestions
+
+    paths = index_for(sf_dir)
+    return best_suggestions(_dict_ds(paths), SUGGEST_SET, max_dist=2)
+
+
 # -- incremental add (delta segments) ------------------------------------
 def index_for_incremental(sf_dir: str) -> IndexPaths:
     """Build a BASE index over the even doc_ids, then incrementally ADD

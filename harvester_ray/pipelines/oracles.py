@@ -111,6 +111,100 @@ BM25_TOPK_OR = _bm25_sql("or")
 BM25_TOPK_AND = _bm25_sql("and")
 TFIDF_TOPK = _bm25_sql("or", weighting="tfidf")
 
+
+def _expansion_sql(expanded_cte: str, extra_values: str) -> str:
+    """Shared scaffold for dictionary-expansion queries: the standard
+    index CTEs + a caller-provided ``q(query_id, term)`` expansion +
+    the BM25 scored/ranked tail (same ranking rule as _bm25_sql)."""
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+{extra_values},
+q AS ({expanded_cte}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( {_SCORE_EXPRS["bm25"]} ) AS score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _prefix_sql() -> str:
+    from harvester_ray.pipelines.fulltext import PREFIX_CAP, PREFIX_SET
+
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_SET)
+    return _expansion_sql(
+        f"""SELECT query_id, term FROM (
+      SELECT qp.query_id, d.term,
+             row_number() OVER (PARTITION BY qp.query_id
+                                ORDER BY d.df DESC, d.term ASC) AS rn
+      FROM qp JOIN dict d ON d.term LIKE qp.prefix || '%'
+    ) WHERE rn <= {PREFIX_CAP}""",
+        f"qp(query_id, prefix) AS (VALUES {values})",
+    )
+
+
+def _fuzzy_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import FUZZY_SET
+
+    pairs = []
+    for qid, qs in FUZZY_SET:
+        pairs.extend(
+            f"({qid}, '{tok}')" for tok in sorted(set(tokenize(qs)))
+        )
+    values = ", ".join(pairs)
+    return _expansion_sql(
+        "SELECT DISTINCT qt.query_id, d.term "
+        "FROM qt JOIN dict d ON levenshtein(d.term, qt.qterm) <= 1",
+        f"qt(query_id, qterm) AS (VALUES {values})",
+    )
+
+
+def _did_you_mean_sql() -> str:
+    from harvester_ray.pipelines.fulltext import SUGGEST_SET
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in SUGGEST_SET)
+    return f"""
+WITH toks AS ({_TOKS}),
+dict AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+qt(query_id, qterm) AS (VALUES {values}),
+cand AS (
+  SELECT qt.query_id, qt.qterm, d.term AS suggestion, d.cf,
+         levenshtein(d.term, qt.qterm) AS dist
+  FROM qt CROSS JOIN dict d
+),
+best AS (
+  SELECT query_id, qterm, suggestion, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, cf DESC, suggestion ASC) AS rn
+  FROM cand WHERE dist <= 2
+)
+SELECT query_id, qterm, suggestion, dist::BIGINT AS dist
+FROM best WHERE rn = 1
+"""
+
+
+PREFIX_SEARCH = _prefix_sql()
+FUZZY_SEARCH = _fuzzy_sql()
+DID_YOU_MEAN = _did_you_mean_sql()
+
 DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """
