@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": fulltext.prefix_search,
         "fuzzy_search": fulltext.fuzzy_search,
         "did_you_mean": fulltext.did_you_mean,
+        "more_like_this": fulltext.more_like_this,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_search": oracles.PREFIX_SEARCH,
         "fuzzy_search": oracles.FUZZY_SEARCH,
         "did_you_mean": oracles.DID_YOU_MEAN,
+        "more_like_this": oracles.MORE_LIKE_THIS,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

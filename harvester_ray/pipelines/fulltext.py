@@ -312,6 +312,96 @@ def did_you_mean(sf_dir: str) -> pa.Table:
     return best_suggestions(_dict_ds(paths), SUGGEST_SET, max_dist=2)
 
 
+# (query_id, source doc_id) — more-like-this seeds (ids exist at every sf)
+MLT_SET: list[tuple[int, int]] = [(0, 3), (1, 71), (2, 205)]
+MLT_TERMS = 5  # expansion size: top tf-idf terms of the source doc
+
+
+def more_like_this(sf_dir: str) -> pa.Table:
+    """More-like-this: seed doc -> its top-MLT_TERMS terms by
+    round(tf * idf, 6) DESC, term ASC (BM25 idf) -> BM25-OR over those
+    terms, seed doc excluded, re-ranked top-10.
+
+    Seed text and per-term df are ROW-GROUP-PRUNED filtered reads
+    (3 docs / a handful of terms — never a table scan); the ranking
+    runs through the same QueryActor pool as every other query entry."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.index.build import bm25_idf
+
+    paths = index_for(sf_dir)
+    src_ids = [d for _, d in MLT_SET]
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", src_ids)],
+    )
+    text_by_id = dict(
+        zip(src["doc_id"].to_pylist(), src["text"].to_pylist())
+    )
+    with open(paths.stats) as f:
+        n_docs = float(_json.load(f)["n_docs"])
+
+    # tf of every seed term, then df via one pruned dictionary read
+    tf_by_q: dict[int, dict[str, int]] = {}
+    all_terms: set[str] = set()
+    for qid, did in MLT_SET:
+        tf: dict[str, int] = {}
+        for tok in tokenize(text_by_id[did]):
+            tf[tok] = tf.get(tok, 0) + 1
+        tf_by_q[qid] = tf
+        all_terms.update(tf)
+    dft = pq.read_table(
+        paths.dictionary,
+        columns=["term", "df"],
+        filters=[("term", "in", sorted(all_terms))],
+    )
+    df_by_term = dict(zip(dft["term"].to_pylist(), dft["df"].to_pylist()))
+
+    items = []
+    for qid, did in MLT_SET:
+        scored = sorted(
+            (
+                (-round(tf * bm25_idf(float(df_by_term[t]), n_docs), 6), t)
+                for t, tf in tf_by_q[qid].items()
+            )
+        )[:MLT_TERMS]
+        terms = sorted(t for _, t in scored)
+        items.append(
+            {"query_id": qid, "query": " ".join(terms), "mode": "or"}
+        )
+
+    out = (
+        ray.data.from_items(items)
+        .map_batches(
+            QueryActor,
+            fn_constructor_args=(paths.root,),
+            fn_constructor_kwargs={"k": TOP_K + 1},  # +1 absorbs the seed
+            batch_format="pyarrow",
+            concurrency=stage_concurrency(divisor=4, hi=8),
+            batch_size=8,
+        )
+        .to_pandas()  # <= (TOP_K+1) x |MLT_SET| rows
+    )
+    seed_by_q = dict(MLT_SET)
+    out = out[
+        out["doc_id"] != out["query_id"].map(seed_by_q)
+    ].copy()
+    out["rank"] = out.groupby("query_id")["rank"].rank(method="first")
+    out = out[out["rank"] <= TOP_K]
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"].astype("int64"), pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+        }
+    )
+
+
 # -- incremental add (delta segments) ------------------------------------
 def index_for_incremental(sf_dir: str) -> IndexPaths:
     """Build a BASE index over the even doc_ids, then incrementally ADD

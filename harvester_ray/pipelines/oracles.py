@@ -205,6 +205,57 @@ PREFIX_SEARCH = _prefix_sql()
 FUZZY_SEARCH = _fuzzy_sql()
 DID_YOU_MEAN = _did_you_mean_sql()
 
+
+def _more_like_this_sql() -> str:
+    from harvester_ray.pipelines.fulltext import MLT_SET, MLT_TERMS
+
+    values = ", ".join(f"({qid}, {did})" for qid, did in MLT_SET)
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+src(query_id, src_doc) AS (VALUES {values}),
+src_tf AS (
+  SELECT s.query_id, t.term, count(*) AS tf
+  FROM src s JOIN toks t ON t.doc_id = s.src_doc
+  GROUP BY s.query_id, t.term
+),
+mlt AS (
+  SELECT query_id, term,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(tf * ln(1 + ((SELECT n FROM corpus) - d.df + 0.5)
+                                      / (d.df + 0.5)), 6) DESC,
+                    term ASC) AS rn
+  FROM src_tf JOIN dict d USING (term)
+),
+q AS (SELECT query_id, term FROM mlt WHERE rn <= {MLT_TERMS}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( {_SCORE_EXPRS["bm25"]} ) AS score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY round(sc.score, 6) DESC,
+                                     sc.doc_id ASC) AS rank
+  FROM scored sc JOIN src USING (query_id)
+  WHERE sc.doc_id != src.src_doc
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+MORE_LIKE_THIS = _more_like_this_sql()
+
 DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """
