@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and its LSH-candidate twin — both DuckDB-oracled (round 3)
         "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
         "ngram_jaccard_dups": dedup.ngram_jaccard_dups,
+        # connected components over the near-dup graph (canonical doc
+        # per duplicate cluster; iterative min-label propagation)
+        "dedup_clusters": dedup.dedup_clusters,
         # text analysis (DuckDB-oracled since round 2)
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
@@ -181,4 +184,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,
         "ngram_jaccard_dups": oracles.NGRAM_JACCARD,
+        "dedup_clusters": oracles.DEDUP_CLUSTERS,
     }

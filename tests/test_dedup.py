@@ -445,3 +445,58 @@ def test_ngram_lsh_path_matches_exact_on_high_jaccard(adversarial_corpus, ray_se
         p: j for p, j in _brute_jaccard_pairs(ids, texts, 0.9).items()
     }
     assert set(lsh_pairs) == set(want)
+
+
+# -- connected components (dedup_clusters) --------------------------------
+
+
+@pytest.fixture()
+def chain_corpus(tmp_path):
+    """A 4-doc chain A~B~C~D where only ADJACENT docs are near-dups
+    (sliding windows over one long token sequence, ~60% overlap), plus
+    an isolated pair and a singleton — exercises multi-hop transitive
+    closure, which pairwise output alone cannot express."""
+    toks = [f"w{i}" for i in range(100)]
+    # step-5 windows of 30 tokens: adjacent windows share 23/33 shingles
+    # (J=0.70 >= 0.5); two steps apart only 18/38 (J=0.47 < 0.5)
+    texts = {
+        0: " ".join(toks[0:30]),
+        1: " ".join(toks[5:35]),
+        2: " ".join(toks[10:40]),
+        3: " ".join(toks[15:45]),
+        10: " ".join(toks[70:90]),
+        11: " ".join(toks[70:90]),
+        20: "lonely document with no duplicate at all",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path), texts
+
+
+def test_dedup_clusters_transitive_chain(chain_corpus, ray_session):
+    sf_dir, texts = chain_corpus
+    # sanity: the chain is adjacent-only (0~1, 1~2, 2~3 but not 0~2)
+    pairs = set(
+        map(
+            tuple,
+            dedup.ngram_jaccard_exact(sf_dir, 0.5)
+            .to_pandas()[["doc_a", "doc_b"]]
+            .to_numpy(),
+        )
+    )
+    assert {(0, 1), (1, 2), (2, 3), (10, 11)} <= pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+    out = dedup.dedup_clusters(sf_dir, 0.5).to_pylist()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    # the whole chain collapses to min doc_id 0 via propagation
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+    # the singleton participates in no pair -> absent by contract
+    assert 20 not in got
