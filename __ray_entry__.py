@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the near-dup graph (canonical doc
         # per duplicate cluster; iterative min-label propagation)
         "dedup_clusters": dedup.dedup_clusters,
+        # eval-set decontamination sweep (8-gram overlap vs benchmark)
+        "decontaminate": dedup.decontaminate,
         # text analysis (DuckDB-oracled since round 2)
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
@@ -185,4 +187,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,
         "ngram_jaccard_dups": oracles.NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,
+        "decontaminate": oracles.DECONTAMINATE,
     }

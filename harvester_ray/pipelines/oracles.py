@@ -736,6 +736,32 @@ SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
 """
 
 
+# Benchmark decontamination: distinct 8-token grams of non-benchmark
+# docs that appear in any benchmark doc (doc_id % 13 == 5). Docs with
+# < 8 tokens carry no grams. String grams here vs uint64 rolling-poly
+# hashes in the engine — equal modulo 2^-64 collisions (same contract
+# as NGRAM_JACCARD).
+DECONTAMINATE = """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ts) - 7),
+           i -> array_to_string(ts[i:i+7], ' '))) AS gs
+  FROM tk WHERE len(ts) >= 8
+),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 13 = 5)
+SELECT e.doc_id, count(*) AS n_contaminated_grams
+FROM ex e JOIN bench b USING (g)
+WHERE e.doc_id % 13 != 5
+GROUP BY e.doc_id
+"""
+
+
 # Exact phrase match over the positional tier (index/positional.py):
 # (phrase_id, doc_id, n_occurrences) for each PHRASE_SET phrase, with
 # OVERLAP-exact occurrence counts — the list comprehension checks every

@@ -865,6 +865,89 @@ def ngram_jaccard_exact(
     )
 
 
+# -- benchmark decontamination --------------------------------------------
+
+DECON_GRAM_K = 8  # contamination unit: 8 consecutive tokens
+# deterministic benchmark membership: doc_id % MOD == REM (~1%); a real
+# pipeline swaps this predicate for "doc is in the eval set"
+DECON_BENCH_MOD = 13
+DECON_BENCH_REM = 5
+
+
+def decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_contaminated_grams): for every NON-benchmark doc, how
+    many of its distinct 8-token grams also appear in any benchmark
+    doc (doc_id % 13 == 5) — the eval-set decontamination sweep a
+    training corpus runs before training. Docs shorter than 8 tokens
+    carry no grams.
+
+    Scale shape: one tokenize+gram map over the corpus emitting
+    DISTINCT (gram, doc_id, is_bench) rows, one gram-hash-partitioned
+    groupby marking grams seen on the benchmark side (vectorized per
+    partition — no per-gram Python), one (doc_id) count groupby with
+    Ray's combiner. No broadcast of the benchmark side (it scales with
+    the corpus), no all-pairs anywhere."""
+    from ray.data.aggregate import Count
+
+    parts = shuffle_partitions()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_h, parent = _token_hashes(t["text"])
+        n = len(t)
+        sh, shp = _shingles_flat(tok_h, parent, n, k=DECON_GRAM_K)
+        # drop the short-doc "join-what-you-have" shingles: the
+        # contamination contract is exact 8-gram matches only
+        lens = np.bincount(parent, minlength=n) if len(parent) else (
+            np.zeros(n, dtype=np.int64)
+        )
+        keep = lens[shp] >= DECON_GRAM_K
+        sh, shp = sh[keep], shp[keep]
+        # distinct grams per doc
+        order = np.lexsort((sh, shp))
+        sh, shp = sh[order], shp[order]
+        first = np.r_[
+            True, (sh[1:] != sh[:-1]) | (shp[1:] != shp[:-1])
+        ] if len(sh) else np.zeros(0, dtype=bool)
+        sh, shp = sh[first], shp[first]
+        did = ids[shp]
+        return pa.table(
+            {
+                "gram": pa.array(sh.view(np.int64), pa.int64()),
+                "doc_id": pa.array(did, pa.int64()),
+                "is_bench": pa.array(
+                    did % DECON_BENCH_MOD == DECON_BENCH_REM
+                ),
+                "_part": pa.array(
+                    (sh % np.uint64(parts)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def mark_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One gram-hash partition, vectorized: contaminated candidate
+        rows are the non-benchmark rows whose gram occurs on the
+        benchmark side of the SAME partition (grams co-partition by
+        hash, so the check is local)."""
+        grams = g["gram"].to_numpy()
+        bench = g["is_bench"].to_numpy()
+        hit = np.isin(grams, grams[bench]) & ~bench
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy()[hit]})
+
+    marked = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(mark_part, batch_format="pandas")
+    )
+    return marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_contaminated_grams")
+    )
+
+
 # -- duplicate-cluster connected components -------------------------------
 
 CC_MAX_ITERS = 64
