@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": fulltext.fuzzy_search,
         "did_you_mean": fulltext.did_you_mean,
         "more_like_this": fulltext.more_like_this,
+        # result highlighting over the positional tier
+        "snippet_topk": fulltext.snippet_topk,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -142,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": oracles.FUZZY_SEARCH,
         "did_you_mean": oracles.DID_YOU_MEAN,
         "more_like_this": oracles.MORE_LIKE_THIS,
+        "snippet_topk": oracles.SNIPPET_TOPK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

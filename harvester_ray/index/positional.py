@@ -504,3 +504,93 @@ def proximity_occurrences(
     (doc_id, n_matches) sorted by doc_id."""
     t = proximity_occurrences_multi(root, [(0, phrase, window)], analyzer_name)
     return t.select(["doc_id", "n_matches"])
+
+
+def snippet_windows_multi(
+    root: str,
+    specs: "list[tuple[int, list[str], set[int]]]",
+    w: int,
+    analyzer_name: str | None = None,
+) -> pa.Table:
+    """Best anchored snippet window per (query, doc):
+    (query_id, doc_id, start, n_terms), ``start`` 1-based (the SQL
+    position convention).
+
+    Contract (shared with oracles.SNIPPET_TOPK): candidate windows are
+    ANCHORED at query-term match positions; a window covers w
+    consecutive tokens [s, s+w-1]; n_terms counts the DISTINCT query
+    terms with >= 1 occurrence inside; the winner maximizes n_terms,
+    ties to the smallest start. Anchoring makes the optimum well
+    defined — an unanchored maximizer can always slide left to an
+    anchor without losing terms.
+
+    ``specs``: (query_id, analyzed terms, doc_id restriction) — the
+    restriction is the BM25 top-k of the same query, so the output is
+    one snippet per search RESULT, not per corpus doc. One term-pruned
+    positional read serves every query; per-doc work is vectorized
+    searchsorted over the doc's position lists.
+    """
+    with open(_stats_path(root)) as f:
+        stats = json.load(f)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64()),
+        }
+    )
+    plans: list[tuple[int, list[int], "set[int]"]] = []
+    for qid, terms, docset in specs:
+        tids = sorted({hash64(t) for t in terms})
+        if tids and docset:
+            plans.append((int(qid), tids, docset))
+    if not plans:
+        return empty
+    all_tids = sorted({t for _, tids, _ in plans for t in tids})
+    ds = _read_term_positions(root, all_tids, stats["num_buckets"])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        did = int(g["doc_id"][0].as_py())
+        tids = g["term_id"].to_numpy(zero_copy_only=False)
+        plists = g["positions"].to_pylist()
+        pos_map = {
+            int(t): np.asarray(pl, dtype=np.int64)
+            for t, pl in zip(tids, plists)
+        }
+        out_q: list[int] = []
+        out_s: list[int] = []
+        out_n: list[int] = []
+        for qid, tid_seq, docset in plans:
+            if did not in docset:
+                continue
+            present = [pos_map[t] for t in tid_seq if t in pos_map]
+            if not present:
+                continue
+            anchors = np.unique(np.concatenate(present))
+            n = np.zeros(len(anchors), dtype=np.int64)
+            for p in present:
+                lo = np.searchsorted(p, anchors, side="left")
+                hi = np.searchsorted(p, anchors + w, side="left")
+                n += (hi > lo).astype(np.int64)
+            best = np.lexsort((anchors, -n))[0]
+            out_q.append(qid)
+            out_s.append(int(anchors[best]) + 1)  # 1-based
+            out_n.append(int(n[best]))
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array([did] * len(out_q), pa.int64()),
+                "start": pa.array(out_s, pa.int64()),
+                "n_terms": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("doc_id")
+        .map_groups(group_fn, batch_format="pyarrow")
+        .sort(["query_id", "doc_id"])
+    )
+    return _collect(out, empty)

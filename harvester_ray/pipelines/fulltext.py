@@ -402,6 +402,30 @@ def more_like_this(sf_dir: str) -> pa.Table:
     )
 
 
+SNIPPET_W = 8  # snippet window: 8 consecutive tokens
+
+
+def snippet_topk(sf_dir: str) -> pa.Table:
+    """Result highlighting: for every (query, doc) in the OR-mode BM25
+    top-10, the best SNIPPET_W-token window — anchored at query-term
+    positions, maximizing distinct query terms covered, ties to the
+    earliest start (index/positional.py snippet_windows_multi). The
+    Solr-highlighter analog of the reference's delegated search tier,
+    re-expressed over the engine's own positional store."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.index.positional import snippet_windows_multi
+
+    hits = _bm25(sf_dir, "or").to_pandas()  # <= TOP_K x |queries| rows
+    docs_by_q: dict[int, set[int]] = {}
+    for qid, did in zip(hits["query_id"], hits["doc_id"]):
+        docs_by_q.setdefault(int(qid), set()).add(int(did))
+    specs = [
+        (qid, sorted(set(tokenize(q))), docs_by_q.get(qid, set()))
+        for qid, q in queries_for_mode("or")
+    ]
+    return snippet_windows_multi(positions_for(sf_dir), specs, SNIPPET_W)
+
+
 # -- incremental add (delta segments) ------------------------------------
 def index_for_incremental(sf_dir: str) -> IndexPaths:
     """Build a BASE index over the even doc_ids, then incrementally ADD

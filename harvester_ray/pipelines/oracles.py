@@ -206,6 +206,86 @@ FUZZY_SEARCH = _fuzzy_sql()
 DID_YOU_MEAN = _did_you_mean_sql()
 
 
+def _snippet_sql() -> str:
+    """Best anchored snippet window per (query, BM25-top-k doc) —
+    shared contract with index/positional.py snippet_windows_multi:
+    1-based token positions, w consecutive tokens, anchors at query-
+    term matches, max distinct terms then min start."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import SNIPPET_W
+
+    qpairs = []
+    all_terms = set()
+    for qid, q in queries_for_mode("or"):
+        terms = sorted(set(tokenize(q)))
+        all_terms.update(terms)
+        qpairs.extend(f"({qid}, '{t}')" for t in terms)
+    values = ", ".join(qpairs)
+    tpos_branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{t}' AS term,\n"
+        f"       unnest([j FOR j IN range(1, len(ts) + 1) "
+        f"IF ts[j] = '{t}']) AS i\nFROM tk"
+        for t in sorted(all_terms)
+    )
+    return f"""
+WITH toks AS ({_TOKS}),
+tk AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( {_SCORE_EXPRS["bm25"]} ) AS score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+tpos AS (
+{tpos_branches}
+),
+anchors AS (
+  SELECT q.query_id, p.doc_id, p.i AS s
+  FROM q JOIN tpos p USING (term)
+),
+cand AS (
+  SELECT a.query_id, a.doc_id, a.s, count(DISTINCT p2.term) AS n_terms
+  FROM anchors a
+  JOIN q q2 ON q2.query_id = a.query_id
+  JOIN tpos p2 ON p2.term = q2.term AND p2.doc_id = a.doc_id
+              AND p2.i BETWEEN a.s AND a.s + {SNIPPET_W - 1}
+  GROUP BY a.query_id, a.doc_id, a.s
+),
+best AS (
+  SELECT query_id, doc_id, s, n_terms,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY n_terms DESC, s ASC) AS rn
+  FROM cand
+)
+SELECT r.query_id, r.doc_id, b.s AS start, b.n_terms
+FROM ranked r
+JOIN best b ON b.query_id = r.query_id AND b.doc_id = r.doc_id AND b.rn = 1
+WHERE r.rank <= {TOP_K}
+"""
+
+
+SNIPPET_TOPK = _snippet_sql()
+
+
 def _more_like_this_sql() -> str:
     from harvester_ray.pipelines.fulltext import MLT_SET, MLT_TERMS
 

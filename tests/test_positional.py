@@ -258,3 +258,46 @@ def test_proximity_window_k_minus_1_equals_phrase(store):
         assert ph.equals(
             px.rename_columns(["doc_id", "n_occurrences"])
         ), phrase
+
+
+# -- snippet windows ------------------------------------------------------
+
+
+def test_snippet_windows(ray_session, tmp_path):
+    """Hand-built doc where the best 4-token window is known: terms
+    'aa bb' with positions aa@{1,10}, bb@{3,20} (1-based). Window 4
+    anchored at 1 covers aa+bb (n=2); every other anchor covers 1."""
+    import ray.data
+
+    from harvester_ray.index.positional import (
+        build_positions,
+        snippet_windows_multi,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "documents.parquet")
+    #            pos: 1  2  3  4  5  6  7  8  9  10 ... 20
+    text = "aa x1 bb x2 x3 x4 x5 x6 x7 aa x8 x9 x10 x11 x12 x13 x14 x15 x16 bb"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 8], pa.int64()),
+                "text": pa.array([text, "bb only here"], pa.string()),
+            }
+        ),
+        src,
+    )
+    build_positions(ray.data.read_parquet(src), root)
+
+    out = snippet_windows_multi(
+        root, [(0, ["aa", "bb"], {7, 8}), (1, ["aa"], {7})], w=4
+    ).to_pylist()
+    rows = {(r["query_id"], r["doc_id"]): r for r in out}
+    # doc 7, query 0: anchor 1 covers aa@1 + bb@3 -> n_terms 2
+    assert rows[(0, 7)]["start"] == 1 and rows[(0, 7)]["n_terms"] == 2
+    # doc 8 has only bb -> best window anchored at bb@1, n_terms 1
+    assert rows[(0, 8)]["start"] == 1 and rows[(0, 8)]["n_terms"] == 1
+    # query 1: anchored at first aa
+    assert rows[(1, 7)]["start"] == 1 and rows[(1, 7)]["n_terms"] == 1
+    # doc 8 not in query 1's restriction -> absent
+    assert (1, 8) not in rows
