@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and_bmand": fulltext.bm25_topk_and_bmand,
         # injected cosine TF-IDF scorer (SURVEY §2.10 plug point)
         "tfidf_topk": fulltext.tfidf_topk,
+        # boolean NOT (exclusion before top-k)
+        "bm25_topk_not": fulltext.bm25_topk_not,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
         "fuzzy_search": fulltext.fuzzy_search,
@@ -140,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": oracles.BM25_TOPK_OR,
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
         "tfidf_topk": oracles.TFIDF_TOPK,
+        "bm25_topk_not": oracles.BM25_TOPK_NOT,
         "prefix_search": oracles.PREFIX_SEARCH,
         "fuzzy_search": oracles.FUZZY_SEARCH,
         "did_you_mean": oracles.DID_YOU_MEAN,

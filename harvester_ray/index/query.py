@@ -660,25 +660,49 @@ class InvertedIndex:
         k: int = 10,
         mode: str = "or",
         algorithm: str = "auto",
+        exclude: "str | None" = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score). Duplicate query terms are collapsed
         (set semantics); terms are processed in sorted order so float
-        accumulation order is deterministic."""
+        accumulation order is deterministic.
+
+        ``exclude``: boolean NOT — docs containing ANY excluded term
+        are dropped BEFORE top-k (so the k results are all eligible).
+        Exclusion composes with both modes; the WAND paths have no
+        valid block maxima under exclusion, so they fall back to the
+        exhaustive paths (same rule as a custom scorer)."""
         terms = sorted(set(self.analyzer.tokenize(query)))
         if not terms:
             return []
+        neg = (
+            sorted(set(self.analyzer.tokenize(exclude)) - set(terms))
+            if exclude
+            else []
+        )
         if mode == "and":
-            if algorithm == "wand" and self.scorer is None:
+            if algorithm == "wand" and self.scorer is None and not neg:
                 return self._search_and_bm(terms, k)
-            return self._search_and(terms, k)
-        if algorithm == "wand" and self.scorer is None:
+            return self._search_and(terms, k, neg)
+        if algorithm == "wand" and self.scorer is None and not neg:
             return self._search_wand(terms, k)
         # auto -> vectorized exhaustive: numpy decode+score is ~20 ns per
         # posting, while the Python document-at-a-time WAND loop costs
         # ~10 us per visited doc — block-max pruning only wins when it
         # skips >99% of postings (very selective queries over huge df),
         # which a caller opts into with algorithm="wand".
-        return self._search_or(terms, k)
+        return self._search_or(terms, k, neg)
+
+    def _excluded_docs(self, neg: list[str]) -> "np.ndarray | None":
+        """Union of doc_ids containing any excluded term (sorted), or
+        None when no excluded term exists in this dictionary."""
+        parts = []
+        for t in neg:
+            p = self.postings(t)
+            if p is not None:
+                parts.append(p.doc_ids)
+        if not parts:
+            return None
+        return np.unique(np.concatenate(parts))
 
     @staticmethod
     def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
@@ -724,7 +748,7 @@ class InvertedIndex:
         ids = self._slots[cand[order]]
         return [(int(d), float(s)) for d, s in zip(ids, scores[order])]
 
-    def _search_or(self, terms: list[str], k: int):
+    def _search_or(self, terms: list[str], k: int, neg: "list[str]" = ()):
         if self._slots is not None:
             n = len(self._slots)
             acc = np.zeros(n, dtype=np.float64)
@@ -740,6 +764,10 @@ class InvertedIndex:
                 hit[pos] = True
             if not found:
                 return []
+            if neg:
+                ex = self._excluded_docs(list(neg))
+                if ex is not None:
+                    hit[np.searchsorted(self._slots, ex)] = False
             return self._topk_dense(acc, hit, k)
         id_parts, score_parts = [], []
         for t in terms:
@@ -755,9 +783,14 @@ class InvertedIndex:
         uniq, inv = np.unique(all_ids, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, all_scores)
+        if neg:
+            ex = self._excluded_docs(list(neg))
+            if ex is not None:
+                keep = ~np.isin(uniq, ex, assume_unique=True)
+                uniq, sums = uniq[keep], sums[keep]
         return self._topk(uniq, sums, k)
 
-    def _search_and(self, terms: list[str], k: int):
+    def _search_and(self, terms: list[str], k: int, neg: "list[str]" = ()):
         if self._slots is not None:
             n = len(self._slots)
             acc = np.zeros(n, dtype=np.float64)
@@ -769,7 +802,12 @@ class InvertedIndex:
                 pos, scores = d
                 acc += np.bincount(pos, weights=scores, minlength=n)
                 cnt[pos] += 1
-            return self._topk_dense(acc, cnt == len(terms), k)
+            mask = cnt == len(terms)
+            if neg:
+                ex = self._excluded_docs(list(neg))
+                if ex is not None:
+                    mask[np.searchsorted(self._slots, ex)] = False
+            return self._topk_dense(acc, mask, k)
         plists = []
         for t in terms:
             p = self.postings(t)
@@ -781,6 +819,12 @@ class InvertedIndex:
             common = np.intersect1d(common, p.doc_ids, assume_unique=True)
             if len(common) == 0:
                 return []
+        if neg:
+            ex = self._excluded_docs(list(neg))
+            if ex is not None:
+                common = common[~np.isin(common, ex, assume_unique=True)]
+                if len(common) == 0:
+                    return []
         sums = np.zeros(len(common), dtype=np.float64)
         for p in plists:  # sorted-term order -> deterministic accumulation
             pos = np.searchsorted(p.doc_ids, common)
@@ -1120,12 +1164,24 @@ class QueryActor:
             if "mode" in batch.column_names
             else ["or"] * len(batch)
         )
-        for qid, q, mode in zip(
-            batch["query_id"].to_pylist(), batch["query"].to_pylist(), modes
+        excludes = (
+            batch["exclude"].to_pylist()
+            if "exclude" in batch.column_names
+            else [None] * len(batch)
+        )
+        for qid, q, mode, excl in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            modes,
+            excludes,
         ):
             for rank, (doc_id, score) in enumerate(
                 self.index.search(
-                    q, k=self.k, mode=mode, algorithm=self.algorithm
+                    q,
+                    k=self.k,
+                    mode=mode,
+                    algorithm=self.algorithm,
+                    exclude=excl,
                 ),
                 start=1,
             ):

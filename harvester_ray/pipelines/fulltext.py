@@ -402,6 +402,48 @@ def more_like_this(sf_dir: str) -> pa.Table:
     )
 
 
+# (query_id, positive query, excluded terms) — boolean NOT set (OR mode
+# positives; AND-NOT is covered by unit tests against brute force)
+NOT_SET: list[tuple[int, str, str]] = [
+    (0, "scan join", "merge"),
+    (1, "dup", "the"),
+    (2, "scan", "zzzq"),            # OOV negative -> plain OR
+    (3, "the a", "scan join sort"),
+    (4, "query fast slow", "merge"),
+]
+
+
+def bm25_topk_not(sf_dir: str) -> "ray.data.Dataset":
+    """Boolean NOT: disjunctive BM25 over the positive terms with docs
+    containing ANY excluded term dropped BEFORE top-k (query.py
+    search(exclude=...)) — the '-term' operator of a web search box."""
+    paths = index_for(sf_dir)
+    queries_ds = ray.data.from_items(
+        [
+            {"query_id": qid, "query": q, "mode": "or", "exclude": ex}
+            for qid, q, ex in NOT_SET
+        ]
+    )
+    out = queries_ds.map_batches(
+        QueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={"k": TOP_K},
+        batch_format="pyarrow",
+        concurrency=stage_concurrency(divisor=4, hi=8),
+        batch_size=8,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 SNIPPET_W = 8  # snippet window: 8 consecutive tokens
 
 

@@ -286,6 +286,61 @@ WHERE r.rank <= {TOP_K}
 SNIPPET_TOPK = _snippet_sql()
 
 
+def _bm25_not_sql() -> str:
+    """OR-mode BM25 with per-query exclusion: a doc containing ANY
+    negative term is dropped before top-k (anti-join), matching
+    query.py search(exclude=...)."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import NOT_SET
+
+    pos_pairs, neg_pairs = [], []
+    for qid, q, ex in NOT_SET:
+        pos = sorted(set(tokenize(q)))
+        neg = sorted(set(tokenize(ex)) - set(pos))
+        pos_pairs.extend(f"({qid}, '{t}')" for t in pos)
+        neg_pairs.extend(f"({qid}, '{t}')" for t in neg)
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(pos_pairs)}),
+nq(query_id, term) AS (VALUES {", ".join(neg_pairs)}),
+excl AS (
+  SELECT DISTINCT nq.query_id, p.doc_id
+  FROM nq JOIN postings p USING (term)
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( {_SCORE_EXPRS["bm25"]} ) AS score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s
+  LEFT JOIN excl e ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+  WHERE e.doc_id IS NULL
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM kept
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+BM25_TOPK_NOT = _bm25_not_sql()
+
+
 def _more_like_this_sql() -> str:
     from harvester_ray.pipelines.fulltext import MLT_SET, MLT_TERMS
 

@@ -182,3 +182,46 @@ def test_build_rejects_duplicate_doc_ids(tmp_path, ray_session):
     )
     with pytest.raises(Exception, match="duplicate doc_id"):
         build_index(dup, str(tmp_path / "dupidx"))
+
+
+# -- boolean NOT (exclusion before top-k) ----------------------------------
+
+
+@pytest.mark.parametrize(
+    "query,mode,exclude",
+    [
+        ("scan join", "or", "merge"),
+        ("scan join", "and", "merge sort"),
+        ("dup", "or", "the"),
+        ("the a", "and", "scan"),
+        ("scan", "or", "zzzq"),      # OOV negative -> no-op
+        ("scan", "or", "scan"),      # negative == positive -> ignored
+    ],
+)
+def test_search_not_matches_brute_force(built_index, query, mode, exclude):
+    """search(exclude=...) == brute-force filter of the UNLIMITED base
+    ranking to docs containing no excluded term, then top-k."""
+    idx = InvertedIndex(built_index.root, preload=True)
+    rows = _oracle_rows()
+    pos = sorted(set(tokenize(query)))
+    neg = sorted(set(tokenize(exclude)) - set(pos))
+    bad = {
+        did
+        for did, text in rows
+        if any(t in tokenize(text) for t in neg)
+    }
+    base = idx.search(query, k=len(rows), mode=mode)
+    want = [(d, s) for d, s in base if d not in bad][:10]
+    got = idx.search(query, k=10, mode=mode, exclude=exclude)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_search_not_excluded_never_returned(built_index):
+    idx = InvertedIndex(built_index.root, preload=True)
+    rows = dict(_oracle_rows())
+    got = idx.search("scan join", k=10, mode="or", exclude="merge")
+    assert got, "expected hits"
+    for d, _ in got:
+        assert "merge" not in tokenize(rows[d])
