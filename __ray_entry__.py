@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": fulltext.tfidf_topk,
         # boolean NOT (exclusion before top-k)
         "bm25_topk_not": fulltext.bm25_topk_not,
+        # facet counts over the full match set (Solr facet parity)
+        "search_facets": fulltext.search_facets,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
         "fuzzy_search": fulltext.fuzzy_search,
@@ -143,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
         "tfidf_topk": oracles.TFIDF_TOPK,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
+        "search_facets": oracles.SEARCH_FACETS,
         "prefix_search": oracles.PREFIX_SEARCH,
         "fuzzy_search": oracles.FUZZY_SEARCH,
         "did_you_mean": oracles.DID_YOU_MEAN,

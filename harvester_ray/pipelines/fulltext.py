@@ -402,6 +402,83 @@ def more_like_this(sf_dir: str) -> pa.Table:
     )
 
 
+def search_facets(sf_dir: str) -> "ray.data.Dataset":
+    """Facet counts over each OR query's FULL match set (not top-k):
+    (query_id, source, n_docs) — how many matching docs each `source`
+    facet value holds. The Solr faceting the reference's registry UI
+    runs on every search (SURVEY §2.6 facet counts), re-expressed as:
+    pruned postings read (only the query terms' rows leave storage) →
+    distinct (query, doc) groupby → hash join onto the documents
+    facet column → facet groupby. Both shuffles are corpus-scale-safe
+    (the match set, never all postings)."""
+    import pyarrow.dataset as pads
+
+    from harvester_ray.config import shuffle_partitions
+    from harvester_ray.functions.text import tokenize
+    from ray.data.aggregate import Count
+
+    paths = index_for(sf_dir)
+    qterms = [
+        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
+    ]
+    all_terms = sorted({t for _, ts in qterms for t in ts})
+    post = ray.data.read_parquet(
+        paths.postings,
+        columns=["term", "doc_id"],
+        filter=pads.field("term").isin(all_terms),
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        qids, dids = [], []
+        for qid, ts in qterms:
+            mask = pc.is_in(t["term"], value_set=pa.array(ts, pa.string()))
+            sel = t.filter(mask)["doc_id"].to_numpy(zero_copy_only=False)
+            qids.append(np.full(len(sel), qid, dtype=np.int64))
+            dids.append(sel.astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(qids) if qids else [], pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(dids) if dids else [], pa.int64()
+                ),
+            }
+        )
+
+    matches = (
+        post.map_batches(expand, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(  # typed re-emit: aggregate can yield schema-less
+            lambda t: pa.table(
+                {
+                    "query_id": t["query_id"].cast(pa.int64()),
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    joined = matches.join(
+        docs,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+    return (
+        joined.groupby(["query_id", "source"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 # (query_id, positive query, excluded terms) — boolean NOT set (OR mode
 # positives; AND-NOT is covered by unit tests against brute force)
 NOT_SET: list[tuple[int, str, str]] = [

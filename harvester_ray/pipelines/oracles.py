@@ -341,6 +341,28 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 BM25_TOPK_NOT = _bm25_not_sql()
 
 
+def _search_facets_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        pairs.extend(
+            f"({qid}, '{t}')" for t in sorted(set(tokenize(q)))
+        )
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+q(query_id, term) AS (VALUES {", ".join(pairs)}),
+m AS (SELECT DISTINCT q.query_id, p.doc_id FROM q JOIN postings p USING (term))
+SELECT m.query_id, d.source, count(*) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.source
+"""
+
+
+SEARCH_FACETS = _search_facets_sql()
+
+
 def _more_like_this_sql() -> str:
     from harvester_ray.pipelines.fulltext import MLT_SET, MLT_TERMS
 
