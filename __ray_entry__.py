@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_not": fulltext.bm25_topk_not,
         # facet counts over the full match set (Solr facet parity)
         "search_facets": fulltext.search_facets,
+        # field collapsing (top doc per facet group, top groups)
+        "collapse_topk": fulltext.collapse_topk,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
         "fuzzy_search": fulltext.fuzzy_search,
@@ -146,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracles.TFIDF_TOPK,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
         "search_facets": oracles.SEARCH_FACETS,
+        "collapse_topk": oracles.COLLAPSE_TOPK,
         "prefix_search": oracles.PREFIX_SEARCH,
         "fuzzy_search": oracles.FUZZY_SEARCH,
         "did_you_mean": oracles.DID_YOU_MEAN,

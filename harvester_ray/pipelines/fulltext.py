@@ -479,6 +479,155 @@ def search_facets(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+COLLAPSE_K = 5  # top source groups kept per query
+# per-posting fixed-point scale: scores become integers BEFORE the
+# distributed sum, so partial-sum order cannot move a rank (same
+# sum-of-fp rule as the relational q1 contract)
+_FP8 = 100_000_000
+
+
+def collapse_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Field collapsing (Lucene/Solr collapse parity): per OR query,
+    the best-scoring doc of EVERY `source` group over the FULL match
+    set, then the top-COLLAPSE_K groups ranked by their
+    representative: (query_id, grp_rank, source, doc_id).
+
+    Scoring is exhaustive BM25 recomputed distributedly from the raw
+    postings (not the top-k actor): pruned postings read → doc_len
+    hash join → per-posting fixed-point-8 score → (query, doc) integer
+    sum → source join → grouped top-1 → per-query group ranking. Every
+    float becomes an integer at the ROW, so the distributed sums are
+    exact and rank-stable against the SQL oracle."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.config import shuffle_partitions
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.index.build import bm25_score
+
+    paths = index_for(sf_dir)
+    with open(paths.stats) as f:
+        st = _json.load(f)
+    n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
+    k1, b = float(st["k1"]), float(st["b"])
+    qterms = [
+        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
+    ]
+    all_terms = sorted({t for _, ts in qterms for t in ts})
+    dft = pq.read_table(  # pruned dictionary read: query terms only
+        paths.dictionary, columns=["term", "df"],
+        filters=[("term", "in", all_terms)],
+    )
+    df_by_term = dict(zip(dft["term"].to_pylist(), dft["df"].to_pylist()))
+
+    post = ray.data.read_parquet(
+        paths.postings,
+        columns=["term", "doc_id", "tf"],
+        filter=pads.field("term").isin(all_terms),
+    )
+    dlen = ray.data.read_parquet(paths.doc_table, columns=["doc_id", "doc_len"])
+    post = post.join(
+        dlen, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        terms = t["term"].to_pylist()
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # one Python pass per batch for the df lookup; per-query
+        # selection is an Arrow is_in kernel
+        df_row = np.fromiter(
+            (float(df_by_term[tm]) for tm in terms),
+            dtype=np.float64,
+            count=len(terms),
+        )
+        out_q, out_d, out_s = [], [], []
+        for qid, ts in qterms:
+            sel = pc.is_in(
+                t["term"], value_set=pa.array(ts, pa.string())
+            ).to_numpy(zero_copy_only=False)
+            if not sel.any():
+                continue
+            dfs = df_row[sel]
+            s = np.empty(len(dfs))
+            stf, sdl = tf[sel], dl[sel]
+            for dfv in np.unique(dfs):  # query terms are few
+                m = dfs == dfv
+                s[m] = bm25_score(stf[m], sdl[m], dfv, n_docs, avgdl, k1, b)
+            out_q.append(np.full(int(sel.sum()), qid, dtype=np.int64))
+            out_d.append(did[sel])
+            out_s.append(np.floor(s * _FP8 + 0.5).astype(np.int64))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_fp": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "score_fp": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    scored = (
+        post.map_batches(score_rows, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("score_fp", alias_name="score_fp"))
+        .map_batches(  # typed re-emit after the aggregate
+            lambda t: pa.table(
+                {
+                    "query_id": t["query_id"].cast(pa.int64()),
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "score_fp": t["score_fp"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    joined = scored.join(
+        docs, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+
+    def top1(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(
+            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        return g.head(1)[["query_id", "source", "doc_id", "score_fp"]]
+
+    reps = joined.groupby(["query_id", "source"]).map_groups(
+        top1, batch_format="pandas"
+    )
+
+    def rank_groups(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(
+            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(COLLAPSE_K)
+        g = g.reset_index(drop=True)
+        g["grp_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "grp_rank", "source", "doc_id"]]
+
+    return reps.groupby("query_id").map_groups(
+        rank_groups, batch_format="pandas"
+    )
+
+
 # (query_id, positive query, excluded terms) — boolean NOT set (OR mode
 # positives; AND-NOT is covered by unit tests against brute force)
 NOT_SET: list[tuple[int, str, str]] = [

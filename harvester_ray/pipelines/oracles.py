@@ -363,6 +363,57 @@ GROUP BY m.query_id, d.source
 SEARCH_FACETS = _search_facets_sql()
 
 
+def _collapse_sql() -> str:
+    """Field collapsing: per-posting BM25 fixed-pointed at 1e-8 BEFORE
+    the sum (integer sums are order-independent on both engines), top-1
+    doc per (query, source), top-COLLAPSE_K groups per query."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import COLLAPSE_K, _FP8
+
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(pairs)}),
+sc AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {_FP8} + 0.5)
+             AS BIGINT)) AS score_fp
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+j AS (SELECT sc.query_id, sc.doc_id, sc.score_fp, d2.source
+      FROM sc JOIN documents d2 USING (doc_id)),
+reps AS (
+  SELECT query_id, source, doc_id, score_fp,
+         row_number() OVER (PARTITION BY query_id, source
+                            ORDER BY score_fp DESC, doc_id ASC) AS rn
+  FROM j
+),
+granked AS (
+  SELECT query_id, source, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_fp DESC, doc_id ASC) AS grp_rank
+  FROM reps WHERE rn = 1
+)
+SELECT query_id, grp_rank, source, doc_id
+FROM granked WHERE grp_rank <= {COLLAPSE_K}
+"""
+
+
+COLLAPSE_TOPK = _collapse_sql()
+
+
 def _more_like_this_sql() -> str:
     from harvester_ray.pipelines.fulltext import MLT_SET, MLT_TERMS
 
