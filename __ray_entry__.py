@@ -111,8 +111,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the near-dup graph (canonical doc
         # per duplicate cluster; iterative min-label propagation)
         "dedup_clusters": dedup.dedup_clusters,
+        # the dedup sweep's output corpus (drop non-canonical members)
+        "dedup_keep": dedup.dedup_keep,
         # eval-set decontamination sweep (8-gram overlap vs benchmark)
         "decontaminate": dedup.decontaminate,
+        # corpus profiling: exact doc-length quantiles
+        "doc_len_quantiles": fulltext.doc_len_quantiles,
         # text analysis (DuckDB-oracled since round 2)
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
@@ -199,5 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,
         "ngram_jaccard_dups": oracles.NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,
+        "dedup_keep": oracles.DEDUP_KEEP,
         "decontaminate": oracles.DECONTAMINATE,
+        "doc_len_quantiles": oracles.DOC_LEN_QUANTILES,
     }

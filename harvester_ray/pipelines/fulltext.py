@@ -479,6 +479,42 @@ def search_facets(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def doc_len_quantiles(sf_dir: str) -> pa.Table:
+    """Corpus profiling: exact doc-length quantiles (p25/50/75/95) from
+    the index doc table via the histogram-combiner rule shared with
+    lineitem_quantity_quantiles — one |distinct lengths| shuffle, tiny
+    histogram to the driver, smallest value with cum >= ceil(q*n)."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from harvester_ray.pipelines.relational import QUANTILES_R4
+
+    paths = index_for(sf_dir)
+    hist = (
+        ray.data.read_parquet(paths.doc_table, columns=["doc_len"])
+        .groupby("doc_len")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("doc_len", kind="stable")
+    )
+    v = hist["doc_len"].to_numpy(dtype=np.int64)
+    c = hist["c"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q_r4 in QUANTILES_R4:
+        target = int(np.ceil(q_r4 * n / 10_000.0))
+        i = int(np.searchsorted(cum, target, side="left"))
+        out_q.append(q_r4)
+        out_v.append(int(v[i]))
+    return pa.table(
+        {
+            "q_r4": pa.array(out_q, pa.int64()),
+            "doc_len": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
 COLLAPSE_K = 5  # top source groups kept per query
 # per-posting fixed-point scale: scores become integers BEFORE the
 # distributed sum, so partial-sum order cannot move a rank (same

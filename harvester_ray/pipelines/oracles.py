@@ -944,6 +944,48 @@ SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
 """
 
 
+# The dedup sweep's OUTPUT corpus: drop non-canonical cluster members.
+DEDUP_KEEP = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD}) jp
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, reach) AS (
+  SELECT a, a FROM sym GROUP BY a
+  UNION
+  SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
+),
+cc AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node)
+SELECT d.doc_id
+FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+WHERE cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id
+"""
+
+
+# Corpus profiling: exact doc-length quantiles over the analyzed docs
+# (same smallest-value-with-cum>=ceil(q*n) rule as the lineitem entry;
+# docs with zero tokens have no doc_len row, matching the index).
+DOC_LEN_QUANTILES = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+h AS (SELECT doc_len AS v, count(*) AS c FROM dl GROUP BY v),
+t AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+             (SELECT sum(c) FROM h) AS n
+      FROM h),
+qs(q_r4) AS (VALUES (2500), (5000), (7500), (9500))
+SELECT q_r4, min(v)::BIGINT AS doc_len
+FROM qs JOIN t ON t.cum >= CAST(ceil(q_r4 * t.n / 10000.0) AS BIGINT)
+GROUP BY q_r4
+"""
+
+
 # Benchmark decontamination: distinct 8-token grams of non-benchmark
 # docs that appear in any benchmark doc (doc_id % 13 == 5). Docs with
 # < 8 tokens carry no grams. String grams here vs uint64 rolling-poly

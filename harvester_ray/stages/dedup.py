@@ -1056,6 +1056,33 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     )
 
 
+def dedup_keep(sf_dir: str, threshold: float = 0.5) -> "ray.data.Dataset":
+    """(doc_id): the deduplicated corpus — every doc except non-
+    canonical near-dup cluster members (cluster_id != doc_id from
+    dedup_clusters). The end-to-end sweep a training pipeline actually
+    ships: cluster, keep the min-id representative, stream the rest.
+
+    The drop set is bounded by dup-participating docs (not the
+    corpus); it broadcasts under the same guard as the label table and
+    the corpus pass is a streaming isin filter."""
+    cc = dedup_clusters(sf_dir, threshold)
+    node = cc["doc_id"].to_numpy()
+    lab = cc["cluster_id"].to_numpy()
+    drop = np.sort(node[lab != node])
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids[~np.isin(ids, d)], pa.int64())}
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
 # -- embedding-cosine near-dup --------------------------------------------
 # Completes the dedup family with the semantic variant: two documents
 # are near-duplicates when their embedding vectors' cosine similarity
