@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": chunking.doc_chunks,
         "token_shards": chunking.token_shards,
         "sample_documents": relational.sample_documents,
+        # per-stratum deterministic sampling + exact distinct-count
+        "stratified_sample": relational.stratified_sample,
+        "events_type_users": relational.events_type_users,
         "dedup_exact": relational.dedup_exact,
         "dedup_embedding": dedup.embedding_cosine_dups,
         "ann_cosine_topk": relational.ann_cosine_topk,
@@ -192,6 +195,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": oracles.DOC_CHUNKS,
         "token_shards": oracles.TOKEN_SHARDS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
+        "stratified_sample": oracles.STRATIFIED_SAMPLE,
+        "events_type_users": oracles.EVENTS_TYPE_USERS,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
         "quality_score": oracles.QUALITY_SCORE,

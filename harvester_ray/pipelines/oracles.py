@@ -838,6 +838,30 @@ WHERE (((abs(doc_id) % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % 4294967296) % 100
 SAMPLE_DOCUMENTS = _sample_documents_sql()
 
 
+def _stratified_sample_sql() -> str:
+    from harvester_ray.pipelines.relational import (
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+    )
+
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE (((abs(doc_id) % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % 4294967296) % 100
+      < (CASE WHEN right(source, 1) BETWEEN '0' AND '9'
+              THEN 5 + CAST(right(source, 1) AS INT) ELSE 5 END)
+"""
+
+
+STRATIFIED_SAMPLE = _stratified_sample_sql()
+
+EVENTS_TYPE_USERS = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def _ann_batch_sql() -> str:
     from harvester_ray.pipelines.relational import (
         ANN_BATCH_QUERY_IDS,

@@ -791,6 +791,60 @@ def sample_documents(sf_dir: str, pct: int = SAMPLE_PCT) -> "ray.data.Dataset":
     )
 
 
+def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Per-stratum deterministic sampling: each `source` stratum keeps
+    its own rate (5 + last digit of the source name, a stand-in for a
+    per-source quality weight), membership by the same Knuth doc_id
+    hash as sample_documents — reproducible across runs, partitionings
+    and engines. Rates are computed once per UNIQUE source per batch
+    (dictionary encode), never per row."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((np.abs(ids) % _SAMPLE_MOD) * _SAMPLE_MULT) % (1 << 32)
+        denc = pc.dictionary_encode(t["source"]).combine_chunks()
+        uniq = denc.dictionary.to_pylist()
+        pcts = np.array(
+            [
+                5 + int(s[-1]) if s and s[-1].isdigit() else 5
+                for s in uniq
+            ],
+            dtype=np.int64,
+        )
+        pct_row = pcts[denc.indices.to_numpy(zero_copy_only=False)]
+        return t.filter(pa.array((h % 100) < pct_row))
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def events_type_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact count-distinct per key without materializing the distinct
+    set anywhere: (event_type, user_id) combiner groupby collapses to
+    one row per pair, then the per-type groupby counts rows (=distinct
+    users) and sums the pair counts (=events). Two shuffles, both on
+    pre-combined rows — the classic exact-distinct shape."""
+    per = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(  # typed re-emit after the aggregate
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"].cast(pa.string()),
+                    "user_id": t["user_id"].cast(pa.int64()),
+                    "n": t["n"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return per.groupby("event_type").aggregate(
+        Count(alias_name="n_users"), Sum("n", alias_name="n_events")
+    )
+
+
 ANN_BATCH_QUERY_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
 ANN_BATCH_TOP_K = 5
 
