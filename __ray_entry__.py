@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-stratum deterministic sampling + exact distinct-count
         "stratified_sample": relational.stratified_sample,
         "events_type_users": relational.events_type_users,
+        # argmax upsert ("latest version wins") + per-domain cap
+        "events_latest_per_user": relational.events_latest_per_user,
+        "source_capped_sample": relational.source_capped_sample,
         "dedup_exact": relational.dedup_exact,
         "dedup_embedding": dedup.embedding_cosine_dups,
         "ann_cosine_topk": relational.ann_cosine_topk,
@@ -197,6 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "stratified_sample": oracles.STRATIFIED_SAMPLE,
         "events_type_users": oracles.EVENTS_TYPE_USERS,
+        "events_latest_per_user": oracles.EVENTS_LATEST_PER_USER,
+        "source_capped_sample": oracles.SOURCE_CAPPED_SAMPLE,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
         "quality_score": oracles.QUALITY_SCORE,

@@ -1296,3 +1296,31 @@ LIMIT {COLLOC_TOP_N}
 
 
 COLLOCATIONS = _collocations_sql()
+
+
+EVENTS_LATEST_PER_USER = """
+SELECT user_id, event_id,
+       epoch_us(ts) AS ts_us,
+       event_type,
+       CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_r4
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def _source_capped_sql() -> str:
+    from harvester_ray.pipelines.relational import SOURCE_CAP
+
+    return f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {SOURCE_CAP}
+"""
+
+
+SOURCE_CAPPED_SAMPLE = _source_capped_sql()

@@ -946,3 +946,79 @@ def lineitem_quantity_quantiles(sf_dir: str) -> pa.Table:
             "value_r4": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def events_latest_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Latest event per user — argmax / "latest version wins" upsert
+    semantics (the reference's exists→update couch sync,
+    harvester/couchdb_sync_db_by_collection.py:62-88, and the solr doc
+    merge keyed by id). Combiner pattern: each batch forwards at most
+    ONE row per user (local argmax), so the groupby shuffles
+    O(users x batches) rows, never the event stream. Order rule:
+    ts DESC, event_id DESC (a total order per user).
+
+    ts is emitted as epoch microseconds (BIGINT) so the cross-engine
+    value hash is integer-exact; value is fixed-point 1e-4."""
+
+    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"],
+            ascending=[True, False, False],
+            kind="stable",
+        )
+        return df.drop_duplicates("user_id", keep="first")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["ts", "event_id"], ascending=[False, False], kind="stable"
+        ).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "ts_us": g["ts"].astype("int64").to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "value_r4": np.floor(
+                    g["value"].to_numpy() * 10_000 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "events",
+            ["user_id", "event_id", "ts", "event_type", "value"],
+        )
+        .map_batches(local_latest, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SOURCE_CAP = 50
+
+
+def source_capped_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source document cap: keep the first SOURCE_CAP docs of every
+    `source` (doc_id ASC) — the per-domain cap every web-scale corpus
+    pipeline applies so one crawl host cannot dominate training data.
+    Same combiner shape as top_orders_per_priority: a batch forwards at
+    most SOURCE_CAP rows per source, the final groupby re-caps, so the
+    shuffle moves O(cap x sources x batches) rows at 100 TB, never the
+    corpus."""
+
+    def local_cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="stable")
+        return df.groupby("source", sort=False).head(SOURCE_CAP)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable").head(SOURCE_CAP)
+        return g[["source", "doc_id"]]
+
+    return (
+        _read(sf_dir, "documents", ["source", "doc_id"])
+        .map_batches(local_cap, batch_format="pandas")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pandas")
+    )
