@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,
         "quality_score": textstats.quality_score,
         "collocations": textstats.collocations,
+        # Gopher-rule repetition counters (distinct/total, top-2-gram)
+        "repetition_stats": textstats.repetition_stats,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -208,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.LANG_ID,
         "token_counts": oracles.TOKEN_COUNTS,
         "collocations": oracles.COLLOCATIONS,
+        "repetition_stats": oracles.REPETITION_STATS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,

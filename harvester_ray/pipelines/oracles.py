@@ -1324,3 +1324,26 @@ SELECT source, doc_id FROM (
 
 
 SOURCE_CAPPED_SAMPLE = _source_capped_sql()
+
+
+REPETITION_STATS = """
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+           FROM documents),
+uni AS (SELECT doc_id, unnest(ts) AS term FROM d),
+tstats AS (SELECT doc_id, count(*) AS n_tokens,
+                  count(DISTINCT term) AS n_distinct
+           FROM uni GROUP BY doc_id),
+big AS (SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+        FROM d, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+bc AS (SELECT doc_id, a, b, count(*) AS c FROM big GROUP BY doc_id, a, b),
+bstats AS (SELECT doc_id, max(c) AS max_bigram_tf, sum(c) AS n_bigrams
+           FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(t.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(b.max_bigram_tf, 0)::BIGINT AS max_bigram_tf,
+       coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams
+FROM d
+LEFT JOIN tstats t USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
+"""

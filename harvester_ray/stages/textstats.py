@@ -426,3 +426,60 @@ def collocations(
             "pmi_fp": pa.array([r["pmi_fp"] for r in rows], pa.int64()),
         }
     )
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document repetition counters (the Gopher-rule family a
+    training-data pipeline filters on): (doc_id, n_tokens, n_distinct,
+    max_bigram_tf, n_bigrams). distinct/total and max-bigram/total are
+    the duplicate-token and top-2-gram-fraction signals; counts stay
+    INTEGER so the cross-engine hash is exact (callers derive ratios).
+
+    Fully vectorized per batch: one tokenize kernel, one dictionary
+    encode, then bincount/unique over packed int64 keys — no Python
+    loop over rows or tokens. Reference analog: the quality gating of
+    the validation layer (harvester/solr_updater.py:445-473), extended
+    per SURVEY §2 training-data scope."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_rows = len(batch)
+        toks = tokenize_column(batch["text"])
+        flat, parent = flatten_tokens(toks)
+        n_tok = np.zeros(n_rows, dtype=np.int64)
+        n_dis = np.zeros(n_rows, dtype=np.int64)
+        max_big = np.zeros(n_rows, dtype=np.int64)
+        n_big = np.zeros(n_rows, dtype=np.int64)
+        if len(flat):
+            par = parent.to_numpy().astype(np.int64)
+            enc = flat.dictionary_encode()
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = max(len(enc.dictionary), 1)
+            n_tok = np.bincount(par, minlength=n_rows).astype(np.int64)
+            # distinct terms per doc: unique (doc, term) pairs
+            pair = par * v + idx
+            n_dis = np.bincount(
+                np.unique(pair) // v, minlength=n_rows
+            ).astype(np.int64)
+            # adjacent bigrams within a doc
+            adj = par[1:] == par[:-1]
+            if adj.any():
+                pa_doc = par[:-1][adj]
+                key = (pa_doc * v + idx[:-1][adj]) * v + idx[1:][adj]
+                uk, uc = np.unique(key, return_counts=True)
+                np.maximum.at(max_big, uk // (v * v), uc)
+                n_big = np.bincount(pa_doc, minlength=n_rows).astype(
+                    np.int64
+                )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dis, pa.int64()),
+                "max_bigram_tf": pa.array(max_big, pa.int64()),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(stats, batch_format="pyarrow")
