@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": fulltext.more_like_this,
         # result highlighting over the positional tier
         "snippet_topk": fulltext.snippet_topk,
+        # deep paging via search-after cursor (Solr cursorMark parity)
+        "search_after_page2": fulltext.search_after_page2,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -166,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "did_you_mean": oracles.DID_YOU_MEAN,
         "more_like_this": oracles.MORE_LIKE_THIS,
         "snippet_topk": oracles.SNIPPET_TOPK,
+        "search_after_page2": oracles.SEARCH_AFTER_PAGE2,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

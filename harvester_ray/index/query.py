@@ -661,6 +661,7 @@ class InvertedIndex:
         mode: str = "or",
         algorithm: str = "auto",
         exclude: "str | None" = None,
+        after: "tuple[float, int] | None" = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score). Duplicate query terms are collapsed
         (set semantics); terms are processed in sorted order so float
@@ -670,7 +671,16 @@ class InvertedIndex:
         are dropped BEFORE top-k (so the k results are all eligible).
         Exclusion composes with both modes; the WAND paths have no
         valid block maxima under exclusion, so they fall back to the
-        exhaustive paths (same rule as a custom scorer)."""
+        exhaustive paths (same rule as a custom scorer).
+
+        ``after``: search-after cursor (score, doc_id) of the LAST hit
+        of the previous page — only results strictly after it in the
+        rank order (round-6 score DESC, doc_id ASC) are eligible, so
+        page n+1 costs the same as page 1 (no deep-offset re-ranking).
+        The reference pages exactly this way through Solr's cursorMark
+        (harvester/fetcher/solr_fetcher.py:41-44,124-125). WAND's
+        threshold invariant doesn't hold under a cursor, so the
+        exhaustive paths serve paged queries."""
         terms = sorted(set(self.analyzer.tokenize(query)))
         if not terms:
             return []
@@ -680,17 +690,27 @@ class InvertedIndex:
             else []
         )
         if mode == "and":
-            if algorithm == "wand" and self.scorer is None and not neg:
+            if (
+                algorithm == "wand"
+                and self.scorer is None
+                and not neg
+                and after is None
+            ):
                 return self._search_and_bm(terms, k)
-            return self._search_and(terms, k, neg)
-        if algorithm == "wand" and self.scorer is None and not neg:
+            return self._search_and(terms, k, neg, after)
+        if (
+            algorithm == "wand"
+            and self.scorer is None
+            and not neg
+            and after is None
+        ):
             return self._search_wand(terms, k)
         # auto -> vectorized exhaustive: numpy decode+score is ~20 ns per
         # posting, while the Python document-at-a-time WAND loop costs
         # ~10 us per visited doc — block-max pruning only wins when it
         # skips >99% of postings (very selective queries over huge df),
         # which a caller opts into with algorithm="wand".
-        return self._search_or(terms, k, neg)
+        return self._search_or(terms, k, neg, after)
 
     def _excluded_docs(self, neg: list[str]) -> "np.ndarray | None":
         """Union of doc_ids containing any excluded term (sorted), or
@@ -705,10 +725,18 @@ class InvertedIndex:
         return np.unique(np.concatenate(parts))
 
     @staticmethod
-    def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int, after=None):
         if len(doc_ids) == 0:
             return []
         rounded = np.round(scores, 6)
+        if after is not None:
+            cs, cd = float(np.round(after[0], 6)), int(after[1])
+            elig = (rounded < cs) | ((rounded == cs) & (doc_ids > cd))
+            doc_ids, scores, rounded = (
+                doc_ids[elig], scores[elig], rounded[elig]
+            )
+            if len(doc_ids) == 0:
+                return []
         order = np.lexsort((doc_ids, -rounded))[:k]
         return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
@@ -730,7 +758,7 @@ class InvertedIndex:
         self._dense_cache[meta[0]] = (pos, scores)
         return pos, scores
 
-    def _topk_dense(self, acc: np.ndarray, mask: np.ndarray, k: int):
+    def _topk_dense(self, acc: np.ndarray, mask: np.ndarray, k: int, after=None):
         """Top-k from a dense score accumulator: kth-value partition,
         then exact (round-6 DESC, doc_id ASC) ordering of the boundary
         candidates only. Tombstoned postings were already filtered at
@@ -740,6 +768,13 @@ class InvertedIndex:
             return []
         scores = acc[cand]
         rounded = np.round(scores, 6)
+        if after is not None:
+            cs, cd = float(np.round(after[0], 6)), int(after[1])
+            ids_all = self._slots[cand]
+            elig = (rounded < cs) | ((rounded == cs) & (ids_all > cd))
+            cand, scores, rounded = cand[elig], scores[elig], rounded[elig]
+            if len(cand) == 0:
+                return []
         if len(cand) > k:
             kth = np.partition(rounded, len(rounded) - k)[len(rounded) - k]
             keep = rounded >= kth
@@ -748,7 +783,9 @@ class InvertedIndex:
         ids = self._slots[cand[order]]
         return [(int(d), float(s)) for d, s in zip(ids, scores[order])]
 
-    def _search_or(self, terms: list[str], k: int, neg: "list[str]" = ()):
+    def _search_or(
+        self, terms: list[str], k: int, neg: "list[str]" = (), after=None
+    ):
         if self._slots is not None:
             n = len(self._slots)
             acc = np.zeros(n, dtype=np.float64)
@@ -768,7 +805,7 @@ class InvertedIndex:
                 ex = self._excluded_docs(list(neg))
                 if ex is not None:
                     hit[np.searchsorted(self._slots, ex)] = False
-            return self._topk_dense(acc, hit, k)
+            return self._topk_dense(acc, hit, k, after)
         id_parts, score_parts = [], []
         for t in terms:
             p = self.postings(t)
@@ -788,9 +825,11 @@ class InvertedIndex:
             if ex is not None:
                 keep = ~np.isin(uniq, ex, assume_unique=True)
                 uniq, sums = uniq[keep], sums[keep]
-        return self._topk(uniq, sums, k)
+        return self._topk(uniq, sums, k, after)
 
-    def _search_and(self, terms: list[str], k: int, neg: "list[str]" = ()):
+    def _search_and(
+        self, terms: list[str], k: int, neg: "list[str]" = (), after=None
+    ):
         if self._slots is not None:
             n = len(self._slots)
             acc = np.zeros(n, dtype=np.float64)
@@ -807,7 +846,7 @@ class InvertedIndex:
                 ex = self._excluded_docs(list(neg))
                 if ex is not None:
                     mask[np.searchsorted(self._slots, ex)] = False
-            return self._topk_dense(acc, mask, k)
+            return self._topk_dense(acc, mask, k, after)
         plists = []
         for t in terms:
             p = self.postings(t)
@@ -829,7 +868,7 @@ class InvertedIndex:
         for p in plists:  # sorted-term order -> deterministic accumulation
             pos = np.searchsorted(p.doc_ids, common)
             sums += self._score(p.tfs[pos], p.doc_lens[pos], p.df)
-        return self._topk(common, sums, k)
+        return self._topk(common, sums, k, after)
 
     # -- Block-Max AND (conjunctive leapfrog with block-max pruning) -----
     def _search_and_bm(self, terms: list[str], k: int):
@@ -1169,11 +1208,23 @@ class QueryActor:
             if "exclude" in batch.column_names
             else [None] * len(batch)
         )
-        for qid, q, mode, excl in zip(
+        afters = (
+            [
+                None if s is None else (float(s), int(d))
+                for s, d in zip(
+                    batch["after_score"].to_pylist(),
+                    batch["after_doc"].to_pylist(),
+                )
+            ]
+            if "after_score" in batch.column_names
+            else [None] * len(batch)
+        )
+        for qid, q, mode, excl, aft in zip(
             batch["query_id"].to_pylist(),
             batch["query"].to_pylist(),
             modes,
             excludes,
+            afters,
         ):
             for rank, (doc_id, score) in enumerate(
                 self.index.search(
@@ -1182,6 +1233,7 @@ class QueryActor:
                     mode=mode,
                     algorithm=self.algorithm,
                     exclude=excl,
+                    after=aft,
                 ),
                 start=1,
             ):

@@ -1080,3 +1080,74 @@ def passage_topk(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(out_doc, pa.int64()),
         }
     )
+
+
+def search_after_page2(sf_dir: str) -> "ray.data.Dataset":
+    """Deep paging via a search-after cursor — the reference pages its
+    whole index through Solr's cursorMark exactly this way
+    (harvester/fetcher/solr_fetcher.py:41-44,124-125 `sort=id asc` +
+    cursorMark). Page 1 = OR-mode BM25 top-10; each query's cursor is
+    its LAST page-1 hit (round-6 score, doc_id); page 2 re-runs the
+    query with `after=cursor`, which masks everything at-or-before the
+    cursor BEFORE top-k — page n+1 costs the same as page 1 (no
+    deep-offset re-rank), the property that lets a 10^12-doc index be
+    paged without O(page * k) heaps.
+
+    Output: (query_id, rank 1..10, doc_id) for PAGE 2, gated against
+    the SQL ranks 11..20."""
+    paths = index_for(sf_dir)
+    page1 = (
+        ray.data.from_items(
+            [
+                {"query_id": qid, "query": q, "mode": "or"}
+                for qid, q in queries_for_mode("or")
+            ]
+        )
+        .map_batches(
+            QueryActor,
+            fn_constructor_args=(paths.root,),
+            fn_constructor_kwargs={"k": TOP_K},
+            batch_format="pyarrow",
+            concurrency=stage_concurrency(divisor=4, hi=8),
+            batch_size=8,
+        )
+        .to_pandas()  # <= TOP_K x |queries| rows
+    )
+    last = (
+        page1.sort_values(["query_id", "rank"], kind="stable")
+        .groupby("query_id", sort=True)
+        .tail(1)
+    )
+    cursor_by_q = {
+        int(r.query_id): (float(r.score), int(r.doc_id))
+        for r in last.itertuples()
+    }
+    items = [
+        {
+            "query_id": qid,
+            "query": q,
+            "mode": "or",
+            "after_score": cursor_by_q[qid][0],
+            "after_doc": cursor_by_q[qid][1],
+        }
+        for qid, q in queries_for_mode("or")
+        if qid in cursor_by_q  # no page-1 hits -> no page 2
+    ]
+    out = ray.data.from_items(items).map_batches(
+        QueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={"k": TOP_K},
+        batch_format="pyarrow",
+        concurrency=stage_concurrency(divisor=4, hi=8),
+        batch_size=8,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -64,7 +64,7 @@ _SCORE_EXPRS = {
 }
 
 
-def _bm25_sql(mode: str, weighting: str = "bm25") -> str:
+def _bm25_sql(mode: str, weighting: str = "bm25", page: int = 1) -> str:
     from harvester_ray.functions.text import tokenize
 
     pairs = []
@@ -103,13 +103,27 @@ ranked AS (
                             ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+{_page_tail(page)}
 """
+
+
+def _page_tail(page: int) -> str:
+    """Final SELECT for page ``page`` of TOP_K-sized result pages —
+    page 2 gates the engine's search-after cursor path (ranks re-based
+    to 1..TOP_K, matching the cursor semantics)."""
+    if page == 1:
+        return f"SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}"
+    off = (page - 1) * TOP_K
+    return (
+        f"SELECT query_id, (rank - {off}) AS rank, doc_id FROM ranked "
+        f"WHERE rank > {off} AND rank <= {off + TOP_K}"
+    )
 
 
 BM25_TOPK_OR = _bm25_sql("or")
 BM25_TOPK_AND = _bm25_sql("and")
 TFIDF_TOPK = _bm25_sql("or", weighting="tfidf")
+SEARCH_AFTER_PAGE2 = _bm25_sql("or", page=2)
 
 
 def _expansion_sql(expanded_cte: str, extra_values: str) -> str:

@@ -225,3 +225,39 @@ def test_search_not_excluded_never_returned(built_index):
     assert got, "expected hits"
     for d, _ in got:
         assert "merge" not in tokenize(rows[d])
+
+
+@pytest.mark.parametrize(
+    "query,mode",
+    [("scan join", "or"), ("the a key value", "or"), ("dup merge sort", "and")],
+)
+def test_search_after_pages_reconstruct_full_ranking(
+    built_index, query, mode
+):
+    """Paging with the search-after cursor (page size 7, odd on purpose)
+    concatenates to EXACTLY the unlimited base ranking — no dupes, no
+    gaps, across score-tie boundaries."""
+    idx = InvertedIndex(built_index.root, preload=True)
+    base = idx.search(query, k=10**6, mode=mode)
+    paged, cursor = [], None
+    for _ in range(200):
+        page = idx.search(query, k=7, mode=mode, after=cursor)
+        if not page:
+            break
+        paged.extend(page)
+        cursor = (page[-1][1], page[-1][0])  # (score, doc_id)
+    assert [d for d, _ in paged] == [d for d, _ in base]
+    for (gd, gs), (wd, ws) in zip(paged, base):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_search_after_sparse_dense_agree(built_index):
+    """The cursor path is identical on the dense (preload) and sparse
+    (lazy) executions."""
+    dense = InvertedIndex(built_index.root, preload=True)
+    sparse = InvertedIndex(built_index.root, preload=False)
+    last = dense.search("scan join", k=5, mode="or")[-1]
+    c = (last[1], last[0])  # (score, doc_id)
+    got_d = dense.search("scan join", k=5, mode="or", after=c)
+    got_s = sparse.search("scan join", k=5, mode="or", after=c)
+    assert [d for d, _ in got_d] == [d for d, _ in got_s]
