@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_topk": fulltext.snippet_topk,
         # deep paging via search-after cursor (Solr cursorMark parity)
         "search_after_page2": fulltext.search_after_page2,
+        # filtered search (Solr fq): metadata predicate via doc_id join
+        "bm25_topk_filtered": fulltext.bm25_topk_filtered,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": oracles.MORE_LIKE_THIS,
         "snippet_topk": oracles.SNIPPET_TOPK,
         "search_after_page2": oracles.SEARCH_AFTER_PAGE2,
+        "bm25_topk_filtered": oracles.BM25_TOPK_FILTERED,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

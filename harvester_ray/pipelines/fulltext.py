@@ -522,18 +522,14 @@ COLLAPSE_K = 5  # top source groups kept per query
 _FP8 = 100_000_000
 
 
-def collapse_topk(sf_dir: str) -> "ray.data.Dataset":
-    """Field collapsing (Lucene/Solr collapse parity): per OR query,
-    the best-scoring doc of EVERY `source` group over the FULL match
-    set, then the top-COLLAPSE_K groups ranked by their
-    representative: (query_id, grp_rank, source, doc_id).
-
-    Scoring is exhaustive BM25 recomputed distributedly from the raw
+def _scored_match_set(sf_dir: str) -> "ray.data.Dataset":
+    """(query_id, doc_id, score_fp) — exhaustive BM25 over each OR
+    query's FULL match set, recomputed distributedly from the raw
     postings (not the top-k actor): pruned postings read → doc_len
     hash join → per-posting fixed-point-8 score → (query, doc) integer
-    sum → source join → grouped top-1 → per-query group ranking. Every
-    float becomes an integer at the ROW, so the distributed sums are
-    exact and rank-stable against the SQL oracle."""
+    sum. Every float becomes an integer at the ROW, so the distributed
+    sums are exact and rank-stable against the SQL oracles. Shared by
+    the full-match-set consumers (collapse_topk, bm25_topk_filtered)."""
     import json as _json
 
     import numpy as np
@@ -617,7 +613,7 @@ def collapse_topk(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    scored = (
+    return (
         post.map_batches(score_rows, batch_format="pyarrow")
         .groupby(["query_id", "doc_id"])
         .aggregate(Sum("score_fp", alias_name="score_fp"))
@@ -632,6 +628,19 @@ def collapse_topk(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+def collapse_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Field collapsing (Lucene/Solr collapse parity): per OR query,
+    the best-scoring doc of EVERY `source` group over the FULL match
+    set (_scored_match_set), then the top-COLLAPSE_K groups ranked by
+    their representative: (query_id, grp_rank, source, doc_id) via
+    source join → grouped top-1 → per-query group ranking."""
+    import numpy as np
+
+    from harvester_ray.config import shuffle_partitions
+
+    scored = _scored_match_set(sf_dir)
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"],
@@ -1151,3 +1160,50 @@ def search_after_page2(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+FILTER_LANG = "en"
+
+
+def bm25_topk_filtered(sf_dir: str) -> "ray.data.Dataset":
+    """Filtered search (Solr `fq` parity — the filter queries the
+    reference's registry UI attaches to every search): BM25 top-10
+    restricted to docs whose metadata passes a predicate
+    (lang == FILTER_LANG). The filter is applied as a doc_id hash join
+    of the scored FULL match set against the documents metadata — no
+    allowed-doc-set broadcast (which a 10^12-doc filter could never
+    ship), no post-hoc re-query: one extra shuffle of the match set.
+    Output (query_id, rank 1..10, doc_id) on the filtered ranking."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from harvester_ray.config import shuffle_partitions
+
+    scored = _scored_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    joined = scored.join(
+        docs, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+    flt = joined.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], FILTER_LANG)),
+        batch_format="pyarrow",
+    )
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(
+            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(TOP_K)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "doc_id": g["doc_id"].to_numpy(),
+            }
+        )
+
+    return flt.groupby("query_id").map_groups(topk, batch_format="pandas")

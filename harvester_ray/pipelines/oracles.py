@@ -1361,3 +1361,47 @@ FROM d
 LEFT JOIN tstats t USING (doc_id)
 LEFT JOIN bstats b USING (doc_id)
 """
+
+
+def _filtered_sql() -> str:
+    """Filtered search (Solr fq): the fixed-point scored match set
+    (same integer-at-the-row rule as _collapse_sql) restricted to docs
+    with lang = FILTER_LANG, then top-TOP_K per query."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import FILTER_LANG, _FP8
+
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(pairs)}),
+sc AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {_FP8} + 0.5)
+             AS BIGINT)) AS score_fp
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+f AS (SELECT sc.* FROM sc JOIN documents d2 USING (doc_id)
+      WHERE d2.lang = '{FILTER_LANG}'),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_fp DESC, doc_id ASC) AS rank
+  FROM f
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+BM25_TOPK_FILTERED = _filtered_sql()
