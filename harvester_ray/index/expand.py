@@ -279,3 +279,58 @@ def best_suggestions(
             }
         )
     return tbl.select(["query_id", "qterm", "suggestion", "dist"])
+
+
+def wildcard_expansions(
+    dict_ds: "ray.data.Dataset",
+    patterns: list[tuple[int, str]],
+    cap: int,
+) -> pd.DataFrame:
+    """(query_id, term) — for each (query_id, LIKE pattern), the
+    top-``cap`` matching dictionary terms ranked df DESC, term ASC —
+    Lucene's WildcardQuery rewrite, with SQL LIKE semantics ('%'/'_')
+    so the kernel (pc.match_like) and the DuckDB oracle share the
+    pattern string verbatim. Same distributed scan + grouped cap as
+    prefix_expansions (prefix is the special case pattern 'p%')."""
+
+    def match(t: pa.Table) -> pa.Table:
+        parts = []
+        for qid, p in patterns:
+            sel = t.filter(pc.match_like(t["term"], p))
+            if len(sel):
+                parts.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array(
+                                np.full(len(sel), qid, dtype=np.int64)
+                            ),
+                            "term": sel["term"],
+                            "df": sel["df"].cast(pa.int64()),
+                        }
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    matches = dict_ds.map_batches(match, batch_format="pyarrow")
+
+    def top_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["df", "term"], ascending=[False, True], kind="stable"
+        ).head(cap)
+        return g[["query_id", "term"]]
+
+    capped = matches.groupby("query_id").map_groups(
+        top_cap, batch_format="pandas"
+    )
+    out = capped.to_pandas()  # bounded by len(patterns) * cap
+    if out.empty:
+        return pd.DataFrame({"query_id": [], "term": []})
+    return out

@@ -1207,3 +1207,30 @@ def bm25_topk_filtered(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return flt.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+# (query_id, LIKE pattern): middle/suffix wildcards, one broad pattern
+# exercising the cap, an underscore single-char wildcard, and a
+# no-match pattern (empty result set)
+WILDCARD_SET: list[tuple[int, str]] = [
+    (0, "s%n"),     # scan ...
+    (1, "%ow"),     # slow row window? (suffix match)
+    (2, "j_in"),    # join (single-char wildcard)
+    (3, "%qz%"),    # no match -> no rows
+    (4, "%a%"),     # broad: cap decides
+]
+WILDCARD_CAP = 4
+
+
+def wildcard_search(sf_dir: str) -> "ray.data.Dataset":
+    """Wildcard queries (Lucene WildcardQuery rewrite): expand each
+    SQL-LIKE pattern against the dictionary (top-WILDCARD_CAP by df
+    DESC, term ASC — the same rewrite cap as prefix_search, of which
+    prefix is the 'p%' special case), then BM25-OR over the expansion.
+    The pattern string is shared VERBATIM with the DuckDB oracle
+    (pc.match_like == SQL LIKE)."""
+    from harvester_ray.index.expand import wildcard_expansions
+
+    paths = index_for(sf_dir)
+    exp = wildcard_expansions(_dict_ds(paths), WILDCARD_SET, WILDCARD_CAP)
+    return _ranked_for_expansions(paths, exp)

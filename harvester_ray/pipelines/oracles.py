@@ -1405,3 +1405,21 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 
 
 BM25_TOPK_FILTERED = _filtered_sql()
+
+
+def _wildcard_sql() -> str:
+    from harvester_ray.pipelines.fulltext import WILDCARD_CAP, WILDCARD_SET
+
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in WILDCARD_SET)
+    return _expansion_sql(
+        f"""SELECT query_id, term FROM (
+      SELECT qp.query_id, d.term,
+             row_number() OVER (PARTITION BY qp.query_id
+                                ORDER BY d.df DESC, d.term ASC) AS rn
+      FROM qp JOIN dict d ON d.term LIKE qp.pattern
+    ) WHERE rn <= {WILDCARD_CAP}""",
+        f"qp(query_id, pattern) AS (VALUES {values})",
+    )
+
+
+WILDCARD_SEARCH = _wildcard_sql()
