@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after_page2": fulltext.search_after_page2,
         # filtered search (Solr fq): metadata predicate via doc_id join
         "bm25_topk_filtered": fulltext.bm25_topk_filtered,
+        # sort-by-field results (the reference's deferred sort keys)
+        "sort_by_field_topk": fulltext.sort_by_field_topk,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -174,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "snippet_topk": oracles.SNIPPET_TOPK,
         "search_after_page2": oracles.SEARCH_AFTER_PAGE2,
         "bm25_topk_filtered": oracles.BM25_TOPK_FILTERED,
+        "sort_by_field_topk": oracles.SORT_BY_FIELD_TOPK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

@@ -402,18 +402,14 @@ def more_like_this(sf_dir: str) -> pa.Table:
     )
 
 
-def search_facets(sf_dir: str) -> "ray.data.Dataset":
-    """Facet counts over each OR query's FULL match set (not top-k):
-    (query_id, source, n_docs) — how many matching docs each `source`
-    facet value holds. The Solr faceting the reference's registry UI
-    runs on every search (SURVEY §2.6 facet counts), re-expressed as:
+def _distinct_match_set(sf_dir: str) -> "ray.data.Dataset":
+    """(query_id, doc_id) — each OR query's FULL distinct match set:
     pruned postings read (only the query terms' rows leave storage) →
-    distinct (query, doc) groupby → hash join onto the documents
-    facet column → facet groupby. Both shuffles are corpus-scale-safe
-    (the match set, never all postings)."""
+    per-batch expansion → distinct (query, doc) groupby. Shared by the
+    full-match-set consumers that don't need scores (search_facets,
+    sort_by_field_topk); shuffles the match set, never all postings."""
     import pyarrow.dataset as pads
 
-    from harvester_ray.config import shuffle_partitions
     from harvester_ray.functions.text import tokenize
     from ray.data.aggregate import Count
 
@@ -449,7 +445,7 @@ def search_facets(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    matches = (
+    return (
         post.map_batches(expand, batch_format="pyarrow")
         .groupby(["query_id", "doc_id"])
         .aggregate(Count(alias_name="_n"))
@@ -463,6 +459,19 @@ def search_facets(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+def search_facets(sf_dir: str) -> "ray.data.Dataset":
+    """Facet counts over each OR query's FULL match set (not top-k):
+    (query_id, source, n_docs) — how many matching docs each `source`
+    facet value holds. The Solr faceting the reference's registry UI
+    runs on every search (SURVEY §2.6 facet counts), re-expressed as:
+    _distinct_match_set → hash join onto the documents facet column →
+    facet groupby. Both shuffles are corpus-scale-safe."""
+    from harvester_ray.config import shuffle_partitions
+    from ray.data.aggregate import Count
+
+    matches = _distinct_match_set(sf_dir)
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"],
@@ -476,6 +485,61 @@ def search_facets(sf_dir: str) -> "ray.data.Dataset":
     return (
         joined.groupby(["query_id", "source"])
         .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def sort_by_field_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Sort-by-field results (Solr `sort=field desc` parity): per OR
+    query, the top-10 docs of the FULL match set ordered by a DOC
+    FIELD, not by score — (n_chars DESC, doc_id ASC). This is exactly
+    the reference's deferred-sort-key design: solr_updater computes
+    sort keys (sort_title, sort_date_start/end,
+    harvester/solr_updater.py:561-608) and delegates the ordering to
+    the index tier; here the engine owns it: _distinct_match_set →
+    n_chars hash join → per-batch top-10-per-query combiner → grouped
+    finalize (the shuffle carries <= 10 x queries x batches rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from harvester_ray.config import shuffle_partitions
+
+    matches = _distinct_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    joined = matches.join(
+        docs,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+
+    def local_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            ["query_id", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return df.groupby("query_id", sort=False).head(TOP_K)
+
+    def finalize(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(TOP_K)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        joined.map_batches(local_topk, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pandas")
     )
 
 

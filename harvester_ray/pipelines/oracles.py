@@ -1423,3 +1423,30 @@ def _wildcard_sql() -> str:
 
 
 WILDCARD_SEARCH = _wildcard_sql()
+
+
+def _sort_by_field_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    return f"""
+WITH toks AS ({_TOKS}),
+q(query_id, term) AS (VALUES {", ".join(pairs)}),
+matches AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM q JOIN toks t USING (term)
+),
+ranked AS (
+  SELECT m.query_id, m.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.n_chars DESC, m.doc_id ASC) AS rank
+  FROM matches m JOIN documents d USING (doc_id)
+)
+SELECT query_id, rank, doc_id, n_chars
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SORT_BY_FIELD_TOPK = _sort_by_field_sql()
