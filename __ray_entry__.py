@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": fulltext.bm25_topk_filtered,
         # sort-by-field results (the reference's deferred sort keys)
         "sort_by_field_topk": fulltext.sort_by_field_topk,
+        # boolean query-language surface (+must -not "phrase" bare)
+        "query_language": fulltext.query_language,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -177,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after_page2": oracles.SEARCH_AFTER_PAGE2,
         "bm25_topk_filtered": oracles.BM25_TOPK_FILTERED,
         "sort_by_field_topk": oracles.SORT_BY_FIELD_TOPK,
+        "query_language": oracles.QUERY_LANGUAGE,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

@@ -1298,3 +1298,93 @@ def wildcard_search(sf_dir: str) -> "ray.data.Dataset":
     paths = index_for(sf_dir)
     exp = wildcard_expansions(_dict_ds(paths), WILDCARD_SET, WILDCARD_CAP)
     return _ranked_for_expansions(paths, exp)
+
+
+# (query_id, boolean query string) — the query-language set: plain OR,
+# MUST conjunction, NOT, a quoted phrase, a mixed query, and an
+# OOV MUST (matches nothing)
+QL_SET: list[tuple[int, str]] = [
+    (0, "scan join"),
+    (1, "+scan +join"),
+    (2, "scan join -merge"),
+    (3, '"scan join"'),
+    (4, '+scan "key value" -dup'),
+    (5, "the a +zzzq"),
+]
+
+
+def query_language(sf_dir: str) -> "ray.data.Dataset":
+    """Boolean query-language surface (index/queryparse.py): parse
+    `+must -not "phrase" bare` strings and execute them against the
+    engine's own primitives — the search-box grammar of the Solr tier
+    the reference delegates to. Phrase clauses resolve through the
+    positional tier FIRST (ONE phrase_occurrences_multi pipeline for
+    the whole query set, reads pruned to the phrases' term buckets);
+    each query's phrase doc sets are intersected into an allowed set
+    the ranking actor masks before top-k."""
+    import numpy as np
+
+    from harvester_ray.index.positional import phrase_occurrences_multi
+    from harvester_ray.index.queryparse import (
+        BooleanQueryActor,
+        parse_query,
+    )
+
+    paths = index_for(sf_dir)
+    parsed = [(qid, parse_query(q)) for qid, q in QL_SET]
+    phrase_specs = []  # (global phrase id, (query_id, n-th phrase))
+    phrase_of = []
+    for qid, p in parsed:
+        for ph in p.phrases:
+            phrase_specs.append((len(phrase_specs), ph))
+            phrase_of.append(qid)
+    allowed_by_q: dict[int, "np.ndarray"] = {}
+    if phrase_specs:
+        occ = phrase_occurrences_multi(positions_for(sf_dir), phrase_specs)
+        pid = occ["phrase_id"].to_numpy()
+        did = occ["doc_id"].to_numpy()
+        for i, qid in enumerate(phrase_of):
+            docs = np.unique(did[pid == i])
+            if qid in allowed_by_q:  # all phrases must match: intersect
+                allowed_by_q[qid] = np.intersect1d(
+                    allowed_by_q[qid], docs, assume_unique=True
+                )
+            else:
+                allowed_by_q[qid] = docs
+    # typed table (not from_items): an all-null allowed_docs block
+    # would otherwise infer `null` and clash with list<int64> blocks.
+    # empty list != None: a phrase that matched nothing pins the
+    # allowed set to {} (query returns no rows)
+    items = pa.table(
+        {
+            "query_id": pa.array([qid for qid, _ in QL_SET], pa.int64()),
+            "query": pa.array([q for _, q in QL_SET], pa.string()),
+            "allowed_docs": pa.array(
+                [
+                    [int(x) for x in allowed_by_q[qid]]
+                    if qid in allowed_by_q
+                    else None
+                    for qid, _ in QL_SET
+                ],
+                pa.list_(pa.int64()),
+            ),
+        }
+    )
+    out = ray.data.from_arrow(items).map_batches(
+        BooleanQueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={"k": TOP_K},
+        batch_format="pyarrow",
+        concurrency=stage_concurrency(divisor=4, hi=8),
+        batch_size=8,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"].cast(pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1450,3 +1450,109 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 SORT_BY_FIELD_TOPK = _sort_by_field_sql()
+
+
+def _query_language_sql() -> str:
+    """Mixed boolean query strings (QL_SET), compiled to SQL with the
+    SAME semantics as queryparse.search_boolean: score = BM25 sum over
+    positive terms (SHOULD ∪ MUST ∪ phrase terms) present in the doc;
+    eligibility = all MUST terms AND all phrases AND no MUST_NOT term."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.index.queryparse import parse_query
+    from harvester_ray.pipelines.fulltext import QL_SET
+
+    q_rows, m_rows, n_rows = [], [], []
+    ph_branches, pcnt_rows = [], []
+    for qid, qs in QL_SET:
+        p = parse_query(qs)
+        should = {t for w in p.should for t in tokenize(w)}
+        must = {t for w in p.must for t in tokenize(w)}
+        ph_terms = {t for ph in p.phrases for t in tokenize(ph)}
+        pos = sorted(should | must | ph_terms)
+        nots = sorted(
+            {t for w in p.must_not for t in tokenize(w)} - set(pos)
+        )
+        q_rows.extend(f"({qid}, '{t}')" for t in pos)
+        m_rows.extend(f"({qid}, '{t}')" for t in sorted(must))
+        n_rows.extend(f"({qid}, '{t}')" for t in nots)
+        if p.phrases:
+            pcnt_rows.append(f"({qid}, {len(p.phrases)})")
+            for pno, ph in enumerate(p.phrases):
+                terms = tokenize(ph)
+                k = len(terms)
+                conds = " AND ".join(
+                    f"ts[i+{i}] = '{t}'" if i else f"ts[i] = '{t}'"
+                    for i, t in enumerate(terms)
+                )
+                ph_branches.append(
+                    f"SELECT {qid} AS query_id, {pno} AS phrase_no, doc_id\n"
+                    f"FROM tl WHERE len([i FOR i IN "
+                    f"range(1, greatest(len(ts) - {k} + 2, 1)) "
+                    f"IF {conds}]) > 0"
+                )
+    # VALUES cannot be empty: pad the never-matching query_id -1
+    m_vals = ", ".join(m_rows) if m_rows else "(-1, '')"
+    n_vals = ", ".join(n_rows) if n_rows else "(-1, '')"
+    ph_ctes = ""
+    ph_filter = ""
+    if ph_branches:
+        ph_ctes = f""",
+phm AS ({" UNION ALL ".join(ph_branches)}),
+pcnt(query_id, n) AS (VALUES {", ".join(pcnt_rows)}),
+phok AS (
+  SELECT phm.query_id, phm.doc_id
+  FROM phm JOIN pcnt ON pcnt.query_id = phm.query_id
+  GROUP BY phm.query_id, phm.doc_id
+  HAVING count(DISTINCT phm.phrase_no) = max(pcnt.n)
+)"""
+        ph_filter = """
+  LEFT JOIN pcnt pc ON pc.query_id = s.query_id
+  LEFT JOIN phok ph ON ph.query_id = s.query_id AND ph.doc_id = s.doc_id"""
+    where = "e.doc_id IS NULL"
+    if ph_branches:
+        where += " AND (pc.query_id IS NULL OR ph.doc_id IS NOT NULL)"
+    return f"""
+WITH toks AS ({_TOKS}),
+tl AS (SELECT doc_id,
+              regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+       FROM documents),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+m(query_id, term) AS (VALUES {m_vals}),
+nt(query_id, term) AS (VALUES {n_vals}),
+excl AS (SELECT DISTINCT nt.query_id, p.doc_id
+         FROM nt JOIN postings p USING (term)),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( {_SCORE_EXPRS["bm25"]} ) AS score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  LEFT JOIN m ON m.query_id = q.query_id AND m.term = p.term
+  GROUP BY q.query_id, p.doc_id
+  HAVING count(DISTINCT m.term)
+         = (SELECT count(*) FROM m m2 WHERE m2.query_id = q.query_id)
+){ph_ctes},
+elig AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s
+  LEFT JOIN excl e ON e.query_id = s.query_id AND e.doc_id = s.doc_id{ph_filter}
+  WHERE {where}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM elig
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+QUERY_LANGUAGE = _query_language_sql()

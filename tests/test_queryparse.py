@@ -1,0 +1,110 @@
+"""Query-language parser + boolean executor: equivalence to the
+primitive search paths (which are themselves DuckDB-oracled) and
+brute-force checks for the mixed clauses."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from harvester_ray.functions.text import tokenize
+from harvester_ray.index.query import InvertedIndex
+from harvester_ray.index.queryparse import parse_query, search_boolean
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_parse_clause_classification():
+    p = parse_query('+scan -merge "key value" join table')
+    assert p.must == ["scan"]
+    assert p.must_not == ["merge"]
+    assert p.phrases == ["key value"]
+    assert p.should == ["join", "table"]
+
+
+def test_parse_negated_phrase_rejected():
+    with pytest.raises(ValueError):
+        parse_query('-"scan join"')
+
+
+def test_parse_empty():
+    p = parse_query("")
+    assert not (p.should or p.must or p.must_not or p.phrases)
+
+
+@pytest.mark.parametrize("preload", [True, False])
+def test_should_only_equals_or(built_index, preload):
+    idx = InvertedIndex(built_index.root, preload=preload)
+    got = search_boolean(idx, parse_query("scan join"), k=10)
+    want = idx.search("scan join", k=10, mode="or")
+    assert got == want
+
+
+@pytest.mark.parametrize("preload", [True, False])
+def test_must_only_equals_and(built_index, preload):
+    idx = InvertedIndex(built_index.root, preload=preload)
+    got = search_boolean(idx, parse_query("+scan +join"), k=10)
+    want = idx.search("scan join", k=10, mode="and")
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_not_equals_exclude(built_index):
+    idx = InvertedIndex(built_index.root, preload=True)
+    got = search_boolean(idx, parse_query("scan join -merge"), k=10)
+    want = idx.search("scan join", k=10, mode="or", exclude="merge")
+    assert got == want
+
+
+def test_mixed_must_should_matches_brute_force(built_index):
+    """+scan dup: docs must contain 'scan'; score sums scan+dup
+    contributions. Brute-force from the raw corpus."""
+    idx = InvertedIndex(built_index.root, preload=True)
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{DOCS}'"
+    ).fetchall()
+    with_scan = {d for d, t in rows if "scan" in tokenize(t)}
+    base = idx.search("dup scan", k=len(rows), mode="or")
+    want = [(d, s) for d, s in base if d in with_scan][:10]
+    got = search_boolean(idx, parse_query("+scan dup"), k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_allowed_set_masks(built_index):
+    idx = InvertedIndex(built_index.root, preload=True)
+    base = idx.search("scan join", k=100, mode="or")
+    allowed = np.array(sorted(d for d, _ in base[::2]), dtype=np.int64)
+    got = search_boolean(
+        idx, parse_query("scan join"), k=100, allowed=allowed
+    )
+    assert {d for d, _ in got} <= set(allowed.tolist())
+    assert [d for d, _ in got] == [
+        d for d, _ in base if d in set(allowed.tolist())
+    ][:100]
+    # empty allowed set -> no hits
+    assert (
+        search_boolean(
+            idx,
+            parse_query("scan join"),
+            k=10,
+            allowed=np.array([], dtype=np.int64),
+        )
+        == []
+    )
+
+
+def test_oov_must_empty(built_index):
+    idx = InvertedIndex(built_index.root, preload=True)
+    assert search_boolean(idx, parse_query("the a +zzzq"), k=10) == []
+
+
+def test_dense_sparse_agree_mixed(built_index):
+    dense = InvertedIndex(built_index.root, preload=True)
+    sparse = InvertedIndex(built_index.root, preload=False)
+    for q in ["+scan dup -merge", "scan join", "+dup +sort the"]:
+        p = parse_query(q)
+        assert [d for d, _ in search_boolean(dense, p, k=10)] == [
+            d for d, _ in search_boolean(sparse, p, k=10)
+        ]
