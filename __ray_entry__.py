@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_not": fulltext.bm25_topk_not,
         # facet counts over the full match set (Solr facet parity)
         "search_facets": fulltext.search_facets,
+        # numFound + range faceting over the full match set
+        "search_numfound": fulltext.search_numfound,
+        "search_range_facets": fulltext.search_range_facets,
         # field collapsing (top doc per facet group, top groups)
         "collapse_topk": fulltext.collapse_topk,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
@@ -169,6 +172,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracles.TFIDF_TOPK,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
         "search_facets": oracles.SEARCH_FACETS,
+        "search_numfound": oracles.SEARCH_NUMFOUND,
+        "search_range_facets": oracles.SEARCH_RANGE_FACETS,
         "collapse_topk": oracles.COLLAPSE_TOPK,
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,

@@ -1388,3 +1388,62 @@ def query_language(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def search_numfound(sf_dir: str) -> "ray.data.Dataset":
+    """numFound per query — the total-match count every Solr response
+    header carries (the count the reference's reconciliation scripts
+    compare against couch row counts, SURVEY §2.6): the distinct match
+    set reduced by one grouped count. (query_id, num_found)."""
+    from ray.data.aggregate import Count
+
+    return (
+        _distinct_match_set(sf_dir)
+        .groupby("query_id")
+        .aggregate(Count(alias_name="num_found"))
+    )
+
+
+RANGE_FACET_WIDTH = 200  # n_chars bucket width (facet.range.gap)
+
+
+def search_range_facets(sf_dir: str) -> "ray.data.Dataset":
+    """Range faceting (Solr facet.range parity): per OR query, how many
+    matching docs fall in each fixed-width n_chars bucket —
+    (query_id, bucket_lo, n_docs), bucket_lo = floor(n_chars / W) * W.
+    Match set join + one grouped count; the bucket is computed
+    vectorized at the row."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from harvester_ray.config import shuffle_partitions
+
+    matches = _distinct_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    joined = matches.join(
+        docs,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        lo = pc.multiply(
+            pc.floor(
+                pc.divide(
+                    t["n_chars"].cast(pa.float64()),
+                    float(RANGE_FACET_WIDTH),
+                )
+            ),
+            float(RANGE_FACET_WIDTH),
+        ).cast(pa.int64())
+        return pa.table({"query_id": t["query_id"], "bucket_lo": lo})
+
+    return (
+        joined.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["query_id", "bucket_lo"])
+        .aggregate(Count(alias_name="n_docs"))
+    )

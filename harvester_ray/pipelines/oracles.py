@@ -1556,3 +1556,45 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 
 
 QUERY_LANGUAGE = _query_language_sql()
+
+
+def _match_set_cte() -> str:
+    from harvester_ray.functions.text import tokenize
+
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    return f"""
+WITH toks AS ({_TOKS}),
+q(query_id, term) AS (VALUES {", ".join(pairs)}),
+matches AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM q JOIN toks t USING (term)
+)"""
+
+
+SEARCH_NUMFOUND = (
+    _match_set_cte()
+    + """
+SELECT query_id, count(*) AS num_found FROM matches GROUP BY query_id
+"""
+)
+
+
+def _range_facets_sql() -> str:
+    from harvester_ray.pipelines.fulltext import RANGE_FACET_WIDTH
+
+    return (
+        _match_set_cte()
+        + f"""
+SELECT m.query_id,
+       (floor(d.n_chars::DOUBLE / {RANGE_FACET_WIDTH})
+        * {RANGE_FACET_WIDTH})::BIGINT AS bucket_lo,
+       count(*) AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, bucket_lo
+"""
+    )
+
+
+SEARCH_RANGE_FACETS = _range_facets_sql()
