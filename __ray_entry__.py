@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": textstats.collocations,
         # Gopher-rule repetition counters (distinct/total, top-2-gram)
         "repetition_stats": textstats.repetition_stats,
+        # CCNet-style unigram LM quality score (token-level fixed point)
+        "unigram_logprob": textstats.unigram_logprob,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -230,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.TOKEN_COUNTS,
         "collocations": oracles.COLLOCATIONS,
         "repetition_stats": oracles.REPETITION_STATS,
+        "unigram_logprob": oracles.UNIGRAM_LOGPROB,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,

@@ -1598,3 +1598,18 @@ GROUP BY m.query_id, bucket_lo
 
 
 SEARCH_RANGE_FACETS = _range_facets_sql()
+
+
+UNIGRAM_LOGPROB = """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+dict AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+tfp AS (SELECT term,
+               CAST(floor(ln(c::DOUBLE / (SELECT t FROM tot))
+                          * 100000000 + 0.5) AS BIGINT) AS fp
+        FROM dict)
+SELECT t.doc_id, count(*) AS n_tokens, sum(tf.fp)::BIGINT AS logprob_fp
+FROM toks t JOIN tfp tf USING (term)
+GROUP BY t.doc_id
+"""

@@ -483,3 +483,85 @@ def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(stats, batch_format="pyarrow")
+
+
+_LOGPROB_FP = 100_000_000  # 1e-8 fixed point, computed once per TERM
+
+
+def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document unigram language-model log-probability — the
+    CCNet-style LM quality signal (docs far from the corpus unigram
+    distribution score low): (doc_id, n_tokens, logprob_fp) with
+    logprob_fp = sum over tokens of floor(ln(c_t / T) * 1e8 + 0.5).
+
+    The fixed point is taken at the TERM (ln computed once per
+    vocabulary entry from exact integer counts), so the per-doc value
+    is an INTEGER sum — distributed accumulation order cannot drift
+    the cross-engine hash. Same two-pass shape as collocations: one
+    pre-combined unigram count pass, vocabulary broadcast via ray.put
+    under the same guard, then one vectorized scoring pass (token fp
+    lookup by searchsorted, per-doc bincount sum). Docs with zero
+    tokens emit no row (same contract as doc_stats)."""
+    from ray.data.aggregate import Sum
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    uni = (
+        ray.data.read_parquet(src, columns=["text"])
+        .map_batches(_unigram_partials(), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="c"))
+        .materialize()
+    )
+    total = float(uni.sum("c"))
+    if uni.count() > _VOCAB_BROADCAST_GUARD:
+        raise NotImplementedError(
+            "vocabulary exceeds the broadcast guard; raise "
+            "_VOCAB_BROADCAST_GUARD or add a join-based lookup"
+        )
+    parts = [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows]
+    ut = pa.concat_tables(parts)
+    terms = np.asarray(ut["term"].to_pylist(), dtype=object)
+    counts = ut["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(terms)
+    fp = np.floor(
+        np.log(counts[order] / total) * _LOGPROB_FP + 0.5
+    ).astype(np.int64)
+    ref = ray.put((terms[order], fp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_sorted, fp_sorted = ray.get(ref)
+        n_rows = len(batch)
+        toks = tokenize_column(batch["text"])
+        flat, parent = flatten_tokens(toks)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob_fp": pa.array([], pa.int64()),
+                }
+            )
+        par = parent.to_numpy().astype(np.int64)
+        arr = np.asarray(flat.to_pylist(), dtype=object)
+        tok_fp = fp_sorted[np.searchsorted(terms_sorted, arr)]
+        n_tok = np.bincount(par, minlength=n_rows)
+        # float64 is exact here: |fp| <= ln(1/T)*1e8 ~ 2e9 per token,
+        # summed over <= 1e4 tokens/doc << 2^53
+        lp = np.bincount(
+            par, weights=tok_fp.astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        keep = n_tok > 0
+        ids = (
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "logprob_fp": pa.array(lp[keep], pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        src, columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow")
