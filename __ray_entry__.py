@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field_topk": fulltext.sort_by_field_topk,
         # boolean query-language surface (+must -not "phrase" bare)
         "query_language": fulltext.query_language,
+        # hybrid-search rank fusion (RRF of BM25 + TF-IDF, integer-exact)
+        "hybrid_rrf": fulltext.hybrid_rrf,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -187,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_filtered": oracles.BM25_TOPK_FILTERED,
         "sort_by_field_topk": oracles.SORT_BY_FIELD_TOPK,
         "query_language": oracles.QUERY_LANGUAGE,
+        "hybrid_rrf": oracles.HYBRID_RRF,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

@@ -1447,3 +1447,61 @@ def search_range_facets(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["query_id", "bucket_lo"])
         .aggregate(Count(alias_name="n_docs"))
     )
+
+
+RRF_K = 60              # the standard RRF constant (Cormack et al.)
+_RRF_FP = 10**12        # integer contribution: _RRF_FP // (RRF_K + rank)
+
+
+def hybrid_rrf(sf_dir: str) -> "ray.data.Dataset":
+    """Hybrid-search rank fusion: Reciprocal Rank Fusion of two
+    rankings of the SAME query set — BM25 and the injected cosine
+    TF-IDF scorer (the two retrievers a hybrid deployment fuses).
+    Each hit contributes floor(1e12 / (60 + rank)) — an INTEGER, so
+    the fused ordering is exact on both engines (no float RRF drift).
+    Output (query_id, rank 1..10, doc_id) on the fused ranking."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    both = _bm25(sf_dir, "or").union(_bm25(sf_dir, "or", scorer="tfidf"))
+
+    def fp(t: pa.Table) -> pa.Table:
+        rank = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "doc_id": t["doc_id"],
+                "rrf_fp": pa.array(_RRF_FP // (RRF_K + rank), pa.int64()),
+            }
+        )
+
+    fused = (
+        both.map_batches(fp, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("rrf_fp", alias_name="rrf_fp"))
+        .map_batches(  # typed re-emit after the aggregate
+            lambda t: pa.table(
+                {
+                    "query_id": t["query_id"].cast(pa.int64()),
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "rrf_fp": t["rrf_fp"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(
+            ["rrf_fp", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(TOP_K)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "doc_id": g["doc_id"].to_numpy(),
+            }
+        )
+
+    return fused.groupby("query_id").map_groups(topk, batch_format="pandas")

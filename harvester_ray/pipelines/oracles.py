@@ -1613,3 +1613,61 @@ SELECT t.doc_id, count(*) AS n_tokens, sum(tf.fp)::BIGINT AS logprob_fp
 FROM toks t JOIN tfp tf USING (term)
 GROUP BY t.doc_id
 """
+
+
+def _hybrid_rrf_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import RRF_K, _RRF_FP
+
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(pairs)}),
+sa AS (
+  SELECT q.query_id, p.doc_id, sum( {_SCORE_EXPRS["bm25"]} ) AS score
+  FROM q JOIN postings p USING (term) JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+sb AS (
+  SELECT q.query_id, p.doc_id, sum( {_SCORE_EXPRS["tfidf"]} ) AS score
+  FROM q JOIN postings p USING (term) JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+ra AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+       FROM sa),
+rb AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+       FROM sb),
+u AS (
+  SELECT query_id, doc_id, {_RRF_FP} // ({RRF_K} + rank) AS rrf_fp
+  FROM ra WHERE rank <= {TOP_K}
+  UNION ALL
+  SELECT query_id, doc_id, {_RRF_FP} // ({RRF_K} + rank) AS rrf_fp
+  FROM rb WHERE rank <= {TOP_K}
+),
+f AS (SELECT query_id, doc_id, sum(rrf_fp)::BIGINT AS rrf_fp
+      FROM u GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_fp DESC, doc_id ASC) AS rank
+  FROM f
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+HYBRID_RRF = _hybrid_rrf_sql()
