@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_language": fulltext.query_language,
         # hybrid-search rank fusion (RRF of BM25 + TF-IDF, integer-exact)
         "hybrid_rrf": fulltext.hybrid_rrf,
+        # pseudo-relevance-feedback dense re-rank (Rocchio centroid)
+        "prf_rerank": fulltext.prf_rerank,
         "bm25_topk_or_sharded": fulltext.bm25_topk_or_sharded,
         # vocabulary-partitioned serving tier (term shards + router)
         "bm25_topk_or_termsharded": fulltext.bm25_topk_or_termsharded,
@@ -190,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field_topk": oracles.SORT_BY_FIELD_TOPK,
         "query_language": oracles.QUERY_LANGUAGE,
         "hybrid_rrf": oracles.HYBRID_RRF,
+        "prf_rerank": oracles.PRF_RERANK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,

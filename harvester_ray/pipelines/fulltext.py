@@ -1505,3 +1505,65 @@ def hybrid_rrf(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return fused.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+PRF_TOP = 3  # feedback depth: embeddings of the top-3 BM25 hits
+
+
+def prf_rerank(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback re-rank (Rocchio over the dense
+    column): per OR query, the BM25 top-10 re-ordered by cosine to the
+    SUM of the top-PRF_TOP hits' embeddings (vec_id == doc_id in the
+    driver tables). SUM, not mean — cosine is scale-invariant and the
+    sum of 3 float32-origin values is EXACT in float64 regardless of
+    order, so both engines build bit-identical centroids; per-doc
+    similarity follows the ANN recipe (round-6, doc_id tiebreak).
+
+    The hit embeddings are a row-group-pruned filtered read (<=
+    10 x |queries| rows, never a table scan); the re-rank itself
+    operates on one page of results per query — driver-side by
+    design, like more_like_this."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    hits = _bm25(sf_dir, "or").to_pandas()  # <= TOP_K x |queries| rows
+    ids = sorted({int(d) for d in hits["doc_id"]})
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids)],
+    )
+    vec_by_id = {
+        int(v): np.asarray(e, dtype=np.float64)
+        for v, e in zip(
+            emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()
+        )
+    }
+    out_q, out_r, out_d = [], [], []
+    for qid, g in hits.groupby("query_id", sort=True):
+        g = g.sort_values("rank", kind="stable")
+        top = [vec_by_id[int(d)] for d in g["doc_id"].head(PRF_TOP)]
+        cent = np.sum(top, axis=0)
+        cn = np.linalg.norm(cent)
+        if cn == 0:
+            cn = 1.0
+        sims, dids = [], []
+        for d in g["doc_id"]:
+            e = vec_by_id[int(d)]
+            en = np.linalg.norm(e)
+            if en == 0:
+                en = 1.0
+            sims.append(round(float(e @ cent) / (en * cn), 6))
+            dids.append(int(d))
+        order = np.lexsort((np.array(dids), -np.array(sims)))
+        for rank, i in enumerate(order, start=1):
+            out_q.append(int(qid))
+            out_r.append(rank)
+            out_d.append(dids[i])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )

@@ -1671,3 +1671,62 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 
 
 HYBRID_RRF = _hybrid_rrf_sql()
+
+
+def _prf_rerank_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import PRF_TOP
+
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(pairs)}),
+scored AS (
+  SELECT q.query_id, p.doc_id, sum( {_SCORE_EXPRS["bm25"]} ) AS score
+  FROM q JOIN postings p USING (term) JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+top10 AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOP_K}),
+top3 AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {PRF_TOP}),
+cvals AS (
+  SELECT t.query_id, u.i AS dim, sum(em.embedding[u.i]::DOUBLE) AS v
+  FROM top3 t
+  JOIN embeddings em ON em.vec_id = t.doc_id,
+       unnest(range(1, len(em.embedding) + 1)) AS u(i)
+  GROUP BY t.query_id, u.i
+),
+cent AS (SELECT query_id, list(v ORDER BY dim) AS c FROM cvals GROUP BY query_id),
+rescored AS (
+  SELECT h.query_id, h.doc_id,
+         round(list_cosine_similarity(em.embedding::DOUBLE[],
+                                      ct.c), 6) AS sim_r
+  FROM top10 h
+  JOIN embeddings em ON em.vec_id = h.doc_id
+  JOIN cent ct ON ct.query_id = h.query_id
+),
+rr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_r DESC, doc_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, rank, doc_id FROM rr
+"""
+
+
+PRF_RERANK = _prf_rerank_sql()
