@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numFound + range faceting over the full match set
         "search_numfound": fulltext.search_numfound,
         "search_range_facets": fulltext.search_range_facets,
+        "search_pivot_facets": fulltext.search_pivot_facets,
         # field collapsing (top doc per facet group, top groups)
         "collapse_topk": fulltext.collapse_topk,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": oracles.SEARCH_FACETS,
         "search_numfound": oracles.SEARCH_NUMFOUND,
         "search_range_facets": oracles.SEARCH_RANGE_FACETS,
+        "search_pivot_facets": oracles.SEARCH_PIVOT_FACETS,
         "collapse_topk": oracles.COLLAPSE_TOPK,
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,

@@ -1567,3 +1567,30 @@ def prf_rerank(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(out_d, pa.int64()),
         }
     )
+
+
+def search_pivot_facets(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot faceting (Solr facet.pivot parity): two-level
+    (source, lang) counts per query over the FULL match set —
+    (query_id, source, lang, n_docs). Completes the facet family
+    (field, range, pivot, numFound, collapse) with the same
+    match-set-join shape."""
+    from ray.data.aggregate import Count
+
+    from harvester_ray.config import shuffle_partitions
+
+    matches = _distinct_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang"],
+    )
+    joined = matches.join(
+        docs,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+    return (
+        joined.groupby(["query_id", "source", "lang"])
+        .aggregate(Count(alias_name="n_docs"))
+    )

@@ -1730,3 +1730,13 @@ SELECT query_id, rank, doc_id FROM rr
 
 
 PRF_RERANK = _prf_rerank_sql()
+
+
+SEARCH_PIVOT_FACETS = (
+    _match_set_cte()
+    + """
+SELECT m.query_id, d.source, d.lang, count(*) AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.source, d.lang
+"""
+)
