@@ -134,7 +134,27 @@ def cmd_query(args) -> int:
     from harvester_ray.index.query import InvertedIndex
 
     idx = InvertedIndex(args.index, preload=not args.lazy)
-    hits = idx.search(args.query, k=args.k, mode=args.mode, algorithm=args.algorithm)
+    if args.parse:
+        # boolean grammar: +must -not bare (phrases need the positional
+        # store — use the query_language pipeline for phrase clauses)
+        from harvester_ray.index.queryparse import (
+            parse_query,
+            search_boolean,
+        )
+
+        parsed = parse_query(args.query)
+        if parsed.phrases:
+            print(
+                json.dumps(
+                    {"error": "phrase clauses need the positional store"}
+                )
+            )
+            return 2
+        hits = search_boolean(idx, parsed, k=args.k)
+    else:
+        hits = idx.search(
+            args.query, k=args.k, mode=args.mode, algorithm=args.algorithm
+        )
     for rank, (doc_id, score) in enumerate(hits, start=1):
         print(json.dumps({"rank": rank, "doc_id": doc_id, "score": round(score, 6)}))
     return 0
@@ -223,6 +243,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     q.add_argument("--lazy", action="store_true",
                    help="segment blocks fetched per term (no preload)")
+    q.add_argument("--parse", action="store_true",
+                   help="boolean grammar: '+must -not bare' clauses")
     q.set_defaults(fn=cmd_query)
 
     qb = sub.add_parser("query-batch", help="evaluate a parquet query table")
