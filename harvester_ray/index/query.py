@@ -712,6 +712,40 @@ class InvertedIndex:
         # which a caller opts into with algorithm="wand".
         return self._search_or(terms, k, neg, after)
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Per-term score breakdown for one (query, doc) pair — Lucene
+        `explain` parity: for every query term present in the doc,
+        (tf, df, doc_len, contribution); `total` is the disjunctive
+        score and equals search()'s score for the doc bit-for-bit
+        (contributions are summed in the same sorted-term order)."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        parts = []
+        total = 0.0
+        for t in terms:
+            p = self.postings(t)
+            if p is None:
+                continue
+            i = int(np.searchsorted(p.doc_ids, doc_id))
+            if i >= len(p.doc_ids) or int(p.doc_ids[i]) != doc_id:
+                continue
+            contrib = float(
+                self._score(
+                    p.tfs[i : i + 1], p.doc_lens[i : i + 1], p.df
+                )[0]
+            )
+            total += contrib
+            parts.append(
+                {
+                    "term": t,
+                    "tf": int(p.tfs[i]),
+                    "df": int(p.df),
+                    "doc_len": int(p.doc_lens[i]),
+                    "idf": self.idf(p.df),
+                    "contribution": contrib,
+                }
+            )
+        return {"doc_id": int(doc_id), "total": total, "terms": parts}
+
     def _excluded_docs(self, neg: list[str]) -> "np.ndarray | None":
         """Union of doc_ids containing any excluded term (sorted), or
         None when no excluded term exists in this dictionary."""

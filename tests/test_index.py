@@ -261,3 +261,25 @@ def test_search_after_sparse_dense_agree(built_index):
     got_d = dense.search("scan join", k=5, mode="or", after=c)
     got_s = sparse.search("scan join", k=5, mode="or", after=c)
     assert [d for d, _ in got_d] == [d for d, _ in got_s]
+
+
+def test_explain_matches_search_scores(built_index):
+    """explain(q, d).total reproduces the search score bit-for-bit for
+    every top-10 hit (contributions summed in the same sorted-term
+    order), and per-term contributions sum to the total."""
+    idx = InvertedIndex(built_index.root, preload=True)
+    for q in ["scan join", "the a key value", "dup merge sort"]:
+        for doc_id, score in idx.search(q, k=10, mode="or"):
+            ex = idx.explain(q, doc_id)
+            assert ex["total"] == score
+            acc = 0.0
+            for part in ex["terms"]:  # same sorted-term order
+                acc += part["contribution"]
+            assert acc == ex["total"]
+            assert all(p["tf"] >= 1 for p in ex["terms"])
+
+
+def test_explain_absent_doc_and_oov(built_index):
+    idx = InvertedIndex(built_index.root, preload=True)
+    ex = idx.explain("zzzq", 0)
+    assert ex["terms"] == [] and ex["total"] == 0.0
