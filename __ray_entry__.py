@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
         "wildcard_search": fulltext.wildcard_search,
+        "synonym_search": fulltext.synonym_search,
         "fuzzy_search": fulltext.fuzzy_search,
         "did_you_mean": fulltext.did_you_mean,
         "more_like_this": fulltext.more_like_this,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": oracles.COLLAPSE_TOPK,
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,
+        "synonym_search": oracles.SYNONYM_SEARCH,
         "fuzzy_search": oracles.FUZZY_SEARCH,
         "did_you_mean": oracles.DID_YOU_MEAN,
         "more_like_this": oracles.MORE_LIKE_THIS,

@@ -1594,3 +1594,47 @@ def search_pivot_facets(sf_dir: str) -> "ray.data.Dataset":
         joined.groupby(["query_id", "source", "lang"])
         .aggregate(Count(alias_name="n_docs"))
     )
+
+
+# one-directional synonym table (config-sized side data — the analog of
+# the reference's field-mapping dicts, harvester/solr_updater.py:64-134);
+# values chosen from the corpus vocabulary so expansions hit postings
+SYNONYMS: dict[str, tuple[str, ...]] = {
+    "fast": ("slow",),
+    "big": ("small",),
+    "row": ("line",),
+}
+
+# (query_id, query) — synonym-eligible terms, a multi-expansion mix,
+# a no-synonym query and an OOV query
+SYNONYM_SET: list[tuple[int, str]] = [
+    (0, "fast join"),
+    (1, "big"),
+    (2, "row scan"),
+    (3, "merge sort"),   # no synonyms -> plain OR
+    (4, "zzzq"),         # OOV -> no rows
+]
+
+
+def synonym_search(sf_dir: str) -> "ray.data.Dataset":
+    """Synonym-expanded search (Lucene SynonymFilter parity): each
+    query term expands to itself plus its SYNONYMS entries (one-way),
+    then BM25-OR over the union — query rewrite via a config-sized
+    side table, the engine-owned version of the reference's
+    registry-driven field-mapping dicts. The map is driver-side by
+    design (synonym tables are KBs; at cluster scale they'd ride the
+    same ray.put broadcast as every small side table)."""
+    import pandas as pd
+
+    from harvester_ray.functions.text import tokenize
+
+    paths = index_for(sf_dir)
+    rows = []
+    for qid, q in SYNONYM_SET:
+        terms = set()
+        for t in sorted(set(tokenize(q))):
+            terms.add(t)
+            terms.update(SYNONYMS.get(t, ()))
+        rows.extend((qid, t) for t in sorted(terms))
+    exp = pd.DataFrame(rows, columns=["query_id", "term"])
+    return _ranked_for_expansions(paths, exp)

@@ -1740,3 +1740,23 @@ FROM matches m JOIN documents d USING (doc_id)
 GROUP BY m.query_id, d.source, d.lang
 """
 )
+
+
+def _synonym_sql() -> str:
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import SYNONYM_SET, SYNONYMS
+
+    rows = []
+    for qid, q in SYNONYM_SET:
+        terms = set()
+        for t in sorted(set(tokenize(q))):
+            terms.add(t)
+            terms.update(SYNONYMS.get(t, ()))
+        rows.extend(f"({qid}, '{t}')" for t in sorted(terms))
+    return _expansion_sql(
+        "SELECT query_id, term FROM qs",
+        f"qs(query_id, term) AS (VALUES {', '.join(rows)})",
+    )
+
+
+SYNONYM_SEARCH = _synonym_sql()
