@@ -39,9 +39,11 @@ class ShardQueryActor:
         )
 
     def search(
-        self, query: str, k: int, mode: str, algorithm: str
+        self, query: str, k: int, mode: str, algorithm: str, after=None
     ) -> list[tuple[int, float]]:
-        return self.index.search(query, k=k, mode=mode, algorithm=algorithm)
+        return self.index.search(
+            query, k=k, mode=mode, algorithm=algorithm, after=after
+        )
 
     def n_docs_local(self) -> int:
         return int(len(self.index._slots)) if self.index._slots is not None else 0
@@ -66,14 +68,20 @@ class ShardedIndex:
         k: int = 10,
         mode: str = "or",
         algorithm: str = "auto",
+        after=None,
     ) -> list[tuple[int, float]]:
         """Top-k across shards: each shard returns its local top-k
         under the shared ranking rule; the merged candidate set (<=
         S*k rows) is re-ranked by the same rule — lossless because
         chunks partition doc space (every global winner is some
-        shard's local winner)."""
+        shard's local winner). A search-after cursor applies locally
+        on every shard (a global post-cursor winner is some shard's
+        local post-cursor winner), so deep paging is lossless too."""
         parts = ray.get(
-            [a.search.remote(query, k, mode, algorithm) for a in self.actors]
+            [
+                a.search.remote(query, k, mode, algorithm, after)
+                for a in self.actors
+            ]
         )
         cand = [hit for p in parts for hit in p]
         if not cand:
@@ -93,7 +101,7 @@ class ShardedIndex:
 
 
 def _rank_from_scored_postings(
-    terms: list[str], got: dict, k: int, mode: str
+    terms: list[str], got: dict, k: int, mode: str, after=None
 ) -> list[tuple[int, float]]:
     """The router-side merge shared by the term-sharded and grid
     tiers: given {term: (sorted doc_ids, scores)} for the query terms
@@ -114,7 +122,7 @@ def _rank_from_scored_postings(
             ids, scores = got[t]
             pos = np.searchsorted(ids, common)
             sums += scores[pos]
-        return InvertedIndex._topk(common, sums, k)
+        return InvertedIndex._topk(common, sums, k, after)
     # replicate InvertedIndex._search_or (non-dense path)
     id_parts, score_parts = [], []
     for t in terms:  # sorted-term order -> deterministic sums
@@ -129,7 +137,7 @@ def _rank_from_scored_postings(
     uniq, inv = np.unique(all_ids, return_inverse=True)
     sums = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(sums, inv, all_scores)
-    return InvertedIndex._topk(uniq, sums, k)
+    return InvertedIndex._topk(uniq, sums, k, after)
 
 
 @ray.remote
@@ -241,17 +249,21 @@ class TermShardedIndex:
         return merged
 
     def search(
-        self, query: str, k: int = 10, mode: str = "or"
+        self, query: str, k: int = 10, mode: str = "or", after=None
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score) — the exhaustive OR/AND semantics of
         InvertedIndex.search (WAND is a document-at-a-time algorithm;
         under term partitioning its pruning would need cross-shard
         round trips per pivot, so this tier serves the vectorized
-        exhaustive paths)."""
+        exhaustive paths). ``after`` pages exactly like
+        InvertedIndex.search (the cursor masks the fused candidate
+        set before top-k)."""
         terms = sorted(set(self.analyzer.tokenize(query)))
         if not terms:
             return []
-        return _rank_from_scored_postings(terms, self._gather(terms), k, mode)
+        return _rank_from_scored_postings(
+            terms, self._gather(terms), k, mode, after
+        )
 
     def total_vocab(self) -> int:
         return sum(
@@ -355,12 +367,14 @@ class GridShardedIndex:
         return merged
 
     def search(
-        self, query: str, k: int = 10, mode: str = "or"
+        self, query: str, k: int = 10, mode: str = "or", after=None
     ) -> list[tuple[int, float]]:
         terms = sorted(set(self.analyzer.tokenize(query)))
         if not terms:
             return []
-        return _rank_from_scored_postings(terms, self._gather(terms), k, mode)
+        return _rank_from_scored_postings(
+            terms, self._gather(terms), k, mode, after
+        )
 
     def cell_segment_file_counts(self) -> list[list[int]]:
         return [

@@ -72,3 +72,26 @@ def test_sharded_rejects_wrong_chunk_count(sharded_setup, ray_session):
         InvertedIndex(sharded_setup, shard=(0, 8))
     with pytest.raises(ValueError, match="power-of-two"):
         InvertedIndex(sharded_setup, shard=(0, 3))
+
+
+def test_sharded_search_after_matches_single_process(
+    sharded_setup, ray_session
+):
+    """Deep paging through the doc-sharded tier: page 2 via the cursor
+    equals the single-process page 2 (ids and scores)."""
+    single = InvertedIndex(sharded_setup, preload=True)
+    tier = ShardedIndex(sharded_setup, N_SHARDS)
+    try:
+        for q, mode, algo in [
+            ("w0 w1", "or", "auto"),
+            ("w0 w1", "and", "auto"),
+        ]:
+            p1 = single.search(q, k=10, mode=mode)
+            cur = (p1[-1][1], p1[-1][0])
+            want = single.search(q, k=10, mode=mode, after=cur)
+            got = tier.search(q, k=10, mode=mode, after=cur)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, mode)
+            for (_, s1), (_, s2) in zip(got, want):
+                assert s1 == pytest.approx(s2, rel=1e-12)
+    finally:
+        tier.shutdown()

@@ -217,3 +217,22 @@ def test_term_shard_rejects_non_bucket_strategy(tmp_path_factory, ray_session):
     )
     with pytest.raises(ValueError, match="bucket"):
         InvertedIndex(out, term_shard=(0, 2))
+
+
+def test_term_sharded_search_after_matches_single_process(
+    term_sharded_setup, ray_session
+):
+    out = term_sharded_setup
+    single = InvertedIndex(out, preload=True)
+    tier = TermShardedIndex(out, N_SHARDS)
+    try:
+        for q, mode in [("w0 w1", "or"), ("w0 w1", "and")]:
+            p1 = single.search(q, k=10, mode=mode)
+            cur = (p1[-1][1], p1[-1][0])
+            want = single.search(q, k=10, mode=mode, after=cur)
+            got = tier.search(q, k=10, mode=mode, after=cur)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, mode)
+            for (_, s1), (_, s2) in zip(got, want):
+                assert s1 == s2  # bit-identical accumulation
+    finally:
+        tier.shutdown()
