@@ -118,6 +118,9 @@ def search_boolean(
         if allowed is not None:
             ok = np.zeros(n, dtype=bool)
             sl = np.searchsorted(index._slots, allowed)
+            # `allowed` is sorted, so positions == n (values above the
+            # slot range) form a suffix — dropping them keeps sl
+            # aligned with allowed[:len(sl)]
             sl = sl[sl < n]
             ok[sl[index._slots[sl] == allowed[: len(sl)]]] = True
             mask = mask & ok
