@@ -138,3 +138,23 @@ def test_sample_documents_negative_ids_match_oracle(tmp_path, ray_session):
     assert len(mine) > 0, "crafted sample should be non-empty"
     assert (mine["doc_id"] < 0).any(), "negative ids must be sampleable"
     pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_rows_only_entries_ordered_last():
+    """The round-2 driver run stopped mid-list: every oracled entry
+    must come BEFORE the first rows-only (no-oracle) entry in
+    queries() order, so a slow rows-only tail can never starve the
+    hash-gated rows."""
+    import __ray_entry__ as e
+
+    names = list(e.queries().keys())
+    oracled = set(e.oracle_sql().keys())
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in oracled), len(names)
+    )
+    late_oracled = [
+        n for n in names[first_rows_only:] if n in oracled
+    ]
+    assert late_oracled == [], (
+        f"oracled entries after the rows-only family: {late_oracled}"
+    )
