@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + ordered-window proximity queries (greedy-minimal chain)
         "phrase_match": fulltext.phrase_match,
         "proximity_match": fulltext.proximity_match,
+        # unordered span-near (SpanNearQuery inOrder=false)
+        "span_near_match": fulltext.span_near_match,
         # passage retrieval: BM25 over chunk windows, doc-level maxP
         "passage_topk": fulltext.passage_topk,
         # incremental add (delta segments): same oracles as the
@@ -201,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,
         "proximity_match": oracles.PROXIMITY_MATCH,
+        "span_near_match": oracles.SPAN_NEAR_MATCH,
         "passage_topk": oracles.PASSAGE_TOPK,
         "term_dictionary_incremental": oracles.TERM_DICTIONARY,
         "bm25_topk_or_incremental": oracles.BM25_TOPK_OR,

@@ -594,3 +594,98 @@ def snippet_windows_multi(
         .sort(["query_id", "doc_id"])
     )
     return _collect(out, empty)
+
+
+def span_near_occurrences_multi(
+    root: str,
+    queries: list[tuple[int, str, int]],
+    analyzer_name: str | None = None,
+) -> pa.Table:
+    """UNORDERED span-near match (Lucene SpanNearQuery inOrder=false)
+    for a whole query set in ONE pipeline: (span_id, phrase, window)
+    triples -> rows (span_id, doc_id) for every doc where one position
+    of EACH distinct term fits in a window of span <= ``window``
+    (max - min), in any order. Existence semantics (the natural SQL
+    contract); the ordered/counted variant is proximity_occurrences.
+
+    Same distribution shape as the ordered tier: one pruned read over
+    the union of the queries' term buckets, per-doc decisions inside
+    the doc-grouped stage (a two-pointer minimal-cover scan over the
+    merged labeled positions — linear in the doc's matched positions).
+    """
+    with open(_stats_path(root)) as f:
+        stats = json.load(f)
+    analyzer = get_analyzer(analyzer_name or stats["analyzer"])
+    empty = pa.table(
+        {
+            "span_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+    plans: list[tuple[int, list[int], int]] = []
+    for sid, phrase, window in queries:
+        terms = sorted(set(analyzer.tokenize(phrase)))
+        if not terms:
+            continue
+        plans.append((int(sid), [hash64(t) for t in terms], int(window)))
+    if not plans:
+        return empty
+    all_tids = sorted({t for _, tids, _ in plans for t in tids})
+    ds = _read_term_positions(root, all_tids, stats["num_buckets"])
+
+    def _covers(pos_lists: list[np.ndarray], w: int) -> bool:
+        k = len(pos_lists)
+        if k == 1:
+            return len(pos_lists[0]) > 0
+        merged = np.concatenate(pos_lists)
+        labels = np.concatenate(
+            [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
+        )
+        order = np.argsort(merged, kind="stable")
+        merged, labels = merged[order], labels[order]
+        need = k
+        have = np.zeros(k, dtype=np.int64)
+        covered = 0
+        left = 0
+        for right in range(len(merged)):
+            if have[labels[right]] == 0:
+                covered += 1
+            have[labels[right]] += 1
+            while covered == need:
+                if merged[right] - merged[left] <= w:
+                    return True
+                have[labels[left]] -= 1
+                if have[labels[left]] == 0:
+                    covered -= 1
+                left += 1
+        return False
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        tids = g["term_id"].to_numpy(zero_copy_only=False)
+        plists = g["positions"].to_pylist()
+        pos_map = {
+            int(t): np.asarray(pl, dtype=np.int64)
+            for t, pl in zip(tids, plists)
+        }
+        out_sid: list[int] = []
+        for sid, tid_seq, w in plans:
+            if any(t not in pos_map for t in tid_seq):
+                continue
+            if _covers([pos_map[t] for t in tid_seq], w):
+                out_sid.append(sid)
+        if not out_sid:
+            return empty
+        did = int(g["doc_id"][0].as_py())
+        return pa.table(
+            {
+                "span_id": pa.array(out_sid, pa.int64()),
+                "doc_id": pa.array([did] * len(out_sid), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("doc_id")
+        .map_groups(group_fn, batch_format="pyarrow")
+        .sort(["span_id", "doc_id"])
+    )
+    return _collect(out, empty)

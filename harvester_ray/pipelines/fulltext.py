@@ -1638,3 +1638,25 @@ def synonym_search(sf_dir: str) -> "ray.data.Dataset":
         rows.extend((qid, t) for t in sorted(terms))
     exp = pd.DataFrame(rows, columns=["query_id", "term"])
     return _ranked_for_expansions(paths, exp)
+
+
+# (span_id, phrase, window) — unordered span-near queries: an ordered
+# pair plus its reversal (must match identically), a wide trigram, an
+# OOV conjunct (empty) and a tight stopword pair
+SPAN_NEAR_SET: list[tuple[int, str, int]] = [
+    (0, "scan join", 4),
+    (1, "join scan", 4),      # reversal: identical match set to 0
+    (2, "key value table", 8),
+    (3, "zzzq scan", 10),     # OOV conjunct -> empty
+    (4, "the a", 3),
+]
+
+
+def span_near_match(sf_dir: str) -> pa.Table:
+    """Unordered span-near (Lucene SpanNearQuery inOrder=false): docs
+    where one occurrence of EACH query term fits in a window of span
+    <= W, in any order — (span_id, doc_id) existence rows over the
+    positional tier, whole query set in one pipeline."""
+    from harvester_ray.index.positional import span_near_occurrences_multi
+
+    return span_near_occurrences_multi(positions_for(sf_dir), SPAN_NEAR_SET)

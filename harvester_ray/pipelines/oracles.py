@@ -1760,3 +1760,45 @@ def _synonym_sql() -> str:
 
 
 SYNONYM_SEARCH = _synonym_sql()
+
+
+def _span_near_sql() -> str:
+    """Unordered span-near: k-way self-join of per-term position lists
+    with a greatest-least span bound (existence per doc)."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import SPAN_NEAR_SET
+
+    branches = []
+    for sid, phrase, w in SPAN_NEAR_SET:
+        terms = sorted(set(tokenize(phrase)))
+        if not terms:
+            continue
+        aliases = [chr(ord("a") + i) for i in range(len(terms))]
+        # explicit JOIN ... USING (doc_id) chain over per-term position sets
+        parts = []
+        for i, (al, t) in enumerate(zip(aliases, terms)):
+            sub = (
+                f"(SELECT doc_id, i AS p FROM tl, "
+                f"unnest(range(1, len(ts) + 1)) AS u(i) "
+                f"WHERE ts[i] = '{t}') {al}"
+            )
+            parts.append(sub if i == 0 else f"JOIN {sub} USING (doc_id)")
+        frm = " ".join(parts)
+        cols = ", ".join(f"{al}.p" for al in aliases)
+        span = (
+            f"greatest({cols}) - least({cols}) <= {w}"
+            if len(aliases) > 1
+            else "TRUE"
+        )
+        branches.append(
+            f"SELECT DISTINCT {sid} AS span_id, a.doc_id\n"
+            f"FROM {frm}\nWHERE {span}"
+        )
+    return (
+        "WITH tl AS (SELECT doc_id,\n"
+        "  regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts\n"
+        "  FROM documents)\n" + "\nUNION ALL\n".join(branches)
+    )
+
+
+SPAN_NEAR_MATCH = _span_near_sql()

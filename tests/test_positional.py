@@ -301,3 +301,29 @@ def test_snippet_windows(ray_session, tmp_path):
     assert rows[(1, 7)]["start"] == 1 and rows[(1, 7)]["n_terms"] == 1
     # doc 8 not in query 1's restriction -> absent
     assert (1, 8) not in rows
+
+
+def test_span_near_superset_of_ordered_and_reversal_invariant(
+    store, ray_session
+):
+    """Unordered span-near: (a) contains every ordered-proximity match
+    for the same (phrase, window); (b) is invariant under term-order
+    reversal."""
+    from harvester_ray.index.positional import (
+        proximity_occurrences,
+        span_near_occurrences_multi,
+    )
+
+    root = store
+    ordered = set(
+        proximity_occurrences(root, "scan join", 4)["doc_id"].to_pylist()
+    )
+    t = span_near_occurrences_multi(
+        root, [(0, "scan join", 4), (1, "join scan", 4)]
+    )
+    sid = t["span_id"].to_numpy()
+    did = t["doc_id"].to_numpy()
+    fwd = {int(d) for s, d in zip(sid, did) if s == 0}
+    rev = {int(d) for s, d in zip(sid, did) if s == 1}
+    assert fwd == rev
+    assert ordered <= fwd
