@@ -130,6 +130,14 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    from harvester_ray.index.maintenance import verify_index
+
+    report = verify_index(args.index, max_terms=args.max_terms)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_query(args) -> int:
     from harvester_ray.index.query import InvertedIndex
 
@@ -232,6 +240,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--ids", required=True, help="comma-separated doc_ids")
     d.set_defaults(fn=cmd_delete)
+
+    f = sub.add_parser("fsck", help="index integrity check (exit 1 on violation)")
+    f.add_argument("--index", required=True)
+    f.add_argument("--max-terms", type=int, default=None,
+                   help="sample only the first N dictionary terms")
+    f.set_defaults(fn=cmd_fsck)
 
     q = sub.add_parser("query", help="one query against a built index")
     q.add_argument("--index", required=True)

