@@ -117,24 +117,24 @@ def levenshtein_batch(
 # ---------------------------------------------------------------------
 
 
-def prefix_expansions(
+def _pattern_expansions(
     dict_ds: "ray.data.Dataset",
-    prefixes: list[tuple[int, str]],
+    patterns: list[tuple[int, str]],
     cap: int,
+    kernel,
 ) -> pd.DataFrame:
-    """(query_id, term) — for each (query_id, prefix), the top-``cap``
-    dictionary terms with that prefix, ranked df DESC, term ASC (the
-    highest-df expansions carry the most results; deterministic ties).
-
-    One distributed pass over the dictionary emits all matches for all
-    prefixes; a grouped per-query reduction applies the cap. The
-    returned frame is <= len(prefixes) * cap rows (driver-safe by
-    construction — the cap bounds it, not the vocabulary)."""
+    """Shared scaffold for capped pattern expansions (prefix is the
+    pattern 'p%' special case of wildcard): one distributed dictionary
+    pass emits all matches via ``kernel(term_column, pattern)``, a
+    grouped per-query reduction ranks df DESC, term ASC and applies
+    the cap. The returned frame is <= len(patterns) * cap rows
+    (driver-safe by construction — the cap bounds it, not the
+    vocabulary)."""
 
     def match(t: pa.Table) -> pa.Table:
         parts = []
-        for qid, p in prefixes:
-            sel = t.filter(pc.starts_with(t["term"], p))
+        for qid, p in patterns:
+            sel = t.filter(kernel(t["term"], p))
             if len(sel):
                 parts.append(
                     pa.table(
@@ -168,10 +168,22 @@ def prefix_expansions(
     capped = matches.groupby("query_id").map_groups(
         top_cap, batch_format="pandas"
     )
-    out = capped.to_pandas()  # bounded by len(prefixes) * cap
+    out = capped.to_pandas()  # bounded by len(patterns) * cap
     if out.empty:
         return pd.DataFrame({"query_id": [], "term": []})
     return out
+
+
+def prefix_expansions(
+    dict_ds: "ray.data.Dataset",
+    prefixes: list[tuple[int, str]],
+    cap: int,
+) -> pd.DataFrame:
+    """(query_id, term) — for each (query_id, prefix), the top-``cap``
+    dictionary terms with that prefix, ranked df DESC, term ASC (the
+    highest-df expansions carry the most results; deterministic
+    ties)."""
+    return _pattern_expansions(dict_ds, prefixes, cap, pc.starts_with)
 
 
 def fuzzy_expansions(
@@ -290,47 +302,5 @@ def wildcard_expansions(
     top-``cap`` matching dictionary terms ranked df DESC, term ASC —
     Lucene's WildcardQuery rewrite, with SQL LIKE semantics ('%'/'_')
     so the kernel (pc.match_like) and the DuckDB oracle share the
-    pattern string verbatim. Same distributed scan + grouped cap as
-    prefix_expansions (prefix is the special case pattern 'p%')."""
-
-    def match(t: pa.Table) -> pa.Table:
-        parts = []
-        for qid, p in patterns:
-            sel = t.filter(pc.match_like(t["term"], p))
-            if len(sel):
-                parts.append(
-                    pa.table(
-                        {
-                            "query_id": pa.array(
-                                np.full(len(sel), qid, dtype=np.int64)
-                            ),
-                            "term": sel["term"],
-                            "df": sel["df"].cast(pa.int64()),
-                        }
-                    )
-                )
-        if not parts:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "term": pa.array([], pa.string()),
-                    "df": pa.array([], pa.int64()),
-                }
-            )
-        return pa.concat_tables(parts)
-
-    matches = dict_ds.map_batches(match, batch_format="pyarrow")
-
-    def top_cap(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["df", "term"], ascending=[False, True], kind="stable"
-        ).head(cap)
-        return g[["query_id", "term"]]
-
-    capped = matches.groupby("query_id").map_groups(
-        top_cap, batch_format="pandas"
-    )
-    out = capped.to_pandas()  # bounded by len(patterns) * cap
-    if out.empty:
-        return pd.DataFrame({"query_id": [], "term": []})
-    return out
+    pattern string verbatim."""
+    return _pattern_expansions(dict_ds, patterns, cap, pc.match_like)

@@ -518,7 +518,13 @@ def verify_index(index_dir: str, max_terms: "int | None" = None) -> dict:
       tfs, for every term (or the first ``max_terms`` in dictionary
       order when sampling — at 10^9 vocabularies fsck a shard at a
       time);
-    - stats: n_docs == |doc table|, avgdl == total_tokens / n_docs.
+    - stats (base source, untombstoned): avgdl == total_tokens /
+      n_docs, |doc table| <= n_docs (docs with >= 1 token), and
+      total_tokens == dictionary cf sum on a full scan.
+
+    Memory: the per-term decode caches are cleared each term, so fsck
+    holds O(one term) decoded postings; ``doc_len_seen`` is the one
+    O(distinct docs touched) structure (use max_terms to bound it).
 
     Returns {"ok": bool, "violations": [...], "terms_checked": int,
     "sources": int}; healthy indexes return ok=True, [] — callers
@@ -599,21 +605,47 @@ def verify_index(index_dir: str, max_terms: "int | None" = None) -> dict:
                     f"doc {d}: inconsistent doc_len across terms "
                     f"({prev} vs {dl})"
                 )
+        # keep fsck at O(one term) memory: postings() caches decoded
+        # lists unboundedly for serving, which a full scan defeats
+        idx._postings_cache.clear()
+        idx._block_cache.clear()
 
     # stats reconciliation
     with open(IndexPaths(index_dir).stats) as f:
         st = _json.load(f)
     # stats.json is the BASE source's record — reconcile only when it
     # is the sole source and nothing is tombstoned
-    if max_terms is None and n_dead == 0 and len(sources) == 1:
-        total_tokens = sum(
-            idx.dictionary[t][2] for t in idx.dictionary
-        )
-        if int(st["total_tokens"]) != int(total_tokens):
+    if n_dead == 0 and len(sources) == 1:
+        if st["n_docs"] > 0 and abs(
+            float(st["avgdl"])
+            - float(st["total_tokens"]) / float(st["n_docs"])
+        ) > 1e-9 * float(st["avgdl"]):
             violations.append(
-                f"stats: total_tokens {st['total_tokens']} != "
-                f"dictionary cf sum {total_tokens}"
+                f"stats: avgdl {st['avgdl']} != total_tokens/n_docs "
+                f"{float(st['total_tokens']) / float(st['n_docs'])}"
             )
+        dt_rows = sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob.glob(
+                os.path.join(
+                    IndexPaths(index_dir).doc_table, "*.parquet"
+                )
+            )
+        )
+        if dt_rows > int(st["n_docs"]):
+            violations.append(
+                f"stats: doc table rows {dt_rows} > n_docs "
+                f"{st['n_docs']}"
+            )
+        if max_terms is None:
+            total_tokens = sum(
+                idx.dictionary[t][2] for t in idx.dictionary
+            )
+            if int(st["total_tokens"]) != int(total_tokens):
+                violations.append(
+                    f"stats: total_tokens {st['total_tokens']} != "
+                    f"dictionary cf sum {total_tokens}"
+                )
     return {
         "ok": not violations,
         "violations": violations,

@@ -16,7 +16,11 @@ Semantics (documented, oracle-matched):
   clauses, with phrase terms contributing their term scores);
 - a doc is eligible iff it contains ALL MUST terms, matches ALL
   phrases, contains NO MUST_NOT term, and (when there is no MUST/phrase
-  clause) contains at least one SHOULD term;
+  clause) contains at least one SHOULD term. A term that is BOTH
+  positive and negated ("scan -scan") keeps its positive occurrence
+  and the negation is ignored — the engine-wide NOT rule
+  (query.search(exclude=...), NOT_SET's overlap case) shared with the
+  SQL oracle;
 - ranking: round-6 score DESC, doc_id ASC — the engine-wide rule.
 
 Phrase doc sets come from the positional tier
@@ -160,7 +164,7 @@ def search_boolean(
         if ex is not None:
             keep &= ~np.isin(uniq, ex, assume_unique=True)
     uniq, sums = uniq[keep], sums[keep]
-    return index._topk(uniq, sums, k)
+    return index._topk(uniq, sums, k, after)
 
 
 class BooleanQueryActor:

@@ -976,7 +976,13 @@ def events_latest_per_user(sf_dir: str) -> "ray.data.Dataset":
             {
                 "user_id": g["user_id"].to_numpy(),
                 "event_id": g["event_id"].to_numpy(),
-                "ts_us": g["ts"].astype("int64").to_numpy(),
+                # normalize to [us] first: a block conversion may hand
+                # this group datetime64[ns], and bare astype(int64)
+                # would then be epoch ns (1000x the oracle's epoch_us)
+                "ts_us": g["ts"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
                 "event_type": g["event_type"].to_numpy(),
                 "value_r4": np.floor(
                     g["value"].to_numpy() * 10_000 + 0.5

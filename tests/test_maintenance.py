@@ -135,3 +135,27 @@ def test_verify_index_detects_corruption(tmp_path, ray_session):
     report = verify_index(str(tmp_path / "idx"))
     assert not report["ok"]
     assert any("df" in v for v in report["violations"])
+
+
+def test_verify_index_detects_stats_corruption(tmp_path, ray_session):
+    """Corrupt stats.json avgdl (a BM25 scoring input) -> fsck fails."""
+    import json
+
+    import ray.data
+
+    from harvester_ray.index.build import build_index
+    from harvester_ray.index.maintenance import verify_index
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    paths = build_index(docs, str(tmp_path / "idx"))
+    with open(paths.stats) as f:
+        st = json.load(f)
+    st["avgdl"] = st["avgdl"] * 2
+    with open(paths.stats, "w") as f:
+        json.dump(st, f)
+    report = verify_index(str(tmp_path / "idx"))
+    assert not report["ok"]
+    assert any("avgdl" in v for v in report["violations"])

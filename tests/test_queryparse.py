@@ -108,3 +108,18 @@ def test_dense_sparse_agree_mixed(built_index):
         assert [d for d, _ in search_boolean(dense, p, k=10)] == [
             d for d, _ in search_boolean(sparse, p, k=10)
         ]
+
+
+def test_dense_sparse_agree_with_cursor(built_index):
+    """The search-after cursor applies on BOTH executor paths (the
+    sparse path used to drop it)."""
+    dense = InvertedIndex(built_index.root, preload=True)
+    sparse = InvertedIndex(built_index.root, preload=False)
+    p = parse_query("+scan dup")
+    last = search_boolean(dense, p, k=5)[-1]
+    cur = (last[1], last[0])
+    got_d = search_boolean(dense, p, k=5, after=cur)
+    got_s = search_boolean(sparse, p, k=5, after=cur)
+    assert got_d, "expected a second page"
+    assert [d for d, _ in got_d] == [d for d, _ in got_s]
+    assert last[0] not in {d for d, _ in got_d}
