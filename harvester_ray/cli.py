@@ -150,7 +150,21 @@ def cmd_query(args) -> int:
             search_boolean,
         )
 
-        parsed = parse_query(args.query)
+        if args.mode != "or":
+            print(
+                json.dumps(
+                    {
+                        "error": "--parse owns the clause semantics; "
+                        "use +term clauses for conjunction, not --mode"
+                    }
+                )
+            )
+            return 2
+        try:
+            parsed = parse_query(args.query)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
         if parsed.phrases:
             print(
                 json.dumps(

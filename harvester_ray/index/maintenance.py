@@ -580,7 +580,9 @@ def verify_index(index_dir: str, max_terms: "int | None" = None) -> dict:
         _, df_dict, cf_dict = idx.dictionary[term]
         p = idx.postings(term)
         if p is None:
-            if n_dead == 0:
+            # tombstones only hide up to n_dead postings of a term —
+            # a term with df > n_dead must still decode SOMETHING
+            if int(df_dict) > n_dead:
                 violations.append(f"term {term!r}: dictionary entry "
                                   "but no decodable postings")
             continue
@@ -597,6 +599,21 @@ def verify_index(index_dir: str, max_terms: "int | None" = None) -> dict:
                 violations.append(
                     f"term {term!r}: cf {cf_dict} != decoded tf sum "
                     f"{int(p.tfs.sum())}"
+                )
+        else:
+            # bounded reconciliation under tombstones (stats stay
+            # as-built until compaction): decoded counts can only be
+            # SMALLER, and by at most the tombstone count
+            if len(ids) > int(df_dict) or len(ids) < int(df_dict) - n_dead:
+                violations.append(
+                    f"term {term!r}: decoded {len(ids)} outside "
+                    f"[df - n_dead, df] = "
+                    f"[{int(df_dict) - n_dead}, {df_dict}]"
+                )
+            if int(p.tfs.sum()) > int(cf_dict):
+                violations.append(
+                    f"term {term!r}: decoded tf sum {int(p.tfs.sum())} "
+                    f"exceeds cf {cf_dict}"
                 )
         for d, dl in zip(ids.tolist(), p.doc_lens.tolist()):
             prev = doc_len_seen.setdefault(int(d), int(dl))

@@ -596,6 +596,33 @@ def snippet_windows_multi(
     return _collect(out, empty)
 
 
+def _span_covers(pos_lists: list[np.ndarray], w: int) -> bool:
+    """Vectorized minimal-cover existence: the tightest window
+    ending at merged position i starts at min-over-labels of the
+    latest occurrence of each label at or before i (a per-label
+    running maximum) — exists iff any i has span <= w with every
+    label seen. O(k x m) numpy, no Python loop over positions."""
+    k = len(pos_lists)
+    if k == 1:
+        return len(pos_lists[0]) > 0
+    if any(len(p) == 0 for p in pos_lists):
+        return False
+    merged = np.concatenate(pos_lists)
+    labels = np.concatenate(
+        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
+    )
+    order = np.argsort(merged, kind="stable")
+    merged, labels = merged[order], labels[order]
+    m = len(merged)
+    sentinel = np.iinfo(np.int64).min
+    vals = np.full((k, m), sentinel, dtype=np.int64)
+    vals[labels, np.arange(m)] = merged
+    last = np.maximum.accumulate(vals, axis=1)
+    cover_start = last.min(axis=0)
+    ok = cover_start > sentinel  # every label seen by index i
+    return bool(np.any(ok & (merged - cover_start <= w)))
+
+
 def span_near_occurrences_multi(
     root: str,
     queries: list[tuple[int, str, int]],
@@ -633,33 +660,6 @@ def span_near_occurrences_multi(
     all_tids = sorted({t for _, tids, _ in plans for t in tids})
     ds = _read_term_positions(root, all_tids, stats["num_buckets"])
 
-    def _covers(pos_lists: list[np.ndarray], w: int) -> bool:
-        k = len(pos_lists)
-        if k == 1:
-            return len(pos_lists[0]) > 0
-        merged = np.concatenate(pos_lists)
-        labels = np.concatenate(
-            [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
-        )
-        order = np.argsort(merged, kind="stable")
-        merged, labels = merged[order], labels[order]
-        need = k
-        have = np.zeros(k, dtype=np.int64)
-        covered = 0
-        left = 0
-        for right in range(len(merged)):
-            if have[labels[right]] == 0:
-                covered += 1
-            have[labels[right]] += 1
-            while covered == need:
-                if merged[right] - merged[left] <= w:
-                    return True
-                have[labels[left]] -= 1
-                if have[labels[left]] == 0:
-                    covered -= 1
-                left += 1
-        return False
-
     def group_fn(g: pa.Table) -> pa.Table:
         tids = g["term_id"].to_numpy(zero_copy_only=False)
         plists = g["positions"].to_pylist()
@@ -671,7 +671,7 @@ def span_near_occurrences_multi(
         for sid, tid_seq, w in plans:
             if any(t not in pos_map for t in tid_seq):
                 continue
-            if _covers([pos_map[t] for t in tid_seq], w):
+            if _span_covers([pos_map[t] for t in tid_seq], w):
                 out_sid.append(sid)
         if not out_sid:
             return empty

@@ -717,7 +717,10 @@ class InvertedIndex:
         `explain` parity: for every query term present in the doc,
         (tf, df, doc_len, contribution); `total` is the disjunctive
         score and equals search()'s score for the doc bit-for-bit
-        (contributions are summed in the same sorted-term order)."""
+        (contributions are summed in the same sorted-term order).
+        `idf` is the BM25 inverse document frequency — reported as
+        None under an injected custom scorer (whose contribution may
+        not factor through idf at all)."""
         terms = sorted(set(self.analyzer.tokenize(query)))
         parts = []
         total = 0.0
@@ -740,7 +743,8 @@ class InvertedIndex:
                     "tf": int(p.tfs[i]),
                     "df": int(p.df),
                     "doc_len": int(p.doc_lens[i]),
-                    "idf": self.idf(p.df),
+                    "idf": None if self.scorer is not None
+                    else self.idf(p.df),
                     "contribution": contrib,
                 }
             )

@@ -57,12 +57,16 @@ def parse_query(s: str) -> ParsedQuery:
     executor runs them through the index analyzer (a word may expand to
     several index terms, each inheriting the clause's occurrence).
     ``-"phrase"`` is rejected (out of the supported subset)."""
+    if (s or "").count('"') % 2:
+        raise ValueError("unbalanced quotes in query")
     should, must, must_not, phrases = [], [], [], []
     for sign, body in _CLAUSE_RE.findall(s or ""):
         if body.startswith('"'):
             if sign == "-":
                 raise ValueError("negated phrases are not supported")
-            phrases.append(body.strip('"'))
+            ph = body.strip('"').strip()
+            if ph:  # '""' is a no-op, not a match-nothing constraint
+                phrases.append(ph)
         elif sign == "+":
             must.append(body)
         elif sign == "-":

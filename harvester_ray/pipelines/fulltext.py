@@ -125,6 +125,50 @@ def doc_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def _query_pool(
+    paths: IndexPaths,
+    items,
+    k: int = TOP_K,
+    algorithm: str = "auto",
+    scorer: "str | None" = None,
+    keep_score: bool = False,
+) -> "ray.data.Dataset":
+    """The shared QueryActor-pool stage every ranked entry runs:
+    ``items`` (list of dicts or a typed Arrow table with query_id /
+    query [/ mode / exclude / after_*]) -> (query_id, rank, doc_id
+    [, score]). Pool sizing and the typed re-emit live HERE so page-1,
+    page-2, expansions and NOT queries cannot drift apart."""
+    ds = (
+        ray.data.from_arrow(items)
+        if isinstance(items, pa.Table)
+        else ray.data.from_items(items)
+    )
+    out = ds.map_batches(
+        QueryActor,
+        fn_constructor_args=(paths.root,),
+        fn_constructor_kwargs={
+            "k": k, "algorithm": algorithm, "scorer": scorer
+        },
+        batch_format="pyarrow",
+        # cluster-derived pool bounds (a hard-coded 2 starves a 32-CPU
+        # node; the driver query set is small, so cap the pool too)
+        concurrency=stage_concurrency(divisor=4, hi=8),
+        batch_size=8,
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        cols = {
+            "query_id": t["query_id"],
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"],
+        }
+        if keep_score:
+            cols["score"] = t["score"]
+        return pa.table(cols)
+
+    return out.map_batches(emit, batch_format="pyarrow")
+
+
 def _bm25(
     sf_dir: str,
     mode: str,
@@ -138,32 +182,11 @@ def _bm25(
     the pytest oracle at double precision.
     """
     paths = index_for(sf_dir)
-    qs = queries_for_mode(mode)
-    queries_ds = ray.data.from_items(
-        [{"query_id": qid, "query": q, "mode": mode} for qid, q in qs]
-    )
-    out = queries_ds.map_batches(
-        QueryActor,
-        fn_constructor_args=(paths.root,),
-        fn_constructor_kwargs={
-            "k": TOP_K, "algorithm": algorithm, "scorer": scorer
-        },
-        batch_format="pyarrow",
-        # cluster-derived pool bounds (a hard-coded 2 starves a 32-CPU
-        # node; the driver query set is small, so cap the pool too)
-        concurrency=stage_concurrency(divisor=4, hi=8),
-        batch_size=8,
-    )
-    return out.map_batches(
-        lambda t: pa.table(
-            {
-                "query_id": t["query_id"],
-                "rank": t["rank"].cast(pa.int64()),
-                "doc_id": t["doc_id"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    items = [
+        {"query_id": qid, "query": q, "mode": mode}
+        for qid, q in queries_for_mode(mode)
+    ]
+    return _query_pool(paths, items, algorithm=algorithm, scorer=scorer)
 
 
 def bm25_topk_or(sf_dir: str) -> "ray.data.Dataset":
@@ -259,24 +282,7 @@ def _ranked_for_expansions(
                 }
             )
         )
-    out = ray.data.from_items(items).map_batches(
-        QueryActor,
-        fn_constructor_args=(paths.root,),
-        fn_constructor_kwargs={"k": TOP_K},
-        batch_format="pyarrow",
-        concurrency=stage_concurrency(divisor=4, hi=8),
-        batch_size=8,
-    )
-    return out.map_batches(
-        lambda t: pa.table(
-            {
-                "query_id": t["query_id"],
-                "rank": t["rank"].cast(pa.int64()),
-                "doc_id": t["doc_id"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _query_pool(paths, items)
 
 
 def prefix_search(sf_dir: str) -> "ray.data.Dataset":
@@ -375,18 +381,8 @@ def more_like_this(sf_dir: str) -> pa.Table:
             {"query_id": qid, "query": " ".join(terms), "mode": "or"}
         )
 
-    out = (
-        ray.data.from_items(items)
-        .map_batches(
-            QueryActor,
-            fn_constructor_args=(paths.root,),
-            fn_constructor_kwargs={"k": TOP_K + 1},  # +1 absorbs the seed
-            batch_format="pyarrow",
-            concurrency=stage_concurrency(divisor=4, hi=8),
-            batch_size=8,
-        )
-        .to_pandas()  # <= (TOP_K+1) x |MLT_SET| rows
-    )
+    # k = TOP_K + 1 absorbs the excluded seed doc
+    out = _query_pool(paths, items, k=TOP_K + 1).to_pandas()
     seed_by_q = dict(MLT_SET)
     out = out[
         out["doc_id"] != out["query_id"].map(seed_by_q)
@@ -753,30 +749,11 @@ def bm25_topk_not(sf_dir: str) -> "ray.data.Dataset":
     containing ANY excluded term dropped BEFORE top-k (query.py
     search(exclude=...)) — the '-term' operator of a web search box."""
     paths = index_for(sf_dir)
-    queries_ds = ray.data.from_items(
-        [
-            {"query_id": qid, "query": q, "mode": "or", "exclude": ex}
-            for qid, q, ex in NOT_SET
-        ]
-    )
-    out = queries_ds.map_batches(
-        QueryActor,
-        fn_constructor_args=(paths.root,),
-        fn_constructor_kwargs={"k": TOP_K},
-        batch_format="pyarrow",
-        concurrency=stage_concurrency(divisor=4, hi=8),
-        batch_size=8,
-    )
-    return out.map_batches(
-        lambda t: pa.table(
-            {
-                "query_id": t["query_id"],
-                "rank": t["rank"].cast(pa.int64()),
-                "doc_id": t["doc_id"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    items = [
+        {"query_id": qid, "query": q, "mode": "or", "exclude": ex}
+        for qid, q, ex in NOT_SET
+    ]
+    return _query_pool(paths, items)
 
 
 SNIPPET_W = 8  # snippet window: 8 consecutive tokens
@@ -1169,23 +1146,14 @@ def search_after_page2(sf_dir: str) -> "ray.data.Dataset":
     Output: (query_id, rank 1..10, doc_id) for PAGE 2, gated against
     the SQL ranks 11..20."""
     paths = index_for(sf_dir)
-    page1 = (
-        ray.data.from_items(
-            [
-                {"query_id": qid, "query": q, "mode": "or"}
-                for qid, q in queries_for_mode("or")
-            ]
-        )
-        .map_batches(
-            QueryActor,
-            fn_constructor_args=(paths.root,),
-            fn_constructor_kwargs={"k": TOP_K},
-            batch_format="pyarrow",
-            concurrency=stage_concurrency(divisor=4, hi=8),
-            batch_size=8,
-        )
-        .to_pandas()  # <= TOP_K x |queries| rows
-    )
+    page1 = _query_pool(
+        paths,
+        [
+            {"query_id": qid, "query": q, "mode": "or"}
+            for qid, q in queries_for_mode("or")
+        ],
+        keep_score=True,
+    ).to_pandas()  # <= TOP_K x |queries| rows
     last = (
         page1.sort_values(["query_id", "rank"], kind="stable")
         .groupby("query_id", sort=True)
@@ -1206,24 +1174,7 @@ def search_after_page2(sf_dir: str) -> "ray.data.Dataset":
         for qid, q in queries_for_mode("or")
         if qid in cursor_by_q  # no page-1 hits -> no page 2
     ]
-    out = ray.data.from_items(items).map_batches(
-        QueryActor,
-        fn_constructor_args=(paths.root,),
-        fn_constructor_kwargs={"k": TOP_K},
-        batch_format="pyarrow",
-        concurrency=stage_concurrency(divisor=4, hi=8),
-        batch_size=8,
-    )
-    return out.map_batches(
-        lambda t: pa.table(
-            {
-                "query_id": t["query_id"],
-                "rank": t["rank"].cast(pa.int64()),
-                "doc_id": t["doc_id"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _query_pool(paths, items)
 
 
 FILTER_LANG = "en"
@@ -1330,12 +1281,16 @@ def query_language(sf_dir: str) -> "ray.data.Dataset":
         parse_query,
     )
 
+    from harvester_ray.functions.text import tokenize
+
     paths = index_for(sf_dir)
     parsed = [(qid, parse_query(q)) for qid, q in QL_SET]
     phrase_specs = []  # (global phrase id, (query_id, n-th phrase))
     phrase_of = []
     for qid, p in parsed:
         for ph in p.phrases:
+            if not tokenize(ph):
+                continue  # punctuation-only phrase: a no-op clause
             phrase_specs.append((len(phrase_specs), ph))
             phrase_of.append(qid)
     allowed_by_q: dict[int, "np.ndarray"] = {}

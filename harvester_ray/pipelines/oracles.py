@@ -64,6 +64,28 @@ _SCORE_EXPRS = {
 }
 
 
+# the corpus CTE stack every BM25-shaped oracle shares — single-source
+# so the scoring definition cannot drift between entries
+_CORPUS_CTES = f"""toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM toks)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term)"""
+
+
+def _or_query_values() -> str:
+    """(query_id, term) VALUES rows for the OR-mode reference query set
+    — the expansion every full-match-set oracle starts from."""
+    from harvester_ray.functions.text import tokenize
+
+    pairs = []
+    for qid, q in queries_for_mode("or"):
+        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    return ", ".join(pairs)
+
+
 def _bm25_sql(mode: str, weighting: str = "bm25", page: int = 1) -> str:
     from harvester_ray.functions.text import tokenize
 
@@ -79,13 +101,7 @@ def _bm25_sql(mode: str, weighting: str = "bm25", page: int = 1) -> str:
         else ""
     )
     return f"""
-WITH toks AS ({_TOKS}),
-postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                  (SELECT count(*) FROM toks)::DOUBLE
-                    / (SELECT count(*) FROM documents) AS avgdl),
-dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+WITH {_CORPUS_CTES},
 q(query_id, term) AS (VALUES {values}),
 scored AS (
   SELECT q.query_id, p.doc_id,
@@ -131,13 +147,7 @@ def _expansion_sql(expanded_cte: str, extra_values: str) -> str:
     index CTEs + a caller-provided ``q(query_id, term)`` expansion +
     the BM25 scored/ranked tail (same ranking rule as _bm25_sql)."""
     return f"""
-WITH toks AS ({_TOKS}),
-postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                  (SELECT count(*) FROM toks)::DOUBLE
-                    / (SELECT count(*) FROM documents) AS avgdl),
-dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+WITH {_CORPUS_CTES},
 {extra_values},
 q AS ({expanded_cte}),
 scored AS (
@@ -314,13 +324,7 @@ def _bm25_not_sql() -> str:
         pos_pairs.extend(f"({qid}, '{t}')" for t in pos)
         neg_pairs.extend(f"({qid}, '{t}')" for t in neg)
     return f"""
-WITH toks AS ({_TOKS}),
-postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                  (SELECT count(*) FROM toks)::DOUBLE
-                    / (SELECT count(*) FROM documents) AS avgdl),
-dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+WITH {_CORPUS_CTES},
 q(query_id, term) AS (VALUES {", ".join(pos_pairs)}),
 nq(query_id, term) AS (VALUES {", ".join(neg_pairs)}),
 excl AS (
@@ -356,17 +360,11 @@ BM25_TOPK_NOT = _bm25_not_sql()
 
 
 def _search_facets_sql() -> str:
-    from harvester_ray.functions.text import tokenize
-
-    pairs = []
-    for qid, q in queries_for_mode("or"):
-        pairs.extend(
-            f"({qid}, '{t}')" for t in sorted(set(tokenize(q)))
-        )
+    values = _or_query_values()
     return f"""
 WITH toks AS ({_TOKS}),
 postings AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
-q(query_id, term) AS (VALUES {", ".join(pairs)}),
+q(query_id, term) AS (VALUES {values}),
 m AS (SELECT DISTINCT q.query_id, p.doc_id FROM q JOIN postings p USING (term))
 SELECT m.query_id, d.source, count(*) AS n_docs
 FROM m JOIN documents d USING (doc_id)
@@ -384,18 +382,10 @@ def _collapse_sql() -> str:
     from harvester_ray.functions.text import tokenize
     from harvester_ray.pipelines.fulltext import COLLAPSE_K, _FP8
 
-    pairs = []
-    for qid, q in queries_for_mode("or"):
-        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    values = _or_query_values()
     return f"""
-WITH toks AS ({_TOKS}),
-postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                  (SELECT count(*) FROM toks)::DOUBLE
-                    / (SELECT count(*) FROM documents) AS avgdl),
-dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
-q(query_id, term) AS (VALUES {", ".join(pairs)}),
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
 sc AS (
   SELECT q.query_id, p.doc_id,
          sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {_FP8} + 0.5)
@@ -433,13 +423,7 @@ def _more_like_this_sql() -> str:
 
     values = ", ".join(f"({qid}, {did})" for qid, did in MLT_SET)
     return f"""
-WITH toks AS ({_TOKS}),
-postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                  (SELECT count(*) FROM toks)::DOUBLE
-                    / (SELECT count(*) FROM documents) AS avgdl),
-dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+WITH {_CORPUS_CTES},
 src(query_id, src_doc) AS (VALUES {values}),
 src_tf AS (
   SELECT s.query_id, t.term, count(*) AS tf
@@ -1370,18 +1354,10 @@ def _filtered_sql() -> str:
     from harvester_ray.functions.text import tokenize
     from harvester_ray.pipelines.fulltext import FILTER_LANG, _FP8
 
-    pairs = []
-    for qid, q in queries_for_mode("or"):
-        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    values = _or_query_values()
     return f"""
-WITH toks AS ({_TOKS}),
-postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                  (SELECT count(*) FROM toks)::DOUBLE
-                    / (SELECT count(*) FROM documents) AS avgdl),
-dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
-q(query_id, term) AS (VALUES {", ".join(pairs)}),
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
 sc AS (
   SELECT q.query_id, p.doc_id,
          sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {_FP8} + 0.5)
@@ -1428,12 +1404,10 @@ WILDCARD_SEARCH = _wildcard_sql()
 def _sort_by_field_sql() -> str:
     from harvester_ray.functions.text import tokenize
 
-    pairs = []
-    for qid, q in queries_for_mode("or"):
-        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    values = _or_query_values()
     return f"""
 WITH toks AS ({_TOKS}),
-q(query_id, term) AS (VALUES {", ".join(pairs)}),
+q(query_id, term) AS (VALUES {values}),
 matches AS (
   SELECT DISTINCT q.query_id, t.doc_id
   FROM q JOIN toks t USING (term)
@@ -1475,9 +1449,10 @@ def _query_language_sql() -> str:
         q_rows.extend(f"({qid}, '{t}')" for t in pos)
         m_rows.extend(f"({qid}, '{t}')" for t in sorted(must))
         n_rows.extend(f"({qid}, '{t}')" for t in nots)
-        if p.phrases:
-            pcnt_rows.append(f"({qid}, {len(p.phrases)})")
-            for pno, ph in enumerate(p.phrases):
+        phrases = [ph for ph in p.phrases if tokenize(ph)]
+        if phrases:
+            pcnt_rows.append(f"({qid}, {len(phrases)})")
+            for pno, ph in enumerate(phrases):
                 terms = tokenize(ph)
                 k = len(terms)
                 conds = " AND ".join(
@@ -1561,12 +1536,10 @@ QUERY_LANGUAGE = _query_language_sql()
 def _match_set_cte() -> str:
     from harvester_ray.functions.text import tokenize
 
-    pairs = []
-    for qid, q in queries_for_mode("or"):
-        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    values = _or_query_values()
     return f"""
 WITH toks AS ({_TOKS}),
-q(query_id, term) AS (VALUES {", ".join(pairs)}),
+q(query_id, term) AS (VALUES {values}),
 matches AS (
   SELECT DISTINCT q.query_id, t.doc_id
   FROM q JOIN toks t USING (term)
@@ -1619,18 +1592,10 @@ def _hybrid_rrf_sql() -> str:
     from harvester_ray.functions.text import tokenize
     from harvester_ray.pipelines.fulltext import RRF_K, _RRF_FP
 
-    pairs = []
-    for qid, q in queries_for_mode("or"):
-        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    values = _or_query_values()
     return f"""
-WITH toks AS ({_TOKS}),
-postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                  (SELECT count(*) FROM toks)::DOUBLE
-                    / (SELECT count(*) FROM documents) AS avgdl),
-dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
-q(query_id, term) AS (VALUES {", ".join(pairs)}),
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
 sa AS (
   SELECT q.query_id, p.doc_id, sum( {_SCORE_EXPRS["bm25"]} ) AS score
   FROM q JOIN postings p USING (term) JOIN dict d USING (term)
@@ -1677,18 +1642,10 @@ def _prf_rerank_sql() -> str:
     from harvester_ray.functions.text import tokenize
     from harvester_ray.pipelines.fulltext import PRF_TOP
 
-    pairs = []
-    for qid, q in queries_for_mode("or"):
-        pairs.extend(f"({qid}, '{t}')" for t in sorted(set(tokenize(q))))
+    values = _or_query_values()
     return f"""
-WITH toks AS ({_TOKS}),
-postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                  (SELECT count(*) FROM toks)::DOUBLE
-                    / (SELECT count(*) FROM documents) AS avgdl),
-dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
-q(query_id, term) AS (VALUES {", ".join(pairs)}),
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
 scored AS (
   SELECT q.query_id, p.doc_id, sum( {_SCORE_EXPRS["bm25"]} ) AS score
   FROM q JOIN postings p USING (term) JOIN dict d USING (term)

@@ -542,8 +542,14 @@ def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
                 }
             )
         par = parent.to_numpy().astype(np.int64)
-        arr = np.asarray(flat.to_pylist(), dtype=object)
-        tok_fp = fp_sorted[np.searchsorted(terms_sorted, arr)]
+        # dictionary-encode: only the batch's UNIQUE terms pay the
+        # Python-object searchsorted; occurrences map via int indices
+        enc = flat.dictionary_encode()
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        fp_uniq = fp_sorted[np.searchsorted(terms_sorted, uniq)]
+        tok_fp = fp_uniq[
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
         n_tok = np.bincount(par, minlength=n_rows)
         # float64 is exact here: |fp| <= ln(1/T)*1e8 ~ 2e9 per token,
         # summed over <= 1e4 tokens/doc << 2^53

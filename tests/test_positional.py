@@ -327,3 +327,36 @@ def test_span_near_superset_of_ordered_and_reversal_invariant(
     rev = {int(d) for s, d in zip(sid, did) if s == 1}
     assert fwd == rev
     assert ordered <= fwd
+
+
+def test_span_covers_matches_brute_force():
+    """Vectorized minimal-cover existence vs O(prod) brute force over
+    random position sets (seeded)."""
+    import itertools
+
+    import numpy as np
+
+    from harvester_ray.index.positional import _span_covers
+
+    rng = np.random.default_rng(7)
+    for _ in range(400):
+        k = int(rng.integers(1, 4))
+        w = int(rng.integers(0, 8))
+        lists = []
+        for _ in range(k):
+            n = int(rng.integers(0, 6))
+            lists.append(
+                np.unique(rng.integers(0, 30, size=n)).astype(np.int64)
+            )
+        # brute force: distinct positions per label (they model distinct
+        # terms, which cannot share a token position)
+        if any(len(p) == 0 for p in lists):
+            want = False
+        elif k == 1:
+            want = True
+        else:
+            want = any(
+                max(c) - min(c) <= w
+                for c in itertools.product(*[p.tolist() for p in lists])
+            )
+        assert _span_covers(lists, w) == want, (lists, w)
