@@ -267,16 +267,24 @@ def best_suggestions(
 
     locals_ = dict_ds.map_batches(local_best, batch_format="pyarrow")
 
-    def global_best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["dist", "cf", "suggestion"],
-            ascending=[True, False, True],
-            kind="stable",
-        ).head(1)
-        return g[["query_id", "qterm", "suggestion", "dist"]]
+    def global_best(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("dist", "ascending"),
+                ("cf", "descending"),
+                ("suggestion", "ascending"),
+            ],
+        )
+        return g.take(idx[:1]).select(
+            ["query_id", "qterm", "suggestion", "dist"]
+        )
 
-    out = locals_.groupby("query_id").map_groups(
-        global_best, batch_format="pandas"
+    # group by BOTH keys: local_best emits one row per (query_id,
+    # qterm), and a multi-token query must keep one suggestion per
+    # query term (ADVICE r3)
+    out = locals_.groupby(["query_id", "qterm"]).map_groups(
+        global_best, batch_format="pyarrow"
     )
     tbl = pa.Table.from_pandas(
         out.to_pandas(), preserve_index=False

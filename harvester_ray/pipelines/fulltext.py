@@ -398,7 +398,31 @@ def more_like_this(sf_dir: str) -> pa.Table:
     )
 
 
+# process-level cache of materialized match sets: the gate's six
+# full-match-set consumers (search_facets/numfound/range/pivot,
+# collapse_topk, bm25_topk_filtered, sort_by_field_topk) each used to
+# recompute the postings scan + (query, doc) shuffle; one driver
+# process now pays it once per sf_dir. Match sets are query-bounded
+# (|queries| × matches), far smaller than the corpus, so pinning the
+# materialized blocks in the object store is safe.
+_MATCH_SET_CACHE: dict = {}
+
+
+def _match_set_cached(sf_dir: str, kind: str, build) -> "ray.data.Dataset":
+    key = (os.path.abspath(sf_dir), kind)
+    hit = _MATCH_SET_CACHE.get(key)
+    if hit is None:
+        hit = _MATCH_SET_CACHE[key] = build().materialize()
+    return hit
+
+
 def _distinct_match_set(sf_dir: str) -> "ray.data.Dataset":
+    return _match_set_cached(
+        sf_dir, "distinct", lambda: _distinct_match_set_build(sf_dir)
+    )
+
+
+def _distinct_match_set_build(sf_dir: str) -> "ray.data.Dataset":
     """(query_id, doc_id) — each OR query's FULL distinct match set:
     pruned postings read (only the query terms' rows leave storage) →
     per-batch expansion → distinct (query, doc) groupby. Shared by the
@@ -583,6 +607,12 @@ _FP8 = 100_000_000
 
 
 def _scored_match_set(sf_dir: str) -> "ray.data.Dataset":
+    return _match_set_cached(
+        sf_dir, "scored", lambda: _scored_match_set_build(sf_dir)
+    )
+
+
+def _scored_match_set_build(sf_dir: str) -> "ray.data.Dataset":
     """(query_id, doc_id, score_fp) — exhaustive BM25 over each OR
     query's FULL match set, recomputed distributedly from the raw
     postings (not the top-k actor): pruned postings read → doc_len
@@ -599,7 +629,7 @@ def _scored_match_set(sf_dir: str) -> "ray.data.Dataset":
 
     from harvester_ray.config import shuffle_partitions
     from harvester_ray.functions.text import tokenize
-    from harvester_ray.index.build import bm25_score
+    from harvester_ray.index.build import bm25_idf, bm25_norm
 
     paths = index_for(sf_dir)
     with open(paths.stats) as f:
@@ -614,7 +644,19 @@ def _scored_match_set(sf_dir: str) -> "ray.data.Dataset":
         paths.dictionary, columns=["term", "df"],
         filters=[("term", "in", all_terms)],
     )
-    df_by_term = dict(zip(dft["term"].to_pylist(), dft["df"].to_pylist()))
+    # per-term constants precomputed once on the driver (query terms
+    # are few): idf and the list of query_ids containing the term
+    idf_by_term = {
+        tm: bm25_idf(float(df), n_docs)
+        for tm, df in zip(dft["term"].to_pylist(), dft["df"].to_pylist())
+    }
+    qids_by_term: dict[str, "np.ndarray"] = {}
+    for qid, ts in qterms:
+        for tm in ts:
+            qids_by_term.setdefault(tm, []).append(qid)  # type: ignore[arg-type]
+    qids_by_term = {
+        tm: np.asarray(v, dtype=np.int64) for tm, v in qids_by_term.items()
+    }
 
     post = ray.data.read_parquet(
         paths.postings,
@@ -627,49 +669,51 @@ def _scored_match_set(sf_dir: str) -> "ray.data.Dataset":
         on=("doc_id",),
     )
 
-    def score_rows(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    _EMPTY = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score_fp": pa.array([], pa.int64()),
+        }
+    )
+    _NO_QIDS = np.empty(0, dtype=np.int64)
 
-        terms = t["term"].to_pylist()
+    def score_rows(t: pa.Table) -> pa.Table:
+        # fully vectorized: dictionary-encode the term column once per
+        # batch, look up idf / query membership only on the (few)
+        # unique terms, then score every row elementwise and explode
+        # rows whose term belongs to multiple queries via a segmented
+        # gather — no Python loop over rows or queries.
+        if t.num_rows == 0:
+            return _EMPTY
+        enc = t["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # one Python pass per batch for the df lookup; per-query
-        # selection is an Arrow is_in kernel
-        df_row = np.fromiter(
-            (float(df_by_term[tm]) for tm in terms),
-            dtype=np.float64,
-            count=len(terms),
-        )
-        out_q, out_d, out_s = [], [], []
-        for qid, ts in qterms:
-            sel = pc.is_in(
-                t["term"], value_set=pa.array(ts, pa.string())
-            ).to_numpy(zero_copy_only=False)
-            if not sel.any():
-                continue
-            dfs = df_row[sel]
-            s = np.empty(len(dfs))
-            stf, sdl = tf[sel], dl[sel]
-            for dfv in np.unique(dfs):  # query terms are few
-                m = dfs == dfv
-                s[m] = bm25_score(stf[m], sdl[m], dfv, n_docs, avgdl, k1, b)
-            out_q.append(np.full(int(sel.sum()), qid, dtype=np.int64))
-            out_d.append(did[sel])
-            out_s.append(np.floor(s * _FP8 + 0.5).astype(np.int64))
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "score_fp": pa.array([], pa.int64()),
-                }
-            )
+        idf_u = np.asarray([idf_by_term[tm] for tm in uniq], dtype=np.float64)
+        # scalar-idf × elementwise-norm, same op order as bm25_score →
+        # bit-identical floats to the per-query path it replaces
+        s = idf_u[codes] * bm25_norm(tf, dl, avgdl, k1, b)
+        s_fp = np.floor(s * _FP8 + 0.5).astype(np.int64)
+        q_u = [qids_by_term.get(tm, _NO_QIDS) for tm in uniq]
+        k_u = np.asarray([len(q) for q in q_u], dtype=np.int64)
+        reps = k_u[codes]
+        total = int(reps.sum())
+        if total == 0:
+            return _EMPTY
+        qflat = np.concatenate(q_u)
+        off_u = np.cumsum(k_u) - k_u
+        row_rep = np.repeat(np.arange(len(codes), dtype=np.int64), reps)
+        seg_start = np.cumsum(reps) - reps
+        intra = np.arange(total, dtype=np.int64) - np.repeat(seg_start, reps)
+        out_qid = qflat[np.repeat(off_u[codes], reps) + intra]
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
-                "score_fp": pa.array(np.concatenate(out_s), pa.int64()),
+                "query_id": pa.array(out_qid, pa.int64()),
+                "doc_id": pa.array(did[row_rep], pa.int64()),
+                "score_fp": pa.array(s_fp[row_rep], pa.int64()),
             }
         )
 

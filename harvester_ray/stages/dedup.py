@@ -292,20 +292,38 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
             n, kept, n - kept,
         )
         # overflow docs: link to the first retained doc with the same
-        # signature (est 1.0) to keep identical clusters connected
+        # signature (est 1.0) to keep identical clusters connected; an
+        # overflow doc whose signature group has NO retained member
+        # chains to the bucket's first kept doc with its true
+        # signature-agreement estimate (ADVICE r3: previously dropped)
         first_of_group: dict[int, int] = {}
         for i in range(kept):
             first_of_group.setdefault(int(inv[i]), i)
-        o_a, o_b = [], []
+        o_a, o_b, o_e = [], [], []
+        n_unchained = 0
         for i in range(kept, n):
             j = first_of_group.get(int(inv[i]))
             if j is not None:
                 o_a.append(ids[j])
                 o_b.append(ids[i])
+                o_e.append(1.0)
+            else:
+                n_unchained += 1
+                o_a.append(ids[0])
+                o_b.append(ids[i])
+                o_e.append(
+                    round(float((sigs[i] == sigs[0]).mean()), 6)
+                )
+        if n_unchained:
+            logger.warning(
+                "%d overflow docs had no retained signature-group "
+                "representative; chained to the bucket's first kept doc "
+                "with true signature agreement", n_unchained,
+            )
         if o_a:
             out_a.append(np.array(o_a, np.int64))
             out_b.append(np.array(o_b, np.int64))
-            out_e.append(np.ones(len(o_a), np.float64))
+            out_e.append(np.array(o_e, np.float64))
     # agreement between distinct signatures AMONG KEPT DOCS only
     # (<= MAX_BUCKET_REPS of them, so the matrix stays <= 512^2)
     kuniq, kinv = np.unique(sigs[:kept], axis=0, return_inverse=True)

@@ -167,8 +167,16 @@ def test_bucket_pairs_cap_logged(monkeypatch, caplog):
     )
     with caplog.at_level(logging.WARNING, logger="harvester_ray.stages.dedup"):
         out = _bucket_pairs(g)
-    assert len(out) == 10 * 9 // 2  # capped pairwise
+    # capped pairwise + one chained edge per overflow doc (ADVICE r3:
+    # overflow docs without a retained signature-group representative
+    # chain to the bucket's first kept doc instead of being dropped)
+    assert len(out) == 10 * 9 // 2 + (n - 10)
+    chained = out[(out["doc_a"] == 0) & (out["doc_b"] >= 10)]
+    assert set(chained["doc_b"]) == set(range(10, n))
+    # all signatures are random-distinct, so the true agreement is low
+    assert (chained["est_jaccard"] < 1.0).all()
     assert any("capped" in r.message for r in caplog.records)
+    assert any("no retained signature-group" in r.message for r in caplog.records)
 
 
 @pytest.fixture()
