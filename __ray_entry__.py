@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and_bmand": fulltext.bm25_topk_and_bmand,
         # injected cosine TF-IDF scorer (SURVEY §2.10 plug point)
         "tfidf_topk": fulltext.tfidf_topk,
+        # BM25F fielded ranking over the (title, body) split
+        "bm25f_topk": fulltext.bm25f_topk,
         # boolean NOT (exclusion before top-k)
         "bm25_topk_not": fulltext.bm25_topk_not,
         # facet counts over the full match set (Solr facet parity)
@@ -180,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": oracles.BM25_TOPK_OR,
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
         "tfidf_topk": oracles.TFIDF_TOPK,
+        "bm25f_topk": oracles.BM25F_TOPK,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
         "search_facets": oracles.SEARCH_FACETS,
         "search_numfound": oracles.SEARCH_NUMFOUND,

@@ -1659,3 +1659,258 @@ def span_near_match(sf_dir: str) -> pa.Table:
     from harvester_ray.index.positional import span_near_occurrences_multi
 
     return span_near_occurrences_multi(positions_for(sf_dir), SPAN_NEAR_SET)
+
+
+# ── BM25F fielded ranking (multi-field index documents) ─────────────
+#
+# The reference's index document is MANY-field: map_couch_to_solr_doc
+# produces title/creator/subject/description fields
+# (/root/reference/harvester/solr_updater.py:64-134,688-745) and the
+# Solr tier it delegates to searches and boosts across them (qf).
+# The engine's fielded analog: each document is split into a `title`
+# field (its first TITLE_TOKENS analyzer tokens) and a `body` field
+# (the rest) — a deterministic split both the Ray pipeline and the SQL
+# oracle derive from `text` — and ranked with BM25F
+# (Robertson/Zaragoza "Simple BM25 extension to multiple weighted
+# fields"): per-field weighted, length-normalized tfs are combined
+# BEFORE the k1 saturation, with idf over the whole document.
+TITLE_TOKENS = 5
+BM25F_W_TITLE = 2.0   # Solr qf analog: title^2 body^1
+BM25F_W_BODY = 1.0
+BM25F_B_TITLE = 0.75  # per-field length-norm b
+BM25F_B_BODY = 0.75
+
+
+def _fielded_postings(sf_dir: str, all_terms: list[str]):
+    """Per-field posting rows for the query terms, with per-doc field
+    lengths carried on the row (no doc-table join needed — lengths are
+    known in-batch at tokenize time):
+    (doc_id, term, tf_title, tf_body, len_title, len_body).
+
+    One streaming pass over documents; only `doc_id, text` leave
+    storage, and only rows whose term is in the query set leave the
+    batch. The title/body split is positional (token index <
+    TITLE_TOKENS), so field token streams partition the document."""
+    import numpy as np
+
+    from harvester_ray.functions.text import flatten_tokens, tokenize_column
+
+    terms_arr = pa.array(all_terms, pa.string())
+    n_terms = len(all_terms)
+
+    def fielded(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks, parent = flatten_tokens(tokenize_column(t["text"]))
+        parent_np = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(parent_np)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf_title": pa.array([], pa.int64()),
+                "tf_body": pa.array([], pa.int64()),
+                "len_title": pa.array([], pa.int64()),
+                "len_body": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        # token position within its doc (parent indices are ordered)
+        change = np.r_[True, parent_np[1:] != parent_np[:-1]]
+        starts = np.flatnonzero(change)
+        seg_id = np.cumsum(change) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[seg_id]
+        is_title = pos < TITLE_TOKENS
+        len_total = np.bincount(parent_np, minlength=t.num_rows)
+        len_title = np.minimum(len_total, TITLE_TOKENS)
+        len_body = len_total - len_title
+        # prune to query terms, then count per (doc, term, field)
+        codes = pc.index_in(toks, value_set=terms_arr)
+        valid = pc.is_valid(codes).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return empty
+        code_np = codes.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        par = parent_np[valid]
+        fld = is_title[valid].astype(np.int64)
+        key = (par * n_terms + code_np) * 2 + fld
+        ukey, counts = np.unique(key, return_counts=True)
+        pk = ukey >> 1
+        upk, inv = np.unique(pk, return_inverse=True)
+        tf_t = np.zeros(len(upk), dtype=np.int64)
+        tf_b = np.zeros(len(upk), dtype=np.int64)
+        title_rows = (ukey & 1) == 1
+        np.add.at(tf_t, inv[title_rows], counts[title_rows])
+        np.add.at(tf_b, inv[~title_rows], counts[~title_rows])
+        out_par = upk // n_terms
+        out_code = upk % n_terms
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[out_par], pa.int64()),
+                "term": pc.take(terms_arr, pa.array(out_code)),
+                "tf_title": pa.array(tf_t, pa.int64()),
+                "tf_body": pa.array(tf_b, pa.int64()),
+                "len_title": pa.array(len_title[out_par], pa.int64()),
+                "len_body": pa.array(len_body[out_par], pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(fielded, batch_format="pyarrow")
+
+
+def _field_length_stats(sf_dir: str) -> tuple[int, int, int]:
+    """(n_docs, sum_len_title, sum_len_body) — exact integer sums via a
+    per-batch combiner (one tiny row per batch to the driver)."""
+    import numpy as np
+
+    from harvester_ray.functions.text import flatten_tokens, tokenize_column
+
+    def partial(t: pa.Table) -> pa.Table:
+        _toks, parent = flatten_tokens(tokenize_column(t["text"]))
+        parent_np = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        len_total = np.bincount(parent_np, minlength=t.num_rows)
+        len_t = np.minimum(len_total, TITLE_TOKENS)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sum_t": pa.array([int(len_t.sum())], pa.int64()),
+                "sum_b": pa.array([int((len_total - len_t).sum())], pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        int(parts["n"].sum()),
+        int(parts["sum_t"].sum()),
+        int(parts["sum_b"].sum()),
+    )
+
+
+def bm25f_topk(sf_dir: str) -> "ray.data.Dataset":
+    """(query_id, rank, doc_id) — BM25F top-10 per OR query over the
+    (title, body) fielded document: per (term, doc) the field tfs
+    combine as w_f·tf_f/B_f (B_f the per-field length norm) BEFORE the
+    k1 saturation, times whole-document idf (title ∪ body = all tokens,
+    so df is the main dictionary's df — reused via a pruned read).
+    Per-(query, term, doc) contributions are fixed-pointed at the row,
+    so the distributed integer sums are order-independent; rank by
+    score_fp DESC, doc_id ASC. Reference analog: the Solr qf field
+    boosts (title^2) every Calisphere search runs through."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.index.build import bm25_idf
+
+    paths = index_for(sf_dir)
+    with open(paths.stats) as f:
+        st = _json.load(f)
+    k1 = float(st["k1"])
+    qterms = [
+        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
+    ]
+    all_terms = sorted({t for _, ts in qterms for t in ts})
+    n_docs, sum_t, sum_b = _field_length_stats(sf_dir)
+    avg_t = sum_t / n_docs
+    avg_b = sum_b / n_docs
+    dft = pq.read_table(  # df over the whole doc == the main dictionary
+        paths.dictionary, columns=["term", "df"],
+        filters=[("term", "in", all_terms)],
+    )
+    idf_by_term = {
+        tm: bm25_idf(float(df), float(n_docs))
+        for tm, df in zip(dft["term"].to_pylist(), dft["df"].to_pylist())
+    }
+    qids_by_term: dict[str, "np.ndarray"] = {}
+    for qid, ts in qterms:
+        for tm in ts:
+            qids_by_term.setdefault(tm, []).append(qid)  # type: ignore[arg-type]
+    qids_by_term = {
+        tm: np.asarray(v, dtype=np.int64) for tm, v in qids_by_term.items()
+    }
+    one_minus_bt = 1.0 - BM25F_B_TITLE
+    one_minus_bb = 1.0 - BM25F_B_BODY
+
+    _EMPTY = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score_fp": pa.array([], pa.int64()),
+        }
+    )
+    _NO_QIDS = np.empty(0, dtype=np.int64)
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        # same vectorized shape as _scored_match_set.score_rows: encode
+        # terms once, score rows elementwise, segmented-gather explode
+        # into the queries containing each term
+        if t.num_rows == 0:
+            return _EMPTY
+        enc = t["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        tf_t = t["tf_title"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tf_b = t["tf_body"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ln_t = t["len_title"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ln_b = t["len_body"].to_numpy(zero_copy_only=False).astype(np.float64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # expression tree mirrored in oracles.BM25F_TOPK term by term
+        tfw = (BM25F_W_TITLE * tf_t) / (
+            one_minus_bt + BM25F_B_TITLE * (ln_t / avg_t)
+        ) + (BM25F_W_BODY * tf_b) / (
+            one_minus_bb + BM25F_B_BODY * (ln_b / avg_b)
+        )
+        idf_u = np.asarray([idf_by_term[tm] for tm in uniq], dtype=np.float64)
+        s = idf_u[codes] * (tfw / (k1 + tfw))
+        s_fp = np.floor(s * _FP8 + 0.5).astype(np.int64)
+        q_u = [qids_by_term.get(tm, _NO_QIDS) for tm in uniq]
+        k_u = np.asarray([len(q) for q in q_u], dtype=np.int64)
+        reps = k_u[codes]
+        total = int(reps.sum())
+        if total == 0:
+            return _EMPTY
+        qflat = np.concatenate(q_u)
+        off_u = np.cumsum(k_u) - k_u
+        row_rep = np.repeat(np.arange(len(codes), dtype=np.int64), reps)
+        seg_start = np.cumsum(reps) - reps
+        intra = np.arange(total, dtype=np.int64) - np.repeat(seg_start, reps)
+        out_qid = qflat[np.repeat(off_u[codes], reps) + intra]
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, pa.int64()),
+                "doc_id": pa.array(did[row_rep], pa.int64()),
+                "score_fp": pa.array(s_fp[row_rep], pa.int64()),
+            }
+        )
+
+    scored = (
+        _fielded_postings(sf_dir, all_terms)
+        .map_batches(score_rows, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("score_fp", alias_name="score_fp"))
+    )
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(
+            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(TOP_K)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "doc_id": g["doc_id"].to_numpy(),
+            }
+        )
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")

@@ -1759,3 +1759,79 @@ def _span_near_sql() -> str:
 
 
 SPAN_NEAR_MATCH = _span_near_sql()
+
+
+def _bm25f_sql() -> str:
+    """BM25F fielded-ranking twin of fulltext.bm25f_topk: the same
+    deterministic title/body split (first TITLE_TOKENS analyzer tokens
+    vs the rest), per-field weighted length-normalized tfs combined
+    BEFORE the k1 saturation, whole-document idf, per-(query, term,
+    doc) contributions fixed-pointed at the row then integer-summed —
+    the expression tree is mirrored term by term with the Ray kernel."""
+    from harvester_ray.pipelines.fulltext import (
+        _FP8,
+        BM25F_B_BODY,
+        BM25F_B_TITLE,
+        BM25F_W_BODY,
+        BM25F_W_TITLE,
+        TITLE_TOKENS,
+        TOP_K,
+    )
+
+    values = _or_query_values()
+    tt = TITLE_TOKENS
+    omb_t = 1.0 - BM25F_B_TITLE
+    omb_b = 1.0 - BM25F_B_BODY
+    tfw = (
+        f"(({BM25F_W_TITLE!r} * fp.tf_t) / ({omb_t!r} + {BM25F_B_TITLE!r}"
+        f" * (f.len_t / (SELECT avg_t FROM corpus)))"
+        f" + ({BM25F_W_BODY!r} * fp.tf_b) / ({omb_b!r} + {BM25F_B_BODY!r}"
+        f" * (f.len_b / (SELECT avg_b FROM corpus))))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+flds AS (SELECT doc_id, ts,
+                least(len(ts), {tt}) AS len_t,
+                len(ts) - least(len(ts), {tt}) AS len_b
+         FROM toks),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT sum(len_t) FROM flds)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avg_t,
+                  (SELECT sum(len_b) FROM flds)::DOUBLE
+                    / (SELECT count(*) FROM documents) AS avg_b),
+tt AS (SELECT doc_id, unnest(ts[1:{tt}]) AS term FROM flds),
+bt AS (SELECT doc_id, unnest(ts[{tt + 1}:len(ts)]) AS term FROM flds),
+fp AS (SELECT doc_id, term, sum(tf_t)::BIGINT AS tf_t,
+              sum(tf_b)::BIGINT AS tf_b
+       FROM (SELECT doc_id, term, count(*) AS tf_t, 0 AS tf_b
+             FROM tt GROUP BY doc_id, term
+             UNION ALL
+             SELECT doc_id, term, 0 AS tf_t, count(*) AS tf_b
+             FROM bt GROUP BY doc_id, term)
+       GROUP BY doc_id, term),
+dict AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+rows AS (SELECT q.query_id, fp.doc_id, d.df, {tfw} AS tfw
+         FROM q
+         JOIN fp USING (term)
+         JOIN dict d USING (term)
+         JOIN flds f ON f.doc_id = fp.doc_id),
+scored AS (SELECT query_id, doc_id,
+                  sum(CAST(floor((ln(1 + ((SELECT n FROM corpus) - df + 0.5)
+                                   / (df + 0.5))
+                                  * (tfw / ({_K1!r} + tfw)))
+                                 * {_FP8} + 0.5) AS BIGINT)) AS score_fp
+           FROM rows GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_fp DESC, doc_id ASC)
+                    AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+BM25F_TOPK = _bm25f_sql()
