@@ -172,6 +172,16 @@ def cmd_query(args) -> int:
                 )
             )
             return 2
+        if parsed.filters:
+            print(
+                json.dumps(
+                    {
+                        "error": "field filters need the documents "
+                        "table; use the query_language pipeline"
+                    }
+                )
+            )
+            return 2
         hits = search_boolean(idx, parsed, k=args.k)
     else:
         hits = idx.search(

@@ -1296,8 +1296,10 @@ def wildcard_search(sf_dir: str) -> "ray.data.Dataset":
 
 
 # (query_id, boolean query string) — the query-language set: plain OR,
-# MUST conjunction, NOT, a quoted phrase, a mixed query, and an
-# OOV MUST (matches nothing)
+# MUST conjunction, NOT, a quoted phrase, a mixed query, an OOV MUST
+# (matches nothing), and the round-4 grammar extensions: OR groups
+# (unsigned = SHOULD flatten, + = must-match-one), term boosts, and
+# field filters (equality, numeric range, negated)
 QL_SET: list[tuple[int, str]] = [
     (0, "scan join"),
     (1, "+scan +join"),
@@ -1305,6 +1307,12 @@ QL_SET: list[tuple[int, str]] = [
     (3, '"scan join"'),
     (4, '+scan "key value" -dup'),
     (5, "the a +zzzq"),
+    (6, "(scan OR merge) join"),
+    (7, "+(scan merge) -join"),
+    (8, "scan^2 join"),
+    (9, "scan join lang:en"),
+    (10, "n_chars:[150 TO 350] scan"),
+    (11, "-source:src3 scan join"),
 ]
 
 
@@ -1318,6 +1326,7 @@ def query_language(sf_dir: str) -> "ray.data.Dataset":
     each query's phrase doc sets are intersected into an allowed set
     the ranking actor masks before top-k."""
     import numpy as np
+    import pyarrow.dataset as pads
 
     from harvester_ray.index.positional import phrase_occurrences_multi
     from harvester_ray.index.queryparse import (
@@ -1326,6 +1335,10 @@ def query_language(sf_dir: str) -> "ray.data.Dataset":
     )
 
     from harvester_ray.functions.text import tokenize
+
+    def _num(s: str):
+        v = float(s)
+        return int(v) if v.is_integer() else v
 
     paths = index_for(sf_dir)
     parsed = [(qid, parse_query(q)) for qid, q in QL_SET]
@@ -1350,6 +1363,45 @@ def query_language(sf_dir: str) -> "ray.data.Dataset":
                 )
             else:
                 allowed_by_q[qid] = docs
+    # field filter clauses (lang:en, n_chars:[lo TO hi], -source:x):
+    # ONE pruned read per filtered query — only doc_id leaves storage
+    # and the predicate pushes into parquet row groups; the resulting
+    # doc set rides the same allowed_docs mechanism as phrases. The
+    # allowed set is bounded by filter selectivity; for dense filters
+    # at corpus scale the join path of bm25_topk_filtered is the
+    # scale-out twin of this mechanism.
+    for qid, p in parsed:
+        if not p.filters:
+            continue
+        expr = None
+        for fc in p.filters:
+            f = pads.field(fc.field)
+            if fc.is_range:
+                lo, hi = fc.lo, fc.hi
+                if fc.is_numeric:
+                    lo, hi = _num(lo), _num(hi)
+                e = (f >= lo) & (f <= hi)
+            else:
+                e = f == (_num(fc.lo) if fc.is_numeric else fc.lo)
+            if fc.negated:
+                e = ~e
+            expr = e if expr is None else expr & e
+        ids = np.unique(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id"],
+                filter=expr,
+            )
+            .to_pandas()["doc_id"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        if qid in allowed_by_q:
+            allowed_by_q[qid] = np.intersect1d(
+                allowed_by_q[qid], ids, assume_unique=True
+            )
+        else:
+            allowed_by_q[qid] = ids
     # typed table (not from_items): an all-null allowed_docs block
     # would otherwise infer `null` and clash with list<int64> blocks.
     # empty list != None: a phrase that matched nothing pins the

@@ -1426,29 +1426,70 @@ FROM ranked WHERE rank <= {TOP_K}
 SORT_BY_FIELD_TOPK = _sort_by_field_sql()
 
 
+def _ql_filter_pred(fc) -> str:
+    """SQL predicate for one FieldClause — same null semantics as the
+    pads expression the pipeline pushes into the parquet read (NOT of
+    an equality drops NULL rows on both sides)."""
+    if fc.is_range:
+        lo = fc.lo if fc.is_numeric else f"'{fc.lo}'"
+        hi = fc.hi if fc.is_numeric else f"'{fc.hi}'"
+        pred = f"({fc.field} >= {lo} AND {fc.field} <= {hi})"
+    else:
+        v = fc.lo if fc.is_numeric else f"'{fc.lo}'"
+        pred = f"{fc.field} = {v}"
+    return f"NOT {pred}" if fc.negated else pred
+
+
 def _query_language_sql() -> str:
     """Mixed boolean query strings (QL_SET), compiled to SQL with the
     SAME semantics as queryparse.search_boolean: score = BM25 sum over
-    positive terms (SHOULD ∪ MUST ∪ phrase terms) present in the doc;
-    eligibility = all MUST terms AND all phrases AND no MUST_NOT term."""
+    positive terms (SHOULD ∪ MUST ∪ group ∪ phrase terms) present in
+    the doc, each posting's score times the term's boost (MAX over the
+    words naming it); eligibility = all MUST terms AND one member of
+    every must-group AND all phrases AND all field filters AND no
+    MUST_NOT term."""
     from harvester_ray.functions.text import tokenize
     from harvester_ray.index.queryparse import parse_query
     from harvester_ray.pipelines.fulltext import QL_SET
 
     q_rows, m_rows, n_rows = [], [], []
     ph_branches, pcnt_rows = [], []
+    g_rows, gcnt_rows = [], []
+    f_branches = []
     for qid, qs in QL_SET:
         p = parse_query(qs)
         should = {t for w in p.should for t in tokenize(w)}
         must = {t for w in p.must for t in tokenize(w)}
+        group_toks = [
+            sorted({t for w in g for t in tokenize(w)})
+            for g in p.must_groups
+        ]
         ph_terms = {t for ph in p.phrases for t in tokenize(ph)}
-        pos = sorted(should | must | ph_terms)
+        pos = sorted(
+            should | must | ph_terms | {t for g in group_toks for t in g}
+        )
         nots = sorted(
             {t for w in p.must_not for t in tokenize(w)} - set(pos)
         )
-        q_rows.extend(f"({qid}, '{t}')" for t in pos)
+        tboost: dict[str, float] = {}
+        for w, bv in p.boosts.items():
+            for t in tokenize(w):
+                tboost[t] = max(tboost.get(t, 1.0), bv)
+        q_rows.extend(
+            f"({qid}, '{t}', {tboost.get(t, 1.0)!r})" for t in pos
+        )
         m_rows.extend(f"({qid}, '{t}')" for t in sorted(must))
         n_rows.extend(f"({qid}, '{t}')" for t in nots)
+        if group_toks:
+            gcnt_rows.append(f"({qid}, {len(group_toks)})")
+            for gno, g in enumerate(group_toks):
+                g_rows.extend(f"({qid}, {gno}, '{t}')" for t in g)
+        if p.filters:
+            pred = " AND ".join(_ql_filter_pred(fc) for fc in p.filters)
+            f_branches.append(
+                f"SELECT {qid} AS query_id, doc_id "
+                f"FROM documents WHERE {pred}"
+            )
         phrases = [ph for ph in p.phrases if tokenize(ph)]
         if phrases:
             pcnt_rows.append(f"({qid}, {len(phrases)})")
@@ -1483,9 +1524,38 @@ phok AS (
         ph_filter = """
   LEFT JOIN pcnt pc ON pc.query_id = s.query_id
   LEFT JOIN phok ph ON ph.query_id = s.query_id AND ph.doc_id = s.doc_id"""
+    g_ctes = ""
+    g_filter = ""
+    if g_rows:
+        g_ctes = f""",
+grp(query_id, gno, term) AS (VALUES {", ".join(g_rows)}),
+gcnt(query_id, n) AS (VALUES {", ".join(gcnt_rows)}),
+gok AS (
+  SELECT grp.query_id, p.doc_id
+  FROM grp JOIN postings p USING (term)
+  GROUP BY grp.query_id, p.doc_id
+  HAVING count(DISTINCT grp.gno)
+         = (SELECT max(n) FROM gcnt WHERE gcnt.query_id = grp.query_id)
+)"""
+        g_filter = """
+  LEFT JOIN gcnt gc ON gc.query_id = s.query_id
+  LEFT JOIN gok g ON g.query_id = s.query_id AND g.doc_id = s.doc_id"""
+    f_ctes = ""
+    f_filter = ""
+    if f_branches:
+        f_ctes = f""",
+fdocs AS ({" UNION ALL ".join(f_branches)}),
+fqs(query_id) AS (VALUES {", ".join(f"({qid})" for qid, qs in QL_SET if parse_query(qs).filters)})"""
+        f_filter = """
+  LEFT JOIN fqs fq ON fq.query_id = s.query_id
+  LEFT JOIN fdocs fd ON fd.query_id = s.query_id AND fd.doc_id = s.doc_id"""
     where = "e.doc_id IS NULL"
     if ph_branches:
         where += " AND (pc.query_id IS NULL OR ph.doc_id IS NOT NULL)"
+    if g_rows:
+        where += " AND (gc.query_id IS NULL OR g.doc_id IS NOT NULL)"
+    if f_branches:
+        where += " AND (fq.query_id IS NULL OR fd.doc_id IS NOT NULL)"
     return f"""
 WITH toks AS ({_TOKS}),
 tl AS (SELECT doc_id,
@@ -1497,14 +1567,14 @@ corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
                   (SELECT count(*) FROM toks)::DOUBLE
                     / (SELECT count(*) FROM documents) AS avgdl),
 dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
-q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+q(query_id, term, boost) AS (VALUES {", ".join(q_rows)}),
 m(query_id, term) AS (VALUES {m_vals}),
 nt(query_id, term) AS (VALUES {n_vals}),
 excl AS (SELECT DISTINCT nt.query_id, p.doc_id
          FROM nt JOIN postings p USING (term)),
 scored AS (
   SELECT q.query_id, p.doc_id,
-         sum( {_SCORE_EXPRS["bm25"]} ) AS score
+         sum( ( {_SCORE_EXPRS["bm25"]} ) * q.boost ) AS score
   FROM q
   JOIN postings p USING (term)
   JOIN dict d USING (term)
@@ -1513,11 +1583,11 @@ scored AS (
   GROUP BY q.query_id, p.doc_id
   HAVING count(DISTINCT m.term)
          = (SELECT count(*) FROM m m2 WHERE m2.query_id = q.query_id)
-){ph_ctes},
+){ph_ctes}{g_ctes}{f_ctes},
 elig AS (
   SELECT s.query_id, s.doc_id, s.score
   FROM scored s
-  LEFT JOIN excl e ON e.query_id = s.query_id AND e.doc_id = s.doc_id{ph_filter}
+  LEFT JOIN excl e ON e.query_id = s.query_id AND e.doc_id = s.doc_id{ph_filter}{g_filter}{f_filter}
   WHERE {where}
 ),
 ranked AS (

@@ -123,3 +123,81 @@ def test_dense_sparse_agree_with_cursor(built_index):
     assert got_d, "expected a second page"
     assert [d for d, _ in got_d] == [d for d, _ in got_s]
     assert last[0] not in {d for d, _ in got_d}
+
+
+# ── round-4 grammar extensions: groups, boosts, field filters ────────
+
+
+def test_parse_groups_and_boosts():
+    p = parse_query('+(scan merge) (a OR b) c^2 -d')
+    assert p.must_groups == [["scan", "merge"]]
+    assert p.should == ["a", "b", "c"]   # unsigned group flattens
+    assert p.must_not == ["d"]
+    assert p.boosts == {"c": 2.0}
+
+
+def test_parse_negated_group_flattens():
+    p = parse_query("-(a b) c")
+    assert p.must_not == ["a", "b"]
+    assert p.should == ["c"]
+    assert p.must_groups == []
+
+
+def test_parse_field_clauses():
+    p = parse_query("scan lang:en -source:src3 n_chars:[150 TO 350]")
+    assert p.should == ["scan"]
+    eq, neq, rng = p.filters
+    assert (eq.field, eq.lo, eq.hi, eq.negated) == ("lang", "en", None, False)
+    assert (neq.field, neq.lo, neq.negated) == ("source", "src3", True)
+    assert (rng.field, rng.lo, rng.hi) == ("n_chars", "150", "350")
+    assert rng.is_range and rng.is_numeric and not eq.is_numeric
+
+
+def test_parse_group_errors():
+    with pytest.raises(ValueError, match="nested group"):
+        parse_query("((a b) c)")
+    with pytest.raises(ValueError, match="bare words only"):
+        parse_query("(+a b)")
+    with pytest.raises(ValueError, match="bare words only"):
+        parse_query('(lang:en b)')
+    with pytest.raises(ValueError, match="without a value"):
+        parse_query("lang:")
+    # OR as separator and empty group are no-ops
+    p = parse_query("a OR b ()")
+    assert p.should == ["a", "b"]
+
+
+def test_must_group_requires_one_member(built_index):
+    idx = InvertedIndex(built_index.root, preload=True)
+    got = search_boolean(idx, parse_query("+(scan merge) the"), k=50)
+    # every hit contains scan or merge
+    sc = {d for d, _ in search_boolean(idx, parse_query("scan"), k=10**6)}
+    mg = {d for d, _ in search_boolean(idx, parse_query("merge"), k=10**6)}
+    assert got and all(d in (sc | mg) for d, _ in got)
+    # an all-OOV group matches nothing
+    assert search_boolean(idx, parse_query("+(zzzq yyyq) the"), k=10) == []
+
+
+@pytest.mark.parametrize("preload", [True, False])
+def test_boost_reorders_toward_boosted_term(built_index, preload):
+    idx = InvertedIndex(built_index.root, preload=preload)
+    plain = search_boolean(idx, parse_query("scan merge"), k=10**6)
+    boosted = search_boolean(idx, parse_query("scan^3 merge"), k=10**6)
+    assert {d for d, _ in plain} == {d for d, _ in boosted}
+    sc = {d for d, _ in search_boolean(idx, parse_query("scan"), k=10**6)}
+    ps = dict(plain)
+    for d, s in boosted:
+        if d in sc:
+            assert s > ps[d]  # boosted contribution strictly grew
+        else:
+            assert s == pytest.approx(ps[d])
+
+
+def test_group_boost_dense_sparse_agree(built_index):
+    dense = InvertedIndex(built_index.root, preload=True)
+    sparse = InvertedIndex(built_index.root, preload=False)
+    for q in ["+(scan merge) the", "scan^2 merge", "(scan OR dup) -merge"]:
+        p = parse_query(q)
+        assert [d for d, _ in search_boolean(dense, p, k=20)] == [
+            d for d, _ in search_boolean(sparse, p, k=20)
+        ], q
