@@ -974,33 +974,7 @@ CC_MAX_ITERS = 64
 _CC_BROADCAST_BYTES = 64 << 20
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
-    """(doc_id, cluster_id): connected components over the exact
-    n-gram-Jaccard near-dup pair graph — cluster_id is the component's
-    minimal doc_id, the canonical representative a dedup pass keeps.
-
-    Algorithm: iterative min-label propagation. The edge list (from
-    ngram_jaccard_exact — total-recall pairs, not LSH candidates) is
-    materialized ONCE as a symmetric (node, nbr) table and re-scanned
-    each round; labels start at min(node, neighbors) and each round
-    take the min over neighbors' labels, converging in O(graph
-    diameter) rounds (near-dup components are dense — tiny diameters).
-
-    Per-round data movement: one map_batches over the edge table + one
-    (node -> min) groupby, i.e. O(|edges|) per round, never all-pairs.
-    The label table itself rides the broadcast-guard pattern (q3): a
-    ray.put lookup array under _CC_BROADCAST_BYTES, a hash-partitioned
-    Dataset.join beyond it (forceable via the ``join_labels`` flag for
-    tests). Driver holds at most the label table (bounded by docs that
-    participate in >= 1 dup pair, not the corpus) under the guard."""
-    from ray.data.aggregate import Min
-
-    edges = (
-        ngram_jaccard_exact(sf_dir, threshold)
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()  # re-scanned every propagation round
-    )
-
+def _symmetrize_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     def symmetrize(t: pa.Table) -> pa.Table:
         a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
         b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -1011,25 +985,16 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
             }
         )
 
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    return edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
 
-    # round 0: label(v) = min(v, min neighbor)
-    lab = (
-        sym.groupby("node")
-        .aggregate(Min("nbr", alias_name="cand"))
-        .to_pandas()
-    )
-    nodes = lab["node"].to_numpy(dtype=np.int64)
-    order = np.argsort(nodes)
-    nodes = nodes[order]
-    labels = np.minimum(
-        nodes, lab["cand"].to_numpy(dtype=np.int64)[order]
-    )
-    if nodes.nbytes + labels.nbytes > _CC_BROADCAST_BYTES:
-        raise NotImplementedError(
-            "label table exceeds the broadcast guard; wire the "
-            "Dataset.join label path for this corpus size"
-        )
+
+def _cc_broadcast(sym: "ray.data.Dataset", nodes, labels) -> pa.Table:
+    """Broadcast-label propagation: one ray.put of the (sorted nodes,
+    labels) pair per round, one O(|edges|) map + (node → min) groupby,
+    plus a driver-side pointer-jump (label ← label[label]) that
+    collapses long chains in O(log diameter) rounds — a >64-diameter
+    path no longer aborts the sweep (ADVICE r3)."""
+    from ray.data.aggregate import Min
 
     for _ in range(CC_MAX_ITERS):
         lab_ref = ray.put((nodes, labels))
@@ -1058,6 +1023,17 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         np.minimum.at(
             new_labels, pos, new["cand"].to_numpy(dtype=np.int64)
         )
+        # pointer jumping: labels are themselves node ids, so chase one
+        # hop of label indirection until a fixed point (cheap driver
+        # vector op; halves the remaining diameter each inner step)
+        while True:
+            jumped = np.minimum(
+                new_labels,
+                new_labels[np.searchsorted(nodes, new_labels)],
+            )
+            if (jumped == new_labels).all():
+                break
+            new_labels = jumped
         if (new_labels == labels).all():
             break
         labels = new_labels
@@ -1065,13 +1041,162 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         raise RuntimeError(
             f"label propagation did not converge in {CC_MAX_ITERS} rounds"
         )
-
     return pa.table(
         {
             "doc_id": pa.array(nodes, pa.int64()),
             "cluster_id": pa.array(labels, pa.int64()),
         }
     )
+
+
+def _cc_join(sym: "ray.data.Dataset", labels0: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Hash-join label propagation — no driver materialization of the
+    label table at ANY size (the round-3 scale gap): each round joins
+    the symmetric edge table to the label Dataset on the neighbor key
+    (neighbor-min step), then joins the label Dataset to itself on the
+    label key (pointer-jump step), so convergence is O(log diameter)
+    rounds of O(|edges| + |labels|) shuffles. The driver sees one
+    integer (the changed-row count) per round."""
+    from harvester_ray.config import shuffle_partitions
+
+    parts = shuffle_partitions()
+    from ray.data.aggregate import Min
+
+    L = labels0.materialize()
+    for _ in range(CC_MAX_ITERS):
+        nbr_lab = L.map_batches(
+            lambda t: pa.table(
+                {"nbr": t["node"], "nbr_label": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        cand = (
+            sym.join(
+                nbr_lab, join_type="inner", num_partitions=parts,
+                on=("nbr",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"], "cand": t["nbr_label"]}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="cand"))
+        )
+        jump = L.map_batches(
+            lambda t: pa.table(
+                {"label": t["node"], "jump_label": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        merged = (
+            L.join(cand, join_type="inner", num_partitions=parts, on=("node",))
+            .join(jump, join_type="inner", num_partitions=parts, on=("label",))
+        )
+
+        def step(t: pa.Table) -> pa.Table:
+            old = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            new = np.minimum(
+                old,
+                np.minimum(
+                    t["cand"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    t["jump_label"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                ),
+            )
+            return pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "label": pa.array(new, pa.int64()),
+                    "changed": pa.array(
+                        (new != old).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        Lnew = merged.map_batches(step, batch_format="pyarrow").materialize()
+        changed = Lnew.sum("changed")
+        L = Lnew.select_columns(["node", "label"]).materialize()
+        if not changed:
+            return L
+    raise RuntimeError(
+        f"label propagation did not converge in {CC_MAX_ITERS} rounds"
+    )
+
+
+def cluster_labels(
+    edges: "ray.data.Dataset", force_join: bool = False
+) -> pa.Table:
+    """(doc_id, cluster_id) over an undirected (doc_a, doc_b) edge
+    Dataset — cluster_id is the component's minimal doc_id. Label
+    tables under _CC_BROADCAST_BYTES ride the broadcast fast path;
+    larger graphs (or ``force_join``) run the Dataset.join path, which
+    never materializes labels on the driver until this final collect."""
+    from ray.data.aggregate import Min
+
+    sym = _symmetrize_edges(edges)
+    # round 0: label(v) = min(v, min neighbor)
+    lab0 = sym.groupby("node").aggregate(Min("nbr", alias_name="cand"))
+    lab = lab0.to_pandas() if not force_join else None
+    if lab is not None:
+        nodes = lab["node"].to_numpy(dtype=np.int64)
+        order = np.argsort(nodes)
+        nodes = nodes[order]
+        labels = np.minimum(
+            nodes, lab["cand"].to_numpy(dtype=np.int64)[order]
+        )
+        if nodes.nbytes + labels.nbytes <= _CC_BROADCAST_BYTES:
+            return _cc_broadcast(sym, nodes, labels)
+    labels0 = lab0.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "label": pa.array(
+                    np.minimum(
+                        t["node"].to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        ),
+                        t["cand"].to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        ),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = _cc_join(sym, labels0).to_pandas().sort_values("node")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["node"].to_numpy(np.int64), pa.int64()),
+            "cluster_id": pa.array(
+                out["label"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """(doc_id, cluster_id): connected components over the exact
+    n-gram-Jaccard near-dup pair graph — cluster_id is the component's
+    minimal doc_id, the canonical representative a dedup pass keeps.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    over the symmetric edge table of ngram_jaccard_exact (total-recall
+    pairs, not LSH candidates); O(|edges|) data movement per round,
+    O(log diameter) rounds, never all-pairs. Label tables under
+    _CC_BROADCAST_BYTES use a ray.put lookup array; larger graphs run
+    the Dataset.join relabel path (cluster_labels), which keeps labels
+    distributed for the whole iteration."""
+    edges = (
+        ngram_jaccard_exact(sf_dir, threshold)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # re-scanned every propagation round
+    )
+    return cluster_labels(edges)
 
 
 def dedup_keep(sf_dir: str, threshold: float = 0.5) -> "ray.data.Dataset":

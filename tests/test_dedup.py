@@ -508,3 +508,47 @@ def test_dedup_clusters_transitive_chain(chain_corpus, ray_session):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
     # the singleton participates in no pair -> absent by contract
     assert 20 not in got
+
+
+# -- cluster_labels: broadcast vs join path --------------------------------
+
+
+def _edges_ds(pairs):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def _as_dict(tbl):
+    return dict(zip(tbl["doc_id"].to_pylist(), tbl["cluster_id"].to_pylist()))
+
+
+def test_cluster_labels_join_equals_broadcast(ray_session):
+    rng = np.random.default_rng(11)
+    # several random components + singleton pair + a star
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)]
+    base = rng.integers(100, 200, size=(30, 2))
+    pairs += [(int(a), int(b)) for a, b in base if a != b]
+    bcast = _as_dict(dedup.cluster_labels(_edges_ds(pairs)))
+    joined = _as_dict(dedup.cluster_labels(_edges_ds(pairs), force_join=True))
+    assert bcast == joined
+    assert bcast[3] == 0 and bcast[22] == 20
+
+
+def test_cluster_labels_long_path_both_paths(ray_session):
+    """A 200-node path (diameter 199 > CC_MAX_ITERS) converges on BOTH
+    paths thanks to pointer jumping — previously a hard RuntimeError."""
+    n = 200
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    for force in (False, True):
+        got = _as_dict(dedup.cluster_labels(_edges_ds(pairs), force_join=force))
+        assert set(got.values()) == {0}
+        assert len(got) == n
