@@ -364,59 +364,85 @@ def collocations(
     nu = float(uni.sum("c"))
     # N_bigrams = sum over docs of max(n_tokens - 1, 0)
     nb = float(nu - docs().map_batches(_docs_with_tokens, batch_format="pyarrow").sum("n"))
-    if uni.count() > _VOCAB_BROADCAST_GUARD:
-        # a Dataset.join path would go here; real web vocabularies
-        # (10^7-10^8 surface forms) fit the broadcast guard, and Ray's
-        # hash aggregate currently emits schema-less empty blocks that
-        # its own join operator rejects — so the join twin is left out
-        # until the upstream issue is fixed
-        raise NotImplementedError(
-            "vocabulary exceeds the broadcast guard; raise "
-            "_VOCAB_BROADCAST_GUARD or add a join-based lookup"
-        )
-    # broadcast the unigram counts once (ray.put), vectorized
-    # searchsorted lookup per batch — no shuffle join for a
-    # vocabulary-sized side table
-    parts = [
-        t
-        for t in ray.get(uni.to_arrow_refs())
-        if t.num_rows  # the aggregate emits schema-less empty blocks
-    ]
-    ut = pa.concat_tables(parts)
-    terms = np.asarray(ut["term"].to_pylist(), dtype=object)
-    counts = ut["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-    order = np.argsort(terms)
-    uni_ref = ray.put((terms[order], counts[order]))
 
-    def pmi(t: pa.Table) -> pa.Table:
-        terms_sorted, counts_sorted = ray.get(uni_ref)
-
-        def lookup(col: pa.ChunkedArray) -> np.ndarray:
-            arr = np.asarray(col.to_pylist(), dtype=object)
-            return counts_sorted[np.searchsorted(terms_sorted, arr)]
-
-        c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c_a = lookup(t["term_a"])
-        c_b = lookup(t["term_b"])
+    def _pmi_fp(c_ab, c_a, c_b):
+        # one shared expression → bit-identical fp on both lookup paths
         val = np.log((c_ab / nb) / ((c_a / nu) * (c_b / nu)))
-        fp = np.floor(val * 1e6 + 0.5).astype(np.int64)
-        return pa.table(
-            {
-                "term_a": t["term_a"],
-                "term_b": t["term_b"],
-                "n_ab": t["c_ab"].cast(pa.int64()),
-                "pmi_fp": pa.array(fp, pa.int64()),
-            }
-        )
+        return np.floor(val * 1e6 + 0.5).astype(np.int64)
 
-    ranked = (
-        big.map_batches(pmi, batch_format="pyarrow")
-        .sort(
-            ["pmi_fp", "term_a", "term_b"],
-            descending=[True, False, False],
+    if uni.count() > _VOCAB_BROADCAST_GUARD:
+        # join path: the unigram table stays distributed — two hash
+        # joins tag the bigram rows with c_a / c_b (no vocab ever on
+        # the driver or in the object store as one blob)
+        from harvester_ray.config import shuffle_partitions
+
+        parts_n = shuffle_partitions()
+        ua = uni.map_batches(
+            lambda t: pa.table({"term_a": t["term"], "c_a": t["c"]}),
+            batch_format="pyarrow",
         )
-        .limit(top_n)
-    )
+        ub = uni.map_batches(
+            lambda t: pa.table({"term_b": t["term"], "c_b": t["c"]}),
+            batch_format="pyarrow",
+        )
+        tagged = big.join(
+            ua, join_type="inner", num_partitions=parts_n, on=("term_a",)
+        ).join(ub, join_type="inner", num_partitions=parts_n, on=("term_b",))
+
+        def pmi_joined(t: pa.Table) -> pa.Table:
+            c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c_a = t["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c_b = t["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "term_a": t["term_a"],
+                    "term_b": t["term_b"],
+                    "n_ab": t["c_ab"].cast(pa.int64()),
+                    "pmi_fp": pa.array(_pmi_fp(c_ab, c_a, c_b), pa.int64()),
+                }
+            )
+
+        scored = tagged.map_batches(pmi_joined, batch_format="pyarrow")
+    else:
+        # broadcast the unigram counts once (ray.put), vectorized
+        # searchsorted lookup per batch — no shuffle join for a
+        # vocabulary-sized side table
+        parts = [
+            t
+            for t in ray.get(uni.to_arrow_refs())
+            if t.num_rows  # the aggregate emits schema-less empty blocks
+        ]
+        ut = pa.concat_tables(parts)
+        terms = np.asarray(ut["term"].to_pylist(), dtype=object)
+        counts = ut["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(terms)
+        uni_ref = ray.put((terms[order], counts[order]))
+
+        def pmi(t: pa.Table) -> pa.Table:
+            terms_sorted, counts_sorted = ray.get(uni_ref)
+
+            def lookup(col: pa.ChunkedArray) -> np.ndarray:
+                arr = np.asarray(col.to_pylist(), dtype=object)
+                return counts_sorted[np.searchsorted(terms_sorted, arr)]
+
+            c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c_a = lookup(t["term_a"])
+            c_b = lookup(t["term_b"])
+            return pa.table(
+                {
+                    "term_a": t["term_a"],
+                    "term_b": t["term_b"],
+                    "n_ab": t["c_ab"].cast(pa.int64()),
+                    "pmi_fp": pa.array(_pmi_fp(c_ab, c_a, c_b), pa.int64()),
+                }
+            )
+
+        scored = big.map_batches(pmi, batch_format="pyarrow")
+
+    ranked = scored.sort(
+        ["pmi_fp", "term_a", "term_b"],
+        descending=[True, False, False],
+    ).limit(top_n)
     rows = ranked.take_all()
     return pa.table(
         {
@@ -514,9 +540,104 @@ def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
     )
     total = float(uni.sum("c"))
     if uni.count() > _VOCAB_BROADCAST_GUARD:
-        raise NotImplementedError(
-            "vocabulary exceeds the broadcast guard; raise "
-            "_VOCAB_BROADCAST_GUARD or add a join-based lookup"
+        # join path: the vocabulary never leaves the cluster. Per-doc
+        # term counts (pre-combined per batch) hash-join the (term,
+        # fp) table, then one (doc → integer sum) groupby. fp * n_t
+        # equals summing fp per occurrence, so the result is
+        # bit-identical to the broadcast path.
+        from harvester_ray.config import shuffle_partitions
+
+        vocab_fp = uni.map_batches(
+            lambda t: pa.table(
+                {
+                    "term": t["term"],
+                    "fp": pa.array(
+                        np.floor(
+                            np.log(
+                                t["c"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.float64)
+                                / total
+                            )
+                            * _LOGPROB_FP
+                            + 0.5
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def doc_term_counts(batch: pa.Table) -> pa.Table:
+            n_rows = len(batch)
+            toks = tokenize_column(batch["text"])
+            flat, parent = flatten_tokens(toks)
+            if len(flat) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "term": pa.array([], pa.string()),
+                        "n_t": pa.array([], pa.int64()),
+                    }
+                )
+            par = parent.to_numpy().astype(np.int64)
+            enc = flat.dictionary_encode()
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = max(len(enc.dictionary), 1)
+            key = par * v + idx
+            uk, uc = np.unique(key, return_counts=True)
+            ids = (
+                batch["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[uk // v], pa.int64()),
+                    "term": enc.dictionary.take(
+                        pa.array((uk % v).astype(np.int32))
+                    ),
+                    "n_t": pa.array(uc.astype(np.int64), pa.int64()),
+                }
+            )
+
+        dt = ray.data.read_parquet(
+            src, columns=["doc_id", "text"]
+        ).map_batches(doc_term_counts, batch_format="pyarrow")
+        joined = dt.join(
+            vocab_fp, join_type="inner",
+            num_partitions=shuffle_partitions(), on=("term",),
+        )
+
+        def weigh(t: pa.Table) -> pa.Table:
+            n_t = t["n_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+            fp = t["fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "n_tokens": pa.array(n_t, pa.int64()),
+                    "logprob_fp": pa.array(fp * n_t, pa.int64()),
+                }
+            )
+
+        return (
+            joined.map_batches(weigh, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("logprob_fp", alias_name="logprob_fp"),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t["doc_id"].cast(pa.int64()),
+                        "n_tokens": t["n_tokens"].cast(pa.int64()),
+                        "logprob_fp": t["logprob_fp"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
         )
     parts = [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows]
     ut = pa.concat_tables(parts)

@@ -263,3 +263,30 @@ def test_collocations_pmi_golden(ray_session, tmp_path):
     assert ("b", "a") not in rows  # c_ab = 1 < min_count
     # ranked by pmi_fp desc: the always-adjacent pair wins
     assert got["term_a"][0].as_py() == "x"
+
+
+def test_vocab_join_path_bit_identical(ray_session, monkeypatch):
+    """Forcing the guard to 0 routes collocations and unigram_logprob
+    through the Dataset.join vocabulary path; results must be
+    bit-identical (integer fps) to the broadcast path on the same
+    corpus — the round-3 NotImplementedError is gone."""
+    from harvester_ray.stages import textstats
+
+    sf = "/root/testdata/sf0.001"
+    col_b = textstats.collocations(sf).to_pylist()
+    ul_b = (
+        textstats.unigram_logprob(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(textstats, "_VOCAB_BROADCAST_GUARD", 0)
+    col_j = textstats.collocations(sf).to_pylist()
+    ul_j = (
+        textstats.unigram_logprob(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert col_j == col_b
+    assert ul_j.equals(ul_b)
