@@ -535,31 +535,44 @@ def sort_by_field_topk(sf_dir: str) -> "ray.data.Dataset":
         on=("doc_id",),
     )
 
-    def local_topk(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values(
-            ["query_id", "n_chars", "doc_id"],
-            ascending=[True, False, True],
-            kind="stable",
-        )
-        return df.groupby("query_id", sort=False).head(TOP_K)
+    import pyarrow.compute as pc
 
-    def finalize(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(
-            ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
-        ).head(TOP_K)
-        return pd.DataFrame(
+    _SORT = [
+        ("n_chars", "descending"),
+        ("doc_id", "ascending"),
+    ]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # per-batch k-per-query combiner, pure Arrow: sort once, then
+        # keep each query's first TOP_K rows via a segmented rank
+        t = t.sort_by([("query_id", "ascending")] + _SORT)
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return t
+        change = np.r_[True, q[1:] != q[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        pos = np.arange(len(q)) - starts[seg]
+        return t.filter(pa.array(pos < TOP_K))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:TOP_K]
+        g = g.take(idx)
+        return pa.table(
             {
-                "query_id": g["query_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "doc_id": g["doc_id"].to_numpy(),
-                "n_chars": g["n_chars"].to_numpy().astype(np.int64),
+                "query_id": g["query_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "n_chars": g["n_chars"].cast(pa.int64()),
             }
         )
 
     return (
-        joined.map_batches(local_topk, batch_format="pandas")
+        joined.map_batches(local_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(finalize, batch_format="pandas")
+        .map_groups(finalize, batch_format="pyarrow")
     )
 
 

@@ -35,8 +35,13 @@ SESSION_GAP_MIN = 30
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    # strip the writer's pandas schema metadata (zero-copy, fuses with
+    # the next map): pyarrow cannot hash a schema carrying it, which
+    # made Ray's block-schema dedup log a warning on every read
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
 
 
@@ -634,34 +639,46 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"]
     )
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["o_orderpriority", "o_totalprice", "o_orderkey"],
-            ascending=[True, False, True],
-            kind="stable",
-        )
-        return df.groupby("o_orderpriority", sort=False).head(k)
+    _SORT = [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True],
-            kind="stable",
-        ).head(k)
-        return pd.DataFrame(
+    def topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("o_orderpriority", "ascending")] + _SORT)
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        if len(pr) == 0:
+            return t
+        change = np.r_[True, pr[1:] != pr[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        pos = np.arange(len(pr)) - starts[seg]
+        return t.filter(pa.array(pos < k))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:k]
+        g = g.take(idx)
+        return pa.table(
             {
-                "o_orderpriority": g["o_orderpriority"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "o_orderkey": g["o_orderkey"].to_numpy(),
-                "price_r4": np.floor(
-                    g["o_totalprice"].to_numpy() * 10_000 + 0.5
-                ).astype(np.int64),
+                "o_orderpriority": g["o_orderpriority"],
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "o_orderkey": g["o_orderkey"].cast(pa.int64()),
+                "price_r4": pa.array(
+                    np.floor(
+                        g["o_totalprice"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        * 10_000
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
     return (
-        ds.map_batches(topk, batch_format="pandas")
+        ds.map_batches(topk, batch_format="pyarrow")
         .groupby("o_orderpriority")
-        .map_groups(finalize, batch_format="pandas")
+        .map_groups(finalize, batch_format="pyarrow")
     )
 
 
@@ -960,33 +977,39 @@ def events_latest_per_user(sf_dir: str) -> "ray.data.Dataset":
     ts is emitted as epoch microseconds (BIGINT) so the cross-engine
     value hash is integer-exact; value is fixed-point 1e-4."""
 
-    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["user_id", "ts", "event_id"],
-            ascending=[True, False, False],
-            kind="stable",
-        )
-        return df.drop_duplicates("user_id", keep="first")
+    _SORT = [("ts", "descending"), ("event_id", "descending")]
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["ts", "event_id"], ascending=[False, False], kind="stable"
-        ).head(1)
-        return pd.DataFrame(
+    def local_latest(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending")] + _SORT)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return t
+        first = np.r_[True, u[1:] != u[:-1]]
+        return t.filter(pa.array(first))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:1]
+        g = g.take(idx)
+        return pa.table(
             {
-                "user_id": g["user_id"].to_numpy(),
-                "event_id": g["event_id"].to_numpy(),
-                # normalize to [us] first: a block conversion may hand
-                # this group datetime64[ns], and bare astype(int64)
-                # would then be epoch ns (1000x the oracle's epoch_us)
+                "user_id": g["user_id"].cast(pa.int64()),
+                "event_id": g["event_id"].cast(pa.int64()),
+                # epoch microseconds (BIGINT): cast through the typed
+                # timestamp so a [ns]-typed block cannot leak epoch ns
                 "ts_us": g["ts"]
-                .astype("datetime64[us]")
-                .astype("int64")
-                .to_numpy(),
-                "event_type": g["event_type"].to_numpy(),
-                "value_r4": np.floor(
-                    g["value"].to_numpy() * 10_000 + 0.5
-                ).astype(np.int64),
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "event_type": g["event_type"],
+                "value_r4": pa.array(
+                    np.floor(
+                        g["value"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        * 10_000
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -996,9 +1019,9 @@ def events_latest_per_user(sf_dir: str) -> "ray.data.Dataset":
             "events",
             ["user_id", "event_id", "ts", "event_type", "value"],
         )
-        .map_batches(local_latest, batch_format="pandas")
+        .map_batches(local_latest, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(finalize, batch_format="pandas")
+        .map_groups(finalize, batch_format="pyarrow")
     )
 
 
@@ -1014,17 +1037,26 @@ def source_capped_sample(sf_dir: str) -> "ray.data.Dataset":
     shuffle moves O(cap x sources x batches) rows at 100 TB, never the
     corpus."""
 
-    def local_cap(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id", kind="stable")
-        return df.groupby("source", sort=False).head(SOURCE_CAP)
+    def local_cap(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        s = t["source"].to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            return t.select(["source", "doc_id"])
+        change = np.r_[True, s[1:] != s[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        pos = np.arange(len(s)) - starts[seg]
+        return t.filter(pa.array(pos < SOURCE_CAP)).select(
+            ["source", "doc_id"]
+        )
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable").head(SOURCE_CAP)
-        return g[["source", "doc_id"]]
+    def finalize(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(idx[:SOURCE_CAP]).select(["source", "doc_id"])
 
     return (
         _read(sf_dir, "documents", ["source", "doc_id"])
-        .map_batches(local_cap, batch_format="pandas")
+        .map_batches(local_cap, batch_format="pyarrow")
         .groupby("source")
-        .map_groups(finalize, batch_format="pandas")
+        .map_groups(finalize, batch_format="pyarrow")
     )

@@ -18,7 +18,6 @@ history outgrows a task.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -82,23 +81,33 @@ def asof_join(
         ).map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        lefts = g[g["__side"] == 0]
-        rights = g[g["__side"] == 1]
-        out_cols = l_cols + take_cols
-        if len(lefts) == 0 or len(rights) == 0:
-            return pd.DataFrame({c: g[c].iloc[:0] for c in out_cols})
-        rights = rights.sort_values(
-            ["__ts", right_tiebreak], kind="stable"
-        )
-        rts = rights["__ts"].to_numpy()
-        idx = np.searchsorted(rts, lefts["__ts"].to_numpy(), side="right") - 1
-        matched = idx >= 0
-        lefts = lefts[matched]
-        idx = idx[matched]
-        out = {c: lefts[c].reset_index(drop=True) for c in l_cols}
-        for c in take_cols:
-            out[c] = rights[c].to_numpy()[idx]
-        return pd.DataFrame(out)
+    def resolve(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return tagged.groupby("__key").map_groups(resolve, batch_format="pandas")
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        out_cols = l_cols + take_cols
+        lefts = g.filter(pa.array(side == 0))
+        rights = g.filter(pa.array(side == 1))
+        if lefts.num_rows == 0 or rights.num_rows == 0:
+            return g.select(out_cols).slice(0, 0)
+        rights = rights.take(
+            pc.sort_indices(
+                rights,
+                sort_keys=[
+                    ("__ts", "ascending"),
+                    (right_tiebreak, "ascending"),
+                ],
+            )
+        )
+        rts = rights["__ts"].to_numpy(zero_copy_only=False)
+        lts = lefts["__ts"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        matched = idx >= 0
+        lefts = lefts.filter(pa.array(matched))
+        take_idx = pa.array(idx[matched].astype(np.int64))
+        cols = {c: lefts[c] for c in l_cols}
+        for c in take_cols:
+            cols[c] = rights[c].take(take_idx)
+        return pa.table(cols)
+
+    return tagged.groupby("__key").map_groups(resolve, batch_format="pyarrow")
