@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": fulltext.tfidf_topk,
         # BM25F fielded ranking over the (title, body) split
         "bm25f_topk": fulltext.bm25f_topk,
+        # second real analyzer (stop+stem) through the §2.10 registry
+        "porter_doc_stats": fulltext.porter_doc_stats,
         # boolean NOT (exclusion before top-k)
         "bm25_topk_not": fulltext.bm25_topk_not,
         # facet counts over the full match set (Solr facet parity)
@@ -167,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": dedup.embedding_lsh_dups,
         "doc_fingerprints": textstats.doc_fingerprints,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        # stemmed stopword-free vocabulary (porter vectors pin the
+        # stemmer in tests; doc-side twin porter_doc_stats is oracled)
+        "term_dictionary_porter": fulltext.term_dictionary_porter,
     }
 
 
@@ -183,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
         "tfidf_topk": oracles.TFIDF_TOPK,
         "bm25f_topk": oracles.BM25F_TOPK,
+        "porter_doc_stats": oracles.PORTER_DOC_STATS,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
         "search_facets": oracles.SEARCH_FACETS,
         "search_numfound": oracles.SEARCH_NUMFOUND,

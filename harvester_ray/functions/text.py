@@ -199,3 +199,323 @@ def apply_over_unique(
                 pc.is_null(col), pa.scalar(null_mapped, out.type), out
             )
     return out
+
+
+# ── "porter_en" analyzer: English stopwords + Porter (1980) stemming ─
+#
+# The reference delegates stop/stem analysis to its Solr schema side
+# (SURVEY §2.10 — the index schema ships stop/stem filters); this is
+# the engine-owned second analyzer through the same registry plug
+# point. The stemmer is a faithful implementation of M. Porter, "An
+# algorithm for suffix stripping", Program 14(3) 1980 — including the
+# author's two published departures (bli→ble, logi→log).
+
+# Lucene/Solr classic English stopword set (the 33-word public list)
+ENGLISH_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on "
+    "or such that the their then there these they this to was will "
+    "with".split()
+)
+
+
+class _Porter:
+    """Porter 1980, ported from the reference implementation's
+    b/k/j state machine."""
+
+    __slots__ = ("b", "k", "j")
+
+    def _cons(self, i: int) -> bool:
+        ch = self.b[i]
+        if ch in "aeiou":
+            return False
+        if ch == "y":
+            return True if i == 0 else not self._cons(i - 1)
+        return True
+
+    def _m(self) -> int:
+        n = i = 0
+        j = self.j
+        while True:
+            if i > j:
+                return n
+            if not self._cons(i):
+                break
+            i += 1
+        i += 1
+        while True:
+            while True:
+                if i > j:
+                    return n
+                if self._cons(i):
+                    break
+                i += 1
+            i += 1
+            n += 1
+            while True:
+                if i > j:
+                    return n
+                if not self._cons(i):
+                    break
+                i += 1
+            i += 1
+
+    def _vowelinstem(self) -> bool:
+        return any(not self._cons(i) for i in range(self.j + 1))
+
+    def _doublec(self, j: int) -> bool:
+        return j >= 1 and self.b[j] == self.b[j - 1] and self._cons(j)
+
+    def _cvc(self, i: int) -> bool:
+        if (
+            i < 2
+            or not self._cons(i)
+            or self._cons(i - 1)
+            or not self._cons(i - 2)
+        ):
+            return False
+        return self.b[i] not in "wxy"
+
+    def _ends(self, s: str) -> bool:
+        length = len(s)
+        if length > self.k + 1:
+            return False
+        if self.b[self.k - length + 1 : self.k + 1] != s:
+            return False
+        self.j = self.k - length
+        return True
+
+    def _setto(self, s: str) -> None:
+        self.b = self.b[: self.j + 1] + s
+        self.k = len(self.b) - 1
+
+    def _r(self, s: str) -> None:
+        if self._m() > 0:
+            self._setto(s)
+
+    def _step1ab(self) -> None:
+        if self.b[self.k] == "s":
+            if self._ends("sses"):
+                self.k -= 2
+            elif self._ends("ies"):
+                self._setto("i")
+            elif self.b[self.k - 1] != "s":
+                self.k -= 1
+        if self._ends("eed"):
+            if self._m() > 0:
+                self.k -= 1
+        elif (self._ends("ed") or self._ends("ing")) and self._vowelinstem():
+            self.k = self.j
+            if self._ends("at"):
+                self._setto("ate")
+            elif self._ends("bl"):
+                self._setto("ble")
+            elif self._ends("iz"):
+                self._setto("ize")
+            elif self._doublec(self.k):
+                self.k -= 1
+                if self.b[self.k] in "lsz":
+                    self.k += 1
+            elif self._m() == 1 and self._cvc(self.k):
+                self._setto("e")
+
+    def _step1c(self) -> None:
+        if self._ends("y") and self._vowelinstem():
+            self.b = self.b[: self.k] + "i" + self.b[self.k + 1 :]
+
+    def _step2(self) -> None:
+        if self.k == 0:
+            return
+        ch = self.b[self.k - 1]
+        if ch == "a":
+            if self._ends("ational"):
+                self._r("ate")
+            elif self._ends("tional"):
+                self._r("tion")
+        elif ch == "c":
+            if self._ends("enci"):
+                self._r("ence")
+            elif self._ends("anci"):
+                self._r("ance")
+        elif ch == "e":
+            if self._ends("izer"):
+                self._r("ize")
+        elif ch == "l":
+            if self._ends("bli"):
+                self._r("ble")
+            elif self._ends("alli"):
+                self._r("al")
+            elif self._ends("entli"):
+                self._r("ent")
+            elif self._ends("eli"):
+                self._r("e")
+            elif self._ends("ousli"):
+                self._r("ous")
+        elif ch == "o":
+            if self._ends("ization"):
+                self._r("ize")
+            elif self._ends("ation"):
+                self._r("ate")
+            elif self._ends("ator"):
+                self._r("ate")
+        elif ch == "s":
+            if self._ends("alism"):
+                self._r("al")
+            elif self._ends("iveness"):
+                self._r("ive")
+            elif self._ends("fulness"):
+                self._r("ful")
+            elif self._ends("ousness"):
+                self._r("ous")
+        elif ch == "t":
+            if self._ends("aliti"):
+                self._r("al")
+            elif self._ends("iviti"):
+                self._r("ive")
+            elif self._ends("biliti"):
+                self._r("ble")
+        elif ch == "g":
+            if self._ends("logi"):
+                self._r("log")
+
+    def _step3(self) -> None:
+        ch = self.b[self.k]
+        if ch == "e":
+            if self._ends("icate"):
+                self._r("ic")
+            elif self._ends("ative"):
+                self._r("")
+            elif self._ends("alize"):
+                self._r("al")
+        elif ch == "i":
+            if self._ends("iciti"):
+                self._r("ic")
+        elif ch == "l":
+            if self._ends("ical"):
+                self._r("ic")
+            elif self._ends("ful"):
+                self._r("")
+        elif ch == "s":
+            if self._ends("ness"):
+                self._r("")
+
+    def _step4(self) -> None:
+        if self.k == 0:
+            return
+        ch = self.b[self.k - 1]
+        if ch == "a":
+            if not self._ends("al"):
+                return
+        elif ch == "c":
+            if not (self._ends("ance") or self._ends("ence")):
+                return
+        elif ch == "e":
+            if not self._ends("er"):
+                return
+        elif ch == "i":
+            if not self._ends("ic"):
+                return
+        elif ch == "l":
+            if not (self._ends("able") or self._ends("ible")):
+                return
+        elif ch == "n":
+            if not (
+                self._ends("ant")
+                or self._ends("ement")
+                or self._ends("ment")
+                or self._ends("ent")
+            ):
+                return
+        elif ch == "o":
+            if self._ends("ion") and self.j >= 0 and self.b[self.j] in "st":
+                pass
+            elif self._ends("ou"):
+                pass
+            else:
+                return
+        elif ch == "s":
+            if not self._ends("ism"):
+                return
+        elif ch == "t":
+            if not (self._ends("ate") or self._ends("iti")):
+                return
+        elif ch == "u":
+            if not self._ends("ous"):
+                return
+        elif ch == "v":
+            if not self._ends("ive"):
+                return
+        elif ch == "z":
+            if not self._ends("ize"):
+                return
+        else:
+            return
+        if self._m() > 1:
+            self.k = self.j
+
+    def _step5(self) -> None:
+        self.j = self.k
+        if self.b[self.k] == "e":
+            a = self._m()
+            if a > 1 or (a == 1 and not self._cvc(self.k - 1)):
+                self.k -= 1
+        if (
+            self.b[self.k] == "l"
+            and self._doublec(self.k)
+            and self._m() > 1
+        ):
+            self.k -= 1
+
+    def stem(self, w: str) -> str:
+        if len(w) <= 2:
+            return w
+        self.b, self.k, self.j = w, len(w) - 1, 0
+        self._step1ab()
+        self._step1c()
+        self._step2()
+        self._step3()
+        self._step4()
+        self._step5()
+        return self.b[: self.k + 1]
+
+
+def porter_stem(word: str) -> str:
+    """Stem one (already-lowercased) token."""
+    return _Porter().stem(word)
+
+
+def tokenize_porter(text: str | None) -> list[str]:
+    """porter_en analyzer, Python side: base tokens → drop English
+    stopwords → Porter stem."""
+    return [
+        porter_stem(t) for t in tokenize(text) if t not in ENGLISH_STOPWORDS
+    ]
+
+
+def tokenize_column_porter(
+    col: pa.ChunkedArray | pa.Array,
+) -> pa.Array:
+    """porter_en analyzer, Arrow side: the stem/stop map runs once per
+    UNIQUE token of the batch (dictionary encode), then a take rebuilds
+    the flat token values under the original list offsets. Stopwords
+    map to "" — the analyzer contract says callers drop empty pieces
+    after flattening."""
+    lists = tokenize_column(col)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    enc = flat.dictionary_encode()
+    stemmer = _Porter()
+    mapped = pa.array(
+        [
+            ""
+            if (not u) or u in ENGLISH_STOPWORDS
+            else stemmer.stem(u)
+            for u in enc.dictionary.to_pylist()
+        ],
+        pa.string(),
+    )
+    new_flat = mapped.take(enc.indices)
+    return pa.ListArray.from_arrays(lists.offsets, new_flat)
+
+
+register_analyzer(Analyzer("porter_en", tokenize_porter, tokenize_column_porter))

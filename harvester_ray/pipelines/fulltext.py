@@ -1979,3 +1979,55 @@ def bm25f_topk(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+# ── porter_en fielded entries: the second real analyzer end-to-end ──
+
+
+def index_for_porter(sf_dir: str) -> IndexPaths:
+    """Build (or reuse) an index over sf_dir/documents with the
+    porter_en analyzer (English stopwords + Porter stemming) — the
+    §2.10 registry's second REAL analyzer, exercised through the same
+    build/query machinery as the default index."""
+    import dataclasses
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:porter".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_{key}")
+    paths = IndexPaths(out)
+    if os.path.exists(paths.stats):
+        return paths
+    cfg = dataclasses.replace(
+        DEFAULT_INDEX_CONFIG, analyzer_name="porter_en"
+    )
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=list(cfg.doc_columns),
+    )
+    return build_index(docs, out, cfg)
+
+
+def porter_doc_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, doc_len) under the porter_en analyzer — doc_len counts
+    the NON-STOPWORD tokens (stemming is length-preserving, so the SQL
+    twin only needs the stopword filter; the stemmed dictionary itself
+    is covered by term_dictionary_porter + the Porter vector tests)."""
+    import pyarrow.compute as pc
+
+    paths = index_for_porter(sf_dir)
+    ds = ray.data.read_parquet(paths.doc_table, columns=["doc_id", "doc_len"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["doc_len"], 0)),
+        batch_format="pyarrow",
+    )
+
+
+def term_dictionary_porter(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, cf) of the porter_en index — stemmed, stopword-free
+    vocabulary (rows-only driver check; the stemmer itself is pinned
+    by the canonical Porter vectors in tests/test_analyzer.py)."""
+    paths = index_for_porter(sf_dir)
+    return ray.data.read_parquet(
+        paths.dictionary, columns=["term", "df", "cf"]
+    )

@@ -1905,3 +1905,22 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 
 
 BM25F_TOPK = _bm25f_sql()
+
+
+def _porter_doc_stats_sql() -> str:
+    """Stopword-filtered doc lengths — stemming preserves token count,
+    so this is the SQL-expressible projection of the porter_en build
+    (doc_len == count of non-stopword tokens; zero-token docs emit no
+    row on either side)."""
+    from harvester_ray.functions.text import ENGLISH_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS))
+    return f"""
+WITH toks AS ({_TOKS})
+SELECT doc_id, count(*) AS doc_len
+FROM toks WHERE term NOT IN ({stoplist})
+GROUP BY doc_id
+"""
+
+
+PORTER_DOC_STATS = _porter_doc_stats_sql()

@@ -141,3 +141,99 @@ def test_jsonl_pages_round_trip(tmp_path, ray_session):
         (a is None and b is None) or a == b
         for a, b in zip(back["text"], orig["text"])
     )
+
+
+# ── porter_en: the second REAL analyzer through the registry ────────
+
+
+def test_porter_stem_canonical_vectors():
+    """Spot-check the Porter 1980 spec's published example pairs
+    (including the author's bli→ble / logi→log departures)."""
+    from harvester_ray.functions.text import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "cats": "cat", "feed": "feed", "agreed": "agre",
+        "motoring": "motor", "hopping": "hop", "happy": "happi",
+        "sky": "sky", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "digitizer": "digit",
+        "conformabli": "conform", "analogousli": "analog",
+        "vietnamization": "vietnam", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "formaliti": "formal",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "electriciti": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "adjustable": "adjust", "replacement": "replac",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    for w, want in vectors.items():
+        assert porter_stem(w) == want, w
+
+
+def test_porter_column_matches_python():
+    """The Arrow column tokenizer's non-empty pieces must equal the
+    Python tokenizer per row — the analyzer contract every index
+    relies on (stopwords map to empty pieces)."""
+    from harvester_ray.functions.text import (
+        get_analyzer,
+        flatten_tokens,
+    )
+
+    az = get_analyzer("porter_en")
+    texts = [
+        "The cats are hopping over the fences",
+        "a an and",                      # all stopwords -> no tokens
+        "Relational databases, joined!",  # punctuation + case
+        "",
+        None,
+    ]
+    col = pa.array(texts, pa.string())
+    flat, parent = flatten_tokens(az.tokenize_column(col))
+    got: dict[int, list[str]] = {}
+    for t, p in zip(flat.to_pylist(), parent.to_pylist()):
+        got.setdefault(p, []).append(t)
+    for i, text in enumerate(texts):
+        assert got.get(i, []) == az.tokenize(text), text
+
+
+def test_porter_build_query_agreement(tmp_path, ray_session):
+    """Build + query with porter_en end-to-end: inflected query forms
+    hit the stemmed postings, stopwords never enter the dictionary,
+    and the index resolves its analyzer from stats.json."""
+    from harvester_ray.config import IndexConfig
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat was hopping and jumping",
+                    "a dog jumped over the fence",
+                    "relational joins are effective",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = str(tmp_path / "pidx")
+    build_index(
+        ray.data.from_arrow(docs), out,
+        IndexConfig(analyzer_name="porter_en"), n_docs=3,
+    )
+    idx = InvertedIndex(out, preload=True)
+    assert idx.stats["analyzer"] == "porter_en"
+    assert "hop" in idx.dictionary and "jump" in idx.dictionary
+    assert "the" not in idx.dictionary and "was" not in idx.dictionary
+    # inflected query forms stem to the same terms at query time
+    assert [d for d, _ in idx.search("hopped", k=10)] == [1]
+    assert {d for d, _ in idx.search("jumps", k=10)} == {1, 2}
+    assert [d for d, _ in idx.search("join effectively", k=10)] == [3]
+    # stopword-only query matches nothing
+    assert idx.search("the and a", k=10) == []
+    # analyzer-mismatch guard: an unregistered name still errors
+    with pytest.raises(KeyError, match="unknown analyzer"):
+        get_analyzer("porter_en_v2")
