@@ -360,3 +360,70 @@ def test_span_covers_matches_brute_force():
                 for c in itertools.product(*[p.tolist() for p in lists])
             )
         assert _span_covers(lists, w) == want, (lists, w)
+
+
+# ── term-sharded phrase serving parity ──────────────────────────────
+
+
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_term_sharded_phrase_parity(store, ray_session, n_shards):
+    """TermShardedPositions.phrase_docs must equal the single-pipeline
+    phrase_occurrences_multi doc sets for every phrase shape: plain,
+    repeated-term, single-term, OOV conjunct, empty."""
+    import numpy as np
+
+    from harvester_ray.index.positional import (
+        TermShardedPositions,
+        phrase_occurrences_multi,
+    )
+
+    phrases = [
+        "quick brown",
+        "a a",
+        "fox",
+        "zzzq fox",          # OOV conjunct -> empty
+        "the fox the",       # repeated term, 3 slots
+        "quick brown fox",
+    ]
+    specs = list(enumerate(phrases))
+    occ = phrase_occurrences_multi(store, specs)
+    pid = occ["phrase_id"].to_numpy()
+    did = occ["doc_id"].to_numpy()
+    tier = TermShardedPositions(store, n_shards)
+    n_nonempty = 0
+    for i, ph in specs:
+        want = np.unique(did[pid == i])
+        got = tier.phrase_docs(ph)
+        np.testing.assert_array_equal(got, want), ph
+        n_nonempty += int(len(want) > 0)
+    assert n_nonempty >= 4  # the parity check is not vacuous
+    assert tier.phrase_docs("").size == 0
+    assert tier.phrase_docs("!!!").size == 0
+
+
+def test_shard_actors_partition_buckets(store, ray_session):
+    """Shards own a disjoint cover of the buckets and refuse to serve
+    terms they don't own (vocabulary-axis pruning)."""
+    import json as _json
+    import os as _os
+
+    from harvester_ray.functions.text import hash64
+    from harvester_ray.index.positional import (
+        PositionsShardActor,
+        _stats_path,
+    )
+
+    with open(_stats_path(store)) as f:
+        nb = _json.load(f)["num_buckets"]
+    shards = [PositionsShardActor(store, s, 3) for s in range(3)]
+    all_owned = [b for s in shards for b in s.owned_buckets]
+    assert sorted(all_owned) == list(range(nb))  # disjoint cover
+    tid = hash64("quick")
+    owners = [s for s in shards if s.owns(tid)]
+    assert len(owners) == 1
+    for s in shards:
+        tbl = s.term_positions([tid])
+        if s is owners[0]:
+            assert tbl.num_rows > 0
+        else:
+            assert tbl.num_rows == 0
