@@ -160,10 +160,38 @@ def _replicated_corpus(sf_dir: str, target_docs: int) -> str:
     return out_dir
 
 
+def _install_worker_log_config():
+    """Ship a Ray Data logging config that drops the cosmetic
+    'Failed to hash the schemas' WARNING from WORKER consoles too (the
+    driver-side filter below can't reach worker-forwarded lines).
+    pyarrow cannot hash a schema carrying the testdata writer's pandas
+    metadata, so Ray's block-schema dedup warns inside every read task
+    of those files before falling back to a full unify — upstream
+    cosmetics, not our stages. Must run BEFORE ray.init so workers
+    inherit the env var."""
+    import json
+
+    from ray.data._internal.logging import DEFAULT_CONFIG
+
+    if os.environ.get("RAY_DATA_LOGGING_CONFIG"):
+        return
+    cfg = json.loads(json.dumps(DEFAULT_CONFIG))  # deep copy
+    cfg["loggers"]["ray.data._internal.arrow_ops.transform_pyarrow"] = {
+        "level": "ERROR",
+        "handlers": ["file"],
+        "propagate": False,
+    }
+    path = os.path.join("/tmp", f"ray_data_logging_{os.getpid()}.yaml")
+    with open(path, "w") as f:
+        json.dump(cfg, f)  # dictConfig YAML is a JSON superset
+    os.environ["RAY_DATA_LOGGING_CONFIG"] = path
+
+
 def _init_ray():
     import ray
 
     if not ray.is_initialized():
+        _install_worker_log_config()
         ray.init(
             address="local",
             num_cpus=NUM_CPUS,
@@ -189,6 +217,21 @@ def _init_ray():
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_DropRefBundleSchemaWarn())
+
+    # "Failed to hash the schemas (for deduplication)" — pyarrow cannot
+    # hash a schema carrying the testdata writer's pandas metadata, so
+    # Ray's block-schema dedup logs this cosmetic warning on every
+    # parquet read of those files (the dedup just falls back to a full
+    # unify). The files are read-only and read_parquet(schema=) is
+    # incompatible with columns= pruning in this Ray version, so the
+    # clean-tail fix is local to the bench logger.
+    class _DropSchemaHashWarn(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashWarn())
 
 
 def _warm_workers():

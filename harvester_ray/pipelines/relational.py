@@ -35,13 +35,8 @@ SESSION_GAP_MIN = 30
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    # strip the writer's pandas schema metadata (zero-copy, fuses with
-    # the next map): pyarrow cannot hash a schema carrying it, which
-    # made Ray's block-schema dedup log a warning on every read
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    ).map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
 
 
