@@ -98,7 +98,13 @@ def build_field_indexes(
 
     ``n_docs`` is pinned to the full corpus count for BOTH field
     indexes (a doc with an empty body still counts in N and in the
-    body avgdl denominator), matching the BM25F corpus statistics."""
+    body avgdl denominator), matching the BM25F corpus statistics.
+
+    The split dataset is deliberately NOT materialized between the two
+    build passes: re-tokenizing the pruned (doc_id, text) read twice
+    streams, while materializing would write a corpus-sized
+    (title, body) copy through the object store/spill path — the wrong
+    trade at 100 TB. Accepting 2× tokenize cost is the scale choice."""
     n_docs = docs.count()
     fielded = split_title_body(docs, title_tokens)
     out: dict[str, IndexPaths] = {}
@@ -175,11 +181,12 @@ class FieldedIndex:
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, int, int]]:
         """[(rank, doc_id, score_fp)] — BM25F top-k, rank by integer
-        score DESC then doc_id ASC (the shared ranking rule)."""
-        from harvester_ray.functions.text import tokenize
-
+        score DESC then doc_id ASC (the shared ranking rule). Queries
+        tokenize with the MAIN index's analyzer (the same one the
+        field builds record), so non-default analyzers stem/stop the
+        query exactly like the postings."""
         id_parts, fp_parts = [], []
-        for t in sorted(set(tokenize(query))):
+        for t in sorted(set(self.main.analyzer.tokenize(query))):
             c = self.term_contributions(t)
             if c is not None:
                 id_parts.append(c[0])

@@ -786,14 +786,17 @@ class TermShardedPositions:
         with open(_stats_path(root)) as f:
             stats = json.load(f)
         self.analyzer = get_analyzer(analyzer_name or stats["analyzer"])
+        self.num_buckets = int(stats["num_buckets"])
         self.n_shards = int(n_shards)
         cls = ray.remote(PositionsShardActor)
         self.actors = [
             cls.remote(root, s, n_shards) for s in range(n_shards)
         ]
-        self._local = [
-            PositionsShardActor(root, s, n_shards) for s in range(n_shards)
-        ]
+
+    def _shard_of(self, tid: int) -> int:
+        return (
+            (int(tid) & 0xFFFFFFFFFFFFFFFF) % self.num_buckets
+        ) % self.n_shards
 
     def _fetch(self, tids: list[int]) -> dict[int, tuple]:
         """tid -> (flat doc per position, flat positions) from the
@@ -802,8 +805,7 @@ class TermShardedPositions:
 
         by_shard: dict[int, list[int]] = {}
         for t in sorted(set(tids)):
-            s = self._local[0]._bucket_of(t) % self.n_shards
-            by_shard.setdefault(s, []).append(t)
+            by_shard.setdefault(self._shard_of(t), []).append(t)
         futs = [
             self.actors[s].term_positions.remote(ts)
             for s, ts in by_shard.items()

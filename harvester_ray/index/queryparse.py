@@ -186,7 +186,10 @@ def parse_query(s: str) -> ParsedQuery:
         elif sign == "+":
             word_clause(body, must)
         elif sign == "-":
-            must_not.append(body)
+            # strip (and ignore) a boost suffix on a negated term —
+            # '-scan^2' negates 'scan'; boosts never apply to NOTs
+            m = _BOOST_RE.match(body)
+            must_not.append(m.group(1) if m and m.group(1) else body)
         else:
             word_clause(body, should)
     return ParsedQuery(
@@ -221,11 +224,13 @@ def search_boolean(
         {t for w in parsed.must_not for t in tok(w)} - set(pos)
     )
     # word-level boosts expand to index terms; a term produced by
-    # several boosted words keeps the MAX boost (documented rule)
+    # several boosted words keeps the MAX boost across its BOOSTED
+    # clauses (sub-1.0 boosts downweight as documented — do not seed
+    # the max with the 1.0 default)
     tboost: dict[str, float] = {}
     for w, bv in parsed.boosts.items():
         for t in tok(w):
-            tboost[t] = max(tboost.get(t, 1.0), bv)
+            tboost[t] = max(tboost[t], bv) if t in tboost else bv
     if not pos:
         return []
     if allowed is not None and len(allowed) == 0:

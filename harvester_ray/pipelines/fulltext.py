@@ -404,14 +404,22 @@ def more_like_this(sf_dir: str) -> pa.Table:
 # recompute the postings scan + (query, doc) shuffle; one driver
 # process now pays it once per sf_dir. Match sets are query-bounded
 # (|queries| × matches), far smaller than the corpus, so pinning the
-# materialized blocks in the object store is safe.
+# materialized blocks in the object store is safe. Bounded (LRU-ish:
+# oldest evicted past _MATCH_SET_CACHE_MAX) so a long-lived driver
+# touching many sf_dirs cannot grow the object store monotonically.
+# Staleness contract: keyed by path only — callers that REBUILD the
+# corpus under an existing path in-process must clear the cache (the
+# gate's sf_dirs are read-only testdata).
 _MATCH_SET_CACHE: dict = {}
+_MATCH_SET_CACHE_MAX = 8
 
 
 def _match_set_cached(sf_dir: str, kind: str, build) -> "ray.data.Dataset":
     key = (os.path.abspath(sf_dir), kind)
     hit = _MATCH_SET_CACHE.get(key)
     if hit is None:
+        while len(_MATCH_SET_CACHE) >= _MATCH_SET_CACHE_MAX:
+            _MATCH_SET_CACHE.pop(next(iter(_MATCH_SET_CACHE)))
         hit = _MATCH_SET_CACHE[key] = build().materialize()
     return hit
 

@@ -1464,6 +1464,12 @@ def _query_language_sql() -> str:
             sorted({t for w in g for t in tokenize(w)})
             for g in p.must_groups
         ]
+        if any(not g for g in group_toks):
+            # a must-group whose words tokenize to nothing can never
+            # be satisfied — the executor returns no hits (dense: gok
+            # stays all-False; sparse: no present member → []); mirror
+            # by emitting no rows at all for this query
+            continue
         ph_terms = {t for ph in p.phrases for t in tokenize(ph)}
         pos = sorted(
             should | must | ph_terms | {t for g in group_toks for t in g}
@@ -1474,7 +1480,7 @@ def _query_language_sql() -> str:
         tboost: dict[str, float] = {}
         for w, bv in p.boosts.items():
             for t in tokenize(w):
-                tboost[t] = max(tboost.get(t, 1.0), bv)
+                tboost[t] = max(tboost[t], bv) if t in tboost else bv
         q_rows.extend(
             f"({qid}, '{t}', {tboost.get(t, 1.0)!r})" for t in pos
         )

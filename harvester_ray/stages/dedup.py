@@ -318,7 +318,10 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
             logger.warning(
                 "%d overflow docs had no retained signature-group "
                 "representative; chained to the bucket's first kept doc "
-                "with true signature agreement", n_unchained,
+                "with true signature agreement (pairs below the "
+                "candidate threshold are still filtered downstream — "
+                "such docs may stay edge-less in THIS bucket; other "
+                "bands give them further chances)", n_unchained,
             )
         if o_a:
             out_a.append(np.array(o_a, np.int64))
@@ -1138,17 +1141,21 @@ def cluster_labels(
 
     sym = _symmetrize_edges(edges)
     # round 0: label(v) = min(v, min neighbor)
-    lab0 = sym.groupby("node").aggregate(Min("nbr", alias_name="cand"))
-    lab = lab0.to_pandas() if not force_join else None
-    if lab is not None:
+    lab0 = sym.groupby("node").aggregate(
+        Min("nbr", alias_name="cand")
+    ).materialize()
+    # size the path from a distributed COUNT (16 bytes per (node,
+    # label) pair) — never collect the label table to find out it was
+    # too big to collect
+    if not force_join and lab0.count() * 16 <= _CC_BROADCAST_BYTES:
+        lab = lab0.to_pandas()
         nodes = lab["node"].to_numpy(dtype=np.int64)
         order = np.argsort(nodes)
         nodes = nodes[order]
         labels = np.minimum(
             nodes, lab["cand"].to_numpy(dtype=np.int64)[order]
         )
-        if nodes.nbytes + labels.nbytes <= _CC_BROADCAST_BYTES:
-            return _cc_broadcast(sym, nodes, labels)
+        return _cc_broadcast(sym, nodes, labels)
     labels0 = lab0.map_batches(
         lambda t: pa.table(
             {

@@ -201,3 +201,34 @@ def test_group_boost_dense_sparse_agree(built_index):
         assert [d for d, _ in search_boolean(dense, p, k=20)] == [
             d for d, _ in search_boolean(sparse, p, k=20)
         ], q
+
+
+def test_sub_one_boost_downweights(built_index):
+    """A boost below 1.0 must actually downweight (the max-with-1.0
+    seeding bug silently clamped it)."""
+    idx = InvertedIndex(built_index.root, preload=True)
+    plain = dict(search_boolean(idx, parse_query("scan merge"), k=10**6))
+    down = dict(search_boolean(idx, parse_query("scan^0.5 merge"), k=10**6))
+    sc = {d for d, _ in search_boolean(idx, parse_query("scan"), k=10**6)}
+    assert down.keys() == plain.keys()
+    hit = [d for d in down if d in sc]
+    assert hit and all(down[d] < plain[d] for d in hit)
+    assert all(down[d] == pytest.approx(plain[d]) for d in down if d not in sc)
+
+
+def test_negated_boosted_term_strips_boost():
+    """'-scan^2' negates 'scan' — the '^2' must not leak a spurious
+    negated token '2'."""
+    p = parse_query("join -scan^2")
+    assert p.must_not == ["scan"]
+    assert p.boosts == {}
+    assert p.should == ["join"]
+
+
+def test_empty_token_group_matches_nothing(built_index):
+    """A must-group whose words tokenize to nothing can never be
+    satisfied — no hits on either executor path (the SQL compiler
+    mirrors this by emitting no rows for such a query)."""
+    for preload in (True, False):
+        idx = InvertedIndex(built_index.root, preload=preload)
+        assert search_boolean(idx, parse_query("+(???) scan"), k=10) == []
