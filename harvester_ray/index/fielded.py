@@ -191,15 +191,74 @@ class FieldedIndex:
             if c is not None:
                 id_parts.append(c[0])
                 fp_parts.append(c[1])
-        if not id_parts:
-            return []
-        ids = np.concatenate(id_parts)
-        fps = np.concatenate(fp_parts)
-        uids, inv = np.unique(ids, return_inverse=True)
-        sums = np.zeros(len(uids), dtype=np.int64)
-        np.add.at(sums, inv, fps)
-        order = np.lexsort((uids, -sums))[:k]
-        return [
-            (r, int(uids[i]), int(sums[i]))
-            for r, i in enumerate(order, start=1)
-        ]
+        return _topk_from_contributions(id_parts, fp_parts, k)
+
+
+def _topk_from_contributions(
+    id_parts: list[np.ndarray], fp_parts: list[np.ndarray], k: int
+) -> list[tuple[int, int, int]]:
+    """Shared fused-ranking tail: integer-sum contributions per doc,
+    rank by score_fp DESC then doc_id ASC."""
+    if not id_parts:
+        return []
+    ids = np.concatenate(id_parts)
+    fps = np.concatenate(fp_parts)
+    uids, inv = np.unique(ids, return_inverse=True)
+    sums = np.zeros(len(uids), dtype=np.int64)
+    np.add.at(sums, inv, fps)
+    order = np.lexsort((uids, -sums))[:k]
+    return [
+        (r, int(uids[i]), int(sums[i]))
+        for r, i in enumerate(order, start=1)
+    ]
+
+
+class TermShardedFieldedIndex:
+    """BM25F over VOCABULARY-partitioned per-field indexes.
+
+    Cell s of T holds the ``term_shard=(s, T)`` slice of the main
+    dictionary AND of every field index — all indexes share the
+    ``hash64(term) % num_term_buckets`` bucket map, so a term is owned
+    by exactly one cell consistently across main and fields, and cell
+    memory is ∝ vocab/T. A query term's (doc, fp8) contributions come
+    from its single owning cell; contributions are row-local floats
+    fixed-pointed at the (term, doc) row, so the fused ranking is
+    bit-identical to the single-process FieldedIndex (tested)."""
+
+    def __init__(self, cells: list[FieldedIndex]):
+        self.cells = cells
+
+    @classmethod
+    def load(
+        cls,
+        main_dir: str,
+        fields: list[tuple[FieldSpec, str]],
+        n_shards: int,
+    ) -> "TermShardedFieldedIndex":
+        cells = []
+        for s in range(n_shards):
+            main = InvertedIndex(main_dir, term_shard=(s, n_shards))
+            cells.append(
+                FieldedIndex(
+                    main,
+                    [
+                        (
+                            spec,
+                            InvertedIndex(d, term_shard=(s, n_shards)),
+                        )
+                        for spec, d in fields
+                    ],
+                )
+            )
+        return cls(cells)
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, int, int]]:
+        id_parts, fp_parts = [], []
+        for t in sorted(set(self.cells[0].main.analyzer.tokenize(query))):
+            for cell in self.cells:
+                c = cell.term_contributions(t)
+                if c is not None:  # exactly one cell owns the term
+                    id_parts.append(c[0])
+                    fp_parts.append(c[1])
+                    break
+        return _topk_from_contributions(id_parts, fp_parts, k)

@@ -143,3 +143,25 @@ def test_fielded_title_boost(tmp_path, ray_session):
     hits = fidx.search("apple", k=2)
     assert [d for _, d, _ in hits] == [1, 2]
     assert hits[0][2] > hits[1][2]  # strictly better fp8 score
+
+
+def test_fielded_term_sharded_bit_identical(field_dirs, ray_session):
+    """TermShardedFieldedIndex (vocabulary-partitioned BM25F) must
+    reproduce the single-process FieldedIndex results bit for bit —
+    same ranks AND same integer scores — for the whole OR query set."""
+    from harvester_ray.index.fielded import TermShardedFieldedIndex
+
+    single = _fielded(field_dirs)
+    tier = TermShardedFieldedIndex.load(
+        index_for(SF_DIR).root,
+        [(spec, field_dirs[spec.name]) for spec in SPECS],
+        n_shards=3,
+    )
+    n_nonempty = 0
+    for _, q in queries_for_mode("or"):
+        want = single.search(q, k=TOP_K)
+        got = tier.search(q, k=TOP_K)
+        assert got == want, q
+        n_nonempty += int(bool(want))
+    assert n_nonempty > 0
+    assert tier.search("zzzqoov") == []
