@@ -44,8 +44,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and_bmand": fulltext.bm25_topk_and_bmand,
         # injected cosine TF-IDF scorer (SURVEY §2.10 plug point)
         "tfidf_topk": fulltext.tfidf_topk,
-        # BM25F fielded ranking over the (title, body) split
+        # BM25F fielded ranking over the (title, body) split —
+        # distributed pipeline + the FieldedIndex serving tier, both
+        # gated against the same SQL oracle
         "bm25f_topk": fulltext.bm25f_topk,
+        "bm25f_topk_served": fulltext.bm25f_topk_served,
         # second real analyzer (stop+stem) through the §2.10 registry
         "porter_doc_stats": fulltext.porter_doc_stats,
         # boolean NOT (exclusion before top-k)
@@ -85,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # positional tier: exact phrase queries (overlap-exact counts)
         # + ordered-window proximity queries (greedy-minimal chain)
         "phrase_match": fulltext.phrase_match,
+        # same phrases through the term-sharded positional tier
+        "phrase_match_sharded": fulltext.phrase_match_sharded,
         "proximity_match": fulltext.proximity_match,
         # unordered span-near (SpanNearQuery inOrder=false)
         "span_near_match": fulltext.span_near_match,
@@ -188,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and_bmand": oracles.BM25_TOPK_AND,
         "tfidf_topk": oracles.TFIDF_TOPK,
         "bm25f_topk": oracles.BM25F_TOPK,
+        "bm25f_topk_served": oracles.BM25F_TOPK,
         "porter_doc_stats": oracles.PORTER_DOC_STATS,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
         "search_facets": oracles.SEARCH_FACETS,
@@ -211,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,
         "bm25_topk_or_termsharded": oracles.BM25_TOPK_OR,
         "phrase_match": oracles.PHRASE_MATCH,
+        "phrase_match_sharded": oracles.PHRASE_MATCH,
         "proximity_match": oracles.PROXIMITY_MATCH,
         "span_near_match": oracles.SPAN_NEAR_MATCH,
         "passage_topk": oracles.PASSAGE_TOPK,

@@ -828,11 +828,15 @@ class TermShardedPositions:
                 out[int(t)] = (d_rep[m], flat[m])
         return out
 
-    def phrase_docs(self, phrase: str) -> np.ndarray:
-        """Sorted doc_ids matching the exact phrase (empty for
-        no-token or OOV phrases — same contract as the pipeline)."""
+    def phrase_occurrences(
+        self, phrase: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids, overlap-exact occurrence counts) for the
+        exact phrase — the count is the number of distinct base
+        positions whose every slot matches, identical to the pipeline
+        (phrase_occurrences_multi). Empty for no-token/OOV phrases."""
         terms = self.analyzer.tokenize(phrase)
-        empty = np.empty(0, dtype=np.int64)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         if not terms:
             return empty
         slot_tids = [hash64(t) for t in terms]
@@ -860,4 +864,11 @@ class TermShardedPositions:
             )
             if len(keys) == 0:
                 return empty
-        return docs_u[np.unique(keys >> 32)]
+        doc_idx = keys >> 32
+        uniq_idx, counts = np.unique(doc_idx, return_counts=True)
+        return docs_u[uniq_idx], counts.astype(np.int64)
+
+    def phrase_docs(self, phrase: str) -> np.ndarray:
+        """Sorted doc_ids matching the exact phrase (empty for
+        no-token or OOV phrases — same contract as the pipeline)."""
+        return self.phrase_occurrences(phrase)[0]

@@ -2039,3 +2039,93 @@ def term_dictionary_porter(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         paths.dictionary, columns=["term", "df", "cf"]
     )
+
+
+def field_indexes_for(sf_dir: str) -> dict[str, IndexPaths]:
+    """Build (or reuse) the per-field (title, body) indexes for the
+    BM25F serving tier over sf_dir/documents."""
+    from harvester_ray.index.fielded import build_field_indexes
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:fielded".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"fidx_{key}")
+    done = {
+        name: IndexPaths(os.path.join(out, name))
+        for name in ("title", "body")
+    }
+    if all(os.path.exists(p.stats) for p in done.values()):
+        return done
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return build_field_indexes(docs, out, TITLE_TOKENS)
+
+
+def bm25f_topk_served(sf_dir: str) -> pa.Table:
+    """(query_id, rank, doc_id) — BM25F through the SERVING tier
+    (index/fielded.FieldedIndex over one real per-field index each),
+    driver-gated against the SAME BM25F_TOPK SQL oracle as the
+    distributed pipeline twin: serving and pipeline must agree with
+    the oracle independently. The query set is request-shaped by
+    nature (10 queries), so the loop is driver-side like any search
+    client; state loads once."""
+    from harvester_ray.index.fielded import FieldedIndex, FieldSpec
+    from harvester_ray.index.query import InvertedIndex
+
+    main = InvertedIndex(index_for(sf_dir).root, preload=True)
+    fdirs = field_indexes_for(sf_dir)
+    fidx = FieldedIndex(
+        main,
+        [
+            (
+                FieldSpec("title", BM25F_W_TITLE, BM25F_B_TITLE),
+                InvertedIndex(fdirs["title"].root),
+            ),
+            (
+                FieldSpec("body", BM25F_W_BODY, BM25F_B_BODY),
+                InvertedIndex(fdirs["body"].root),
+            ),
+        ],
+    )
+    qids, ranks, dids = [], [], []
+    for qid, q in queries_for_mode("or"):
+        for rank, doc_id, _fp in fidx.search(q, k=TOP_K):
+            qids.append(qid)
+            ranks.append(rank)
+            dids.append(doc_id)
+    import numpy as np
+
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids, np.int64), pa.int64()),
+            "rank": pa.array(np.asarray(ranks, np.int64), pa.int64()),
+            "doc_id": pa.array(np.asarray(dids, np.int64), pa.int64()),
+        }
+    )
+
+
+def phrase_match_sharded(sf_dir: str) -> pa.Table:
+    """(phrase_id, doc_id, n_occurrences) for PHRASE_SET through the
+    TERM-SHARDED positional serving tier (index/positional.py:
+    TermShardedPositions, 4 vocabulary shards) — driver-gated against
+    the SAME PHRASE_MATCH SQL oracle as the pipeline twin, proving the
+    sharded router's base-intersection counts are overlap-exact."""
+    import numpy as np
+
+    from harvester_ray.index.positional import TermShardedPositions
+
+    tier = TermShardedPositions(positions_for(sf_dir), n_shards=4)
+    pids, dids, counts = [], [], []
+    for pid, phrase in PHRASE_SET:
+        docs, n_occ = tier.phrase_occurrences(phrase)
+        pids.append(np.full(len(docs), pid, dtype=np.int64))
+        dids.append(docs)
+        counts.append(n_occ)
+    return pa.table(
+        {
+            "phrase_id": pa.array(np.concatenate(pids), pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), pa.int64()),
+            "n_occurrences": pa.array(np.concatenate(counts), pa.int64()),
+        }
+    )
