@@ -1206,19 +1206,70 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     return cluster_labels(edges)
 
 
-def dedup_keep(sf_dir: str, threshold: float = 0.5) -> "ray.data.Dataset":
+def anti_join_doc_ids(
+    docs: "ray.data.Dataset", drop: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """docs MINUS drop on doc_id, as a hash anti-join (left-outer join
+    to a marker column, keep the null side) — the corpus-scale twin of
+    the broadcast isin filter; neither side ever lands on the driver."""
+    from harvester_ray.config import shuffle_partitions
+
+    marked = drop.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "_drop": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = docs.join(
+        marked, join_type="left_outer",
+        num_partitions=shuffle_partitions(), on=("doc_id",),
+    )
+
+    def keep_nulls(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.filter(pc.is_null(t["_drop"]))["doc_id"].cast(
+                    pa.int64()
+                )
+            }
+        )
+
+    return joined.map_batches(keep_nulls, batch_format="pyarrow")
+
+
+def dedup_keep(
+    sf_dir: str, threshold: float = 0.5, force_join: bool = False
+) -> "ray.data.Dataset":
     """(doc_id): the deduplicated corpus — every doc except non-
     canonical near-dup cluster members (cluster_id != doc_id from
     dedup_clusters). The end-to-end sweep a training pipeline actually
     ships: cluster, keep the min-id representative, stream the rest.
 
     The drop set is bounded by dup-participating docs (not the
-    corpus); it broadcasts under the same guard as the label table and
-    the corpus pass is a streaming isin filter."""
+    corpus); under _CC_BROADCAST_BYTES it broadcasts once (ray.put +
+    streaming isin filter), beyond it (or with ``force_join``) the
+    corpus anti-joins the drop set by hash — at full scale that path
+    consumes the label Dataset of cluster_labels' join branch
+    directly, so no stage ever materializes on the driver."""
     cc = dedup_clusters(sf_dir, threshold)
     node = cc["doc_id"].to_numpy()
     lab = cc["cluster_id"].to_numpy()
     drop = np.sort(node[lab != node])
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    if force_join or drop.nbytes > _CC_BROADCAST_BYTES:
+        return anti_join_doc_ids(
+            docs,
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array(drop, pa.int64())})
+            ),
+        )
     drop_ref = ray.put(drop)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -1228,9 +1279,7 @@ def dedup_keep(sf_dir: str, threshold: float = 0.5) -> "ray.data.Dataset":
             {"doc_id": pa.array(ids[~np.isin(ids, d)], pa.int64())}
         )
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    ).map_batches(keep, batch_format="pyarrow")
+    return docs.map_batches(keep, batch_format="pyarrow")
 
 
 # -- embedding-cosine near-dup --------------------------------------------

@@ -552,3 +552,12 @@ def test_cluster_labels_long_path_both_paths(ray_session):
         got = _as_dict(dedup.cluster_labels(_edges_ds(pairs), force_join=force))
         assert set(got.values()) == {0}
         assert len(got) == n
+
+
+def test_dedup_keep_anti_join_equals_broadcast(ray_session):
+    """The hash anti-join path (past the drop-set broadcast guard)
+    returns exactly the broadcast path's corpus."""
+    sf = "/root/testdata/sf0.001"
+    bcast = sorted(dedup.dedup_keep(sf).to_pandas()["doc_id"])
+    joined = sorted(dedup.dedup_keep(sf, force_join=True).to_pandas()["doc_id"])
+    assert joined == bcast and len(bcast) > 0
