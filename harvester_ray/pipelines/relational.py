@@ -315,23 +315,37 @@ def events_sessions(sf_dir: str) -> "ray.data.Dataset":
     stateful windowing in pandas (SURVEY.md §2.9 RD mapping).
     Ordering assumption: (ts, event_id) is a total order per user."""
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype(np.int64) + 1
-        out = (
-            g.assign(session_id=sid)
-            .groupby("session_id", sort=True)
-            .agg(n_events=("event_id", "count"))
-            .reset_index()
+    def sessionize(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+            )
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        ts = (
+            g["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        gap = np.r_[False, np.diff(ts) > SESSION_GAP_MIN * 60_000_000]
+        sid = np.cumsum(gap).astype(np.int64) + 1
+        usid, counts = np.unique(sid, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(usid), g["user_id"][0].as_py(), np.int64),
+                    pa.int64(),
+                ),
+                "session_id": pa.array(usid, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
     return (
         _read(sf_dir, "events", ["user_id", "event_id", "ts"])
         .groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
+        .map_groups(sessionize, batch_format="pyarrow")
     )
 
 
@@ -688,23 +702,37 @@ def events_window_1h(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     HOUR_US = 3_600_000_000
 
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    def win(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+            )
+        )
+        t = (
+            g["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         lo = np.searchsorted(t, t - HOUR_US, side="left")
         hi = np.searchsorted(t, t, side="right")
         # row-level fixed point, integer cumsum: exact at any scale
-        v_fp = np.floor(g["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+        v_fp = np.floor(
+            g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 10_000
+            + 0.5
+        ).astype(np.int64)
         cs = np.concatenate(([0], np.cumsum(v_fp)))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "n_1h": (hi - lo).astype(np.int64),
-                "sum_1h_r4": (cs[hi] - cs[lo]).astype(np.int64),
+                "event_id": g["event_id"].cast(pa.int64()),
+                "n_1h": pa.array((hi - lo).astype(np.int64), pa.int64()),
+                "sum_1h_r4": pa.array(
+                    (cs[hi] - cs[lo]).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    return ds.groupby("user_id").map_groups(win, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
 
 
 def events_orders_range_join(sf_dir: str) -> "ray.data.Dataset":
@@ -743,35 +771,48 @@ def events_orders_range_join(sf_dir: str) -> "ray.data.Dataset":
         orders.map_batches(tag_o, batch_format="pyarrow")
     )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        lefts = g[g["side"] == 0]
-        rights = g[g["side"] == 1].sort_values("ts", kind="stable")
-        empty = pd.DataFrame(
-            {
-                "event_id": pd.Series([], dtype=np.int64),
-                "n_orders_7d": pd.Series([], dtype=np.int64),
-                "sum_price_7d_r4": pd.Series([], dtype=np.int64),
-            }
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        lefts = g.filter(pa.array(side == 0))
+        rights = g.filter(pa.array(side == 1))
+        if lefts.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "n_orders_7d": pa.array([], pa.int64()),
+                    "sum_price_7d_r4": pa.array([], pa.int64()),
+                }
+            )
+        rights = rights.take(
+            pc.sort_indices(rights, sort_keys=[("ts", "ascending")])
         )
-        if len(lefts) == 0:
-            return empty
-        lt = lefts["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        rt = rights["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lt = (
+            lefts["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        rt = (
+            rights["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         lo = np.searchsorted(rt, lt - WEEK_US, side="left")
         hi = np.searchsorted(rt, lt, side="right")
         p_fp = np.floor(
-            rights["price"].to_numpy() * 10_000 + 0.5
+            rights["price"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 10_000
+            + 0.5
         ).astype(np.int64)
         cs = np.concatenate(([0], np.cumsum(p_fp)))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": lefts["event_id"].to_numpy().astype(np.int64),
-                "n_orders_7d": (hi - lo).astype(np.int64),
-                "sum_price_7d_r4": (cs[hi] - cs[lo]).astype(np.int64),
+                "event_id": lefts["event_id"].cast(pa.int64()),
+                "n_orders_7d": pa.array((hi - lo).astype(np.int64), pa.int64()),
+                "sum_price_7d_r4": pa.array(
+                    (cs[hi] - cs[lo]).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    return tagged.groupby("key").map_groups(resolve, batch_format="pandas")
+    return tagged.groupby("key").map_groups(resolve, batch_format="pyarrow")
 
 
 SAMPLE_PCT = 5
@@ -908,20 +949,26 @@ def ann_cosine_topk_batch(sf_dir: str) -> "ray.data.Dataset":
         emb_path, columns=["vec_id", "embedding"]
     ).map_batches(score, batch_format="pyarrow")
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+    def finalize(g: pa.Table) -> pa.Table:
         order = np.lexsort(
-            (g["vec_id"].to_numpy(), -g["sim_r"].to_numpy())
+            (
+                g["vec_id"].to_numpy(zero_copy_only=False),
+                -g["sim_r"].to_numpy(zero_copy_only=False),
+            )
         )[:k]
-        return pd.DataFrame(
+        take = pa.array(order.astype(np.int64))
+        return pa.table(
             {
-                "query_vec_id": g["query_vec_id"].to_numpy()[order],
-                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-                "vec_id": g["vec_id"].to_numpy()[order],
+                "query_vec_id": g["query_vec_id"].take(take).cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()
+                ),
+                "vec_id": g["vec_id"].take(take).cast(pa.int64()),
             }
         )
 
     return cands.groupby("query_vec_id").map_groups(
-        finalize, batch_format="pandas"
+        finalize, batch_format="pyarrow"
     )
 
 
