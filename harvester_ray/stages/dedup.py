@@ -949,20 +949,27 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def mark_part(g: pd.DataFrame) -> pd.DataFrame:
+    def mark_part(g: pa.Table) -> pa.Table:
         """One gram-hash partition, vectorized: contaminated candidate
         rows are the non-benchmark rows whose gram occurs on the
         benchmark side of the SAME partition (grams co-partition by
         hash, so the check is local)."""
-        grams = g["gram"].to_numpy()
-        bench = g["is_bench"].to_numpy()
+        grams = g["gram"].to_numpy(zero_copy_only=False)
+        bench = g["is_bench"].to_numpy(zero_copy_only=False)
         hit = np.isin(grams, grams[bench]) & ~bench
-        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy()[hit]})
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    g["doc_id"].to_numpy(zero_copy_only=False)[hit],
+                    pa.int64(),
+                )
+            }
+        )
 
     marked = (
         docs.map_batches(gram_rows, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(mark_part, batch_format="pandas")
+        .map_groups(mark_part, batch_format="pyarrow")
     )
     return marked.groupby("doc_id").aggregate(
         Count(alias_name="n_contaminated_grams")
