@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-SQL-expressible (rows-only driver check; each has a
         # pinned pure-Python golden test in tests/)
         "pages_flagship": pages.pages_flagship,
+        # BM25F over REAL extracted fields (<title> vs <h1>/<p>) —
+        # the reference's many-field index document end to end
+        "pages_bm25f": pages.pages_bm25f,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dup": dedup.simhash_near_dup,

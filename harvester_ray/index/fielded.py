@@ -107,9 +107,25 @@ def build_field_indexes(
     trade at 100 TB. Accepting 2× tokenize cost is the scale choice."""
     n_docs = docs.count()
     fielded = split_title_body(docs, title_tokens)
+    return build_field_indexes_from(
+        fielded, out_dir, ("title", "body"), n_docs, cfg
+    )
+
+
+def build_field_indexes_from(
+    fielded_docs: "ray.data.Dataset",
+    out_dir: str,
+    field_cols: tuple[str, ...],
+    n_docs: int,
+    cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
+) -> dict[str, IndexPaths]:
+    """One standard index per EXPLICIT field column of
+    ``fielded_docs`` (doc_id + one string column per field) — for
+    documents whose fields are real (extracted HTML <title> vs body)
+    rather than positionally split."""
     out: dict[str, IndexPaths] = {}
-    for fname in ("title", "body"):
-        fdocs = fielded.map_batches(
+    for fname in field_cols:
+        fdocs = fielded_docs.map_batches(
             lambda t, f=fname: t.select(["doc_id", f]).rename_columns(
                 ["doc_id", "text"]
             ),

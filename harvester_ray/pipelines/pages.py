@@ -269,3 +269,95 @@ def pages_flagship(sf_dir: str | None = None, n_pages: int = 500) -> "ray.data.D
         ),
         batch_format="pyarrow",
     )
+
+
+def pages_bm25f(sf_dir: str | None = None, n_pages: int = 500) -> pa.Table:
+    """(query_id, rank, doc_id) — BM25F over the REAL extracted fields
+    of the pages corpus: <title> element content is the title field,
+    <h1>/<p> content the body (stages/extract.FieldedHtmlExtractor),
+    ranked title^2 + body through index/fielded.FieldedIndex. This is
+    the reference's many-field index document end to end — fetch →
+    fielded extract → per-field index → field-boosted search
+    (map_couch_to_solr_doc's title field + Solr qf,
+    harvester/solr_updater.py:64-134). Rows-only driver check (HTML
+    parsing is not SQL-expressible); the field split is pinned by
+    byte-level goldens in tests/test_extract.py.
+
+    tokens(text) == tokens(title) ⊎ tokens(body), so the flagship
+    single-field pages index doubles as the exact whole-document idf
+    source."""
+    import numpy as np
+
+    from harvester_ray.index.fielded import (
+        FieldedIndex,
+        FieldSpec,
+        build_field_indexes_from,
+    )
+    from harvester_ray.index.query import InvertedIndex
+    from harvester_ray.pipelines.fulltext import (
+        BM25F_B_BODY,
+        BM25F_B_TITLE,
+        BM25F_W_BODY,
+        BM25F_W_TITLE,
+    )
+    from harvester_ray.stages.extract import FieldedHtmlExtractor
+
+    corpus = pages_corpus(n_pages)
+    main_paths = build_pages_index(
+        corpus, os.path.join(CACHE_ROOT, f"pages_idx_{n_pages}_v{ENGINE_VERSION}")
+    )
+    with open(main_paths.stats) as f:
+        n_docs = int(json.load(f)["n_docs"])
+    fdir = os.path.join(CACHE_ROOT, f"pages_fidx_{n_pages}_v{ENGINE_VERSION}")
+    field_paths = {
+        name: IndexPaths(os.path.join(fdir, name))
+        for name in ("title", "body")
+    }
+    if not all(os.path.exists(p.stats) for p in field_paths.values()):
+        ext = ray.data.read_parquet(
+            os.path.join(corpus, "pages.parquet")
+        ).map_batches(
+            FieldedHtmlExtractor,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_INDEX_CONFIG.extract_batch_size,
+            concurrency=DEFAULT_INDEX_CONFIG.extract_concurrency,
+            zero_copy_batch=True,
+        )
+        valid = ext.map_batches(
+            lambda t: t.filter(pc.is_null(t["reject_reason"])).select(
+                ["doc_id", "title", "body"]
+            ),
+            batch_format="pyarrow",
+        )
+        field_paths = build_field_indexes_from(
+            valid, fdir, ("title", "body"), n_docs
+        )
+    fidx = FieldedIndex(
+        InvertedIndex(main_paths.root, preload=True),
+        [
+            (
+                FieldSpec("title", BM25F_W_TITLE, BM25F_B_TITLE),
+                InvertedIndex(field_paths["title"].root),
+            ),
+            (
+                FieldSpec("body", BM25F_W_BODY, BM25F_B_BODY),
+                InvertedIndex(field_paths["body"].root),
+            ),
+        ],
+    )
+    queries = ray.data.read_parquet(
+        os.path.join(corpus, "queries.parquet")
+    ).to_pandas()
+    qids, ranks, dids = [], [], []
+    for qid, q in zip(queries["query_id"], queries["query"]):
+        for rank, doc_id, _fp in fidx.search(str(q), k=10):
+            qids.append(int(qid))
+            ranks.append(rank)
+            dids.append(doc_id)
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids, np.int64), pa.int64()),
+            "rank": pa.array(np.asarray(ranks, np.int64), pa.int64()),
+            "doc_id": pa.array(np.asarray(dids, np.int64), pa.int64()),
+        }
+    )

@@ -42,6 +42,7 @@ class _TextExtractor(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.parts: list[str] = []
+        self.tags: list[str] = []
         self._buf: list[str] | None = None
         self._skip = 0
 
@@ -56,6 +57,7 @@ class _TextExtractor(HTMLParser):
             self._skip = max(0, self._skip - 1)
         elif tag in _CAPTURE_TAGS and self._buf is not None:
             self.parts.append("".join(self._buf))
+            self.tags.append(tag)
             self._buf = None
 
     def handle_data(self, data):
@@ -65,11 +67,30 @@ class _TextExtractor(HTMLParser):
     def extract(self, html_bytes: bytes) -> str:
         self.reset()
         self.parts = []
+        self.tags = []
         self._buf = None
         self._skip = 0
         self.feed(html_bytes.decode("utf-8", errors="replace"))
         self.close()
         return "\n".join(self.parts)
+
+    def extract_fielded(self, html_bytes: bytes) -> tuple[str, str]:
+        """(title, body): <title> element contents vs everything else
+        captured (<h1>/<p>), each joined by "\\n" in document order —
+        the REAL multi-field index document of the reference
+        (map_couch_to_solr_doc's title field,
+        harvester/solr_updater.py:64-134). Token multisets satisfy
+        tokens(extract()) == tokens(title) ⊎ tokens(body), so the
+        single-field index over extract() text is the exact
+        whole-document idf source for BM25F over these fields."""
+        self.extract(html_bytes)
+        title = "\n".join(
+            p for p, t in zip(self.parts, self.tags) if t == "title"
+        )
+        body = "\n".join(
+            p for p, t in zip(self.parts, self.tags) if t != "title"
+        )
+        return title, body
 
 
 class HtmlExtractor:
@@ -154,3 +175,50 @@ def split_valid(extracted: "ray.data.Dataset"):
         .aggregate(Count(alias_name="n"))
     )
     return valid, rejects
+
+
+class FieldedHtmlExtractor:
+    """Actor-pool MULTI-FIELD extraction: (doc_id, url, title, body,
+    lang, reject_reason) — the engine-side analog of the reference's
+    many-field index document (title/description fields of
+    map_couch_to_solr_doc, harvester/solr_updater.py:64-134). Rows
+    arriving with pre-extracted ``text`` have no structure left, so
+    they fall back to title="" / body=text (the reference's
+    fill_in_title 'Title unknown' default, :611-622)."""
+
+    def __init__(self, require_lang: bool = True):
+        self.parser = _TextExtractor()
+        self.require_lang = require_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        out_title: list[str] = []
+        out_body: list[str] = []
+        rejects: list[str | None] = []
+        for text, html, lang in zip(texts, htmls, langs):
+            if text is None:
+                title, body = self.parser.extract_fielded(html or b"")
+            else:
+                title, body = "", text
+            reason = None
+            if not title and not body:
+                reason = REJECT_EMPTY_TEXT
+            elif self.require_lang and not lang:
+                reason = REJECT_MISSING_LANG
+            out_title.append(title)
+            out_body.append(body)
+            rejects.append(reason)
+        doc_ids = np.fromiter((hash64(u) for u in urls), np.int64, len(urls))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "title": pa.array(out_title, pa.large_string()),
+                "body": pa.array(out_body, pa.large_string()),
+                "lang": pa.array(langs, pa.string()),
+                "reject_reason": pa.array(rejects, pa.string()),
+            }
+        )

@@ -112,3 +112,77 @@ def test_pages_end_to_end(tmp_path, ray_session):
         got = idx.search(q, k=10, mode=mode)
         want = oracle.search(q, k=10, mode=mode)
         assert [d for d, _ in got] == [d for d, _ in want], (qid, q, mode)
+
+
+# ── fielded extraction (<title> field vs <h1>/<p> body) ─────────────
+
+
+def test_extract_fielded_goldens():
+    from harvester_ray.stages.extract import _TextExtractor
+
+    p = _TextExtractor()
+    html = (
+        b"<html><head><title>My &amp; Page</title></head>"
+        b"<body><h1>Head</h1><p>one</p>"
+        b"<script>junk()</script><p>two</p></body></html>"
+    )
+    assert p.extract_fielded(html) == ("My & Page", "Head\none\ntwo")
+    # <p> BEFORE <title>: document order within each field preserved
+    assert p.extract_fielded(
+        b"<p>early</p><title>T</title><p>late</p>"
+    ) == ("T", "early\nlate")
+    # multiple titles join like any captured part
+    assert p.extract_fielded(b"<title>a</title><title>b</title>") == (
+        "a\nb",
+        "",
+    )
+    assert p.extract_fielded(b"<div>nothing captured</div>") == ("", "")
+
+
+def test_extract_fielded_token_multiset_identity():
+    """tokens(extract()) == tokens(title) ⊎ tokens(body) — the
+    invariant that lets the single-field index serve as the BM25F
+    whole-document idf source."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.stages.extract import _TextExtractor
+
+    p = _TextExtractor()
+    for html in [
+        b"<title>A b</title><h1>c</h1><p>d A</p>",
+        b"<p>x</p><title>y z</title><p>x</p>",
+        b"<h1>only body</h1>",
+        b"",
+    ]:
+        whole = sorted(tokenize(p.extract(html)))
+        title, body = p.extract_fielded(html)
+        assert whole == sorted(tokenize(title) + tokenize(body)), html
+
+
+def test_fielded_extractor_actor_schema(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from harvester_ray.stages.extract import FieldedHtmlExtractor
+
+    pages = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3"], pa.string()),
+            "text": pa.array([None, "pre extracted", None], pa.string()),
+            "html": pa.array(
+                [b"<title>T</title><p>b</p>", None, b""], pa.binary()
+            ),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(pages)
+        .map_batches(
+            FieldedHtmlExtractor, batch_format="pyarrow", concurrency=2
+        )
+        .to_pandas()
+        .set_index("url")
+    )
+    assert out.loc["u1", "title"] == "T" and out.loc["u1", "body"] == "b"
+    # pass-through rows: structure is gone -> title unknown
+    assert out.loc["u2", "title"] == "" and out.loc["u2", "body"] == "pre extracted"
+    assert out.loc["u3", "reject_reason"] == "empty_text"
