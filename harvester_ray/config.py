@@ -52,7 +52,14 @@ class IndexConfig:
     # "salted_groupby": hash groupby on (term_id, salt) with explicit
     #   doc_id-range salting of head terms.
     segment_strategy: str = "bucket"
-    num_term_buckets: int = 32
+    # 128 (was 32): encode tasks = buckets × chunks, and with buckets
+    # == CPUs the stage ran as ONE wave whose wall time was its most
+    # skewed bucket (salted head terms still concentrate postings).
+    # 4 waves per 32 CPUs let the scheduler balance skew: measured
+    # interleaved at sf0.1/2M docs the segments stage fell 38-42 s →
+    # 7.4 s (5×) and the whole build 64-82 s → 34 s. At cluster scale
+    # buckets should stay a few × total cores for the same reason.
+    num_term_buckets: int = 128
     # per-bucket doc_id-range fan-out for the bucket strategy: encode
     # tasks = buckets x chunks, so a hot term cannot pin one task's
     # memory/runtime; per-term runs from different chunks are disjoint
