@@ -283,3 +283,29 @@ def test_explain_absent_doc_and_oov(built_index):
     idx = InvertedIndex(built_index.root, preload=True)
     ex = idx.explain("zzzq", 0)
     assert ex["terms"] == [] and ex["total"] == 0.0
+
+
+def test_bucket_counts_produce_identical_indexes(tmp_path):
+    """num_term_buckets is a physical layout knob only: 8 vs 128
+    buckets must decode to identical postings, dfs and ranks (the
+    round-4 default change 32→128 relies on this invariance)."""
+    idx = {}
+    for nb in (8, 128):
+        docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+        p = build_index(
+            docs,
+            str(tmp_path / f"nb{nb}"),
+            IndexConfig(num_term_buckets=nb, block_size=32),
+        )
+        idx[nb] = InvertedIndex(p.root, preload=True)
+    i1, i2 = idx[8], idx[128]
+    assert set(i1.dictionary) == set(i2.dictionary)
+    for term in i1.dictionary:
+        a, b = i1.postings(term), i2.postings(term)
+        assert list(a.doc_ids) == list(b.doc_ids), term
+        assert list(a.tfs) == list(b.tfs), term
+        assert a.df == b.df, term
+    for query, mode in QUERIES:
+        assert i1.search(query, k=10, mode=mode) == i2.search(
+            query, k=10, mode=mode
+        )
