@@ -329,8 +329,16 @@ def pages_bm25f(sf_dir: str | None = None, n_pages: int = 500) -> pa.Table:
             ),
             batch_format="pyarrow",
         )
+        import dataclasses
+
+        # tiny-corpus build config: 128 buckets × 2 field builds is
+        # pure fixed file overhead at 500 docs (layout is proven
+        # rank-invariant; readers are stats-driven)
+        small_cfg = dataclasses.replace(
+            DEFAULT_INDEX_CONFIG, num_term_buckets=8
+        )
         field_paths = build_field_indexes_from(
-            valid, fdir, ("title", "body"), n_docs
+            valid, fdir, ("title", "body"), n_docs, small_cfg
         )
     fidx = FieldedIndex(
         InvertedIndex(main_paths.root, preload=True),
