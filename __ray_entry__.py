@@ -78,6 +78,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field_topk": fulltext.sort_by_field_topk,
         # boolean query-language surface (+must -not "phrase" bare)
         "query_language": fulltext.query_language,
+        # function-query boost (Solr boost=recip), integer-exact
+        "bm25_boosted_topk": fulltext.bm25_boosted_topk,
+        # stats component (Solr stats.field) over the full match set
+        "search_field_stats": fulltext.search_field_stats,
+        # result grouping (Solr group=source, group.limit=2)
+        "grouped_search_topk": fulltext.grouped_search_topk,
+        # query elevation (Solr elevateIds): editorial pins + scored rest
+        "elevated_topk": fulltext.elevated_topk,
         # hybrid-search rank fusion (RRF of BM25 + TF-IDF, integer-exact)
         "hybrid_rrf": fulltext.hybrid_rrf,
         # pseudo-relevance-feedback dense re-rank (Rocchio centroid)
@@ -215,6 +223,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_filtered": oracles.BM25_TOPK_FILTERED,
         "sort_by_field_topk": oracles.SORT_BY_FIELD_TOPK,
         "query_language": oracles.QUERY_LANGUAGE,
+        "bm25_boosted_topk": oracles.BM25_BOOSTED_TOPK,
+        "search_field_stats": oracles.SEARCH_FIELD_STATS,
+        "grouped_search_topk": oracles.GROUPED_SEARCH_TOPK,
+        "elevated_topk": oracles.ELEVATED_TOPK,
         "hybrid_rrf": oracles.HYBRID_RRF,
         "prf_rerank": oracles.PRF_RERANK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,

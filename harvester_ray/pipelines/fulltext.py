@@ -2129,3 +2129,308 @@ def phrase_match_sharded(sf_dir: str) -> pa.Table:
             "n_occurrences": pa.array(np.concatenate(counts), pa.int64()),
         }
     )
+
+
+# --- Solr function-query boost / stats / grouping / elevation --------
+# The reference delegates ranking features to its Solr tier
+# (reference: solr_updater.py:688-745 pushes the documents Solr
+# searches over; scripts/report_harvested_to_solr.py:55-67 shows the
+# query surface); these four entries re-express the remaining Solr
+# request handlers (boost=, stats=, group=, elevateIds=) Ray-Data-first
+# over the engine's own index, each with an exact-integer SQL oracle.
+
+# boost = recip(n_chars, 1, A, B) = A / (n_chars + B) — Solr's
+# canonical recency/brevity function query, fixed-pointed with PURE
+# INTEGER floor division (A*FP4 // (n+B)) so Ray and DuckDB agree
+# bit-exactly with no libm dependence.
+BOOST_RECIP_A = 1000
+BOOST_RECIP_B = 1000
+_FP4 = 10_000
+
+
+def bm25_boosted_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Multiplicative function-query boost (Solr `boost=recip(...)`):
+    final rank key = score_fp * (A*FP4 // (n_chars + B)) over the FULL
+    OR match set — brevity-boosted BM25. The boost factor joins in via
+    the same doc_id hash shuffle as bm25_topk_filtered (no doc-table
+    broadcast); both factors are int64 so the product is exact
+    (score_fp <~ 1e10, boost_fp <= 1e4 -> < 1e14 << 2^63).
+    Output (query_id, rank, doc_id, boosted_fp)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from harvester_ray.config import shuffle_partitions
+
+    scored = _scored_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    joined = scored.join(
+        docs, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+
+    def boost(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = t["score_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bfp = np.floor_divide(BOOST_RECIP_A * _FP4, n + BOOST_RECIP_B)
+        return pa.table(
+            {
+                "query_id": t["query_id"].cast(pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "boosted_fp": pa.array(sc * bfp, pa.int64()),
+            }
+        )
+
+    _SORT = [("boosted_fp", "descending"), ("doc_id", "ascending")]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # per-block pre-prune: keep each query's first TOP_K rows so
+        # the grouped finalize shuffles O(queries * K) rows, not the
+        # full match set
+        import numpy as _np
+
+        t = t.sort_by([("query_id", "ascending")] + _SORT)
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return t
+        change = _np.r_[True, q[1:] != q[:-1]]
+        starts = _np.flatnonzero(change)
+        seg = _np.cumsum(change) - 1
+        pos = _np.arange(len(q)) - starts[seg]
+        return t.filter(pa.array(pos < TOP_K))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:TOP_K]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "boosted_fp": g["boosted_fp"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(boost, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def search_field_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Solr stats component (`stats=true&stats.field=n_chars`): per OR
+    query, exact BIGINT stats of n_chars over the FULL match set —
+    (query_id, n_matches, min_chars, max_chars, sum_chars). One doc_id
+    hash join of the (already distinct) scored match set against the
+    documents metadata, then a tiny per-query aggregate; integer sums
+    are exact so the oracle hash-matches."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from harvester_ray.config import shuffle_partitions
+
+    scored = _scored_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    joined = scored.join(
+        docs, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+    agg = joined.groupby("query_id").aggregate(
+        Count(alias_name="n_matches"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+        Sum("n_chars", alias_name="sum_chars"),
+    )
+    return agg.map_batches(  # typed re-emit after the aggregate
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"].cast(pa.int64()),
+                "n_matches": t["n_matches"].cast(pa.int64()),
+                "min_chars": t["min_chars"].cast(pa.int64()),
+                "max_chars": t["max_chars"].cast(pa.int64()),
+                "sum_chars": t["sum_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+GROUPS_K = 4       # top source groups returned per query
+GROUP_LIMIT = 2    # docs returned per group (Solr group.limit)
+
+
+def grouped_search_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Solr result grouping (`group=true&group.field=source&
+    group.limit=2`): per OR query, the top-GROUP_LIMIT docs of each
+    source group over the FULL match set, for the top-GROUPS_K groups
+    ranked by their best doc (score desc, doc_id asc — same group
+    ordering rule as collapse_topk, which returns only group heads).
+    Output (query_id, grp_rank, source, doc_rank, doc_id)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from harvester_ray.config import shuffle_partitions
+
+    scored = _scored_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    joined = scored.join(
+        docs, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+    _SORT = [("score_fp", "descending"), ("doc_id", "ascending")]
+
+    def group_top(g: pa.Table) -> pa.Table:
+        # per (query, source): keep GROUP_LIMIT best docs, tag each
+        # with its in-group rank and the group's head key for the
+        # final per-query group ranking
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:GROUP_LIMIT]
+        g = g.take(idx)
+        n = len(g)
+        head_fp = g["score_fp"][0].as_py() if n else 0
+        head_doc = g["doc_id"][0].as_py() if n else 0
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "source": g["source"].cast(pa.string()),
+                "doc_rank": pa.array(
+                    np.arange(1, n + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "head_fp": pa.array(np.full(n, head_fp, np.int64)),
+                "head_doc": pa.array(np.full(n, head_doc, np.int64)),
+            }
+        )
+
+    def rank_groups(g: pa.Table) -> pa.Table:
+        # order this query's group-rows by their head key, number the
+        # distinct groups, keep the first GROUPS_K groups
+        import numpy as _np
+
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("head_fp", "descending"),
+                ("head_doc", "ascending"),
+                ("doc_rank", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        hd = g["head_doc"].to_numpy(zero_copy_only=False)
+        change = _np.r_[True, hd[1:] != hd[:-1]] if len(hd) else hd
+        grp = _np.cumsum(change)  # 1-based group rank
+        keep = grp <= GROUPS_K
+        g = g.filter(pa.array(keep))
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "grp_rank": pa.array(grp[keep], pa.int64()),
+                "source": g["source"].cast(pa.string()),
+                "doc_rank": g["doc_rank"].cast(pa.int64()),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.groupby(["query_id", "source"])
+        .map_groups(group_top, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(rank_groups, batch_format="pyarrow")
+    )
+
+
+# query_id -> pinned doc_ids, in elevation order (Solr elevate.xml /
+# elevateIds=): elevated docs take ranks 1..E regardless of match or
+# score; the scored ranking fills the remaining TOP_K - E slots.
+ELEVATE_SET: dict[int, list[int]] = {
+    0: [5, 2],
+    1: [10],
+    3: [1, 7, 3],
+    7: [0],
+}
+
+
+def elevated_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Query elevation (Solr QueryElevationComponent): per OR query,
+    the ELEVATE_SET doc_ids pinned at ranks 1..E in their given order,
+    then the BM25 full-match-set ranking (elevated ids excluded) from
+    rank E+1 down to TOP_K. The pin table is a driver constant (a few
+    rows — the editorial list is tiny by construction); the scored
+    remainder reuses _scored_match_set with a vectorized anti-filter.
+    Output (query_id, rank, doc_id)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    scored = _scored_match_set(sf_dir)
+    pinned = {
+        (qid, did) for qid, dids in ELEVATE_SET.items() for did in dids
+    }
+    pin_keys = np.asarray(
+        sorted((q << 40) | d for q, d in pinned), dtype=np.int64
+    )
+    offset = {qid: len(dids) for qid, dids in ELEVATE_SET.items()}
+
+    def drop_pinned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or len(pin_keys) == 0:
+            return t
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = (q << 40) | d
+        pos = np.searchsorted(pin_keys, keys)
+        pos = np.minimum(pos, len(pin_keys) - 1)
+        return t.filter(pa.array(pin_keys[pos] != keys))
+
+    _SORT = [("score_fp", "descending"), ("doc_id", "ascending")]
+
+    def finalize(g: pa.Table) -> pa.Table:
+        qid = int(g["query_id"][0].as_py())
+        off = offset.get(qid, 0)
+        idx = pc.sort_indices(g, sort_keys=_SORT)[: max(TOP_K - off, 0)]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(off + 1, off + len(g) + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    rest = (
+        scored.map_batches(drop_pinned, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+    elev_rows = pa.table(
+        {
+            "query_id": pa.array(
+                [q for q, dids in sorted(ELEVATE_SET.items()) for _ in dids],
+                pa.int64(),
+            ),
+            "rank": pa.array(
+                [
+                    r
+                    for _, dids in sorted(ELEVATE_SET.items())
+                    for r in range(1, len(dids) + 1)
+                ],
+                pa.int64(),
+            ),
+            "doc_id": pa.array(
+                [d for _, dids in sorted(ELEVATE_SET.items()) for d in dids],
+                pa.int64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(elev_rows).union(rest)

@@ -1930,3 +1930,150 @@ GROUP BY doc_id
 
 
 PORTER_DOC_STATS = _porter_doc_stats_sql()
+
+
+# the shared fixed-point scored-match-set CTE body (sc) — identical
+# text in every full-match-set oracle so the scoring rule cannot drift
+_SC_CTE = f"""sc AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {{fp8}} + 0.5)
+             AS BIGINT)) AS score_fp
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+)"""
+
+
+def _boosted_sql() -> str:
+    """Function-query boost: rank key = score_fp * (A*FP4 integer-div
+    (n_chars + B)) — both factors BIGINT, so the product is exact on
+    both engines (no float multiply anywhere)."""
+    from harvester_ray.pipelines.fulltext import (
+        BOOST_RECIP_A,
+        BOOST_RECIP_B,
+        TOP_K,
+        _FP4,
+        _FP8,
+    )
+
+    values = _or_query_values()
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+{_SC_CTE.format(fp8=_FP8)},
+b AS (
+  SELECT sc.query_id, sc.doc_id,
+         CAST(sc.score_fp AS BIGINT)
+           * ({BOOST_RECIP_A * _FP4} // (d2.n_chars + {BOOST_RECIP_B}))
+           AS boosted_fp
+  FROM sc JOIN documents d2 USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, boosted_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY boosted_fp DESC, doc_id ASC) AS rank
+  FROM b
+)
+SELECT query_id, rank, doc_id, CAST(boosted_fp AS BIGINT) AS boosted_fp
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+BM25_BOOSTED_TOPK = _boosted_sql()
+
+
+def _field_stats_sql() -> str:
+    """Stats component: exact BIGINT n_chars stats over each OR
+    query's full match set (DISTINCT doc matches, same set as sc)."""
+    values = _or_query_values()
+    return f"""
+WITH toks AS ({_TOKS}),
+q(query_id, term) AS (VALUES {values}),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM q JOIN toks t USING (term))
+SELECT m.query_id,
+       count(*) AS n_matches,
+       min(d.n_chars) AS min_chars,
+       max(d.n_chars) AS max_chars,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY m.query_id
+"""
+
+
+SEARCH_FIELD_STATS = _field_stats_sql()
+
+
+def _grouped_search_sql() -> str:
+    """Result grouping: top-GROUP_LIMIT docs per source group, top
+    GROUPS_K groups per query ranked by their head doc (score desc,
+    doc_id asc — the collapse_topk group-ordering rule)."""
+    from harvester_ray.pipelines.fulltext import GROUP_LIMIT, GROUPS_K, _FP8
+
+    values = _or_query_values()
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+{_SC_CTE.format(fp8=_FP8)},
+j AS (SELECT sc.query_id, sc.doc_id, sc.score_fp, d2.source
+      FROM sc JOIN documents d2 USING (doc_id)),
+docranked AS (
+  SELECT query_id, source, doc_id, score_fp,
+         row_number() OVER (PARTITION BY query_id, source
+                            ORDER BY score_fp DESC, doc_id ASC) AS doc_rank
+  FROM j
+),
+granked AS (
+  SELECT query_id, source,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_fp DESC, doc_id ASC) AS grp_rank
+  FROM docranked WHERE doc_rank = 1
+)
+SELECT dr.query_id, g.grp_rank, dr.source, dr.doc_rank, dr.doc_id
+FROM docranked dr
+JOIN granked g ON g.query_id = dr.query_id AND g.source = dr.source
+WHERE g.grp_rank <= {GROUPS_K} AND dr.doc_rank <= {GROUP_LIMIT}
+"""
+
+
+GROUPED_SEARCH_TOPK = _grouped_search_sql()
+
+
+def _elevated_sql() -> str:
+    """Query elevation: pinned (query, rank, doc) rows first, then the
+    scored ranking (pinned ids anti-joined out) offset by each query's
+    pin count, cut at TOP_K total."""
+    from harvester_ray.pipelines.fulltext import ELEVATE_SET, TOP_K, _FP8
+
+    values = _or_query_values()
+    elev_rows = ", ".join(
+        f"({qid}, {r + 1}, {did})"
+        for qid, dids in sorted(ELEVATE_SET.items())
+        for r, did in enumerate(dids)
+    )
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+{_SC_CTE.format(fp8=_FP8)},
+elev(query_id, e_rank, doc_id) AS (VALUES {elev_rows}),
+ecount AS (SELECT query_id, count(*) AS c FROM elev GROUP BY query_id),
+rest AS (
+  SELECT sc.query_id, sc.doc_id,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score_fp DESC, sc.doc_id ASC) AS rn
+  FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM elev e
+                    WHERE e.query_id = sc.query_id
+                      AND e.doc_id = sc.doc_id)
+)
+SELECT query_id, e_rank AS rank, doc_id FROM elev
+UNION ALL
+SELECT r.query_id, r.rn + coalesce(ec.c, 0) AS rank, r.doc_id
+FROM rest r LEFT JOIN ecount ec USING (query_id)
+WHERE r.rn + coalesce(ec.c, 0) <= {TOP_K}
+"""
+
+
+ELEVATED_TOPK = _elevated_sql()
