@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_capped_sample": relational.source_capped_sample,
         "dedup_exact": relational.dedup_exact,
         "dedup_embedding": dedup.embedding_cosine_dups,
+        # block-nested-loop exact twin: no driver read, no broadcast
+        "dedup_embedding_blocked": dedup.embedding_cosine_dups_blocked,
         "ann_cosine_topk": relational.ann_cosine_topk,
         "ann_cosine_topk_batch": relational.ann_cosine_topk_batch,
         # exact similarity join (prefix-filtered, guaranteed recall)
@@ -271,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "source_capped_sample": oracles.SOURCE_CAPPED_SAMPLE,
         "dedup_exact": oracles.DEDUP_EXACT,
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
+        "dedup_embedding_blocked": oracles.DEDUP_EMBEDDING,
         "quality_score": oracles.QUALITY_SCORE,
         "lang_id": oracles.LANG_ID,
         "token_counts": oracles.TOKEN_COUNTS,

@@ -1362,6 +1362,148 @@ def embedding_cosine_dups(
     )
 
 
+EMB_BLOCKS = 8          # block grid side: B(B+1)/2 pair tasks
+_EMB_BLOCK_CACHE = 3    # blocks an actor keeps resident (LRU)
+
+
+def _emb_block_layout(sf_dir: str, n_blocks: int) -> str:
+    """Materialize (once, cached+resumable via run_stage) the hive
+    layout ``block=K/*.parquet`` of the embeddings table,
+    block = vec_id % n_blocks. A block is the unit one pair task
+    loads: at scale n_blocks is sized so N/B vectors x dim x 8 B fits
+    a worker heap, and the layout lives on shared storage so no task
+    ever sees more than two blocks."""
+    import hashlib as _hashlib
+
+    from harvester_ray.stages.similarity import CACHE_ROOT
+    from harvester_ray.state.lineage import dir_fingerprint, run_stage
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = _hashlib.md5(
+        f"{os.path.abspath(emb_path)}|{n_blocks}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"emb_blocks_{key}")
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("block", pa.array(v % n_blocks, pa.int64()))
+
+    def write(tmp: str) -> None:
+        (
+            ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(tag, batch_format="pyarrow")
+            .write_parquet(tmp, partition_cols=["block"])
+        )
+
+    run_stage(
+        "emb_block_layout",
+        out,
+        dir_fingerprint(emb_path),
+        write,
+        params=f"n_blocks={n_blocks}",
+    )
+    return out
+
+
+class _BlockPairScorer:
+    """Actor-pool stage: one input row = one (bi, bj) block pair.
+    Loads each block from the hive layout at most once per recent
+    window (_EMB_BLOCK_CACHE-deep LRU, so actor memory is bounded by a
+    few blocks, never the corpus), computes the exact cosine matrix
+    for the pair, and emits every pair >= tau in both orientations
+    (cross blocks carry a<b pairs in either matrix triangle). The
+    scalar association dot/(norm_a*norm_b) and the fixed-point-6
+    threshold are identical to embedding_cosine_dups, so the same
+    DuckDB oracle gates both."""
+
+    def __init__(self, layout: str, tau_fp: int):
+        self.layout = layout
+        self.tau_fp = tau_fp
+        self._cache: dict[int, tuple] = {}
+
+    def _load(self, k: int):
+        got = self._cache.pop(k, None)
+        if got is None:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(self.layout, partitioning="hive").to_table(
+                filter=pads.field("block") == k,
+                columns=["vec_id", "embedding"],
+            )
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            A = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            n = np.sqrt((A * A).sum(axis=1))
+            n[n == 0] = 1.0
+            got = (ids, A, n)
+        self._cache[k] = got  # re-insert = most recently used
+        while len(self._cache) > _EMB_BLOCK_CACHE:
+            self._cache.pop(next(iter(self._cache)))
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for bi, bj in zip(t["bi"].to_pylist(), t["bj"].to_pylist()):
+            ia, Aa, na = self._load(int(bi))
+            ib, Ab, nb = self._load(int(bj))
+            if len(ia) == 0 or len(ib) == 0:
+                continue
+            S = _fixed6((Aa @ Ab.T) / (na[:, None] * nb[None, :]))
+            hit = S >= self.tau_fp
+            mask = hit & (ia[:, None] < ib[None, :])
+            ri, rj = np.nonzero(mask)
+            out_a.append(ia[ri]), out_b.append(ib[rj])
+            out_s.append(S[ri, rj])
+            if bi != bj:
+                # cross-block pairs whose smaller id sits on the j side
+                # — dot and norm products are argument-commutative
+                # bit-exactly, so no recompute is needed
+                mask = hit & (ib[None, :] < ia[:, None])
+                ri, rj = np.nonzero(mask)
+                out_a.append(ib[rj]), out_b.append(ia[ri])
+                out_s.append(S[ri, rj])
+        cat = lambda xs: (  # noqa: E731
+            np.concatenate(xs) if xs else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "vec_id_a": pa.array(cat(out_a), pa.int64()),
+                "vec_id_b": pa.array(cat(out_b), pa.int64()),
+                "sim_r6": pa.array(cat(out_s), pa.int64()),
+            }
+        )
+
+
+def embedding_cosine_dups_blocked(
+    sf_dir: str, tau: float = EMB_DUP_TAU, n_blocks: int = EMB_BLOCKS
+) -> "ray.data.Dataset":
+    """Exact cosine near-dup pairs, block-nested-loop form — the SCALE
+    twin of embedding_cosine_dups (whose driver read + full-matrix
+    broadcast caps out around 10^6 vectors). The corpus is hive-
+    partitioned into n_blocks id-hash blocks once (cached layout);
+    the B(B+1)/2 block pairs fan out as one Dataset row each, and
+    every task touches exactly two blocks. Same output schema and the
+    same DuckDB oracle as the baseline twin: (vec_id_a, vec_id_b,
+    sim_r6 >= tau fixed-point-6), a < b."""
+    layout = _emb_block_layout(sf_dir, n_blocks)
+    tau_fp = int(round(tau * 1_000_000))
+    items = [
+        {"bi": i, "bj": j}
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+    ]
+    pairs_ds = ray.data.from_items(items, override_num_blocks=len(items))
+    return (
+        pairs_ds.map_batches(
+            _BlockPairScorer,
+            fn_constructor_args=(layout, tau_fp),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=stage_concurrency(),
+        )
+        .sort(["vec_id_a", "vec_id_b"])
+    )
+
+
 class _EmbLshExploder:
     """Actor-pool stage: each embedding row explodes into
     EMB_LSH_TABLES (table_id, bucket) rows carrying the normalized

@@ -561,3 +561,20 @@ def test_dedup_keep_anti_join_equals_broadcast(ray_session):
     bcast = sorted(dedup.dedup_keep(sf).to_pandas()["doc_id"])
     joined = sorted(dedup.dedup_keep(sf, force_join=True).to_pandas()["doc_id"])
     assert joined == bcast and len(bcast) > 0
+
+
+def test_embedding_blocked_matches_baseline_twin(emb_corpus, ray_session):
+    """The block-nested-loop scale twin emits EXACTLY the baseline
+    twin's pairs and sims, at block counts that split ids unevenly and
+    force the per-actor block-LRU to evict (n_blocks > _EMB_BLOCK_CACHE)."""
+    sf_dir, _, _ = emb_corpus
+    tau = 0.9
+    base = dedup.embedding_cosine_dups(sf_dir, tau=tau).to_pandas()
+    want = sorted(zip(base.vec_id_a, base.vec_id_b, base.sim_r6))
+    for n_blocks in (1, 3, 7):
+        got = dedup.embedding_cosine_dups_blocked(
+            sf_dir, tau=tau, n_blocks=n_blocks
+        ).to_pandas()
+        assert sorted(zip(got.vec_id_a, got.vec_id_b, got.sim_r6)) == want, (
+            f"n_blocks={n_blocks}"
+        )
