@@ -39,7 +39,6 @@ import logging
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -244,19 +243,51 @@ def signature_bands_batch(batch: pa.Table, parts: int) -> pa.Table:
     )
 
 
-_EMPTY_PAIRS = pd.DataFrame(
+_EMPTY_PAIRS_T = pa.table(
     {
-        "doc_a": pd.Series([], dtype=np.int64),
-        "doc_b": pd.Series([], dtype=np.int64),
-        "est_jaccard": pd.Series([], dtype=np.float64),
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
     }
 )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _fixed_binary_matrix(col, dtype) -> np.ndarray:
+    """(n, k) matrix from a fixed-width binary column (width inferred
+    from the first row) — one contiguous zero-copy buffer view when
+    offsets are uniform (always true by construction; the scalar
+    fallback covers sliced/odd layouts)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ]
+    widths = np.diff(offs)
+    w = int(widths[0])
+    k = w // np.dtype(dtype).itemsize
+    if arr.null_count == 0 and np.all(widths == w):
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        return data[offs[0] : offs[0] + n * w].view(dtype).reshape(n, k)
+    return np.stack(
+        [np.frombuffer(arr[i].as_py(), dtype=dtype) for i in range(n)]
+    )
+
+
+def _sigs_matrix(col) -> np.ndarray:
+    """(n, NUM_PERMS) uint64 view of the `signature` column."""
+    if len(col) == 0:
+        return np.empty((0, NUM_PERMS), np.uint64)
+    return _fixed_binary_matrix(col, np.uint64)
+
+
+def _bucket_pairs(ids: np.ndarray, sigs: np.ndarray) -> "pa.Table":
     """Candidate pairs within one LSH bucket — MEMBER level.
 
-    Every retained doc pairs with every other (est = fraction of equal
+    Takes the bucket's (doc_id, signature-matrix) arrays; every
+    retained doc pairs with every other (est = fraction of equal
     signature positions; 1.0 for identical signatures), so downstream
     exact verification sees the complete candidate set. Round-2 bug:
     identical-signature docs collapsed to a representative and only
@@ -271,13 +302,15 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     cluster cover survives, with a logged drop count. The signature
     agreement matrix is computed once per DISTINCT signature pair, not
     per doc pair."""
-    if len(g) < 2:
-        return _EMPTY_PAIRS
-    g = g.sort_values("doc_id", kind="stable").drop_duplicates("doc_id")
-    if len(g) < 2:
-        return _EMPTY_PAIRS
-    ids = g["doc_id"].to_numpy(np.int64)
-    sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["signature"]])
+    if len(ids) < 2:
+        return _EMPTY_PAIRS_T
+    order = np.argsort(ids, kind="stable")
+    ids, sigs = ids[order], sigs[order]
+    first = np.r_[True, ids[1:] != ids[:-1]]  # dedup doc ids, keep first
+    if not first.all():
+        ids, sigs = ids[first], sigs[first]
+    if len(ids) < 2:
+        return _EMPTY_PAIRS_T
     _uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
@@ -338,36 +371,47 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_b.append(ids[b_idx])
         out_e.append(np.round(agree[kinv[a_idx], kinv[b_idx]], 6))
     if not out_a:
-        return _EMPTY_PAIRS
-    return pd.DataFrame(
+        return _EMPTY_PAIRS_T
+    return pa.table(
         {
-            "doc_a": np.concatenate(out_a),
-            "doc_b": np.concatenate(out_b),
-            "est_jaccard": np.concatenate(out_e),
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "est_jaccard": pa.array(np.concatenate(out_e), pa.float64()),
         }
     )
 
 
-def _bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-    """One hash partition of the band table: numpy boundary scan
-    segments it into (band_id, band_hash) buckets; only multi-doc
-    buckets pay a _bucket_pairs call."""
-    g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
-    bi = g["band_id"].to_numpy()
-    bh = g["band_hash"].to_numpy()
-    if len(g) == 0:
-        return _EMPTY_PAIRS.copy()
+def _bucket_pairs_part(g: pa.Table) -> pa.Table:
+    """One hash partition of the band table, Arrow-native: numpy
+    boundary scan segments it into (band_id, band_hash) buckets; only
+    multi-doc buckets pay a _bucket_pairs call. The signature matrix
+    is one zero-copy buffer view for the whole partition — no pandas
+    object boxing of the binary column."""
+    if g.num_rows == 0:
+        return _EMPTY_PAIRS_T
+    g = g.sort_by(
+        [
+            ("band_id", "ascending"),
+            ("band_hash", "ascending"),
+            ("doc_id", "ascending"),
+        ]
+    )
+    bi = g["band_id"].to_numpy(zero_copy_only=False)
+    bh = g["band_hash"].to_numpy(zero_copy_only=False)
+    ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sigs = _sigs_matrix(g["signature"])
     change = np.r_[True, (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])]
     starts = np.flatnonzero(change)
-    ends = np.r_[starts[1:], len(g)]
+    ends = np.r_[starts[1:], len(bi)]
     frames = [
-        _bucket_pairs(g.iloc[s:e])
+        _bucket_pairs(ids[s:e], sigs[s:e])
         for s, e in zip(starts, ends)
         if e - s >= 2
     ]
+    frames = [f for f in frames if f.num_rows]
     if not frames:
-        return _EMPTY_PAIRS.copy()
-    return pd.concat(frames, ignore_index=True)
+        return _EMPTY_PAIRS_T
+    return pa.concat_tables(frames)
 
 
 def minhash_near_dup(
@@ -389,7 +433,7 @@ def minhash_near_dup(
     # vectorized segment scan per partition instead of one pandas
     # group per (band_id, band_hash) bucket (round-3 overhead fix)
     pairs = bands.groupby("_part").map_groups(
-        _bucket_pairs_part, batch_format="pandas"
+        _bucket_pairs_part, batch_format="pyarrow"
     )
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.greater_equal(t["est_jaccard"], threshold)),
@@ -494,18 +538,22 @@ def simhash_near_dup(
             }
         )
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable").drop_duplicates("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype=np.int64),
-                    "doc_b": pd.Series([], dtype=np.int64),
-                    "hamming": pd.Series([], dtype=np.int64),
-                }
-            )
-        ids = g["doc_id"].to_numpy(np.int64)
-        h = g["simhash"].to_numpy(np.int64).view(np.uint64)
+    _EMPTY_HAM = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket(ids: np.ndarray, h: np.ndarray) -> pa.Table:
+        order = np.argsort(ids, kind="stable")
+        ids, h = ids[order], h[order]
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        if not first.all():
+            ids, h = ids[first], h[first]
+        if len(ids) < 2:
+            return _EMPTY_HAM
         if len(ids) > MAX_BUCKET_REPS:
             logger.warning(
                 "simhash bucket of %d capped at %d", len(ids), MAX_BUCKET_REPS
@@ -518,36 +566,48 @@ def simhash_near_dup(
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": ids[a_idx[keep]],
-                "doc_b": ids[b_idx[keep]],
-                "hamming": ham[keep],
+                "doc_a": pa.array(ids[a_idx[keep]], pa.int64()),
+                "doc_b": pa.array(ids[b_idx[keep]], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
             }
         )
 
-    def bucket_part(g: pd.DataFrame) -> pd.DataFrame:
-        """One hash partition: segment into (band_id, band_bits)
-        buckets by boundary scan, pairwise-verify multi-doc buckets."""
-        g = g.sort_values(["band_id", "band_bits", "doc_id"], kind="stable")
-        bi = g["band_id"].to_numpy()
-        bb = g["band_bits"].to_numpy()
-        if len(g) == 0:
-            return bucket(g)
+    def bucket_part(g: pa.Table) -> pa.Table:
+        """One hash partition, Arrow-native: segment into (band_id,
+        band_bits) buckets by boundary scan, pairwise-verify multi-doc
+        buckets."""
+        if g.num_rows == 0:
+            return _EMPTY_HAM
+        g = g.sort_by(
+            [
+                ("band_id", "ascending"),
+                ("band_bits", "ascending"),
+                ("doc_id", "ascending"),
+            ]
+        )
+        bi = g["band_id"].to_numpy(zero_copy_only=False)
+        bb = g["band_bits"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         change = np.r_[True, (bi[1:] != bi[:-1]) | (bb[1:] != bb[:-1])]
         starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], len(g)]
+        ends = np.r_[starts[1:], len(bi)]
         frames = [
-            bucket(g.iloc[s:e]) for s, e in zip(starts, ends) if e - s >= 2
+            bucket(ids[s:e], h[s:e])
+            for s, e in zip(starts, ends)
+            if e - s >= 2
         ]
+        frames = [f for f in frames if f.num_rows]
         if not frames:
-            return bucket(g.iloc[:0])
-        return pd.concat(frames, ignore_index=True)
+            return _EMPTY_HAM
+        return pa.concat_tables(frames)
 
     pairs = (
         fps.map_batches(explode, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(bucket_part, batch_format="pandas")
+        .map_groups(bucket_part, batch_format="pyarrow")
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         ray.data.aggregate.Min("hamming", alias_name="hamming")
@@ -685,72 +745,82 @@ def _exact_verify(
     edges = cands.map_batches(pair_edges, batch_format="pyarrow")
     blobs = sh_tbl.map_batches(blob_rows, batch_format="pyarrow")
 
-    def attach_part(g: pd.DataFrame) -> pd.DataFrame:
-        """One partition's edges + blobs: a single vectorized merge
-        replaces thousands of per-doc groups. Candidate pairs may
-        arrive duplicated (a pair can be found via several shared
-        prefix shingles / LSH bands); both edge rows of a pair land in
-        deterministic partitions, so the local drop_duplicates is a
-        complete dedup — no extra all-to-all needed."""
-        b = g.loc[g["side"] == -1, ["doc_id", "shingles"]]
-        e = g.loc[
-            g["side"] >= 0, ["doc_id", "doc_a", "doc_b", "side"]
-        ].drop_duplicates()
-        m = e.merge(b, on="doc_id", how="inner")
-        doc_a = m["doc_a"].to_numpy(np.int64)
-        doc_b = m["doc_b"].to_numpy(np.int64)
-        return pd.DataFrame(
+    def attach_part(g: pa.Table) -> pa.Table:
+        """One partition's edges + blobs, Arrow-native: a single
+        vectorized join replaces thousands of per-doc groups.
+        Candidate pairs may arrive duplicated (a pair can be found via
+        several shared prefix shingles / LSH bands); both edge rows of
+        a pair land in deterministic partitions, so the local distinct
+        is a complete dedup — no extra all-to-all needed."""
+        side = g["side"]
+        blobs_t = g.filter(pc.equal(side, -1)).select(["doc_id", "shingles"])
+        edges_t = (
+            g.filter(pc.greater_equal(side, 0))
+            .select(["doc_id", "doc_a", "doc_b", "side"])
+            .group_by(["doc_id", "doc_a", "doc_b", "side"])
+            .aggregate([])
+        )
+        m = edges_t.join(blobs_t, keys="doc_id", join_type="inner")
+        doc_a = m["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_b = m["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "doc_a": doc_a,
-                "doc_b": doc_b,
-                "side": m["side"].to_numpy(np.int8),
-                "shingles": m["shingles"].to_numpy(object),
-                "_vpart": _pair_part(doc_a, doc_b, parts),
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
+                "side": m["side"].cast(pa.int8()),
+                "shingles": m["shingles"],
+                "_vpart": pa.array(
+                    _pair_part(doc_a, doc_b, parts), pa.int64()
+                ),
             }
         )
 
     sided = (
         edges.union(blobs)
         .groupby("_apart")
-        .map_groups(attach_part, batch_format="pandas")
+        .map_groups(attach_part, batch_format="pyarrow")
     )
 
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        """One partition's sided rows: merge side-0 with side-1 on the
-        pair key, then exact set intersection per surviving pair."""
+    def verify_part(g: pa.Table) -> pa.Table:
+        """One partition's sided rows, Arrow-native: join side-0 with
+        side-1 on the pair key, then exact set intersection per
+        surviving pair."""
         cols = ["doc_a", "doc_b", "shingles"]
-        m = g.loc[g["side"] == 0, cols].merge(
-            g.loc[g["side"] == 1, cols],
-            on=["doc_a", "doc_b"],
-            suffixes=("_a", "_b"),
-        )
+        s0 = g.filter(pc.equal(g["side"], 0)).select(cols)
+        s1 = g.filter(pc.equal(g["side"], 1)).select(cols)
+        s1 = s1.rename_columns(["doc_a", "doc_b", "shingles_b"])
+        m = s0.join(s1, keys=["doc_a", "doc_b"], join_type="inner")
+        da = m["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = m["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa_col = m["shingles"].combine_chunks()
+        sb_col = m["shingles_b"].combine_chunks()
         out_a, out_b, out_j = [], [], []
-        for a, b, ba, bb in zip(
-            m["doc_a"], m["doc_b"], m["shingles_a"], m["shingles_b"]
-        ):
-            sa = np.frombuffer(ba, dtype=np.uint64)
-            sb = np.frombuffer(bb, dtype=np.uint64)
+        for i in range(m.num_rows):
+            sa = np.frombuffer(sa_col[i].as_py(), dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i].as_py(), dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac = (inter / union) if union else 1.0
             if jac < threshold:
                 continue
-            out_a.append(a)
-            out_b.append(b)
+            out_a.append(da[i])
+            out_b.append(db[i])
             # half-up fixed-point quantization, identical IEEE ops
             # to the oracle's floor(j*1e6 + 0.5)/1e6 (Python round
             # is half-even: 65/128 rounds differently at 1e-6)
             out_j.append(np.floor(jac * 1e6 + 0.5) / 1e6)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.array(out_a, np.int64),
-                "doc_b": np.array(out_b, np.int64),
-                "jaccard": np.array(out_j, np.float64),
+                "doc_a": pa.array(np.asarray(out_a, np.int64), pa.int64()),
+                "doc_b": pa.array(np.asarray(out_b, np.int64), pa.int64()),
+                "jaccard": pa.array(
+                    np.asarray(out_j, np.float64), pa.float64()
+                ),
             }
         )
 
     return sided.groupby("_vpart").map_groups(
-        verify_part, batch_format="pandas"
+        verify_part, batch_format="pyarrow"
     )
 
 
@@ -823,14 +893,24 @@ def _prefix_candidates(
         prefixes, batch_format="pyarrow", batch_size=1024
     )
 
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        """One hash partition of the prefix table: segment by shingle
-        (numpy boundary scan on the sorted slice), expand pairs only
-        for multi-doc shingles — no per-shingle pandas groups."""
-        g = g.sort_values(["sh", "doc_id"], kind="stable")
-        sh = g["sh"].to_numpy(np.int64)
-        ids = g["doc_id"].to_numpy(np.int64)
-        sz = g["ssize"].to_numpy(np.int64)
+    _EMPTY_CAND = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_part(g: pa.Table) -> pa.Table:
+        """One hash partition of the prefix table, Arrow-native:
+        segment by shingle (numpy boundary scan on the sorted slice),
+        expand pairs only for multi-doc shingles — no per-shingle
+        groups, no pandas round-trip."""
+        if g.num_rows == 0:
+            return _EMPTY_CAND
+        g = g.sort_by([("sh", "ascending"), ("doc_id", "ascending")])
+        sh = g["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = g["ssize"].to_numpy(zero_copy_only=False).astype(np.int64)
         starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
         ends = np.r_[starts[1:], len(sh)]
         multi = np.flatnonzero(ends - starts >= 2)
@@ -851,16 +931,11 @@ def _prefix_candidates(
                 out_a.append(ids[s + a[k]])
                 out_b.append(ids[s + b[k]])
         if not out_a:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype=np.int64),
-                    "doc_b": pd.Series([], dtype=np.int64),
-                }
-            )
-        return pd.DataFrame(
+            return _EMPTY_CAND
+        return pa.table(
             {
-                "doc_a": np.concatenate(out_a),
-                "doc_b": np.concatenate(out_b),
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
             }
         )
 
@@ -868,7 +943,7 @@ def _prefix_candidates(
     # here — _exact_verify dedups partition-locally (attach_part),
     # saving an all-to-all Aggregate on the candidate table
     return pref.groupby("_part").map_groups(
-        pairs_part, batch_format="pandas"
+        pairs_part, batch_format="pyarrow"
     )
 
 
@@ -1551,39 +1626,42 @@ class _EmbLshExploder:
         )
 
 
+_EMPTY_SIM = pa.table(
+    {
+        "vec_id_a": pa.array([], pa.int64()),
+        "vec_id_b": pa.array([], pa.int64()),
+        "sim_r6": pa.array([], pa.int64()),
+    }
+)
+
+
 def _emb_bucket_pairs(tau: float):
     tau_fp = int(round(tau * 1_000_000))
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "vec_id_a": pd.Series([], dtype=np.int64),
-                "vec_id_b": pd.Series([], dtype=np.int64),
-                "sim_r6": pd.Series([], dtype=np.int64),
-            }
-        )
-        g = g.sort_values("vec_id", kind="stable").drop_duplicates("vec_id")
-        if len(g) < 2:
-            return empty
-        ids = g["vec_id"].to_numpy(np.int64)
+    def f(ids: np.ndarray, V: np.ndarray) -> pa.Table:
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        if not first.all():
+            ids, V = ids[first], V[first]
+        if len(ids) < 2:
+            return _EMPTY_SIM
         if len(ids) > MAX_BUCKET_REPS:
             logger.warning(
                 "embedding LSH bucket of %d capped at %d",
                 len(ids), MAX_BUCKET_REPS,
             )
-            ids = ids[:MAX_BUCKET_REPS]
-            g = g.iloc[:MAX_BUCKET_REPS]
-        V = np.stack([np.frombuffer(b, dtype=np.float64) for b in g["vec"]])
+            ids, V = ids[:MAX_BUCKET_REPS], V[:MAX_BUCKET_REPS]
         S = _fixed6(V @ V.T)
         ai, bi = np.triu_indices(len(ids), k=1)
         keep = S[ai, bi] >= tau_fp
         if not keep.any():
-            return empty
-        return pd.DataFrame(
+            return _EMPTY_SIM
+        return pa.table(
             {
-                "vec_id_a": ids[ai[keep]],
-                "vec_id_b": ids[bi[keep]],
-                "sim_r6": S[ai[keep], bi[keep]],
+                "vec_id_a": pa.array(ids[ai[keep]], pa.int64()),
+                "vec_id_b": pa.array(ids[bi[keep]], pa.int64()),
+                "sim_r6": pa.array(S[ai[keep], bi[keep]], pa.int64()),
             }
         )
 
@@ -1616,24 +1694,35 @@ def embedding_lsh_dups(
     )
     inner = _emb_bucket_pairs(tau)
 
-    def bucket_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["table_id", "bucket", "vec_id"], kind="stable")
-        ti = g["table_id"].to_numpy()
-        bk = g["bucket"].to_numpy()
-        if len(g) == 0:
-            return inner(g)
+    def bucket_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY_SIM
+        g = g.sort_by(
+            [
+                ("table_id", "ascending"),
+                ("bucket", "ascending"),
+                ("vec_id", "ascending"),
+            ]
+        )
+        ti = g["table_id"].to_numpy(zero_copy_only=False)
+        bk = g["bucket"].to_numpy(zero_copy_only=False)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _fixed_binary_matrix(g["vec"], np.float64)
         change = np.r_[True, (ti[1:] != ti[:-1]) | (bk[1:] != bk[:-1])]
         starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], len(g)]
+        ends = np.r_[starts[1:], len(ti)]
         frames = [
-            inner(g.iloc[s:e]) for s, e in zip(starts, ends) if e - s >= 2
+            inner(ids[s:e], V[s:e])
+            for s, e in zip(starts, ends)
+            if e - s >= 2
         ]
+        frames = [f for f in frames if f.num_rows]
         if not frames:
-            return inner(g.iloc[:0])
-        return pd.concat(frames, ignore_index=True)
+            return _EMPTY_SIM
+        return pa.concat_tables(frames)
 
     pairs = rows.groupby("_part").map_groups(
-        bucket_part, batch_format="pandas"
+        bucket_part, batch_format="pyarrow"
     )
     return pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(
         ray.data.aggregate.Max("sim_r6", alias_name="sim_r6")

@@ -102,18 +102,13 @@ def test_bucket_pairs_member_level_complete_below_cap():
     level: identical-signature clusters yield ALL their pairs (the
     round-2 rep-collapse silently dropped member-cross pairs), and
     overflow docs chain to their signature group (cluster cover)."""
-    import pandas as pd
-
-    sig1 = np.arange(dedup.NUM_PERMS, dtype=np.uint64).tobytes()
-    sig2 = (np.arange(dedup.NUM_PERMS, dtype=np.uint64) + 7).tobytes()
+    sig1 = np.arange(dedup.NUM_PERMS, dtype=np.uint64)
+    sig2 = np.arange(dedup.NUM_PERMS, dtype=np.uint64) + 7
     # two identical-sig clusters {0,1,2} and {10,11} in one bucket
-    g = pd.DataFrame(
-        {
-            "doc_id": np.array([0, 1, 2, 10, 11], np.int64),
-            "signature": [sig1, sig1, sig1, sig2, sig2],
-        }
-    )
-    out = _bucket_pairs(g)
+    out = _bucket_pairs(
+        np.array([0, 1, 2, 10, 11], np.int64),
+        np.stack([sig1, sig1, sig1, sig2, sig2]),
+    ).to_pandas()
     pairs = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
     # all 10 member-level pairs, including (1,2) within a cluster and
     # (1,10)/(2,11) across clusters — the pairs round 2 lost
@@ -130,18 +125,12 @@ def test_bucket_pairs_identical_signatures_capped_with_cover():
     """10^3 identical docs: pairwise expansion caps at
     MAX_BUCKET_REPS docs; the overflow chains to the cluster (est
     1.0) so every doc still appears in at least one pair."""
-    import pandas as pd
-
-    sig = np.arange(dedup.NUM_PERMS, dtype=np.uint64).tobytes()
+    sig = np.arange(dedup.NUM_PERMS, dtype=np.uint64)
     n = 1000
     cap = dedup.MAX_BUCKET_REPS
-    g = pd.DataFrame(
-        {
-            "doc_id": np.arange(n, dtype=np.int64),
-            "signature": [sig] * n,
-        }
-    )
-    out = _bucket_pairs(g)
+    out = _bucket_pairs(
+        np.arange(n, dtype=np.int64), np.tile(sig, (n, 1))
+    ).to_pandas()
     assert len(out) == cap * (cap - 1) // 2 + (n - cap)
     assert (out["est_jaccard"] == 1.0).all()
     covered = set(out["doc_a"]) | set(out["doc_b"])
@@ -151,22 +140,12 @@ def test_bucket_pairs_identical_signatures_capped_with_cover():
 def test_bucket_pairs_cap_logged(monkeypatch, caplog):
     import logging
 
-    import pandas as pd
-
     monkeypatch.setattr(dedup, "MAX_BUCKET_REPS", 10)
     rng = np.random.default_rng(7)
     n = 25
-    g = pd.DataFrame(
-        {
-            "doc_id": np.arange(n, dtype=np.int64),
-            "signature": [
-                rng.integers(0, 2**63, dedup.NUM_PERMS, dtype=np.uint64).tobytes()
-                for _ in range(n)
-            ],
-        }
-    )
+    sigs = rng.integers(0, 2**63, (n, dedup.NUM_PERMS), dtype=np.uint64)
     with caplog.at_level(logging.WARNING, logger="harvester_ray.stages.dedup"):
-        out = _bucket_pairs(g)
+        out = _bucket_pairs(np.arange(n, dtype=np.int64), sigs).to_pandas()
     # capped pairwise + one chained edge per overflow doc (ADVICE r3:
     # overflow docs without a retained signature-group representative
     # chain to the bucket's first kept doc instead of being dropped)
