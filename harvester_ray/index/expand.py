@@ -159,14 +159,14 @@ def _pattern_expansions(
 
     matches = dict_ds.map_batches(match, batch_format="pyarrow")
 
-    def top_cap(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["df", "term"], ascending=[False, True], kind="stable"
-        ).head(cap)
-        return g[["query_id", "term"]]
+    def top_cap(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )[:cap]
+        return g.take(idx).select(["query_id", "term"])
 
     capped = matches.groupby("query_id").map_groups(
-        top_cap, batch_format="pandas"
+        top_cap, batch_format="pyarrow"
     )
     out = capped.to_pandas()  # bounded by len(patterns) * cap
     if out.empty:

@@ -755,6 +755,31 @@ def _scored_match_set_build(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def _ranked_topk(key: str, k: int):
+    """Arrow-native map_groups finalizer: per query_id group, the
+    top-k rows by (key desc, doc_id asc) re-emitted as
+    (query_id, rank 1..k, doc_id)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "descending"), ("doc_id", "ascending")]
+        )[:k]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    return topk
+
+
 def collapse_topk(sf_dir: str) -> "ray.data.Dataset":
     """Field collapsing (Lucene/Solr collapse parity): per OR query,
     the best-scoring doc of EVERY `source` group over the FULL match
@@ -775,26 +800,36 @@ def collapse_topk(sf_dir: str) -> "ray.data.Dataset":
         on=("doc_id",),
     )
 
-    def top1(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(
-            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
+    import pyarrow.compute as pc
+
+    _SORT = [("score_fp", "descending"), ("doc_id", "ascending")]
+
+    def top1(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:1]
+        return g.take(idx).select(
+            ["query_id", "source", "doc_id", "score_fp"]
         )
-        return g.head(1)[["query_id", "source", "doc_id", "score_fp"]]
 
     reps = joined.groupby(["query_id", "source"]).map_groups(
-        top1, batch_format="pandas"
+        top1, batch_format="pyarrow"
     )
 
-    def rank_groups(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(
-            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
-        ).head(COLLAPSE_K)
-        g = g.reset_index(drop=True)
-        g["grp_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "grp_rank", "source", "doc_id"]]
+    def rank_groups(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:COLLAPSE_K]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "grp_rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "source": g["source"].cast(pa.string()),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+            }
+        )
 
     return reps.groupby("query_id").map_groups(
-        rank_groups, batch_format="pandas"
+        rank_groups, batch_format="pyarrow"
     )
 
 
@@ -1254,8 +1289,6 @@ def bm25_topk_filtered(sf_dir: str) -> "ray.data.Dataset":
     allowed-doc-set broadcast (which a 10^12-doc filter could never
     ship), no post-hoc re-query: one extra shuffle of the match set.
     Output (query_id, rank 1..10, doc_id) on the filtered ranking."""
-    import numpy as np
-    import pandas as pd
     import pyarrow.compute as pc
 
     from harvester_ray.config import shuffle_partitions
@@ -1274,19 +1307,9 @@ def bm25_topk_filtered(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow",
     )
 
-    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(
-            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
-        ).head(TOP_K)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "doc_id": g["doc_id"].to_numpy(),
-            }
-        )
-
-    return flt.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return flt.groupby("query_id").map_groups(
+        _ranked_topk("score_fp", TOP_K), batch_format="pyarrow"
+    )
 
 
 # (query_id, LIKE pattern): middle/suffix wildcards, one broad pattern
@@ -1564,19 +1587,9 @@ def hybrid_rrf(sf_dir: str) -> "ray.data.Dataset":
         )
     )
 
-    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(
-            ["rrf_fp", "doc_id"], ascending=[False, True], kind="stable"
-        ).head(TOP_K)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "doc_id": g["doc_id"].to_numpy(),
-            }
-        )
-
-    return fused.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return fused.groupby("query_id").map_groups(
+        _ranked_topk("rrf_fp", TOP_K), batch_format="pyarrow"
+    )
 
 
 PRF_TOP = 3  # feedback depth: embeddings of the top-3 BM25 hits
@@ -1974,19 +1987,9 @@ def bm25f_topk(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(Sum("score_fp", alias_name="score_fp"))
     )
 
-    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(
-            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
-        ).head(TOP_K)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "doc_id": g["doc_id"].to_numpy(),
-            }
-        )
-
-    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return scored.groupby("query_id").map_groups(
+        _ranked_topk("score_fp", TOP_K), batch_format="pyarrow"
+    )
 
 
 # ── porter_en fielded entries: the second real analyzer end-to-end ──
