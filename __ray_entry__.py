@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_search_topk": fulltext.grouped_search_topk,
         # query elevation (Solr elevateIds): editorial pins + scored rest
         "elevated_topk": fulltext.elevated_topk,
+        # significant terms (Solr significantTerms): integer-exact lift
+        "significant_terms": fulltext.significant_terms,
         # hybrid-search rank fusion (RRF of BM25 + TF-IDF, integer-exact)
         "hybrid_rrf": fulltext.hybrid_rrf,
         # pseudo-relevance-feedback dense re-rank (Rocchio centroid)
@@ -229,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "search_field_stats": oracles.SEARCH_FIELD_STATS,
         "grouped_search_topk": oracles.GROUPED_SEARCH_TOPK,
         "elevated_topk": oracles.ELEVATED_TOPK,
+        "significant_terms": oracles.SIGNIFICANT_TERMS,
         "hybrid_rrf": oracles.HYBRID_RRF,
         "prf_rerank": oracles.PRF_RERANK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,

@@ -2437,3 +2437,111 @@ def elevated_topk(sf_dir: str) -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(elev_rows).union(rest)
+
+
+# --- significant terms (Solr significantTerms / ES significant_terms)
+SIG_TOP_K = 10
+SIG_MIN_FG = 2          # min foreground df — cuts one-doc noise
+_SIG_FP = 1_000_000     # lift fixed-point scale
+
+
+def significant_terms(sf_dir: str) -> "ray.data.Dataset":
+    """Significant terms per OR query: terms over-represented in the
+    query's match set vs the corpus, ranked by integer-exact lift
+    lift_fp = (df_fg * N * FP) // (df * |M|)  — foreground document
+    frequency over expected-under-independence, pure int64 floor
+    division so Ray and the SQL oracle agree bit-exactly. The query's
+    own terms are excluded (they are trivially lifted to N/df).
+
+    Shuffle shape: match set ⨝ postings on doc_id (the one wide join —
+    at 10^12 docs you'd sample the match set first, as Lucene's
+    sampler does), grouped (query_id, term) count, then a term join
+    against the dictionary for background df. Per-query match-set
+    sizes are a |queries|-row driver collect (bounded by the query
+    set, not the corpus). Output (query_id, rank, term, lift_fp)."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from harvester_ray.config import shuffle_partitions
+    from harvester_ray.functions.text import tokenize
+
+    paths = index_for(sf_dir)
+    with open(paths.stats) as f:
+        n_docs = int(_json.load(f)["n_docs"])
+    scored = _scored_match_set(sf_dir)
+    msize_rows = (
+        scored.groupby("query_id")
+        .aggregate(Count(alias_name="m"))
+        .take_all()  # one row per query — bounded by the query set
+    )
+    msize = {int(r["query_id"]): int(r["m"]) for r in msize_rows}
+    max_qid = max(msize, default=0)
+    m_arr = np.zeros(max_qid + 1, dtype=np.int64)
+    for qid, m in msize.items():
+        m_arr[qid] = m
+    own_terms = {
+        qid: sorted(set(tokenize(q))) for qid, q in queries_for_mode("or")
+    }
+
+    post = ray.data.read_parquet(paths.postings, columns=["term", "doc_id"])
+    fg = (
+        scored.select_columns(["query_id", "doc_id"])
+        .join(
+            post, join_type="inner",
+            num_partitions=shuffle_partitions(), on=("doc_id",),
+        )
+        .groupby(["query_id", "term"])
+        .aggregate(Count(alias_name="df_fg"))
+    )
+    dict_ds = ray.data.read_parquet(
+        paths.dictionary, columns=["term", "df"]
+    )
+    j = fg.join(
+        dict_ds, join_type="inner",
+        num_partitions=shuffle_partitions(), on=("term",),
+    )
+
+    def lift(t: pa.Table) -> pa.Table:
+        qid = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_fg = t["df_fg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = df_fg >= SIG_MIN_FG
+        for q, terms in own_terms.items():
+            if terms:
+                keep &= ~(
+                    (qid == q)
+                    & pc.is_in(
+                        t["term"], value_set=pa.array(terms)
+                    ).to_numpy(zero_copy_only=False)
+                )
+        lift_fp = np.zeros(len(qid), dtype=np.int64)
+        denom = df * m_arr[qid]
+        ok = keep & (denom > 0)
+        lift_fp[ok] = (df_fg[ok] * n_docs * _SIG_FP) // denom[ok]
+        t = t.append_column("lift_fp", pa.array(lift_fp, pa.int64()))
+        return t.filter(pa.array(ok))
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("lift_fp", "descending"), ("term", "ascending")]
+        )[:SIG_TOP_K]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "term": g["term"].cast(pa.string()),
+                "lift_fp": g["lift_fp"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(lift, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )

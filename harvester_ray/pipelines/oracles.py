@@ -2077,3 +2077,49 @@ WHERE r.rn + coalesce(ec.c, 0) <= {TOP_K}
 
 
 ELEVATED_TOPK = _elevated_sql()
+
+
+def _significant_terms_sql() -> str:
+    """Significant terms: integer-exact lift over each query's full
+    match set vs the corpus (all BIGINT, floor division)."""
+    from harvester_ray.pipelines.fulltext import (
+        SIG_MIN_FG,
+        SIG_TOP_K,
+        _SIG_FP,
+    )
+
+    values = _or_query_values()
+    return f"""
+WITH toks AS ({_TOKS}),
+q(query_id, term) AS (VALUES {values}),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM q JOIN toks t USING (term)),
+msize AS (SELECT query_id, count(*) AS m FROM matches GROUP BY query_id),
+ipostings AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+idict AS (SELECT term, count(*) AS df FROM ipostings GROUP BY term),
+fg AS (SELECT m.query_id, p.term, count(*) AS df_fg
+       FROM matches m JOIN ipostings p USING (doc_id)
+       GROUP BY m.query_id, p.term),
+scoredt AS (
+  SELECT f.query_id, f.term,
+         (CAST(f.df_fg AS BIGINT) * (SELECT count(*) FROM documents)
+            * {_SIG_FP}) // (d.df * ms.m) AS lift_fp
+  FROM fg f
+  JOIN idict d USING (term)
+  JOIN msize ms USING (query_id)
+  WHERE f.df_fg >= {SIG_MIN_FG}
+    AND NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.query_id = f.query_id AND q.term = f.term)
+),
+ranked AS (
+  SELECT query_id, term, lift_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY lift_fp DESC, term ASC) AS rank
+  FROM scoredt
+)
+SELECT query_id, rank, term, CAST(lift_fp AS BIGINT) AS lift_fp
+FROM ranked WHERE rank <= {SIG_TOP_K}
+"""
+
+
+SIGNIFICANT_TERMS = _significant_terms_sql()
