@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elevated_topk": fulltext.elevated_topk,
         # significant terms (Solr significantTerms): integer-exact lift
         "significant_terms": fulltext.significant_terms,
+        # stats.percentiles: exact per-query n_chars quantiles
+        "search_field_quantiles": fulltext.search_field_quantiles,
         # hybrid-search rank fusion (RRF of BM25 + TF-IDF, integer-exact)
         "hybrid_rrf": fulltext.hybrid_rrf,
         # pseudo-relevance-feedback dense re-rank (Rocchio centroid)
@@ -232,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_search_topk": oracles.GROUPED_SEARCH_TOPK,
         "elevated_topk": oracles.ELEVATED_TOPK,
         "significant_terms": oracles.SIGNIFICANT_TERMS,
+        "search_field_quantiles": oracles.SEARCH_FIELD_QUANTILES,
         "hybrid_rrf": oracles.HYBRID_RRF,
         "prf_rerank": oracles.PRF_RERANK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,

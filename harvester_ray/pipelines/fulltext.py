@@ -2545,3 +2545,61 @@ def significant_terms(sf_dir: str) -> "ray.data.Dataset":
         .groupby("query_id")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def search_field_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Solr stats.percentiles parity, EXACT: per OR query, the
+    p25/p50/p75/p95 of n_chars over the FULL match set via the
+    engine's histogram rule (smallest value whose cumulative count
+    reaches ceil(q*n/10^4)) — the wide work is one (query_id, n_chars)
+    histogram groupby (|queries| x |distinct lengths| rows), the
+    finalize is a tiny per-query scan. Output (query_id, q_r4, value)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from harvester_ray.config import shuffle_partitions
+    from harvester_ray.pipelines.relational import QUANTILES_R4
+
+    scored = _scored_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    hist = (
+        scored.select_columns(["query_id", "doc_id"])
+        .join(
+            docs, join_type="inner",
+            num_partitions=shuffle_partitions(), on=("doc_id",),
+        )
+        .groupby(["query_id", "n_chars"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("n_chars", "ascending")]))
+        v = g["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(
+            g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n = int(cum[-1])
+        qid = int(g["query_id"][0].as_py())
+        out_q, out_v = [], []
+        for q_r4 in QUANTILES_R4:
+            target = int(np.ceil(q_r4 * n / 10_000.0))
+            i = int(np.searchsorted(cum, target, side="left"))
+            out_q.append(q_r4)
+            out_v.append(int(v[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(len(out_q), qid, np.int64), pa.int64()
+                ),
+                "q_r4": pa.array(out_q, pa.int64()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return hist.groupby("query_id").map_groups(
+        finalize, batch_format="pyarrow"
+    )

@@ -2123,3 +2123,33 @@ FROM ranked WHERE rank <= {SIG_TOP_K}
 
 
 SIGNIFICANT_TERMS = _significant_terms_sql()
+
+
+def _field_quantiles_sql() -> str:
+    """Per-query exact n_chars percentiles over the match set — the
+    same histogram/cumulative rule as _quantiles_sql, partitioned by
+    query."""
+    from harvester_ray.pipelines.relational import QUANTILES_R4
+
+    values = _or_query_values()
+    vals = ", ".join(f"({q})" for q in QUANTILES_R4)
+    return f"""
+WITH toks AS ({_TOKS}),
+q(query_id, term) AS (VALUES {values}),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM q JOIN toks t USING (term)),
+h AS (SELECT m.query_id, d.n_chars AS v, count(*) AS c
+      FROM matches m JOIN documents d USING (doc_id)
+      GROUP BY m.query_id, d.n_chars),
+t AS (SELECT query_id, v,
+             sum(c) OVER (PARTITION BY query_id ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY query_id) AS n
+      FROM h),
+qs(q_r4) AS (VALUES {vals})
+SELECT query_id, q_r4, CAST(min(v) AS BIGINT) AS value
+FROM qs JOIN t ON t.cum >= CAST(ceil(q_r4 * t.n / 10000.0) AS BIGINT)
+GROUP BY query_id, q_r4
+"""
+
+
+SEARCH_FIELD_QUANTILES = _field_quantiles_sql()
