@@ -61,6 +61,14 @@ def main():
 
     import ray
 
+    try:  # worker-side twin of the driver filters below (bench.py)
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        from bench import _install_worker_log_config
+
+        _install_worker_log_config()
+    except Exception:
+        pass  # cosmetic only — never block the gate on it
+
     ray.init(
         address="local", num_cpus=8, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
@@ -68,6 +76,28 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    # Same cosmetic-warning filters as bench.py: Ray's aggregate
+    # shuffle warns once per EMPTY shuffle partition ("RefBundle with a
+    # different schema") and pyarrow cannot hash the testdata writer's
+    # pandas schema metadata ("Failed to hash the schemas") — both are
+    # upstream cosmetics, dropped so the committed gate log stays
+    # readable.
+    import logging
+
+    class _DropCosmeticWarns(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return (
+                "RefBundle with a different schema" not in msg
+                and "Failed to hash the schemas" not in msg
+            )
+
+    for name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(name).addFilter(_DropCosmeticWarns())
 
     import __ray_entry__ as entry
 
