@@ -2375,23 +2375,23 @@ def elevated_topk(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.compute as pc
 
     scored = _scored_match_set(sf_dir)
-    pinned = {
+    pinned = sorted(
         (qid, did) for qid, dids in ELEVATE_SET.items() for did in dids
-    }
-    pin_keys = np.asarray(
-        sorted((q << 40) | d for q, d in pinned), dtype=np.int64
     )
     offset = {qid: len(dids) for qid, dids in ELEVATE_SET.items()}
 
     def drop_pinned(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or len(pin_keys) == 0:
+        # exact (query_id, doc_id) pair test — one vectorized mask per
+        # pin (the editorial list is tiny by construction); no bit
+        # packing, so arbitrary doc_id ranges are safe
+        if t.num_rows == 0 or not pinned:
             return t
         q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keys = (q << 40) | d
-        pos = np.searchsorted(pin_keys, keys)
-        pos = np.minimum(pos, len(pin_keys) - 1)
-        return t.filter(pa.array(pin_keys[pos] != keys))
+        keep = np.ones(len(q), dtype=bool)
+        for pq, pd_ in pinned:
+            keep &= ~((q == pq) & (d == pd_))
+        return t.filter(pa.array(keep))
 
     _SORT = [("score_fp", "descending"), ("doc_id", "ascending")]
 
@@ -2482,9 +2482,13 @@ def significant_terms(sf_dir: str) -> "ray.data.Dataset":
     m_arr = np.zeros(max_qid + 1, dtype=np.int64)
     for qid, m in msize.items():
         m_arr[qid] = m
-    own_terms = {
-        qid: sorted(set(tokenize(q))) for qid, q in queries_for_mode("or")
-    }
+    own_keys = pa.array(
+        sorted(
+            f"{qid}\x1f{t}"
+            for qid, q in queries_for_mode("or")
+            for t in set(tokenize(q))
+        )
+    )
 
     post = ray.data.read_parquet(paths.postings, columns=["term", "doc_id"])
     fg = (
@@ -2509,18 +2513,40 @@ def significant_terms(sf_dir: str) -> "ray.data.Dataset":
         df_fg = t["df_fg"].to_numpy(zero_copy_only=False).astype(np.int64)
         df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = df_fg >= SIG_MIN_FG
-        for q, terms in own_terms.items():
-            if terms:
-                keep &= ~(
-                    (qid == q)
-                    & pc.is_in(
-                        t["term"], value_set=pa.array(terms)
-                    ).to_numpy(zero_copy_only=False)
-                )
+        if len(own_keys):
+            # own-term exclusion in ONE scan: (qid, term) packed into a
+            # single key column vs the precomputed exclusion set (the
+            # old form ran one full-column is_in per query per batch)
+            key = pc.binary_join_element_wise(
+                pc.cast(t["query_id"], pa.string()), t["term"], "\x1f"
+            )
+            keep &= ~pc.is_in(key, value_set=own_keys).to_numpy(
+                zero_copy_only=False
+            )
         lift_fp = np.zeros(len(qid), dtype=np.int64)
-        denom = df * m_arr[qid]
-        ok = keep & (denom > 0)
-        lift_fp[ok] = (df_fg[ok] * n_docs * _SIG_FP) // denom[ok]
+        ok = keep & (df > 0) & (m_arr[qid] > 0)
+        if ok.any():
+            # int64 fast path unless a BIGINT-sized intermediate could
+            # wrap (numerator df_fg*n_docs*FP or denominator df*m); the
+            # exact Python-int fallback matches the oracle's HUGEINT
+            # arithmetic at any corpus size (final lift is bounded by
+            # n_docs*FP, BIGINT-safe to ~9.2e12 docs — both engines
+            # raise, identically, past that)
+            num_max = float(df_fg[ok].max()) * float(n_docs) * float(_SIG_FP)
+            den_max = float(df[ok].max()) * float(m_arr[qid[ok]].max())
+            if num_max < 2.0**62 and den_max < 2.0**62:
+                denom = df[ok] * m_arr[qid[ok]]
+                lift_fp[ok] = (df_fg[ok] * n_docs * _SIG_FP) // denom
+            else:
+                idx = np.flatnonzero(ok)
+                lift_fp[idx] = np.array(
+                    [
+                        (int(df_fg[i]) * n_docs * _SIG_FP)
+                        // (int(df[i]) * int(m_arr[qid[i]]))
+                        for i in idx
+                    ],
+                    dtype=np.int64,
+                )
         t = t.append_column("lift_fp", pa.array(lift_fp, pa.int64()))
         return t.filter(pa.array(ok))
 

@@ -75,6 +75,20 @@ corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
 dict AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term)"""
 
 
+# the shared fixed-point scored-match-set CTE body (sc) — identical
+# text in every full-match-set oracle so the scoring rule cannot drift
+_SC_CTE = f"""sc AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {{fp8}} + 0.5)
+             AS BIGINT)) AS score_fp
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+)"""
+
+
 def _or_query_values() -> str:
     """(query_id, term) VALUES rows for the OR-mode reference query set
     — the expansion every full-match-set oracle starts from."""
@@ -386,16 +400,7 @@ def _collapse_sql() -> str:
     return f"""
 WITH {_CORPUS_CTES},
 q(query_id, term) AS (VALUES {values}),
-sc AS (
-  SELECT q.query_id, p.doc_id,
-         sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {_FP8} + 0.5)
-             AS BIGINT)) AS score_fp
-  FROM q
-  JOIN postings p USING (term)
-  JOIN dict d USING (term)
-  JOIN doclen l USING (doc_id)
-  GROUP BY q.query_id, p.doc_id
-),
+{_SC_CTE.format(fp8=_FP8)},
 j AS (SELECT sc.query_id, sc.doc_id, sc.score_fp, d2.source
       FROM sc JOIN documents d2 USING (doc_id)),
 reps AS (
@@ -1358,16 +1363,7 @@ def _filtered_sql() -> str:
     return f"""
 WITH {_CORPUS_CTES},
 q(query_id, term) AS (VALUES {values}),
-sc AS (
-  SELECT q.query_id, p.doc_id,
-         sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {_FP8} + 0.5)
-             AS BIGINT)) AS score_fp
-  FROM q
-  JOIN postings p USING (term)
-  JOIN dict d USING (term)
-  JOIN doclen l USING (doc_id)
-  GROUP BY q.query_id, p.doc_id
-),
+{_SC_CTE.format(fp8=_FP8)},
 f AS (SELECT sc.* FROM sc JOIN documents d2 USING (doc_id)
       WHERE d2.lang = '{FILTER_LANG}'),
 ranked AS (
@@ -1932,20 +1928,6 @@ GROUP BY doc_id
 PORTER_DOC_STATS = _porter_doc_stats_sql()
 
 
-# the shared fixed-point scored-match-set CTE body (sc) — identical
-# text in every full-match-set oracle so the scoring rule cannot drift
-_SC_CTE = f"""sc AS (
-  SELECT q.query_id, p.doc_id,
-         sum(CAST(floor(( {_SCORE_EXPRS["bm25"]} ) * {{fp8}} + 0.5)
-             AS BIGINT)) AS score_fp
-  FROM q
-  JOIN postings p USING (term)
-  JOIN dict d USING (term)
-  JOIN doclen l USING (doc_id)
-  GROUP BY q.query_id, p.doc_id
-)"""
-
-
 def _boosted_sql() -> str:
     """Function-query boost: rank key = score_fp * (A*FP4 integer-div
     (n_chars + B)) — both factors BIGINT, so the product is exact on
@@ -2081,7 +2063,10 @@ ELEVATED_TOPK = _elevated_sql()
 
 def _significant_terms_sql() -> str:
     """Significant terms: integer-exact lift over each query's full
-    match set vs the corpus (all BIGINT, floor division)."""
+    match set vs the corpus. The product df_fg*n_docs*FP runs in
+    HUGEINT so the intermediate can't wrap (the Ray twin's Python-int
+    fallback is the same arithmetic); the final lift is BIGINT-bounded
+    by n_docs*FP."""
     from harvester_ray.pipelines.fulltext import (
         SIG_MIN_FG,
         SIG_TOP_K,
@@ -2102,8 +2087,8 @@ fg AS (SELECT m.query_id, p.term, count(*) AS df_fg
        GROUP BY m.query_id, p.term),
 scoredt AS (
   SELECT f.query_id, f.term,
-         (CAST(f.df_fg AS BIGINT) * (SELECT count(*) FROM documents)
-            * {_SIG_FP}) // (d.df * ms.m) AS lift_fp
+         (CAST(f.df_fg AS HUGEINT) * (SELECT count(*) FROM documents)
+            * {_SIG_FP}) // (CAST(d.df AS HUGEINT) * ms.m) AS lift_fp
   FROM fg f
   JOIN idict d USING (term)
   JOIN msize ms USING (query_id)

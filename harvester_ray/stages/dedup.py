@@ -276,6 +276,22 @@ def _fixed_binary_matrix(col, dtype) -> np.ndarray:
     )
 
 
+def _dedup_by_id(
+    ids: np.ndarray, payload: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stable-sort by id and keep the first row per id — the shared
+    bucket preamble (a doc reaches one bucket at most once per
+    band/table, but unioned inputs may repeat it)."""
+    if len(ids) < 2:
+        return ids, payload
+    order = np.argsort(ids, kind="stable")
+    ids, payload = ids[order], payload[order]
+    first = np.r_[True, ids[1:] != ids[:-1]]
+    if not first.all():
+        ids, payload = ids[first], payload[first]
+    return ids, payload
+
+
 def _sigs_matrix(col) -> np.ndarray:
     """(n, NUM_PERMS) uint64 view of the `signature` column."""
     if len(col) == 0:
@@ -304,11 +320,7 @@ def _bucket_pairs(ids: np.ndarray, sigs: np.ndarray) -> "pa.Table":
     per doc pair."""
     if len(ids) < 2:
         return _EMPTY_PAIRS_T
-    order = np.argsort(ids, kind="stable")
-    ids, sigs = ids[order], sigs[order]
-    first = np.r_[True, ids[1:] != ids[:-1]]  # dedup doc ids, keep first
-    if not first.all():
-        ids, sigs = ids[first], sigs[first]
+    ids, sigs = _dedup_by_id(ids, sigs)
     if len(ids) < 2:
         return _EMPTY_PAIRS_T
     _uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
@@ -547,11 +559,7 @@ def simhash_near_dup(
     )
 
     def bucket(ids: np.ndarray, h: np.ndarray) -> pa.Table:
-        order = np.argsort(ids, kind="stable")
-        ids, h = ids[order], h[order]
-        first = np.r_[True, ids[1:] != ids[:-1]]
-        if not first.all():
-            ids, h = ids[first], h[first]
+        ids, h = _dedup_by_id(ids, h)
         if len(ids) < 2:
             return _EMPTY_HAM
         if len(ids) > MAX_BUCKET_REPS:
@@ -1506,10 +1514,13 @@ class _BlockPairScorer:
                 columns=["vec_id", "embedding"],
             )
             ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            A = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            n = np.sqrt((A * A).sum(axis=1))
-            n[n == 0] = 1.0
-            got = (ids, A, n)
+            if len(ids) == 0:  # residue class with no vectors
+                got = (ids, np.empty((0, 0), np.float64), ids.astype(np.float64))
+            else:
+                A = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+                n = np.sqrt((A * A).sum(axis=1))
+                n[n == 0] = 1.0
+                got = (ids, A, n)
         self._cache[k] = got  # re-insert = most recently used
         while len(self._cache) > _EMB_BLOCK_CACHE:
             self._cache.pop(next(iter(self._cache)))
@@ -1639,11 +1650,7 @@ def _emb_bucket_pairs(tau: float):
     tau_fp = int(round(tau * 1_000_000))
 
     def f(ids: np.ndarray, V: np.ndarray) -> pa.Table:
-        order = np.argsort(ids, kind="stable")
-        ids, V = ids[order], V[order]
-        first = np.r_[True, ids[1:] != ids[:-1]]
-        if not first.all():
-            ids, V = ids[first], V[first]
+        ids, V = _dedup_by_id(ids, V)
         if len(ids) < 2:
             return _EMPTY_SIM
         if len(ids) > MAX_BUCKET_REPS:

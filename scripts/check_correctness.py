@@ -62,7 +62,6 @@ def main():
     import ray
 
     try:  # worker-side twin of the driver filters below (bench.py)
-        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
         from bench import _install_worker_log_config
 
         _install_worker_log_config()

@@ -545,15 +545,37 @@ def test_dedup_keep_anti_join_equals_broadcast(ray_session):
 def test_embedding_blocked_matches_baseline_twin(emb_corpus, ray_session):
     """The block-nested-loop scale twin emits EXACTLY the baseline
     twin's pairs and sims, at block counts that split ids unevenly and
-    force the per-actor block-LRU to evict (n_blocks > _EMB_BLOCK_CACHE)."""
+    force the per-actor block-LRU to evict (n_blocks > _EMB_BLOCK_CACHE).
+    n_blocks=64 > n_vectors=40 leaves most residue classes EMPTY — the
+    regression case for the _BlockPairScorer._load empty-block crash
+    ((A*A).sum(axis=1) on a 1-D empty array)."""
     sf_dir, _, _ = emb_corpus
     tau = 0.9
     base = dedup.embedding_cosine_dups(sf_dir, tau=tau).to_pandas()
     want = sorted(zip(base.vec_id_a, base.vec_id_b, base.sim_r6))
-    for n_blocks in (1, 3, 7):
+    for n_blocks in (1, 3, 7, 64):
         got = dedup.embedding_cosine_dups_blocked(
             sf_dir, tau=tau, n_blocks=n_blocks
         ).to_pandas()
         assert sorted(zip(got.vec_id_a, got.vec_id_b, got.sim_r6)) == want, (
             f"n_blocks={n_blocks}"
         )
+
+
+def test_dedup_by_id_keeps_first_stable():
+    """The shared bucket preamble: stable sort by id, first payload row
+    per id wins; 0- and 1-row inputs pass through untouched."""
+    ids = np.array([5, 2, 5, 2, 9], dtype=np.int64)
+    pay = np.arange(5, dtype=np.int64) * 10
+    got_ids, got_pay = dedup._dedup_by_id(ids, pay)
+    assert got_ids.tolist() == [2, 5, 9]
+    assert got_pay.tolist() == [10, 0, 40]  # first occurrence per id
+    # 2-D payload (signature matrices) keeps row alignment
+    pay2 = np.arange(10, dtype=np.uint64).reshape(5, 2)
+    got_ids2, got_pay2 = dedup._dedup_by_id(ids, pay2)
+    assert got_ids2.tolist() == [2, 5, 9]
+    assert got_pay2.tolist() == [[2, 3], [0, 1], [8, 9]]
+    for n in (0, 1):
+        i, p = dedup._dedup_by_id(ids[:n], pay[:n])
+        assert i.tolist() == ids[:n].tolist()
+        assert p.tolist() == pay[:n].tolist()
