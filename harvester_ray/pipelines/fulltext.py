@@ -2445,6 +2445,30 @@ SIG_MIN_FG = 2          # min foreground df — cuts one-doc noise
 _SIG_FP = 1_000_000     # lift fixed-point scale
 
 
+def _lift_fp_exact(df_fg, df, m, n_docs: int):
+    """(df_fg * n_docs * _SIG_FP) // (df * m), element-wise and EXACT
+    at any magnitude: int64 vectorized fast path while the BIGINT-sized
+    intermediates (numerator df_fg*n_docs*FP, denominator df*m) stay
+    below 2^62, else an exact Python-int fallback — the twin of the
+    oracle's HUGEINT arithmetic, so neither side wraps or raises where
+    the other doesn't. The final lift is bounded by n_docs*FP
+    (BIGINT-safe to ~9.2e12 docs; both engines raise, identically,
+    past that). Inputs are same-length int64 arrays with df>0, m>0."""
+    import numpy as np
+
+    num_max = float(df_fg.max()) * float(n_docs) * float(_SIG_FP)
+    den_max = float(df.max()) * float(m.max())
+    if num_max < 2.0**62 and den_max < 2.0**62:
+        return (df_fg * n_docs * _SIG_FP) // (df * m)
+    return np.array(
+        [
+            (int(f) * n_docs * _SIG_FP) // (int(d) * int(mm))
+            for f, d, mm in zip(df_fg, df, m)
+        ],
+        dtype=np.int64,
+    )
+
+
 def significant_terms(sf_dir: str) -> "ray.data.Dataset":
     """Significant terms per OR query: terms over-represented in the
     query's match set vs the corpus, ranked by integer-exact lift
@@ -2526,27 +2550,9 @@ def significant_terms(sf_dir: str) -> "ray.data.Dataset":
         lift_fp = np.zeros(len(qid), dtype=np.int64)
         ok = keep & (df > 0) & (m_arr[qid] > 0)
         if ok.any():
-            # int64 fast path unless a BIGINT-sized intermediate could
-            # wrap (numerator df_fg*n_docs*FP or denominator df*m); the
-            # exact Python-int fallback matches the oracle's HUGEINT
-            # arithmetic at any corpus size (final lift is bounded by
-            # n_docs*FP, BIGINT-safe to ~9.2e12 docs — both engines
-            # raise, identically, past that)
-            num_max = float(df_fg[ok].max()) * float(n_docs) * float(_SIG_FP)
-            den_max = float(df[ok].max()) * float(m_arr[qid[ok]].max())
-            if num_max < 2.0**62 and den_max < 2.0**62:
-                denom = df[ok] * m_arr[qid[ok]]
-                lift_fp[ok] = (df_fg[ok] * n_docs * _SIG_FP) // denom
-            else:
-                idx = np.flatnonzero(ok)
-                lift_fp[idx] = np.array(
-                    [
-                        (int(df_fg[i]) * n_docs * _SIG_FP)
-                        // (int(df[i]) * int(m_arr[qid[i]]))
-                        for i in idx
-                    ],
-                    dtype=np.int64,
-                )
+            lift_fp[ok] = _lift_fp_exact(
+                df_fg[ok], df[ok], m_arr[qid[ok]], n_docs
+            )
         t = t.append_column("lift_fp", pa.array(lift_fp, pa.int64()))
         return t.filter(pa.array(ok))
 

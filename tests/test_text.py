@@ -116,3 +116,35 @@ def test_apply_over_unique_null_through_fn():
     # fn(None) -> None stays None
     out2 = apply_over_unique(col, lambda v: v and v.upper())
     assert out2.to_pylist() == ["A", None, "B"]
+
+
+def test_lift_fp_exact_fast_and_fallback_agree():
+    """_lift_fp_exact: the int64 fast path and the Python-int fallback
+    compute the same floor divisions; at magnitudes where the raw int64
+    product would wrap, the fallback stays exact (oracle-HUGEINT twin)."""
+    import numpy as np
+
+    from harvester_ray.pipelines.fulltext import _SIG_FP, _lift_fp_exact
+
+    # moderate magnitudes -> fast path; verify against pure Python
+    df_fg = np.array([1, 7, 250, 10_000], dtype=np.int64)
+    df = np.array([3, 7, 1_000, 40_000], dtype=np.int64)
+    m = np.array([10, 20, 5_000, 90_000], dtype=np.int64)
+    n = 1_000_000
+    want = [
+        (int(f) * n * _SIG_FP) // (int(d) * int(mm))
+        for f, d, mm in zip(df_fg, df, m)
+    ]
+    assert _lift_fp_exact(df_fg, df, m, n).tolist() == want
+
+    # big corpus: df_fg*n_docs*FP >> 2^63 -> int64 would wrap silently
+    n_big = 3_000_000_000  # 3e9 docs
+    df_fg = np.array([2_500_000_000], dtype=np.int64)  # common term
+    df = np.array([2_900_000_000], dtype=np.int64)
+    m = np.array([2_600_000_000], dtype=np.int64)
+    assert int(df_fg[0]) * n_big * _SIG_FP > 2**63  # wraps if int64
+    got = _lift_fp_exact(df_fg, df, m, n_big)
+    assert got.tolist() == [
+        (2_500_000_000 * n_big * _SIG_FP) // (2_900_000_000 * 2_600_000_000)
+    ]
+    assert got[0] > 0
