@@ -90,6 +90,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": fulltext.significant_terms,
         # stats.percentiles: exact per-query n_chars quantiles
         "search_field_quantiles": fulltext.search_field_quantiles,
+        # /terms handler: prefix term enumeration off the dictionary
+        "terms_enum": fulltext.terms_enum,
+        # two-phase retrieval (rq/LTR): BM25 top-N -> tfidf rescore
+        "rerank_topk": fulltext.rerank_topk,
+        # query likelihood, Dirichlet smoothing (third ranking model)
+        "lmdirichlet_topk": fulltext.lmdirichlet_topk,
         # hybrid-search rank fusion (RRF of BM25 + TF-IDF, integer-exact)
         "hybrid_rrf": fulltext.hybrid_rrf,
         # pseudo-relevance-feedback dense re-rank (Rocchio centroid)
@@ -235,6 +241,9 @@ def oracle_sql() -> dict[str, str]:
         "elevated_topk": oracles.ELEVATED_TOPK,
         "significant_terms": oracles.SIGNIFICANT_TERMS,
         "search_field_quantiles": oracles.SEARCH_FIELD_QUANTILES,
+        "terms_enum": oracles.TERMS_ENUM,
+        "rerank_topk": oracles.RERANK_TOPK,
+        "lmdirichlet_topk": oracles.LMDIRICHLET_TOPK,
         "hybrid_rrf": oracles.HYBRID_RRF,
         "prf_rerank": oracles.PRF_RERANK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,

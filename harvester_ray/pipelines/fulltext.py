@@ -101,6 +101,69 @@ def term_dictionary(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+TERMS_PREFIXES = ("s", "b", "c")   # Solr /terms terms.prefix values
+TERMS_MINCOUNT = 2                 # terms.mincount
+TERMS_K = 5                        # terms.limit
+
+
+def terms_enum(sf_dir: str) -> "ray.data.Dataset":
+    """Solr /terms handler parity: for each requested prefix, the
+    top-TERMS_K indexed terms by document frequency (df desc, term asc
+    ties) with df >= TERMS_MINCOUNT. The dictionary is the only input
+    — a (vocab-sized, tiny vs the corpus) distributed scan with one
+    vectorized starts_with per prefix, then a per-prefix grouped
+    top-k; no postings are touched. Output (prefix_id, rank, term,
+    df)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    paths = index_for(sf_dir)
+    dic = ray.data.read_parquet(paths.dictionary, columns=["term", "df"])
+
+    def match(t: pa.Table) -> pa.Table:
+        outs = []
+        for pid, pref in enumerate(TERMS_PREFIXES):
+            m = pc.and_(
+                pc.starts_with(t["term"], pattern=pref),
+                pc.greater_equal(t["df"], TERMS_MINCOUNT),
+            )
+            hit = t.filter(m)
+            outs.append(
+                pa.table(
+                    {
+                        "prefix_id": pa.array(
+                            np.full(hit.num_rows, pid, dtype=np.int64)
+                        ),
+                        "term": hit["term"].cast(pa.string()),
+                        "df": hit["df"].cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )[:TERMS_K]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "prefix_id": g["prefix_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "term": g["term"].cast(pa.string()),
+                "df": g["df"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        dic.map_batches(match, batch_format="pyarrow")
+        .groupby("prefix_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
 def postings(sf_dir: str) -> "ray.data.Dataset":
     """(term, doc_id, tf) — the raw posting rows."""
     paths = index_for(sf_dir)
@@ -625,30 +688,89 @@ COLLAPSE_K = 5  # top source groups kept per query
 # distributed sum, so partial-sum order cannot move a rank (same
 # sum-of-fp rule as the relational q1 contract)
 _FP8 = 100_000_000
+_LM_MU = 2000     # Dirichlet smoothing mass (Lucene LMDirichlet default)
+RERANK_N = 50     # first-phase candidate depth for rerank_topk
 
 
 def _scored_match_set(sf_dir: str) -> "ray.data.Dataset":
     return _match_set_cached(
-        sf_dir, "scored", lambda: _scored_match_set_build(sf_dir)
+        sf_dir, "scored", lambda: _weighted_match_set_build(sf_dir, "bm25")
     )
 
 
-def _scored_match_set_build(sf_dir: str) -> "ray.data.Dataset":
-    """(query_id, doc_id, score_fp) — exhaustive BM25 over each OR
-    query's FULL match set, recomputed distributedly from the raw
-    postings (not the top-k actor): pruned postings read → doc_len
-    hash join → per-posting fixed-point-8 score → (query, doc) integer
-    sum. Every float becomes an integer at the ROW, so the distributed
-    sums are exact and rank-stable against the SQL oracles. Shared by
-    the full-match-set consumers (collapse_topk, bm25_topk_filtered)."""
+def _tfidf_match_set(sf_dir: str) -> "ray.data.Dataset":
+    return _match_set_cached(
+        sf_dir,
+        "scored_tfidf",
+        lambda: _weighted_match_set_build(sf_dir, "tfidf"),
+    )
+
+
+def _lm_match_set(sf_dir: str) -> "ray.data.Dataset":
+    return _match_set_cached(
+        sf_dir,
+        "scored_lm",
+        lambda: _weighted_match_set_build(sf_dir, "lmdirichlet"),
+    )
+
+
+def _query_joined_postings(
+    sf_dir: str, paths: "IndexPaths", all_terms: list
+) -> "ray.data.Dataset":
+    """(term, doc_id, tf, doc_len) for the OR query set's terms — the
+    pruned postings read + doc_len hash join every weighting's match
+    set starts from, materialized ONCE per sf_dir and shared (the join
+    is the expensive step; the per-weighting scoring maps are cheap).
+    all_terms is a pure function of the fixed query set, so the cache
+    key needs only sf_dir."""
+
+    def build() -> "ray.data.Dataset":
+        import pyarrow.dataset as pads
+
+        from harvester_ray.config import shuffle_partitions
+
+        post = ray.data.read_parquet(
+            paths.postings,
+            columns=["term", "doc_id", "tf"],
+            filter=pads.field("term").isin(all_terms),
+        )
+        dlen = ray.data.read_parquet(
+            paths.doc_table, columns=["doc_id", "doc_len"]
+        )
+        return post.join(
+            dlen, join_type="inner", num_partitions=shuffle_partitions(),
+            on=("doc_id",),
+        )
+
+    return _match_set_cached(sf_dir, "qjoined", build)
+
+
+def _weighted_match_set_build(
+    sf_dir: str, weighting: str = "bm25"
+) -> "ray.data.Dataset":
+    """(query_id, doc_id, score_fp) — exhaustive scoring over each OR
+    query's FULL match set under the named weighting, recomputed
+    distributedly from the raw postings (not the top-k actor): pruned
+    postings read → doc_len hash join → per-posting fixed-point-8
+    score → (query, doc) integer sum. Every float becomes an integer
+    at the ROW, so the distributed sums are exact and rank-stable
+    against the SQL oracles. Weightings (each one per-term driver
+    constant w + an elementwise kernel, op order mirrored verbatim in
+    the oracle SQL):
+      bm25        — w = idf(df);        s = w * bm25_norm(tf, dl)
+      tfidf       — w = ln((N+1)/(df+1)); s = (1+ln tf) * w / sqrt(dl)
+      lmdirichlet — w = MU*cf/C (the smoothing mass MU*p(t|C));
+                    s = ln(1 + tf/w) + ln(MU/(dl+MU))  [query
+                    likelihood, Dirichlet smoothing, mu=_LM_MU]
+    Shared by the full-match-set consumers (collapse_topk,
+    bm25_topk_filtered, rerank_topk, lmdirichlet_topk)."""
     import json as _json
+    import math
 
     import numpy as np
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    from harvester_ray.config import shuffle_partitions
     from harvester_ray.functions.text import tokenize
     from harvester_ray.index.build import bm25_idf, bm25_norm
 
@@ -657,20 +779,37 @@ def _scored_match_set_build(sf_dir: str) -> "ray.data.Dataset":
         st = _json.load(f)
     n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
     k1, b = float(st["k1"]), float(st["b"])
+    total_tokens = int(st["total_tokens"])
     qterms = [
         (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
     ]
     all_terms = sorted({t for _, ts in qterms for t in ts})
     dft = pq.read_table(  # pruned dictionary read: query terms only
-        paths.dictionary, columns=["term", "df"],
+        paths.dictionary, columns=["term", "df", "cf"],
         filters=[("term", "in", all_terms)],
     )
     # per-term constants precomputed once on the driver (query terms
-    # are few): idf and the list of query_ids containing the term
-    idf_by_term = {
-        tm: bm25_idf(float(df), n_docs)
-        for tm, df in zip(dft["term"].to_pylist(), dft["df"].to_pylist())
-    }
+    # are few): the weighting's w plus the list of query_ids
+    # containing the term
+    if weighting == "bm25":
+        const_by_term = {
+            tm: bm25_idf(float(df), n_docs)
+            for tm, df in zip(dft["term"].to_pylist(), dft["df"].to_pylist())
+        }
+    elif weighting == "tfidf":
+        const_by_term = {
+            tm: math.log((n_docs + 1.0) / (float(df) + 1.0))
+            for tm, df in zip(dft["term"].to_pylist(), dft["df"].to_pylist())
+        }
+    elif weighting == "lmdirichlet":
+        # exact-int product then one float division — the same double
+        # DuckDB's (MU * cf) / C BIGINT division produces
+        const_by_term = {
+            tm: (_LM_MU * int(cf)) / total_tokens
+            for tm, cf in zip(dft["term"].to_pylist(), dft["cf"].to_pylist())
+        }
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown weighting {weighting!r}")
     qids_by_term: dict[str, "np.ndarray"] = {}
     for qid, ts in qterms:
         for tm in ts:
@@ -679,16 +818,7 @@ def _scored_match_set_build(sf_dir: str) -> "ray.data.Dataset":
         tm: np.asarray(v, dtype=np.int64) for tm, v in qids_by_term.items()
     }
 
-    post = ray.data.read_parquet(
-        paths.postings,
-        columns=["term", "doc_id", "tf"],
-        filter=pads.field("term").isin(all_terms),
-    )
-    dlen = ray.data.read_parquet(paths.doc_table, columns=["doc_id", "doc_len"])
-    post = post.join(
-        dlen, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
-    )
+    post = _query_joined_postings(sf_dir, paths, all_terms)
 
     _EMPTY = pa.table(
         {
@@ -713,10 +843,42 @@ def _scored_match_set_build(sf_dir: str) -> "ray.data.Dataset":
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idf_u = np.asarray([idf_by_term[tm] for tm in uniq], dtype=np.float64)
-        # scalar-idf × elementwise-norm, same op order as bm25_score →
-        # bit-identical floats to the per-query path it replaces
-        s = idf_u[codes] * bm25_norm(tf, dl, avgdl, k1, b)
+        w_u = np.asarray(
+            [const_by_term[tm] for tm in uniq], dtype=np.float64
+        )
+        # per-term scalar × elementwise kernel, op order matching the
+        # engine scorer (bm25/tfidf) resp. the oracle SQL (lm) exactly
+        # → bit-identical doubles before the fixed-point floor. Logs
+        # run through SCALAR math.log on UNIQUE arguments only (then a
+        # vectorized gather): vectorized np.log is 1-ulp off libm on
+        # ~half of all arguments while math.log is bit-identical to
+        # DuckDB's ln, so this keeps the fixed point deterministic
+        # rather than probabilistically safe. Unique counts are tiny:
+        # tf values resp. (query-term, tf) pairs resp. distinct doc
+        # lengths per batch — never one log per row.
+        if weighting == "bm25":
+            # no per-row transcendentals: idf was math.log'd on the
+            # driver, bm25_norm is exact IEEE mul/div/add
+            s = w_u[codes] * bm25_norm(tf, dl, avgdl, k1, b)
+        elif weighting == "tfidf":
+            utf, itf = np.unique(tf, return_inverse=True)
+            ltf = np.asarray([math.log(x) for x in utf])
+            s = (1.0 + ltf[itf]) * w_u[codes] / np.sqrt(dl)
+        else:  # lmdirichlet: ln(1 + tf/w) + ln(MU/(dl + MU))
+            tf_i = tf.astype(np.int64)
+            span = int(tf_i.max()) + 1
+            upair, ip = np.unique(codes * span + tf_i, return_inverse=True)
+            la = np.asarray(
+                [
+                    math.log(1.0 + float(p % span) / w_u[p // span])
+                    for p in upair
+                ]
+            )
+            udl, idl = np.unique(dl, return_inverse=True)
+            lb = np.asarray(
+                [math.log(_LM_MU / (x + _LM_MU)) for x in udl]
+            )
+            s = la[ip] + lb[idl]
         s_fp = np.floor(s * _FP8 + 0.5).astype(np.int64)
         q_u = [qids_by_term.get(tm, _NO_QIDS) for tm in uniq]
         k_u = np.asarray([len(q) for q in q_u], dtype=np.int64)
@@ -778,6 +940,68 @@ def _ranked_topk(key: str, k: int):
         )
 
     return topk
+
+
+def lmdirichlet_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Query-likelihood retrieval with Dirichlet smoothing (mu =
+    _LM_MU), Lucene LMDirichletSimilarity's model family: per matched
+    posting score_fp = fp8(ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu))),
+    summed per (query, doc), top-TOP_K. A third ranking model through
+    the same full-match-set pipeline as BM25/tfidf — one pruned
+    postings read + one doc_len join + grouped integer sum; nothing
+    new moves at 100 TB. (query_id, rank, doc_id)."""
+    return (
+        _lm_match_set(sf_dir)
+        .groupby("query_id")
+        .map_groups(_ranked_topk("score_fp", TOP_K), batch_format="pyarrow")
+    )
+
+
+def rerank_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Two-phase retrieval (Solr rq / LTR rerank parity): phase 1 =
+    BM25 top-RERANK_N per query over the full match set; phase 2 =
+    rescore ONLY those candidates under the tfidf weighting and
+    re-rank to top-TOP_K. The candidate set is |queries| x RERANK_N
+    rows — bounded by the QUERY set, not the corpus — so it ships as
+    one ray.put broadcast into a vectorized membership filter over the
+    (cached, shared) tfidf match set: no candidate shuffle, and at
+    100 TB the phase-2 cost is the match-set scoring both phases
+    already share. (query_id, rank, doc_id)."""
+    import numpy as np
+
+    cand = (
+        _scored_match_set(sf_dir)
+        .groupby("query_id")
+        .map_groups(
+            _ranked_topk("score_fp", RERANK_N), batch_format="pyarrow"
+        )
+        .select_columns(["query_id", "doc_id"])
+        .take_all()
+    )
+    by_q: dict[int, list] = {}
+    for r in cand:
+        by_q.setdefault(int(r["query_id"]), []).append(int(r["doc_id"]))
+    cand_ref = ray.put(
+        {q: np.asarray(sorted(v), dtype=np.int64) for q, v in by_q.items()}
+    )
+
+    def keep_cand(t: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        qid = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(qid), dtype=bool)
+        for q, docs in cd.items():  # one vectorized isin per query
+            m = qid == q
+            if m.any():
+                keep[m] = np.isin(did[m], docs)
+        return t.filter(pa.array(keep))
+
+    return (
+        _tfidf_match_set(sf_dir)
+        .map_batches(keep_cand, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_ranked_topk("score_fp", TOP_K), batch_format="pyarrow")
+    )
 
 
 def collapse_topk(sf_dir: str) -> "ray.data.Dataset":

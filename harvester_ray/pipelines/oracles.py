@@ -2138,3 +2138,116 @@ GROUP BY query_id, q_r4
 
 
 SEARCH_FIELD_QUANTILES = _field_quantiles_sql()
+
+
+def _terms_enum_sql() -> str:
+    """Solr /terms parity: per prefix, top-K dictionary terms by
+    document frequency (df desc, term asc), df >= mincount. Same
+    dictionary definition (distinct docs per term) as the index."""
+    from harvester_ray.pipelines.fulltext import (
+        TERMS_K,
+        TERMS_MINCOUNT,
+        TERMS_PREFIXES,
+    )
+
+    pvals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(TERMS_PREFIXES))
+    return f"""
+WITH toks AS ({_TOKS}),
+ipostings AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+idict AS (SELECT term, count(*) AS df FROM ipostings GROUP BY term),
+p(prefix_id, prefix) AS (VALUES {pvals}),
+f AS (SELECT p.prefix_id, d.term, d.df
+      FROM p JOIN idict d ON starts_with(d.term, p.prefix)
+      WHERE d.df >= {TERMS_MINCOUNT}),
+ranked AS (SELECT prefix_id, term, df,
+                  row_number() OVER (PARTITION BY prefix_id
+                                     ORDER BY df DESC, term ASC) AS rank
+           FROM f)
+SELECT prefix_id, rank, term, df FROM ranked WHERE rank <= {TERMS_K}
+"""
+
+
+TERMS_ENUM = _terms_enum_sql()
+
+
+def _rerank_sql() -> str:
+    """Two-phase rerank: BM25 fixed-point top-RERANK_N per query
+    (the shared sc CTE), rescored under the tfidf weighting (the
+    shared per-posting expression, fixed-pointed at the row), final
+    top-TOP_K by the phase-2 score."""
+    from harvester_ray.pipelines.fulltext import RERANK_N, TOP_K, _FP8
+
+    values = _or_query_values()
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+{_SC_CTE.format(fp8=_FP8)},
+r1 AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_fp DESC, doc_id ASC) AS rn
+       FROM sc),
+cand AS (SELECT query_id, doc_id FROM r1 WHERE rn <= {RERANK_N}),
+sct AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(floor(( {_SCORE_EXPRS["tfidf"]} ) * {_FP8} + 0.5)
+             AS BIGINT)) AS score_fp
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+j AS (SELECT s.query_id, s.doc_id, s.score_fp
+      FROM sct s JOIN cand c USING (query_id, doc_id)),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_fp DESC, doc_id ASC)
+                    AS rank
+           FROM j)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+RERANK_TOPK = _rerank_sql()
+
+
+def _lmdirichlet_sql() -> str:
+    """Query-likelihood / Dirichlet smoothing (mu = _LM_MU): per
+    matched posting fp8(ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu))),
+    summed per (query, doc). Both ln arguments are exact-integer
+    ratios (< 2^53 operands), so DuckDB's BIGINT-to-DOUBLE divisions
+    equal the engine's Python-int divisions bit-for-bit, and libm ln
+    (math.log on the engine side) matches DuckDB's ln."""
+    from harvester_ray.pipelines.fulltext import TOP_K, _FP8, _LM_MU
+
+    values = _or_query_values()
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf
+             FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cfd AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, p.doc_id,
+         sum(CAST(floor((
+               ln(1 + p.tf / (({_LM_MU} * c.cf)
+                              / (SELECT count(*) FROM toks)))
+             + ln({_LM_MU} / (l.dl + {_LM_MU}))
+           ) * {_FP8} + 0.5) AS BIGINT)) AS score_fp
+  FROM q
+  JOIN postings p USING (term)
+  JOIN cfd c USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_fp DESC, doc_id ASC)
+                    AS rank
+           FROM sc)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+LMDIRICHLET_TOPK = _lmdirichlet_sql()
