@@ -181,6 +181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         # CCNet-style unigram LM quality score (token-level fixed point)
         "unigram_logprob": textstats.unigram_logprob,
+        # per-doc unigram Shannon entropy (quality signal, map-only)
+        "doc_entropy": textstats.doc_entropy,
+        # corpus-wide top duplicated word 3-grams (repetition analysis)
+        "common_ngrams": textstats.common_ngrams,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -295,6 +299,8 @@ def oracle_sql() -> dict[str, str]:
         "collocations": oracles.COLLOCATIONS,
         "repetition_stats": oracles.REPETITION_STATS,
         "unigram_logprob": oracles.UNIGRAM_LOGPROB,
+        "doc_entropy": oracles.DOC_ENTROPY,
+        "common_ngrams": oracles.COMMON_NGRAMS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,

@@ -2251,3 +2251,53 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 
 
 LMDIRICHLET_TOPK = _lmdirichlet_sql()
+
+
+def _doc_entropy_sql() -> str:
+    """Per-doc unigram Shannon entropy, nats, fp8 at the (doc, term)
+    row — the engine computes the identical -(tf/dl)*ln(tf/dl) double
+    (scalar libm over unique (tf, dl) pairs), so integer sums agree
+    bit-for-bit."""
+    from harvester_ray.stages.textstats import _ENT_FP8
+
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf
+             FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(sum(CAST(floor(( -(p.tf / l.dl) * ln(p.tf / l.dl) )
+                      * {_ENT_FP8} + 0.5) AS BIGINT)) AS BIGINT)
+         AS entropy_fp
+FROM postings p JOIN doclen l USING (doc_id)
+GROUP BY p.doc_id
+"""
+
+
+DOC_ENTROPY = _doc_entropy_sql()
+
+
+def _common_ngrams_sql() -> str:
+    """Top-K corpus-wide word n-grams: the same analyzer token lists
+    (regexp_extract_all of the tokenizer class), windows built per doc
+    by list_transform over generate_series, counted globally."""
+    from harvester_ray.stages.textstats import _GRAM_WORDS, NGRAM_TOP_K
+
+    w = _GRAM_WORDS
+    gram_expr = " || ' ' || ".join(f"ts[i+{j}]" for j in range(w))
+    return f"""
+WITH tl AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents),
+grams AS (SELECT unnest(list_transform(
+              generate_series(1, len(ts) - {w - 1}),
+              i -> {gram_expr})) AS gram
+          FROM tl WHERE len(ts) >= {w}),
+counts AS (SELECT gram, count(*) AS n FROM grams GROUP BY gram),
+ranked AS (SELECT gram, n,
+                  row_number() OVER (ORDER BY n DESC, gram ASC) AS rank
+           FROM counts)
+SELECT rank, gram, n FROM ranked WHERE rank <= {NGRAM_TOP_K}
+"""
+
+
+COMMON_NGRAMS = _common_ngrams_sql()

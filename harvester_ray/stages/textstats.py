@@ -692,3 +692,133 @@ def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         src, columns=["doc_id", "text"]
     ).map_batches(score, batch_format="pyarrow")
+
+
+_ENT_FP8 = 100_000_000   # fixed-point scale for entropy contributions
+NGRAM_TOP_K = 20         # common_ngrams result depth
+_GRAM_WORDS = 3          # word-window size for common_ngrams
+
+
+def doc_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document unigram (Shannon) entropy in nats, fixed-point-8:
+    entropy_fp = sum over the doc's distinct terms of
+    fp8(-(tf/dl) * ln(tf/dl)) — a standard statistical quality signal
+    (low entropy = repetitive/templated text). Documents are
+    row-complete within a batch, so the whole op is map-only: no
+    shuffle at any corpus size. The log runs through scalar libm on
+    UNIQUE (tf, dl) pairs only (vectorized np.log is 1-ulp off
+    DuckDB's ln on ~half of arguments — measured), then a vectorized
+    gather + exact integer scatter-add, so the output is bit-identical
+    to the SQL oracle. Docs with zero tokens are omitted (mirroring
+    the oracle's postings-derived domain). Output (doc_id,
+    entropy_fp)."""
+    import math
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def ent(t: pa.Table) -> pa.Table:
+        n = len(t)
+        flat, parent = flatten_tokens(tokenize_column(t["text"]))
+        par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        dl_per_doc = np.bincount(par, minlength=n).astype(np.int64)
+        ent_fp = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            combo = pa.table({"p": parent, "tok": flat})
+            g = combo.group_by(["p", "tok"]).aggregate([("tok", "count")])
+            p_idx = g["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tf = g["tok_count"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            dl = dl_per_doc[p_idx]
+            span = int(dl.max()) + 1
+            upair, inv = np.unique(tf * span + dl, return_inverse=True)
+            vals = np.empty(len(upair), dtype=np.float64)
+            for i, pk in enumerate(upair):  # unique (tf, dl) pairs only
+                x = int(pk // span) / int(pk % span)
+                vals[i] = -(x) * math.log(x)
+            contrib = np.floor(vals * _ENT_FP8 + 0.5).astype(np.int64)[inv]
+            np.add.at(ent_fp, p_idx, contrib)
+        keep = dl_per_doc > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "entropy_fp": pa.array(ent_fp[keep], pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        src, columns=["doc_id", "text"]
+    ).map_batches(ent, batch_format="pyarrow")
+
+
+def common_ngrams(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-wide duplicate-text analysis: the NGRAM_TOP_K most
+    frequent word _GRAM_WORDS-grams with occurrence counts (n desc,
+    gram asc ties). Shuffle shape built for 100 TB: gram construction
+    is one vectorized 3-way string join per batch (windows never span
+    documents), counts pre-aggregate per batch (value_counts combiner)
+    BEFORE the gram-keyed groupby, and after the global sum an exact
+    per-batch top-k prune means only K rows per block reach the final
+    single-partition rank. Output (rank, gram, n)."""
+    from ray.data.aggregate import Sum
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    empty = pa.table(
+        {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def grams(t: pa.Table) -> pa.Table:
+        flat, parent = flatten_tokens(tokenize_column(t["text"]))
+        n = len(flat)
+        w = _GRAM_WORDS
+        if n < w:
+            return empty
+        par = parent.to_numpy(zero_copy_only=False)
+        g = pc.binary_join_element_wise(
+            *[flat.slice(j, n - w + 1) for j in range(w)], " "
+        )
+        g = g.filter(pa.array(par[: n - w + 1] == par[w - 1 :]))
+        if len(g) == 0:
+            return empty
+        vc = g.value_counts()
+        return pa.table(
+            {
+                "gram": vc.field("values").cast(pa.string()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("gram", "ascending")]
+        )[:NGRAM_TOP_K]
+        t = t.take(idx)
+        return pa.table(
+            {"gram": t["gram"].cast(pa.string()), "n": t["n"].cast(pa.int64())}
+        )
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("gram", "ascending")]
+        )[:NGRAM_TOP_K]
+        t = t.take(idx)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(t) + 1, dtype=np.int64), pa.int64()
+                ),
+                "gram": t["gram"].cast(pa.string()),
+                "n": t["n"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(src, columns=["text"])
+        .map_batches(grams, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_rank, batch_format="pyarrow", batch_size=None)
+    )

@@ -290,3 +290,76 @@ def test_vocab_join_path_bit_identical(ray_session, monkeypatch):
     )
     assert col_j == col_b
     assert ul_j.equals(ul_b)
+
+
+def test_doc_entropy_edges_and_exactness(tmp_path, ray_session):
+    """Zero-token docs are omitted; a uniform doc has entropy ln(k);
+    fp values match the pure-Python rule exactly."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.textstats import _ENT_FP8, doc_entropy
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d",          # uniform: entropy ln(4)
+                        "a a a a",          # single term: entropy 0
+                        "",                 # zero tokens: omitted
+                        "x x y",            # mixed
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        int(r["doc_id"]): int(r["entropy_fp"])
+        for r in doc_entropy(str(tmp_path)).take_all()
+    }
+    fp = lambda x: math.floor(-(x) * math.log(x) * _ENT_FP8 + 0.5)
+    assert set(got) == {0, 1, 3}
+    assert got[0] == 4 * fp(1 / 4)
+    assert got[1] == fp(1.0)  # -(1)*ln(1) = 0
+    assert got[1] == 0
+    assert got[3] == fp(2 / 3) + fp(1 / 3)
+
+
+def test_common_ngrams_short_docs_and_windows(tmp_path, ray_session):
+    """Windows never span documents; docs shorter than the window
+    contribute nothing; counts and tie order are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.textstats import common_ngrams
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c a b c",   # 'a b c' x2, 'b c a', 'c a b'
+                        "a b c",         # 'a b c' once more
+                        "x y",           # < 3 tokens: no grams
+                        "",              # empty
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = [
+        (int(r["rank"]), r["gram"], int(r["n"]))
+        for r in common_ngrams(str(tmp_path)).take_all()
+    ]
+    assert rows[0] == (1, "a b c", 3)
+    assert (2, "b c a", 1) in rows and (3, "c a b", 1) in rows
+    # no gram contains tokens from two docs ('c a b' exists only
+    # WITHIN doc 0, never as a doc-0/doc-1 boundary window 'b c a'+)
+    assert all(n >= 1 for _, _, n in rows) and len(rows) == 3
