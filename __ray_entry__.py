@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_field_quantiles": fulltext.search_field_quantiles,
         # /terms handler: prefix term enumeration off the dictionary
         "terms_enum": fulltext.terms_enum,
+        # JSON Facet API: nested stats (count/sum/avg) per bucket
+        "json_facet_stats": fulltext.json_facet_stats,
         # two-phase retrieval (rq/LTR): BM25 top-N -> tfidf rescore
         "rerank_topk": fulltext.rerank_topk,
         # query likelihood, Dirichlet smoothing (third ranking model)
@@ -246,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": oracles.SIGNIFICANT_TERMS,
         "search_field_quantiles": oracles.SEARCH_FIELD_QUANTILES,
         "terms_enum": oracles.TERMS_ENUM,
+        "json_facet_stats": oracles.JSON_FACET_STATS,
         "rerank_topk": oracles.RERANK_TOPK,
         "lmdirichlet_topk": oracles.LMDIRICHLET_TOPK,
         "hybrid_rrf": oracles.HYBRID_RRF,

@@ -579,6 +579,64 @@ def search_facets(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+JSON_FACET_K = 3   # facet.limit: buckets kept per query
+
+
+def json_facet_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Solr JSON Facet API parity (nested aggregations inside facet
+    buckets): per OR query, the top-JSON_FACET_K `source` buckets of
+    the FULL match set by doc count (ties source asc), each carrying
+    nested stats — count, sum(n_chars), and integer-exact avg
+    (sum*FP4 floor-div count; safe while sum_chars < 2^63/10^4 ≈ 9e14,
+    i.e. ~10^11 docs of 10^4 chars per bucket). Shuffle shape: the
+    cached distinct match set joins the pruned documents columns, one
+    (query, source) grouped aggregate, then a per-query bucket top-k —
+    all corpus-scale-safe. Output (query_id, bucket_rank, source,
+    n_docs, sum_chars, avg_chars_fp4)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from harvester_ray.config import shuffle_partitions
+
+    matches = _distinct_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    joined = matches.join(
+        docs, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+    buckets = joined.groupby(["query_id", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_docs", "descending"), ("source", "ascending")]
+        )[:JSON_FACET_K]
+        g = g.take(idx)
+        n = g["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["sum_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "bucket_rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "source": g["source"].cast(pa.string()),
+                "n_docs": pa.array(n, pa.int64()),
+                "sum_chars": pa.array(s, pa.int64()),
+                "avg_chars_fp4": pa.array((s * _FP4) // n, pa.int64()),
+            }
+        )
+
+    return buckets.groupby("query_id").map_groups(
+        topk, batch_format="pyarrow"
+    )
+
+
 def sort_by_field_topk(sf_dir: str) -> "ray.data.Dataset":
     """Sort-by-field results (Solr `sort=field desc` parity): per OR
     query, the top-10 docs of the FULL match set ordered by a DOC

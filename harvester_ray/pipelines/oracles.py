@@ -2301,3 +2301,32 @@ SELECT rank, gram, n FROM ranked WHERE rank <= {NGRAM_TOP_K}
 
 
 COMMON_NGRAMS = _common_ngrams_sql()
+
+
+def _json_facet_stats_sql() -> str:
+    """JSON Facet API twin: per query, top-K source buckets of the
+    full match set by count, with nested sum + integer-exact fp4 avg
+    (same floor division as the engine)."""
+    from harvester_ray.pipelines.fulltext import JSON_FACET_K, _FP4
+
+    values = _or_query_values()
+    return f"""
+WITH toks AS ({_TOKS}),
+q(query_id, term) AS (VALUES {values}),
+matches AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM q JOIN toks t USING (term)),
+j AS (SELECT m.query_id, d.source, d.n_chars
+      FROM matches m JOIN documents d USING (doc_id)),
+b AS (SELECT query_id, source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM j GROUP BY query_id, source),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY n_docs DESC, source ASC) AS bucket_rank
+           FROM b)
+SELECT query_id, bucket_rank, source, n_docs, sum_chars,
+       (sum_chars * {_FP4}) // n_docs AS avg_chars_fp4
+FROM ranked WHERE bucket_rank <= {JSON_FACET_K}
+"""
+
+
+JSON_FACET_STATS = _json_facet_stats_sql()
