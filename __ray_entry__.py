@@ -98,6 +98,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_topk": fulltext.rerank_topk,
         # query likelihood, Dirichlet smoothing (third ranking model)
         "lmdirichlet_topk": fulltext.lmdirichlet_topk,
+        # edismax minimum-should-match (mm=2, capped at |q| per Solr)
+        "mm_topk": fulltext.mm_topk,
+        # /tvrh term vectors: per-doc (term, tf, df, tfidf_fp)
+        "termvectors": fulltext.termvectors,
+        # Luke handler: index-level statistics (metric, value)
+        "index_overview": fulltext.index_overview,
+        # facet.query: arbitrary-predicate facet counts per query
+        "facet_query_counts": fulltext.facet_query_counts,
+        # dictionary Zipf profile: log2(df) histogram
+        "df_histogram": fulltext.df_histogram,
         # hybrid-search rank fusion (RRF of BM25 + TF-IDF, integer-exact)
         "hybrid_rrf": fulltext.hybrid_rrf,
         # pseudo-relevance-feedback dense re-rank (Rocchio centroid)
@@ -251,6 +261,11 @@ def oracle_sql() -> dict[str, str]:
         "json_facet_stats": oracles.JSON_FACET_STATS,
         "rerank_topk": oracles.RERANK_TOPK,
         "lmdirichlet_topk": oracles.LMDIRICHLET_TOPK,
+        "mm_topk": oracles.MM_TOPK,
+        "termvectors": oracles.TERMVECTORS,
+        "index_overview": oracles.INDEX_OVERVIEW,
+        "facet_query_counts": oracles.FACET_QUERY_COUNTS,
+        "df_histogram": oracles.DF_HISTOGRAM,
         "hybrid_rrf": oracles.HYBRID_RRF,
         "prf_rerank": oracles.PRF_RERANK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,

@@ -2917,3 +2917,329 @@ def search_field_quantiles(sf_dir: str) -> "ray.data.Dataset":
     return hist.groupby("query_id").map_groups(
         finalize, batch_format="pyarrow"
     )
+
+
+# ── minimum-should-match (Solr edismax mm) ──────────────────────────
+
+MM_MIN = 2  # required optional clauses; capped at |query terms| (Solr rule)
+
+
+def _match_term_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(query_id, doc_id, nterms) — how many DISTINCT query terms each
+    match-set doc matched, derived from the shared cached
+    postings⨝doc_len join (each row there is a unique (term, doc)
+    posting, so a per-query row count IS the distinct-term count)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from harvester_ray.functions.text import tokenize
+
+    paths = index_for(sf_dir)
+    qterms = [
+        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
+    ]
+    all_terms = sorted({t for _, ts in qterms for t in ts})
+    post = _query_joined_postings(sf_dir, paths, all_terms)
+
+    def expand(t: pa.Table) -> pa.Table:
+        qids, dids = [], []
+        for qid, ts in qterms:
+            mask = pc.is_in(t["term"], value_set=pa.array(ts, pa.string()))
+            sel = t.filter(mask)["doc_id"].to_numpy(zero_copy_only=False)
+            qids.append(np.full(len(sel), qid, dtype=np.int64))
+            dids.append(sel.astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(qids) if qids else [], pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(dids) if dids else [], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        post.map_batches(expand, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Count(alias_name="nterms"))
+        .map_batches(  # typed re-emit after the aggregate
+            lambda t: pa.table(
+                {
+                    "query_id": t["query_id"].cast(pa.int64()),
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "nterms": t["nterms"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def mm_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Solr edismax minimum-should-match (mm=MM_MIN) top-k: each OR
+    query keeps only docs matching at least min(MM_MIN, |query terms|)
+    distinct query terms (Solr caps mm at the optional-clause count),
+    ranked by the unchanged BM25 score. Shuffle shape: the cached
+    scored match set hash-joins the per-(query, doc) distinct-term
+    counts (both match-set-sized, never corpus-sized), a vectorized
+    threshold filter, then the per-query top-k. Output
+    (query_id, rank, doc_id). Reference analog: the Solr mm parameter
+    every Calisphere multi-term search passes through."""
+    import numpy as np
+
+    from harvester_ray.config import shuffle_partitions
+    from harvester_ray.functions.text import tokenize
+
+    qterms = [
+        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
+    ]
+    max_qid = max(qid for qid, _ in qterms)
+    req = np.ones(max_qid + 1, dtype=np.int64)
+    for qid, ts in qterms:
+        req[qid] = min(MM_MIN, len(ts))
+
+    joined = _scored_match_set(sf_dir).join(
+        _match_term_counts(sf_dir),
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("query_id", "doc_id"),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        qid = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = t["nterms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(nt >= req[qid]))
+
+    return (
+        joined.map_batches(keep, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_ranked_topk("score_fp", TOP_K), batch_format="pyarrow")
+    )
+
+
+# ── /tvrh term-vector component ─────────────────────────────────────
+
+TV_MAX_DOC = 5  # pinned doc set: doc_id < TV_MAX_DOC (present at all sfs)
+
+
+def termvectors(sf_dir: str) -> "ray.data.Dataset":
+    """Solr TermVectorComponent (/tvrh) parity: for each doc in the
+    pinned doc set, its full term vector — (doc_id, term, tf, df,
+    tfidf_fp) with tfidf_fp = fp8((1 + ln tf) · ln((N+1)/(df+1))), the
+    doc-local tf-idf weight (no length norm — term vectors are
+    per-doc). Shuffle shape: a doc-filtered postings read streams;
+    each batch resolves its UNIQUE terms' df by a pruned row-group
+    read of the dictionary (actor-local lookup, the positional-shard
+    pattern) — no corpus shuffle, no dictionary broadcast. Logs via
+    scalar math.log over unique arguments (bit-identical to DuckDB's
+    ln; vectorized np.log is 1-ulp off on ~half of arguments)."""
+    import json as _json
+    import math
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    paths = index_for(sf_dir)
+    with open(paths.stats) as f:
+        n_docs = float(_json.load(f)["n_docs"])
+
+    post = ray.data.read_parquet(
+        paths.postings,
+        columns=["term", "doc_id", "tf"],
+        filter=pads.field("doc_id") < TV_MAX_DOC,
+    )
+
+    dict_path = paths.dictionary
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf_fp": pa.array([], pa.int64()),
+                }
+            )
+        enc = t["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        dft = pq.read_table(  # pruned read: this batch's terms only
+            dict_path, columns=["term", "df"],
+            filters=[("term", "in", uniq)],
+        )
+        df_by_term = dict(
+            zip(dft["term"].to_pylist(), dft["df"].to_pylist())
+        )
+        df_u = np.asarray([df_by_term[tm] for tm in uniq], dtype=np.int64)
+        w_u = np.asarray(
+            [math.log((n_docs + 1.0) / (float(d) + 1.0)) for d in df_u]
+        )
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        utf, itf = np.unique(tf, return_inverse=True)
+        ltf = np.asarray([1.0 + math.log(float(x)) for x in utf])
+        s_fp = np.floor(ltf[itf] * w_u[codes] * _FP8 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "term": t["term"].cast(pa.string()),
+                "tf": pa.array(tf, pa.int64()),
+                "df": pa.array(df_u[codes], pa.int64()),
+                "tfidf_fp": pa.array(s_fp, pa.int64()),
+            }
+        )
+
+    return post.map_batches(weigh, batch_format="pyarrow")
+
+
+# ── Luke handler: index overview stats ──────────────────────────────
+
+
+def index_overview(sf_dir: str) -> pa.Table:
+    """Luke-handler parity (Solr admin/luke): one (metric, value) row
+    per index-level statistic — n_docs, n_terms (vocab size),
+    n_postings (Σ df), total_tokens (Σ cf), max_df, max/min doc_len,
+    and avgdl_fp4 (total_tokens·10⁴ // n_docs, integer-exact). The
+    wide work is two tiny grouped aggregates (dictionary, doc table);
+    the result is 8 rows, so a driver-side table is the right shape."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    paths = index_for(sf_dir)
+    with open(paths.stats) as f:
+        st = _json.load(f)
+    n_docs = int(st["n_docs"])
+
+    d = (
+        ray.data.read_parquet(paths.dictionary, columns=["term", "df", "cf"])
+        .aggregate(
+            Count(alias_name="n_terms"),
+            Sum("df", alias_name="n_postings"),
+            Sum("cf", alias_name="total_tokens"),
+            Max("df", alias_name="max_df"),
+        )
+    )
+    l = (
+        ray.data.read_parquet(paths.doc_table, columns=["doc_len"])
+        .aggregate(
+            Max("doc_len", alias_name="max_doc_len"),
+            Min("doc_len", alias_name="min_doc_len"),
+        )
+    )
+    total_tokens = int(d["total_tokens"])
+    rows = [
+        ("avgdl_fp4", (total_tokens * _FP4) // n_docs),
+        ("max_df", int(d["max_df"])),
+        ("max_doc_len", int(l["max_doc_len"])),
+        ("min_doc_len", int(l["min_doc_len"])),
+        ("n_docs", n_docs),
+        ("n_postings", int(d["n_postings"])),
+        ("n_terms", int(d["n_terms"])),
+        ("total_tokens", total_tokens),
+    ]
+    return pa.table(
+        {
+            "metric": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ── facet.query: arbitrary-predicate facet counts ───────────────────
+
+# (facet label, vectorized predicate over (lang, n_chars)) — the Solr
+# facet.query set; labels use Solr query syntax for recognizability
+FACET_QUERY_LABELS = (
+    "lang:en",
+    "n_chars:[300 TO *]",
+    "lang:de AND n_chars:[* TO 250]",
+)
+
+
+def facet_query_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Solr facet.query parity: for each OR query, the count of its
+    FULL match set satisfying each facet sub-query (arbitrary
+    predicates, unlike field faceting's value buckets). Shuffle shape:
+    the cached distinct match set hash-joins the pruned documents
+    columns once, each batch evaluates every predicate vectorized, one
+    (query, facet) grouped count. Output (query_id, facet, n_docs)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from harvester_ray.config import shuffle_partitions
+
+    matches = _distinct_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    joined = matches.join(
+        docs, join_type="inner",
+        num_partitions=shuffle_partitions(), on=("doc_id",),
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        lang = t["lang"]
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = pc.equal(lang, "en").to_numpy(zero_copy_only=False)
+        de = pc.equal(lang, "de").to_numpy(zero_copy_only=False)
+        masks = (en, nch >= 300, de & (nch <= 250))
+        qid = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_f = [], []
+        for label, m in zip(FACET_QUERY_LABELS, masks):
+            sel = qid[m]
+            out_q.append(sel)
+            out_f.extend([label] * len(sel))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "facet": pa.array(out_f, pa.string()),
+            }
+        )
+
+    return (
+        joined.map_batches(explode, batch_format="pyarrow")
+        .groupby(["query_id", "facet"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+# ── dictionary analytics: Zipf df histogram ─────────────────────────
+
+
+def df_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Dictionary Zipf profile: terms bucketed by floor(log2(df)) with
+    per-bucket term and token counts — (bucket, n_terms, sum_cf). The
+    exponent comes from np.frexp (exact for df < 2^53; no libm log2
+    rounding at power-of-two edges), mirrored in SQL as
+    length(bin(df)) - 1. Map + one tiny groupby over the dictionary —
+    corpus text is never touched."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    d = ray.data.read_parquet(paths := index_for(sf_dir).dictionary,
+                              columns=["df", "cf"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.frexp(df.astype(np.float64))[1] - 1
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+                "cf": t["cf"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        d.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Count(alias_name="n_terms"), Sum("cf", alias_name="sum_cf")
+        )
+    )

@@ -2330,3 +2330,119 @@ FROM ranked WHERE bucket_rank <= {JSON_FACET_K}
 
 
 JSON_FACET_STATS = _json_facet_stats_sql()
+
+
+def _mm_topk_sql() -> str:
+    """Minimum-should-match: the standard fp8 scored match set (sc)
+    restricted to (query, doc) pairs matching at least
+    least(MM_MIN, |query terms|) distinct query terms — Solr's rule
+    that mm is capped at the optional-clause count."""
+    from harvester_ray.pipelines.fulltext import _FP8, MM_MIN
+
+    values = _or_query_values()
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+{_SC_CTE.format(fp8=_FP8)},
+hits AS (
+  SELECT q.query_id, p.doc_id
+  FROM q JOIN postings p USING (term)
+  GROUP BY q.query_id, p.doc_id
+  HAVING count(DISTINCT p.term) >=
+    least({MM_MIN}, (SELECT count(*) FROM q q2
+                     WHERE q2.query_id = q.query_id))
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score_fp DESC, sc.doc_id ASC)
+           AS rank
+  FROM sc JOIN hits USING (query_id, doc_id)
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+MM_TOPK = _mm_topk_sql()
+
+
+def _termvectors_sql() -> str:
+    """Per-doc term vectors for the pinned doc set: tf doc-local, df
+    corpus-wide, tfidf_fp = fp8((1 + ln tf) * ln((N+1)/(df+1))) — the
+    identical expression tree (and BIGINT floor) as the Ray kernel."""
+    from harvester_ray.pipelines.fulltext import _FP8, TV_MAX_DOC
+
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks
+             GROUP BY term, doc_id),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT p.doc_id, p.term, p.tf, d.df,
+       CAST(floor((1 + ln(p.tf)) * ln(((SELECT n FROM n) + 1)
+                                      / (d.df::DOUBLE + 1))
+                  * {_FP8} + 0.5) AS BIGINT) AS tfidf_fp
+FROM postings p JOIN dict d USING (term)
+WHERE p.doc_id < {TV_MAX_DOC}
+"""
+
+
+TERMVECTORS = _termvectors_sql()
+
+
+INDEX_OVERVIEW = f"""
+WITH toks AS ({_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+         FROM toks GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id)
+SELECT 'avgdl_fp4' AS metric,
+       ((SELECT sum(cf) FROM dict) * 10000
+         // (SELECT count(*) FROM documents))::BIGINT AS value
+UNION ALL SELECT 'max_df', (SELECT max(df) FROM dict)::BIGINT
+UNION ALL SELECT 'max_doc_len', (SELECT max(doc_len) FROM dl)::BIGINT
+UNION ALL SELECT 'min_doc_len', (SELECT min(doc_len) FROM dl)::BIGINT
+UNION ALL SELECT 'n_docs', (SELECT count(*) FROM documents)::BIGINT
+UNION ALL SELECT 'n_postings', (SELECT count(*) FROM
+                                (SELECT DISTINCT term, doc_id FROM toks))::BIGINT
+UNION ALL SELECT 'n_terms', (SELECT count(*) FROM dict)::BIGINT
+UNION ALL SELECT 'total_tokens', (SELECT count(*) FROM toks)::BIGINT
+"""
+
+
+def _facet_query_sql() -> str:
+    """facet.query counts: the distinct match set joined to documents,
+    one UNION ALL arm per facet predicate (labels mirror
+    FACET_QUERY_LABELS verbatim)."""
+    values = _or_query_values()
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks
+             GROUP BY term, doc_id),
+q(query_id, term) AS (VALUES {values}),
+m AS (SELECT DISTINCT q.query_id, p.doc_id
+      FROM q JOIN postings p USING (term)),
+j AS (SELECT m.query_id, d.lang, d.n_chars
+      FROM m JOIN documents d ON d.doc_id = m.doc_id)
+SELECT query_id, 'lang:en' AS facet, count(*) AS n_docs
+FROM j WHERE lang = 'en' GROUP BY query_id
+UNION ALL
+SELECT query_id, 'n_chars:[300 TO *]', count(*)
+FROM j WHERE n_chars >= 300 GROUP BY query_id
+UNION ALL
+SELECT query_id, 'lang:de AND n_chars:[* TO 250]', count(*)
+FROM j WHERE lang = 'de' AND n_chars <= 250 GROUP BY query_id
+"""
+
+
+FACET_QUERY_COUNTS = _facet_query_sql()
+
+
+DF_HISTOGRAM = f"""
+WITH toks AS ({_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+         FROM toks GROUP BY term)
+SELECT length(bin(df)) - 1 AS bucket,
+       count(*) AS n_terms, sum(cf)::BIGINT AS sum_cf
+FROM dict GROUP BY bucket
+"""
