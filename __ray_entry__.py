@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated against the same SQL oracle
         "bm25f_topk": fulltext.bm25f_topk,
         "bm25f_topk_served": fulltext.bm25f_topk_served,
+        # and the distributed vocabulary-partitioned BM25F tier
+        # (actor cells slice main + both field indexes by term bucket)
+        "bm25f_topk_termsharded": fulltext.bm25f_topk_termsharded,
         # second real analyzer (stop+stem) through the §2.10 registry
         "porter_doc_stats": fulltext.porter_doc_stats,
         # boolean NOT (exclusion before top-k)
@@ -180,6 +183,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         # the dedup sweep's output corpus (drop non-canonical members)
         "dedup_keep": dedup.dedup_keep,
+        # same sweep forced onto the corpus-scale hash anti-join path
+        # (the 100-TB twin of the broadcast isin filter)
+        "dedup_keep_antijoin": lambda sf: dedup.dedup_keep(
+            sf, force_join=True
+        ),
         # eval-set decontamination sweep (8-gram overlap vs benchmark)
         "decontaminate": dedup.decontaminate,
         # corpus profiling: exact doc-length quantiles
@@ -233,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracles.TFIDF_TOPK,
         "bm25f_topk": oracles.BM25F_TOPK,
         "bm25f_topk_served": oracles.BM25F_TOPK,
+        "bm25f_topk_termsharded": oracles.BM25F_TOPK,
         "porter_doc_stats": oracles.PORTER_DOC_STATS,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
         "search_facets": oracles.SEARCH_FACETS,
@@ -325,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dups": oracles.NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,
         "dedup_keep": oracles.DEDUP_KEEP,
+        "dedup_keep_antijoin": oracles.DEDUP_KEEP,
         "decontaminate": oracles.DECONTAMINATE,
         "doc_len_quantiles": oracles.DOC_LEN_QUANTILES,
     }

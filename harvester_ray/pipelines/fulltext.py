@@ -2390,6 +2390,57 @@ def bm25f_topk_served(sf_dir: str) -> pa.Table:
     )
 
 
+def bm25f_topk_termsharded(sf_dir: str, n_shards: int = 4) -> pa.Table:
+    """(query_id, rank, doc_id) — BM25F through the DISTRIBUTED
+    vocabulary-partitioned serving tier (index/fielded.
+    DistributedFieldedIndex: 4 FieldedCellActor cells, each loading
+    only its term buckets' slice of the main AND both field indexes;
+    the router fans each query term to its single owning cell and
+    integer-sums the fp8 contributions). Driver-gated against the SAME
+    BM25F_TOPK SQL oracle as the pipeline and single-process serving
+    twins — rank identity proves the vocabulary partition, the shared
+    bucket map across three indexes, and the router fuse end to end."""
+    import numpy as np
+
+    from harvester_ray.index.fielded import (
+        DistributedFieldedIndex,
+        FieldSpec,
+    )
+
+    paths = index_for(sf_dir)
+    fdirs = field_indexes_for(sf_dir)
+    tier = DistributedFieldedIndex(
+        paths.root,
+        [
+            (
+                FieldSpec("title", BM25F_W_TITLE, BM25F_B_TITLE),
+                fdirs["title"].root,
+            ),
+            (
+                FieldSpec("body", BM25F_W_BODY, BM25F_B_BODY),
+                fdirs["body"].root,
+            ),
+        ],
+        n_shards,
+    )
+    try:
+        qids, ranks, dids = [], [], []
+        for qid, q in queries_for_mode("or"):
+            for rank, doc_id, _fp in tier.search(q, k=TOP_K):
+                qids.append(qid)
+                ranks.append(rank)
+                dids.append(doc_id)
+    finally:
+        tier.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids, np.int64), pa.int64()),
+            "rank": pa.array(np.asarray(ranks, np.int64), pa.int64()),
+            "doc_id": pa.array(np.asarray(dids, np.int64), pa.int64()),
+        }
+    )
+
+
 def phrase_match_sharded(sf_dir: str) -> pa.Table:
     """(phrase_id, doc_id, n_occurrences) for PHRASE_SET through the
     TERM-SHARDED positional serving tier (index/positional.py:

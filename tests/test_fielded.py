@@ -165,3 +165,53 @@ def test_fielded_term_sharded_bit_identical(field_dirs, ray_session):
         n_nonempty += int(bool(want))
     assert n_nonempty > 0
     assert tier.search("zzzqoov") == []
+
+
+def test_distributed_fielded_bit_identical(field_dirs, ray_session):
+    """DistributedFieldedIndex (actor cells) must reproduce the
+    single-process FieldedIndex bit for bit — same ranks AND fp8
+    scores — and its cells must partition the main vocabulary."""
+    from harvester_ray.index.fielded import DistributedFieldedIndex
+
+    single = _fielded(field_dirs)
+    tier = DistributedFieldedIndex(
+        index_for(SF_DIR).root,
+        [(spec, field_dirs[spec.name]) for spec in SPECS],
+        n_shards=3,
+    )
+    try:
+        sizes = tier.vocab_sizes()
+        assert len(sizes) == 3
+        assert sum(sizes) == len(single.main.dictionary)
+        n_nonempty = 0
+        for _, q in queries_for_mode("or"):
+            want = single.search(q, k=TOP_K)
+            got = tier.search(q, k=TOP_K)
+            assert got == want, q
+            n_nonempty += int(bool(want))
+        assert n_nonempty > 0
+        assert tier.search("zzzqoov") == []
+    finally:
+        tier.shutdown()
+
+
+def test_distributed_fielded_rejects_mismatched_buckets(
+    field_dirs, tmp_path, ray_session
+):
+    """The routing invariant (one num_term_buckets across main and
+    every field index) is VALIDATED, not assumed: a field index built
+    with a different bucket count must be rejected at construction."""
+    from harvester_ray.index.build import build_index
+    from harvester_ray.index.fielded import DistributedFieldedIndex
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    odd_dir = str(tmp_path / "oddbuckets")
+    build_index(docs, odd_dir, cfg=IndexConfig(num_term_buckets=8))
+    with pytest.raises(ValueError, match="num_term_buckets"):
+        DistributedFieldedIndex(
+            index_for(SF_DIR).root,
+            [(SPECS[0], field_dirs["title"]), (SPECS[1], odd_dir)],
+            n_shards=2,
+        )
