@@ -161,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data-pipeline operators
         "doc_chunks": chunking.doc_chunks,
         "token_shards": chunking.token_shards,
+        # cross-document repeated-span detection + the RefinedWeb-style
+        # duplicated-span document filter over the same chunking
+        "chunk_dups": chunking.chunk_dups,
+        "dup_chunk_filter": chunking.dup_chunk_filter,
         "sample_documents": relational.sample_documents,
         # per-stratum deterministic sampling + exact distinct-count
         "stratified_sample": relational.stratified_sample,
@@ -312,6 +316,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": oracles.EMBEDDING_NORMS,
         "doc_chunks": oracles.DOC_CHUNKS,
         "token_shards": oracles.TOKEN_SHARDS,
+        "chunk_dups": oracles.CHUNK_DUPS,
+        "dup_chunk_filter": oracles.DUP_CHUNK_FILTER,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "stratified_sample": oracles.STRATIFIED_SAMPLE,
         "events_type_users": oracles.EVENTS_TYPE_USERS,

@@ -2446,3 +2446,78 @@ SELECT length(bin(df)) - 1 AS bucket,
        count(*) AS n_terms, sum(cf)::BIGINT AS sum_cf
 FROM dict GROUP BY bucket
 """
+
+
+def _chunk_dups_sql() -> str:
+    """Cross-document repeated token-window chunks (stages/chunking.py
+    chunk_dups): the DOC_CHUNKS chunking expression grouped by
+    chunk_text, kept where the distinct-doc count reaches 2."""
+    from harvester_ray.stages.chunking import CHUNK_OVERLAP, CHUNK_SIZE
+
+    c, stride = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(ts[u.i * {stride} + 1 : u.i * {stride} + {c}], ' ')
+           AS chunk_text
+  FROM toks, unnest(range(0, (len(ts) + {stride} - 1) // {stride})) AS u(i)
+)
+SELECT chunk_text, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occ
+FROM chunks GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+CHUNK_DUPS = _chunk_dups_sql()
+
+
+def _dup_chunk_filter_sql() -> str:
+    """Duplicated-span document filter (stages/chunking.py
+    dup_chunk_filter): drop docs where DEN·n_dup > NUM·n_chunks over
+    the same chunking; zero-chunk docs have no stats row and are
+    kept."""
+    from harvester_ray.stages.chunking import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        DUP_FRAC_DEN,
+        DUP_FRAC_NUM,
+    )
+
+    c, stride = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(ts[u.i * {stride} + 1 : u.i * {stride} + {c}], ' ')
+           AS chunk_text
+  FROM toks, unnest(range(0, (len(ts) + {stride} - 1) // {stride})) AS u(i)
+),
+dup AS (
+  SELECT chunk_text FROM chunks
+  GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2
+),
+st AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         count(*) FILTER (
+           WHERE chunk_text IN (SELECT chunk_text FROM dup)
+         ) AS n_dup
+  FROM chunks GROUP BY doc_id
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM st
+  WHERE {DUP_FRAC_DEN} * n_dup > {DUP_FRAC_NUM} * n_chunks
+)
+"""
+
+
+DUP_CHUNK_FILTER = _dup_chunk_filter_sql()

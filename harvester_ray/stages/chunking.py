@@ -239,3 +239,120 @@ def token_shards(
     return pa.concat_tables(
         [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
     ).combine_chunks()
+
+
+# -- cross-document repeated-span dedup (RefinedWeb line-dedup analog) ----
+# The classic web-pipeline "duplicated lines" signals (RefinedWeb /
+# MassiveText): a span of text repeated verbatim across documents is
+# boilerplate or template noise; documents dominated by such spans are
+# dropped. The synthetic corpus has no newline structure, so the span
+# unit is the engine's own token-window chunk (doc_chunks) — the same
+# detector at chunk granularity, sharing the chunk-boundary contract
+# (and therefore the DOC_CHUNKS oracle's chunking SQL).
+
+DUP_FRAC_NUM = 3  # drop a doc when n_dup_chunks/n_chunks > 3/10
+DUP_FRAC_DEN = 10  # (RefinedWeb drops past ~30% duplicated lines)
+
+
+def chunk_dups(
+    sf_dir: str,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> "ray.data.Dataset":
+    """(chunk_text, n_docs, n_occ): token-window chunks whose exact
+    text appears in >= 2 DISTINCT documents — n_docs the distinct-doc
+    count, n_occ the total occurrence count (within-doc repeats
+    included). Shuffle shape: one chunking pass, a
+    (chunk_text, doc_id) groupby to distinct pairs carrying per-pair
+    occurrence counts, then a chunk_text groupby — two hash exchanges
+    over the chunk table, never all-pairs. At 100 TB the shuffle key
+    would be a 16-byte chunk-text hash with texts resolved at the end;
+    here the texts ship directly (~200 B/chunk) so the oracle compares
+    them verbatim."""
+    from ray.data.aggregate import Count, Sum
+
+    pairs = (
+        doc_chunks(sf_dir, chunk_size, overlap)
+        .groupby(["chunk_text", "doc_id"])
+        .aggregate(Count(alias_name="n_occ"))
+    )
+    agg = pairs.groupby("chunk_text").aggregate(
+        Count(alias_name="n_docs"), Sum("n_occ", alias_name="n_occ")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].cast(pa.int64())
+        out = pa.table(
+            {
+                "chunk_text": t["chunk_text"].cast(pa.string()),
+                "n_docs": nd,
+                "n_occ": t["n_occ"].cast(pa.int64()),
+            }
+        )
+        return out.filter(pc.greater_equal(nd, 2))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def dup_chunk_filter(
+    sf_dir: str,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> "ray.data.Dataset":
+    """(doc_id): the corpus after the duplicated-span document filter —
+    drop every document whose cross-doc duplicated chunks exceed
+    DUP_FRAC_NUM/DUP_FRAC_DEN of its chunks (integer-exact:
+    drop iff DEN·n_dup > NUM·n_chunks; zero-chunk docs are kept).
+    Shuffle shape: the chunk table left-joins the duplicated-text set
+    by hash (both chunk-table-sized at worst), one per-doc grouped
+    count, and the engine's hash anti-join streams the kept corpus —
+    no driver materialization on any path."""
+    from ray.data.aggregate import Count, Sum
+
+    from harvester_ray.config import shuffle_partitions
+    from harvester_ray.stages.dedup import anti_join_doc_ids
+
+    chunks = doc_chunks(sf_dir, chunk_size, overlap).select_columns(
+        ["doc_id", "chunk_text"]
+    )
+    dup = chunk_dups(sf_dir, chunk_size, overlap).select_columns(
+        ["chunk_text"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "_dup", pa.array(np.ones(len(t), np.int8), pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    marked = chunks.join(
+        dup,
+        join_type="left_outer",
+        num_partitions=shuffle_partitions(),
+        on=("chunk_text",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "is_dup": pc.fill_null(t["_dup"], 0).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    stats = marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_chunks"), Sum("is_dup", alias_name="n_dup")
+    )
+
+    def heavy(t: pa.Table) -> pa.Table:
+        nc = t["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        over = DUP_FRAC_DEN * nd > DUP_FRAC_NUM * nc
+        return pa.table(
+            {
+                "doc_id": t["doc_id"]
+                .cast(pa.int64())
+                .filter(pa.array(over))
+            }
+        )
+
+    drop = stats.map_batches(heavy, batch_format="pyarrow")
+    docs = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+    return anti_join_doc_ids(docs, drop)

@@ -138,3 +138,51 @@ def test_passage_topk_docs_contain_query_terms(ray_session):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert ranks == list(range(1, len(ranks) + 1)), q
+
+
+def test_chunk_dups_requires_cross_doc(ray_session):
+    """Every reported dup chunk spans >= 2 distinct docs, occurrences
+    >= docs, and each reported text really occurs in that many docs of
+    the raw chunk table."""
+    from harvester_ray.stages.chunking import chunk_dups, doc_chunks
+
+    sf = "/root/testdata/sf0.001"
+    dups = chunk_dups(sf).to_pandas()
+    assert len(dups) > 0, "corpus lost its planted chunk dups"
+    assert (dups.n_docs >= 2).all()
+    assert (dups.n_occ >= dups.n_docs).all()
+    raw = doc_chunks(sf).to_pandas()
+    per_text = raw.groupby("chunk_text").doc_id.nunique()
+    for r in dups.itertuples():
+        assert per_text[r.chunk_text] == r.n_docs
+
+
+def test_dup_chunk_filter_threshold_exact(ray_session):
+    """kept ∪ dropped == all docs, and the drop condition is exactly
+    DEN*n_dup > NUM*n_chunks recomputed from first principles."""
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.chunking import (
+        DUP_FRAC_DEN,
+        DUP_FRAC_NUM,
+        chunk_dups,
+        doc_chunks,
+        dup_chunk_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = set(dup_chunk_filter(sf).to_pandas().doc_id)
+    all_ids = set(
+        pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    )
+    raw = doc_chunks(sf).to_pandas()
+    dup_texts = set(chunk_dups(sf).to_pandas().chunk_text)
+    g = raw.assign(is_dup=raw.chunk_text.isin(dup_texts)).groupby("doc_id")
+    st = g.agg(n_chunks=("chunk_text", "size"), n_dup=("is_dup", "sum"))
+    want_drop = set(
+        st[DUP_FRAC_DEN * st.n_dup > DUP_FRAC_NUM * st.n_chunks].index
+    )
+    assert want_drop, "filter never fires on this corpus"
+    assert kept == all_ids - want_drop
