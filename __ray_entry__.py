@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         # CCNet-style unigram LM quality score (token-level fixed point)
         "unigram_logprob": textstats.unigram_logprob,
+        # DSIR importance-resampling weights (target-vs-corpus unigram
+        # LM log ratio, Laplace-smoothed, term-level fixed point)
+        "dsir_weights": textstats.dsir_weights,
         # per-doc unigram Shannon entropy (quality signal, map-only)
         "doc_entropy": textstats.doc_entropy,
         # corpus-wide top duplicated word 3-grams (repetition analysis)
@@ -332,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": oracles.COLLOCATIONS,
         "repetition_stats": oracles.REPETITION_STATS,
         "unigram_logprob": oracles.UNIGRAM_LOGPROB,
+        "dsir_weights": oracles.DSIR_WEIGHTS,
         "doc_entropy": oracles.DOC_ENTROPY,
         "common_ngrams": oracles.COMMON_NGRAMS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,

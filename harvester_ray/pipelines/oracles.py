@@ -2521,3 +2521,43 @@ WHERE doc_id NOT IN (
 
 
 DUP_CHUNK_FILTER = _dup_chunk_filter_sql()
+
+
+def _dsir_weights_sql() -> str:
+    """DSIR importance weights (stages/textstats.py dsir_weights): the
+    identical per-term expression tree — Laplace-smoothed ln ratio of
+    target (lang = DSIR_TARGET_LANG) vs corpus unigram LMs over the
+    shared corpus vocabulary, fixed-pointed at the term, integer-summed
+    per doc."""
+    from harvester_ray.stages.textstats import _DSIR_FP, DSIR_TARGET_LANG
+
+    return f"""
+WITH toks AS ({_TOKS}),
+all_c AS (SELECT term, count(*) AS c_all FROM toks GROUP BY term),
+tgt_c AS (
+  SELECT t.term, count(*) AS c_tgt
+  FROM toks t JOIN documents d USING (doc_id)
+  WHERE d.lang = '{DSIR_TARGET_LANG}' GROUP BY t.term
+),
+consts AS (
+  SELECT (SELECT sum(c_all) FROM all_c) AS t_all,
+         (SELECT coalesce(sum(c_tgt), 0) FROM tgt_c) AS t_tgt,
+         (SELECT count(*) FROM all_c) AS v
+),
+fp AS (
+  SELECT a.term,
+         CAST(floor((ln((coalesce(g.c_tgt, 0) + 1)::DOUBLE
+                        / (c.t_tgt + c.v))
+                     - ln((a.c_all + 1)::DOUBLE / (c.t_all + c.v)))
+                    * {_DSIR_FP} + 0.5) AS BIGINT) AS fp
+  FROM all_c a LEFT JOIN tgt_c g USING (term), consts c
+),
+dt AS (SELECT doc_id, term, count(*) AS n_t FROM toks
+       GROUP BY doc_id, term)
+SELECT dt.doc_id, sum(dt.n_t)::BIGINT AS n_tokens,
+       sum(dt.n_t * fp.fp)::BIGINT AS dsir_fp
+FROM dt JOIN fp USING (term) GROUP BY dt.doc_id
+"""
+
+
+DSIR_WEIGHTS = _dsir_weights_sql()

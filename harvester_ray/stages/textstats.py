@@ -286,6 +286,37 @@ def _bigram_partials():
     return fn
 
 
+def _doc_term_counts(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, n_t): per-document term counts, pre-combined per
+    batch (the combiner half of any doc×term join path)."""
+    toks = tokenize_column(batch["text"])
+    flat, parent = flatten_tokens(toks)
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "n_t": pa.array([], pa.int64()),
+            }
+        )
+    par = parent.to_numpy().astype(np.int64)
+    enc = flat.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = max(len(enc.dictionary), 1)
+    key = par * v + idx
+    uk, uc = np.unique(key, return_counts=True)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[uk // v], pa.int64()),
+            "term": enc.dictionary.take(
+                pa.array((uk % v).astype(np.int32))
+            ),
+            "n_t": pa.array(uc.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def _unigram_partials():
     def fn(batch: pa.Table) -> pa.Table:
         toks = tokenize_column(batch["text"])
@@ -569,42 +600,9 @@ def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
 
-        def doc_term_counts(batch: pa.Table) -> pa.Table:
-            n_rows = len(batch)
-            toks = tokenize_column(batch["text"])
-            flat, parent = flatten_tokens(toks)
-            if len(flat) == 0:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], pa.int64()),
-                        "term": pa.array([], pa.string()),
-                        "n_t": pa.array([], pa.int64()),
-                    }
-                )
-            par = parent.to_numpy().astype(np.int64)
-            enc = flat.dictionary_encode()
-            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            v = max(len(enc.dictionary), 1)
-            key = par * v + idx
-            uk, uc = np.unique(key, return_counts=True)
-            ids = (
-                batch["doc_id"]
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids[uk // v], pa.int64()),
-                    "term": enc.dictionary.take(
-                        pa.array((uk % v).astype(np.int32))
-                    ),
-                    "n_t": pa.array(uc.astype(np.int64), pa.int64()),
-                }
-            )
-
         dt = ray.data.read_parquet(
             src, columns=["doc_id", "text"]
-        ).map_batches(doc_term_counts, batch_format="pyarrow")
+        ).map_batches(_doc_term_counts, batch_format="pyarrow")
         joined = dt.join(
             vocab_fp, join_type="inner",
             num_partitions=shuffle_partitions(), on=("term",),
@@ -821,4 +819,140 @@ def common_ngrams(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(local_topk, batch_format="pyarrow")
         .repartition(1)
         .map_batches(final_rank, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# -- DSIR importance weights (Xie et al. 2023) ----------------------------
+
+DSIR_TARGET_LANG = "en"  # the target domain: lang = 'en' documents
+_DSIR_FP = 100_000_000
+
+
+def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
+    """Data-Selection-with-Importance-Resampling weights: per document
+    the unigram log importance ratio between a TARGET domain LM (the
+    ``lang = DSIR_TARGET_LANG`` slice) and the raw-corpus LM —
+    (doc_id, n_tokens, dsir_fp) with
+
+        dsir_fp = Σ_t n_t · floor((ln((c_tgt+1)/(T_tgt+V))
+                                   - ln((c_all+1)/(T_all+V))) · 1e8 + 0.5)
+
+    Laplace-smoothed over the SHARED corpus vocabulary (V), so
+    target-absent terms contribute a finite negative ratio. A pipeline
+    resamples docs ∝ exp(weight) to shift the corpus toward the target
+    domain (DSIR selects pretraining data this way; the published
+    method hashes n-grams into buckets — at 10⁹-term scale bucket the
+    vocab by hash first, which only changes the feature map).
+
+    Exactness: the fixed point is taken at the TERM from exact integer
+    counts (scalar math.log per unique count — bit-identical to
+    DuckDB's ln, unlike vectorized np.log), so the per-doc value is an
+    integer sum and accumulation order cannot drift the gate hash.
+    Shuffle shape: two pre-combined unigram count passes (corpus,
+    target), a vocab-sized left join to the per-term fp table, then
+    the per-doc-term counts hash-join that table and one grouped
+    integer sum — the unigram_logprob join path's shape with a second
+    (smaller) counting pass; nothing broadcasts, nothing lands on the
+    driver but two scalar totals. Zero-token docs emit no row."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.config import shuffle_partitions
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    all_uni = (
+        ray.data.read_parquet(src, columns=["text"])
+        .map_batches(_unigram_partials(), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="c_all"))
+        .materialize()
+    )
+    tgt_uni = (
+        ray.data.read_parquet(src, columns=["text", "lang"])
+        .filter(expr=f"lang == '{DSIR_TARGET_LANG}'")
+        .map_batches(_unigram_partials(), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="c_tgt"))
+        .materialize()
+    )
+    t_all = int(all_uni.sum("c_all"))
+    v = int(all_uni.count())
+    t_tgt_sum = tgt_uni.sum("c_tgt")
+    t_tgt = int(t_tgt_sum) if t_tgt_sum is not None else 0
+    den_all = float(t_all + v)
+    den_tgt = float(t_tgt + v)
+
+    joined_vocab = all_uni.join(
+        tgt_uni,
+        join_type="left_outer",
+        num_partitions=shuffle_partitions(),
+        on=("term",),
+    )
+
+    def _ln_smoothed(counts: np.ndarray, den: float) -> np.ndarray:
+        # scalar log per UNIQUE count: bit-identical to DuckDB ln
+        u, inv = np.unique(counts, return_inverse=True)
+        vals = np.asarray([math.log((float(c) + 1.0) / den) for c in u])
+        return vals[inv]
+
+    def per_term_fp(t: pa.Table) -> pa.Table:
+        c_all = t["c_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_tgt = (
+            pc.fill_null(t["c_tgt"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        fp = np.floor(
+            (_ln_smoothed(c_tgt, den_tgt) - _ln_smoothed(c_all, den_all))
+            * _DSIR_FP
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": t["term"].cast(pa.string()),
+                "fp": pa.array(fp, pa.int64()),
+            }
+        )
+
+    vocab_fp = joined_vocab.map_batches(per_term_fp, batch_format="pyarrow")
+
+    dt = ray.data.read_parquet(
+        src, columns=["doc_id", "text"]
+    ).map_batches(_doc_term_counts, batch_format="pyarrow")
+    joined = dt.join(
+        vocab_fp,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("term",),
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        n_t = t["n_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = t["fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n_t, pa.int64()),
+                "dsir_fp": pa.array(fp * n_t, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(weigh, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("dsir_fp", alias_name="dsir_fp"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "n_tokens": t["n_tokens"].cast(pa.int64()),
+                    "dsir_fp": t["dsir_fp"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )

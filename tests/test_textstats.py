@@ -363,3 +363,33 @@ def test_common_ngrams_short_docs_and_windows(tmp_path, ray_session):
     # no gram contains tokens from two docs ('c a b' exists only
     # WITHIN doc 0, never as a doc-0/doc-1 boundary window 'b c a'+)
     assert all(n >= 1 for _, _, n in rows) and len(rows) == 3
+
+
+def test_dsir_weights_favor_target_lang(ray_session):
+    """The semantic point of DSIR: documents drawn from the target
+    domain (lang='en') must average a HIGHER per-token importance
+    ratio than documents outside it, and every weight row joins a real
+    doc with its exact token count."""
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.textstats import (
+        DSIR_TARGET_LANG,
+        dsir_weights,
+        unigram_logprob,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    w = dsir_weights(sf).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    m = w.merge(docs, on="doc_id")
+    assert len(m) == len(w)
+    per_tok = m.dsir_fp / m.n_tokens
+    tgt = m.lang == DSIR_TARGET_LANG
+    assert tgt.any() and (~tgt).any()
+    assert per_tok[tgt].mean() > per_tok[~tgt].mean()
+    # n_tokens agrees with unigram_logprob (same analyzer contract)
+    tc = unigram_logprob(sf).to_pandas().set_index("doc_id")["n_tokens"]
+    sub = w.set_index("doc_id")["n_tokens"]
+    assert (tc.loc[sub.index] == sub).all()
