@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duplicated-span document filter over the same chunking
         "chunk_dups": chunking.chunk_dups,
         "dup_chunk_filter": chunking.dup_chunk_filter,
+        # exact repeated-substring coverage (Lee et al. 2021 signal):
+        # stride-1 L-token windows occurring >=2x, per-doc union size
+        "dup_span_stats": chunking.dup_span_stats,
         "sample_documents": relational.sample_documents,
         # per-stratum deterministic sampling + exact distinct-count
         "stratified_sample": relational.stratified_sample,
@@ -321,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": oracles.TOKEN_SHARDS,
         "chunk_dups": oracles.CHUNK_DUPS,
         "dup_chunk_filter": oracles.DUP_CHUNK_FILTER,
+        "dup_span_stats": oracles.DUP_SPAN_STATS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
         "stratified_sample": oracles.STRATIFIED_SAMPLE,
         "events_type_users": oracles.EVENTS_TYPE_USERS,

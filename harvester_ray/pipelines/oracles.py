@@ -2561,3 +2561,40 @@ FROM dt JOIN fp USING (term) GROUP BY dt.doc_id
 
 
 DSIR_WEIGHTS = _dsir_weights_sql()
+
+
+def _dup_span_stats_sql() -> str:
+    """Repeated-substring coverage (stages/chunking.py dup_span_stats):
+    stride-1 length-L token windows, duplicated = total occurrences
+    >= 2 anywhere in the corpus, covered tokens = distinct positions
+    under any duplicated window."""
+    from harvester_ray.stages.chunking import SPAN_L
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(ts[u.i + 1 : u.i + {SPAN_L}], ' ') AS gram
+  FROM toks,
+       unnest(range(0, greatest(len(ts) - {SPAN_L} + 1, 0))) AS u(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+occ AS (SELECT doc_id, pos FROM grams
+        WHERE gram IN (SELECT gram FROM dup)),
+cov AS (
+  SELECT o.doc_id, count(DISTINCT o.pos + u.k) AS n_dup_tokens
+  FROM occ o, unnest(range(0, {SPAN_L})) AS u(k)
+  GROUP BY o.doc_id
+),
+nt AS (SELECT doc_id, len(ts) AS n_tokens FROM toks)
+SELECT c.doc_id, nt.n_tokens::BIGINT AS n_tokens,
+       c.n_dup_tokens::BIGINT AS n_dup_tokens
+FROM cov c JOIN nt USING (doc_id)
+"""
+
+
+DUP_SPAN_STATS = _dup_span_stats_sql()

@@ -186,3 +186,28 @@ def test_dup_chunk_filter_threshold_exact(ray_session):
     )
     assert want_drop, "filter never fires on this corpus"
     assert kept == all_ids - want_drop
+
+
+def test_dup_span_stats_bounds_and_consistency(ray_session):
+    """Coverage bounds: span_l <= n_dup_tokens <= n_tokens per row, and
+    every doc reported by chunk_dups' 32-token detector also carries a
+    duplicated 16-token span (a longer exact dup implies the shorter)."""
+    from harvester_ray.stages.chunking import (
+        SPAN_L,
+        chunk_dups,
+        doc_chunks,
+        dup_span_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    st = dup_span_stats(sf).to_pandas()
+    assert len(st) > 0
+    assert (st.n_dup_tokens >= SPAN_L).all()
+    assert (st.n_dup_tokens <= st.n_tokens).all()
+    covered_docs = set(st.doc_id)
+    dup_texts = set(chunk_dups(sf).to_pandas().chunk_text)
+    raw = doc_chunks(sf).to_pandas()
+    chunk_dup_docs = set(
+        raw[raw.chunk_text.isin(dup_texts) & (raw.n_tokens >= SPAN_L)].doc_id
+    )
+    assert chunk_dup_docs <= covered_docs
