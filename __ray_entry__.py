@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance-resampling weights (target-vs-corpus unigram
         # LM log ratio, Laplace-smoothed, term-level fixed point)
         "dsir_weights": textstats.dsir_weights,
+        # CCNet-style LM-quality terciles (head/middle/tail by
+        # per-token unigram logprob, histogram-combiner cutoffs)
+        "ccnet_buckets": textstats.ccnet_buckets,
         # per-doc unigram Shannon entropy (quality signal, map-only)
         "doc_entropy": textstats.doc_entropy,
         # corpus-wide top duplicated word 3-grams (repetition analysis)
@@ -340,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracles.REPETITION_STATS,
         "unigram_logprob": oracles.UNIGRAM_LOGPROB,
         "dsir_weights": oracles.DSIR_WEIGHTS,
+        "ccnet_buckets": oracles.CCNET_BUCKETS,
         "doc_entropy": oracles.DOC_ENTROPY,
         "common_ngrams": oracles.COMMON_NGRAMS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,

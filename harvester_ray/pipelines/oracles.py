@@ -2598,3 +2598,44 @@ FROM cov c JOIN nt USING (doc_id)
 
 
 DUP_SPAN_STATS = _dup_span_stats_sql()
+
+
+def _ccnet_buckets_sql() -> str:
+    """CCNet terciles (stages/textstats.py ccnet_buckets): the
+    UNIGRAM_LOGPROB doc table, fp4-quantized per-token average, the
+    shared smallest-value-with-cum>=ceil(q·n) cutoff rule, ties share
+    a bucket."""
+    from harvester_ray.stages.textstats import _CCNET_KEY_DIV
+
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+dict AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+tfp AS (SELECT term,
+               CAST(floor(ln(c::DOUBLE / (SELECT t FROM tot))
+                          * 100000000 + 0.5) AS BIGINT) AS fp
+        FROM dict),
+doc AS (SELECT t.doc_id, count(*) AS n_tokens, sum(tf.fp)::BIGINT AS logprob_fp
+        FROM toks t JOIN tfp tf USING (term) GROUP BY t.doc_id),
+keyed AS (SELECT doc_id,
+                 CAST(floor((logprob_fp::DOUBLE / n_tokens)
+                            / {_CCNET_KEY_DIV} + 0.5) AS BIGINT) AS ppl_fp4
+          FROM doc),
+h AS (SELECT ppl_fp4 AS v, count(*) AS c FROM keyed GROUP BY v),
+t2 AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+              (SELECT sum(c) FROM h) AS n
+       FROM h),
+c1 AS (SELECT min(v) AS v FROM t2
+       WHERE cum >= CAST(ceil(n / 3.0) AS BIGINT)),
+c2 AS (SELECT min(v) AS v FROM t2
+       WHERE cum >= CAST(ceil(2.0 * n / 3.0) AS BIGINT))
+SELECT doc_id, ppl_fp4,
+       CASE WHEN ppl_fp4 <= (SELECT v FROM c1) THEN 'tail'
+            WHEN ppl_fp4 <= (SELECT v FROM c2) THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM keyed
+"""
+
+
+CCNET_BUCKETS = _ccnet_buckets_sql()

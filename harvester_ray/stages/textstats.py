@@ -956,3 +956,64 @@ def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+# -- CCNet perplexity bucketing -------------------------------------------
+
+_CCNET_KEY_DIV = 10_000  # fp8 per-token logprob -> fp4 bucket key
+
+
+def ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style LM-quality terciles: every document bucketed
+    head / middle / tail by its per-token unigram log-probability
+    (CCNet orders by LM perplexity and keeps the head; per-token
+    logprob is the same ordering, negated). Output
+    (doc_id, ppl_fp4, bucket).
+
+    The bucket key quantizes the per-token average to fp4
+    (floor(logprob_fp / n_tokens / 1e4 + 0.5)), so the cutoff
+    histogram's cardinality is bounded by the KEY RANGE (~10⁵ distinct
+    values), not the corpus — the same histogram-combiner quantile
+    rule as doc_len_quantiles scales to any doc count. Cutoffs are the
+    smallest key with cum ≥ ceil(n/3) and ceil(2n/3); ties share a
+    bucket (deterministic, mirrored in SQL). Shuffle shape: the
+    unigram_logprob join path, one tiny key groupby to the driver, one
+    streaming bucket-assign pass."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    base = unigram_logprob(sf_dir).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        lp = t["logprob_fp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = np.floor(lp / nt / float(_CCNET_KEY_DIV) + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "ppl_fp4": pa.array(k, pa.int64()),
+            }
+        )
+
+    kd = base.map_batches(keyed, batch_format="pyarrow").materialize()
+    hist = (
+        kd.groupby("ppl_fp4")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("ppl_fp4", kind="stable")
+    )
+    v = hist["ppl_fp4"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist["c"].to_numpy(dtype=np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    c1 = int(v[np.searchsorted(cum, math.ceil(n / 3.0), side="left")])
+    c2 = int(v[np.searchsorted(cum, math.ceil(2.0 * n / 3.0), side="left")])
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t["ppl_fp4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.where(k <= c1, "tail", np.where(k <= c2, "middle", "head"))
+        return t.append_column(
+            "bucket", pa.array(bucket.astype(str), pa.string())
+        )
+
+    return kd.map_batches(assign, batch_format="pyarrow")

@@ -393,3 +393,23 @@ def test_dsir_weights_favor_target_lang(ray_session):
     tc = unigram_logprob(sf).to_pandas().set_index("doc_id")["n_tokens"]
     sub = w.set_index("doc_id")["n_tokens"]
     assert (tc.loc[sub.index] == sub).all()
+
+
+def test_ccnet_buckets_are_balanced_terciles(ray_session):
+    """Every doc gets exactly one bucket; bucket sizes are n/3-balanced
+    up to key ties; ordering invariant: max key in tail <= min key in
+    middle <= ... <= head."""
+    from harvester_ray.stages.textstats import ccnet_buckets
+
+    b = ccnet_buckets("/root/testdata/sf0.001").to_pandas()
+    assert set(b.bucket) == {"head", "middle", "tail"}
+    assert b.doc_id.is_unique
+    n = len(b)
+    for name in ("head", "middle", "tail"):
+        assert abs((b.bucket == name).sum() - n / 3) < n / 6
+    assert b[b.bucket == "tail"].ppl_fp4.max() <= b[
+        b.bucket == "middle"
+    ].ppl_fp4.min()
+    assert b[b.bucket == "middle"].ppl_fp4.max() <= b[
+        b.bucket == "head"
+    ].ppl_fp4.min()
