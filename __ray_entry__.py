@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_query_counts": fulltext.facet_query_counts,
         # dictionary Zipf profile: log2(df) histogram
         "df_histogram": fulltext.df_histogram,
+        # per-doc keyword extraction: top-k tf-idf terms per document
+        "doc_keywords": fulltext.doc_keywords,
         # hybrid-search rank fusion (RRF of BM25 + TF-IDF, integer-exact)
         "hybrid_rrf": fulltext.hybrid_rrf,
         # pseudo-relevance-feedback dense re-rank (Rocchio centroid)
@@ -288,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "index_overview": oracles.INDEX_OVERVIEW,
         "facet_query_counts": oracles.FACET_QUERY_COUNTS,
         "df_histogram": oracles.DF_HISTOGRAM,
+        "doc_keywords": oracles.DOC_KEYWORDS,
         "hybrid_rrf": oracles.HYBRID_RRF,
         "prf_rerank": oracles.PRF_RERANK,
         "bm25_topk_or_sharded": oracles.BM25_TOPK_OR,

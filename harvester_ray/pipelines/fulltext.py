@@ -3294,3 +3294,92 @@ def df_histogram(sf_dir: str) -> "ray.data.Dataset":
             Count(alias_name="n_terms"), Sum("cf", alias_name="sum_cf")
         )
     )
+
+
+# ── per-document keyword extraction (top-k tf-idf terms) ────────────
+
+KW_K = 3
+
+
+def doc_keywords(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document keyword extraction: each doc's top-KW_K terms by
+    doc-local tf-idf — (doc_id, rank, term, tfidf_fp) with the same
+    fp8((1 + ln tf) · ln((N+1)/(df+1))) weight as the /tvrh term
+    vectors, rank by weight DESC then term ASC. The classic
+    keyword/tag generator a corpus-exploration UI runs over every doc.
+    Shuffle shape: postings hash-join the dictionary ONCE for df (one
+    exchange — unlike termvectors' per-batch pruned reads, every batch
+    here needs most of the dictionary), then a per-doc grouped top-k;
+    logs are scalar math.log over unique arguments (bit-identical to
+    DuckDB's ln)."""
+    import json as _json
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from harvester_ray.config import shuffle_partitions
+
+    paths = index_for(sf_dir)
+    with open(paths.stats) as f:
+        n_docs = float(_json.load(f)["n_docs"])
+
+    post = ray.data.read_parquet(
+        paths.postings, columns=["term", "doc_id", "tf"]
+    )
+    dic = ray.data.read_parquet(paths.dictionary, columns=["term", "df"])
+    joined = post.join(
+        dic,
+        join_type="inner",
+        num_partitions=shuffle_partitions(),
+        on=("term",),
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tfidf_fp": pa.array([], pa.int64()),
+                }
+            )
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        utf, itf = np.unique(tf, return_inverse=True)
+        ltf = np.asarray([1.0 + math.log(float(x)) for x in utf])
+        udf, idf_i = np.unique(df, return_inverse=True)
+        w = np.asarray(
+            [math.log((n_docs + 1.0) / (float(d) + 1.0)) for d in udf]
+        )
+        fp = np.floor(ltf[itf] * w[idf_i] * _FP8 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "term": t["term"].cast(pa.string()),
+                "tfidf_fp": pa.array(fp, pa.int64()),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("tfidf_fp", "descending"), ("term", "ascending")],
+        )[:KW_K]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "term": g["term"],
+                "tfidf_fp": g["tfidf_fp"],
+            }
+        )
+
+    return (
+        joined.map_batches(weigh, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )

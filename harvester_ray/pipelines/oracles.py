@@ -2639,3 +2639,36 @@ FROM keyed
 
 
 CCNET_BUCKETS = _ccnet_buckets_sql()
+
+
+def _doc_keywords_sql() -> str:
+    """Per-doc top-k tf-idf keywords (fulltext.doc_keywords): the
+    termvectors weight expression over every doc, row_number by
+    (tfidf_fp DESC, term ASC)."""
+    from harvester_ray.pipelines.fulltext import _FP8, KW_K
+
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks
+             GROUP BY term, doc_id),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT p.doc_id, p.term,
+         CAST(floor((1 + ln(p.tf)) * ln(((SELECT n FROM n) + 1)
+                                        / (d.df::DOUBLE + 1))
+                    * {_FP8} + 0.5) AS BIGINT) AS tfidf_fp
+  FROM postings p JOIN dict d USING (term)
+),
+r AS (
+  SELECT doc_id, term, tfidf_fp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_fp DESC, term ASC) AS rank
+  FROM w
+)
+SELECT doc_id, rank, term, tfidf_fp FROM r WHERE rank <= {KW_K}
+"""
+
+
+DOC_KEYWORDS = _doc_keywords_sql()
