@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dup": dedup.simhash_near_dup,
         "dedup_embedding_lsh": dedup.embedding_lsh_dups,
+        # SemDeDup (k-means-blocked semantic dedup, multi-probe);
+        # approximate recall => rows-only, recall floor pinned in tests
+        "semdedup_pairs": dedup.semdedup_pairs,
         "doc_fingerprints": textstats.doc_fingerprints,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         # stemmed stopword-free vocabulary (porter vectors pin the

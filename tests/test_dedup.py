@@ -579,3 +579,18 @@ def test_dedup_by_id_keeps_first_stable():
         i, p = dedup._dedup_by_id(ids[:n], pay[:n])
         assert i.tolist() == ids[:n].tolist()
         assert p.tolist() == pay[:n].tolist()
+
+
+def test_semdedup_subset_and_recall_floor(ray_session):
+    """SemDeDup pairs are a SUBSET of the exact twin's (precision 1.0,
+    identical sims) and multi-probe recall stays >= 0.9 on this corpus
+    (measured 0.97 at probes=4; single-probe was 0.35)."""
+    sf = "/root/testdata/sf0.001"
+    sd = dedup.semdedup_pairs(sf).to_pandas()
+    ex = dedup.embedding_cosine_dups(sf).to_pandas()
+    sk = set(zip(sd.vec_id_a, sd.vec_id_b))
+    ek = set(zip(ex.vec_id_a, ex.vec_id_b))
+    assert sk <= ek
+    assert len(sk) / len(ek) >= 0.9
+    m = sd.merge(ex, on=["vec_id_a", "vec_id_b"], suffixes=("_s", "_e"))
+    assert (m.sim_r6_s == m.sim_r6_e).all()
