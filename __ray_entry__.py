@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pivot_facets": fulltext.search_pivot_facets,
         # field collapsing (top doc per facet group, top groups)
         "collapse_topk": fulltext.collapse_topk,
+        "expand_topk": fulltext.expand_topk,
+        "export_sorted": fulltext.export_sorted,
+        "vocab_growth": fulltext.vocab_growth,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
         "wildcard_search": fulltext.wildcard_search,
@@ -267,6 +270,9 @@ def oracle_sql() -> dict[str, str]:
         "search_range_facets": oracles.SEARCH_RANGE_FACETS,
         "search_pivot_facets": oracles.SEARCH_PIVOT_FACETS,
         "collapse_topk": oracles.COLLAPSE_TOPK,
+        "expand_topk": oracles.EXPAND_TOPK,
+        "export_sorted": oracles.EXPORT_SORTED,
+        "vocab_growth": oracles.VOCAB_GROWTH,
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,
         "synonym_search": oracles.SYNONYM_SEARCH,

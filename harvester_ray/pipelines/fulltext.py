@@ -3383,3 +3383,238 @@ def doc_keywords(sf_dir: str) -> "ray.data.Dataset":
         .groupby("doc_id")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+EXPAND_K = 3  # expanded rows returned per kept collapse group
+
+
+def expand_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Expand component (Solr collapse+expand parity, reference Solr
+    surface: /root/reference/harvester/solr_updater.py pushes one doc
+    per record into collection groups the portal collapses on): for
+    each of the top-COLLAPSE_K collapsed `source` groups per OR query
+    (same group ranking as collapse_topk), up to EXPAND_K ADDITIONAL
+    docs from that group — the representative excluded — ranked by
+    the same fixed-point BM25. Output (query_id, source, exp_rank,
+    doc_id).
+
+    Shape: the shared _scored_match_set → source hash join →
+    per-(query, source) grouped top-(EXPAND_K+1) with the group's
+    representative key attached → per-query group ranking. The wide
+    steps are one hash join and two groupbys on keys that shrink the
+    data at each step; nothing is broadcast or driver-collected."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from harvester_ray.config import shuffle_partitions
+
+    scored = _scored_match_set(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    joined = scored.join(
+        docs, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+
+    _SORT = [("score_fp", "descending"), ("doc_id", "ascending")]
+
+    def group_head(g: pa.Table) -> pa.Table:
+        # top-(EXPAND_K+1) rows of one (query, source) group plus the
+        # representative's (score, doc) key for the per-query ranking
+        idx = pc.sort_indices(g, sort_keys=_SORT)[: EXPAND_K + 1]
+        g = g.take(idx)
+        n = len(g)
+        rep_score = g["score_fp"][0].as_py()
+        rep_doc = g["doc_id"][0].as_py()
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "source": g["source"].cast(pa.string()),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "rep_score": pa.array(np.full(n, rep_score, np.int64)),
+                "rep_doc": pa.array(np.full(n, rep_doc, np.int64)),
+            }
+        )
+
+    heads = joined.groupby(["query_id", "source"]).map_groups(
+        group_head, batch_format="pyarrow"
+    )
+
+    def rank_groups(g: pa.Table) -> pa.Table:
+        # rank this query's groups by their representative, keep the
+        # top COLLAPSE_K, then emit the non-representative rows
+        reps = g.filter(pc.equal(g["rn"], 1))
+        idx = pc.sort_indices(
+            reps,
+            sort_keys=[
+                ("rep_score", "descending"), ("rep_doc", "ascending"),
+            ],
+        )[:COLLAPSE_K]
+        kept = set(reps.take(idx)["source"].to_pylist())
+        mask = pc.and_(
+            pc.is_in(g["source"], pa.array(sorted(kept), pa.string())),
+            pc.greater(g["rn"], 1),
+        )
+        g = g.filter(mask)
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("rn", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"],
+                "source": g["source"],
+                "exp_rank": pc.subtract(g["rn"], 1).cast(pa.int64()),
+                "doc_id": g["doc_id"],
+            }
+        )
+
+    return heads.groupby("query_id").map_groups(
+        rank_groups, batch_format="pyarrow"
+    )
+
+
+EXPORT_TERM = "scan"   # /export filter query: term match from the index
+EXPORT_LANG = "en"     # docvalues-side filter
+# distinct-sort-key ceiling for the driver-side offset cumsum: the
+# offset table is one row per DISTINCT sort-key value (not per doc) —
+# a dictionary-sized object like the vocab guards. Past this, the
+# cumsum itself must become a prefix-scan over range partitions.
+_EXPORT_OFFSET_KEYS_GUARD = 4_000_000
+
+
+def export_sorted(sf_dir: str) -> "ray.data.Dataset":
+    """/export handler parity (Solr's streaming full-result export,
+    sorted on a docvalues field — the reference's portal exports whole
+    collections this way, reference Solr surface:
+    /root/reference/harvester/scripts/report_harvested_to_solr.py):
+    the FULL match set of a filter query (term `EXPORT_TERM` from the
+    index AND lang = EXPORT_LANG), projected to stored fields and
+    given its TRUE GLOBAL rank under (n_chars DESC, doc_id ASC) — not
+    a top-k, every matching row streams out.
+
+    Global ranking without a single-process sort — two phases:
+    1. per-sort-key row counts (a groupby whose result is one row per
+       DISTINCT n_chars value, dictionary-sized), cumsum'd into rank
+       offsets on the driver (guarded; past the guard this becomes a
+       prefix-scan over range partitions);
+    2. per-key grouped local rank (sort by the tiebreaker inside each
+       co-located key group) + the key's offset.
+    Rows never funnel through one node; the only driver object is the
+    distinct-key offset table."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from harvester_ray.config import shuffle_partitions
+
+    paths = index_for(sf_dir)
+    matched = ray.data.read_parquet(
+        paths.postings,
+        columns=["term", "doc_id"],
+        filter=pads.field("term") == EXPORT_TERM,
+    ).select_columns(["doc_id"])
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang", "n_chars"],
+        filter=pads.field("lang") == EXPORT_LANG,
+    )
+    joined = matched.join(
+        docs, join_type="inner", num_partitions=shuffle_partitions(),
+        on=("doc_id",),
+    )
+
+    counts = joined.groupby("n_chars").count().take_all()
+    if len(counts) > _EXPORT_OFFSET_KEYS_GUARD:
+        raise NotImplementedError(
+            f"{len(counts)} distinct sort keys exceeds the driver "
+            "cumsum guard — needs the range-partition prefix-scan path"
+        )
+    # offsets[k] = number of rows ranked strictly before key k under
+    # n_chars DESC (keys sorted descending, exclusive cumsum)
+    keys = sorted((int(r["n_chars"]) for r in counts), reverse=True)
+    by_key = {int(r["n_chars"]): int(r["count()"]) for r in counts}
+    offsets, acc = {}, 0
+    for k in keys:
+        offsets[k] = acc
+        acc += by_key[k]
+    offsets_ref = ray.put(offsets)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(idx)
+        base = offs[int(g["n_chars"][0].as_py())]
+        return pa.table(
+            {
+                "rank": pa.array(
+                    base + np.arange(1, len(g) + 1, dtype=np.int64)
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "source": g["source"].cast(pa.string()),
+                "n_chars": g["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return joined.groupby("n_chars").map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
+VG_CHECKPOINTS = 8  # corpus-prefix checkpoints for the growth curve
+
+
+def vocab_growth(sf_dir: str) -> pa.Table:
+    """Heaps-law vocabulary-growth curve: for each of VG_CHECKPOINTS
+    doc-id prefixes cp_i = max_id * i // N, the number of DISTINCT
+    terms whose FIRST occurrence falls at or before cp_i — the
+    corpus-analytics signal behind analyzer/shard-count sizing
+    (reference sizes its Solr schema once, by hand; here the curve is
+    computed from the built index).
+
+    Scale shape: per-term first occurrence is ONE groupby-min over the
+    postings (term-keyed, same shuffle as the dictionary build), then
+    each term becomes a single row bucketed by searchsorted into ≤N
+    checkpoint cells; only the N-row histogram ever leaves the
+    cluster. Nothing driver-side scales with vocabulary or corpus."""
+    import numpy as np
+
+    paths = index_for(sf_dir)
+    post = ray.data.read_parquet(paths.postings, columns=["term", "doc_id"])
+    max_id = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).max("doc_id")
+    cps = np.array(
+        [max_id * i // VG_CHECKPOINTS for i in range(1, VG_CHECKPOINTS + 1)],
+        dtype=np.int64,
+    )
+
+    firsts = post.groupby("term").min("doc_id")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        fd = t["min(doc_id)"].to_numpy(zero_copy_only=False)
+        # smallest checkpoint index holding fd (cp_N = max_id >= any fd)
+        return pa.table(
+            {"bucket": pa.array(np.searchsorted(cps, fd), pa.int64())}
+        )
+
+    hist = (
+        firsts.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .count()
+        .take_all()
+    )
+    new_terms = {int(r["bucket"]): int(r["count()"]) for r in hist}
+    acc, rows = 0, []
+    for i in range(VG_CHECKPOINTS):
+        acc += new_terms.get(i, 0)
+        rows.append((int(cps[i]), acc))
+    return pa.table(
+        {
+            "checkpoint": pa.array([r[0] for r in rows], pa.int64()),
+            "vocab_size": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

@@ -2672,3 +2672,70 @@ SELECT doc_id, rank, term, tfidf_fp FROM r WHERE rank <= {KW_K}
 
 
 DOC_KEYWORDS = _doc_keywords_sql()
+
+
+def _expand_sql() -> str:
+    """Expand component: same collapse group ranking as _collapse_sql,
+    then up to EXPAND_K non-representative rows per kept group."""
+    from harvester_ray.pipelines.fulltext import COLLAPSE_K, EXPAND_K, _FP8
+
+    values = _or_query_values()
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+{_SC_CTE.format(fp8=_FP8)},
+j AS (SELECT sc.query_id, sc.doc_id, sc.score_fp, d2.source
+      FROM sc JOIN documents d2 USING (doc_id)),
+rn AS (
+  SELECT query_id, source, doc_id, score_fp,
+         row_number() OVER (PARTITION BY query_id, source
+                            ORDER BY score_fp DESC, doc_id ASC) AS rn
+  FROM j
+),
+granked AS (
+  SELECT query_id, source,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_fp DESC, doc_id ASC) AS grp_rank
+  FROM rn WHERE rn = 1
+)
+SELECT r.query_id, r.source, r.rn - 1 AS exp_rank, r.doc_id
+FROM rn r JOIN granked g USING (query_id, source)
+WHERE g.grp_rank <= {COLLAPSE_K} AND r.rn BETWEEN 2 AND {EXPAND_K + 1}
+"""
+
+
+EXPAND_TOPK = _expand_sql()
+
+
+def _export_sorted_sql() -> str:
+    from harvester_ray.pipelines.fulltext import EXPORT_LANG, EXPORT_TERM
+
+    return f"""
+WITH toks AS ({_TOKS}),
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{EXPORT_TERM}')
+SELECT row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) AS rank,
+       d.doc_id, d.source, d.n_chars
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.lang = '{EXPORT_LANG}'
+"""
+
+
+EXPORT_SORTED = _export_sorted_sql()
+
+
+def _vocab_growth_sql() -> str:
+    from harvester_ray.pipelines.fulltext import VG_CHECKPOINTS
+
+    return f"""
+WITH toks AS ({_TOKS}),
+firsts AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY term),
+cps AS (SELECT (SELECT max(doc_id) FROM documents) * i // {VG_CHECKPOINTS}
+               AS checkpoint
+        FROM generate_series(1, {VG_CHECKPOINTS}) AS t(i))
+SELECT c.checkpoint, count(f.term) AS vocab_size
+FROM cps c LEFT JOIN firsts f ON f.fd <= c.checkpoint
+GROUP BY c.checkpoint
+"""
+
+
+VOCAB_GROWTH = _vocab_growth_sql()
