@@ -2739,3 +2739,40 @@ GROUP BY c.checkpoint
 
 
 VOCAB_GROWTH = _vocab_growth_sql()
+
+
+def _pack_sequences_sql() -> str:
+    """Greedy doc-boundary packing as a per-source recursive scan —
+    the sequential rule (restart bin when a doc would cross capacity)
+    is exactly the recursion; same tokenizer contract as every oracle."""
+    from harvester_ray.stages.chunking import PACK_CAPACITY
+
+    c = PACK_CAPACITY
+    return f"""
+WITH RECURSIVE toks AS ({_TOKS}),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+docs AS (
+  SELECT d.source, d.doc_id, coalesce(c.n, 0) AS n,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY d.doc_id) AS rn
+  FROM documents d LEFT JOIN cnt c USING (doc_id)
+),
+pack AS (
+  SELECT source, doc_id, n, rn,
+         0::BIGINT AS bin_id, 0::BIGINT AS bin_offset, n AS filled
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n, d.rn,
+         CASE WHEN p.filled + d.n > {c} AND p.filled > 0
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.filled + d.n > {c} AND p.filled > 0
+              THEN 0 ELSE p.filled END,
+         CASE WHEN p.filled + d.n > {c} AND p.filled > 0
+              THEN d.n ELSE p.filled + d.n END
+  FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, n AS n_tokens, bin_id, bin_offset FROM pack
+"""
+
+
+PACK_SEQUENCES = _pack_sequences_sql()

@@ -476,3 +476,69 @@ def dup_span_stats(sf_dir: str, span_l: int = SPAN_L) -> "ray.data.Dataset":
         )
 
     return hits.groupby("doc_id").map_groups(cover, batch_format="pyarrow")
+
+
+PACK_CAPACITY = 512  # token capacity of one packed training sequence
+
+
+def pack_sequences(
+    sf_dir: str, capacity: int = PACK_CAPACITY
+) -> "ray.data.Dataset":
+    """Greedy document-boundary sequence packing (the "fill a
+    fixed-length training sequence with whole docs, start a new one on
+    overflow" step of an LLM data pipeline — unlike ``token_shards``'
+    offset//budget rule, a doc that WOULD cross the capacity boundary
+    restarts the bin, so bins never split docs and never overflow
+    unless a single doc alone exceeds capacity).
+
+    Packing is inherently sequential in scan order, so the PARALLEL
+    UNIT is the packing key: each `source` group packs independently
+    (docs in doc_id order within it), giving (source, doc_id,
+    n_tokens, bin_id, bin_offset). At 100 TB the key would be the
+    input shard; the per-group scan is O(group) integer ops with no
+    allocation — the shuffle (one groupby) dominates, same shape as
+    every dictionary build.
+    """
+    counts = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "source", "text"]
+    ).map_batches(
+        _counts_with_source(), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(order)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        bins = np.empty(len(n), np.int64)
+        offs = np.empty(len(n), np.int64)
+        b, filled = 0, 0
+        for i, ni in enumerate(n):
+            if filled + ni > capacity and filled > 0:
+                b += 1
+                filled = 0
+            bins[i] = b
+            offs[i] = filled
+            filled += ni
+        return pa.table(
+            {
+                "source": g["source"],
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "bin_id": pa.array(bins, pa.int64()),
+                "bin_offset": pa.array(offs, pa.int64()),
+            }
+        )
+
+    return counts.groupby("source").map_groups(
+        pack_group, batch_format="pyarrow"
+    )
+
+
+def _counts_with_source(analyzer=DEFAULT_ANALYZER):
+    base = _token_counts_batch(analyzer)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = base(batch)
+        return t.append_column("source", batch["source"])
+
+    return fn

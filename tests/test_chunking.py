@@ -211,3 +211,59 @@ def test_dup_span_stats_bounds_and_consistency(ray_session):
         raw[raw.chunk_text.isin(dup_texts) & (raw.n_tokens >= SPAN_L)].doc_id
     )
     assert chunk_dup_docs <= covered_docs
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Greedy packing: per (source, bin) token sums never exceed
+    capacity unless the bin is a single oversize doc; bin_offset is
+    the running total in doc_id order; bin ids are dense from 0."""
+    from harvester_ray.stages.chunking import PACK_CAPACITY, pack_sequences
+
+    df = pack_sequences("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    for (_, _), grp in df.groupby(["source", "bin_id"]):
+        total = grp.n_tokens.sum()
+        assert total <= PACK_CAPACITY or len(grp) == 1
+    for src, grp in df.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        bins = grp.bin_id.to_numpy()
+        assert bins[0] == 0 and (np.diff(bins) >= 0).all()
+        assert set(bins) == set(range(bins.max() + 1))
+        # offset = running filled total within the bin
+        filled = {}
+        for r in grp.itertuples():
+            assert r.bin_offset == filled.get(r.bin_id, 0)
+            filled[r.bin_id] = filled.get(r.bin_id, 0) + r.n_tokens
+
+
+def test_pack_sequences_oversize_doc_gets_own_bin(ray_session):
+    """A doc alone larger than capacity occupies its own bin and the
+    next doc starts a fresh bin (the filled>0 guard)."""
+    import ray
+
+    from harvester_ray.stages.chunking import pack_sequences
+
+    # capacity 10: docs of 4, 25, 3 tokens -> bins 0, 1, 2
+    import pathlib, tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["s"] * 3),
+                "text": pa.array(
+                    ["a b c d", " ".join(["tok"] * 25), "x y z"]
+                ),
+            }
+        )
+        pq.write_table(t, f"{td}/documents.parquet")
+        df = (
+            pack_sequences(td, capacity=10)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(df.bin_id) == [0, 1, 2]
+        assert list(df.bin_offset) == [0, 0, 0]
+        assert list(df.n_tokens) == [4, 25, 3]
