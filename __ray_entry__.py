@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expand_topk": fulltext.expand_topk,
         "export_sorted": fulltext.export_sorted,
         "vocab_growth": fulltext.vocab_growth,
+        "realtime_get": fulltext.realtime_get,
         "pack_sequences": chunking.pack_sequences,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "expand_topk": oracles.EXPAND_TOPK,
         "export_sorted": oracles.EXPORT_SORTED,
         "vocab_growth": oracles.VOCAB_GROWTH,
+        "realtime_get": oracles.REALTIME_GET,
         "pack_sequences": oracles.PACK_SEQUENCES,
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,

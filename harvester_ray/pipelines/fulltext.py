@@ -3618,3 +3618,53 @@ def vocab_growth(sf_dir: str) -> pa.Table:
             "vocab_size": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+# fixed /get id list: even ids live in the BASE index, odd ids only in
+# the uncommitted-analog DELTA segment — a correct result proves delta
+# visibility without a merge
+RTG_IDS = [0, 1, 2, 3, 10, 11, 101, 250, 499]
+
+
+def realtime_get(sf_dir: str) -> "ray.data.Dataset":
+    """Solr /get (realtime get) parity: point lookup by doc id served
+    from the base + EVERY delta segment's doc table (reference: the
+    portal reads freshly-pushed docs back by id before commit,
+    harvester/solr_updater.py:875-962 add path) joined with the stored
+    fields. Reads are row-group-pruned `doc_id IN (...)` filters — the
+    /get cost is O(segments × touched row groups), never a scan; the
+    join side is the same pruned point read on documents.parquet."""
+    import pyarrow.dataset as pads
+
+    from harvester_ray.index.maintenance import delta_dirs
+
+    paths = index_for_incremental(sf_dir)
+    dirs = [paths.root] + delta_dirs(paths.root)
+    flt = pads.field("doc_id").isin(RTG_IDS)
+    parts = [
+        ray.data.read_parquet(
+            IndexPaths(d).doc_table, columns=["doc_id", "doc_len"],
+            filter=flt,
+        )
+        for d in dirs
+    ]
+    lens = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    stored = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+        filter=flt,
+    )
+    joined = lens.join(
+        stored, join_type="inner", num_partitions=4, on=("doc_id",)
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "doc_len": t["doc_len"].cast(pa.int64()),
+                "source": t["source"].cast(pa.string()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

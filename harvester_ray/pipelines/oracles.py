@@ -2776,3 +2776,19 @@ SELECT source, doc_id, n AS n_tokens, bin_id, bin_offset FROM pack
 
 
 PACK_SEQUENCES = _pack_sequences_sql()
+
+
+def _realtime_get_sql() -> str:
+    from harvester_ray.pipelines.fulltext import RTG_IDS
+
+    ids = ", ".join(str(i) for i in RTG_IDS)
+    return f"""
+WITH toks AS ({_TOKS}),
+cnt AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id)
+SELECT d.doc_id, c.doc_len, d.source, d.n_chars
+FROM documents d JOIN cnt c USING (doc_id)
+WHERE d.doc_id IN ({ids})
+"""
+
+
+REALTIME_GET = _realtime_get_sql()
