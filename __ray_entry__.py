@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_meta": multimodal.multimodal_meta,
         # non-SQL-expressible (rows-only driver check; each has a
         # pinned pure-Python golden test in tests/)
         "pages_flagship": pages.pages_flagship,
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "export_sorted": oracles.EXPORT_SORTED,
         "vocab_growth": oracles.VOCAB_GROWTH,
         "realtime_get": oracles.REALTIME_GET,
+        "multimodal_meta": oracles.MULTIMODAL_META,
         "pack_sequences": oracles.PACK_SEQUENCES,
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,

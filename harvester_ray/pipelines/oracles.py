@@ -2792,3 +2792,16 @@ WHERE d.doc_id IN ({ids})
 
 
 REALTIME_GET = _realtime_get_sql()
+
+
+# the decode stage's payload is utf-8(text); media type round-robins
+# by doc_id (stages/multimodal.py synthesize_payloads) — both exactly
+# SQL-expressible, so the plumbing pipeline gets a value-hash oracle
+MULTIMODAL_META = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/fake'
+                       WHEN 1 THEN 'audio/fake'
+                       ELSE 'video/fake' END AS media_type,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""

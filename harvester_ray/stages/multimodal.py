@@ -155,3 +155,17 @@ def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
         batch_size=64,       # wide binary rows -> small batches
         concurrency=stage_concurrency(),
     )
+
+
+def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":
+    """The DuckDB-oracled twin of ``multimodal_features``: the SAME
+    synthesize → actor-pool decode pipeline, projected to the columns
+    with an exact SQL analog (media type routing + payload byte size —
+    the (md5, dimensions) metadata shape image_harvest.py writes back,
+    harvester/image_harvest.py:106-165). Proves the actor plumbing
+    (constructor state, batch size, schema) under the value-hash gate;
+    the hash/feature columns stay rows-only in multimodal_features."""
+    return multimodal_features(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "media_type", "n_bytes"]),
+        batch_format="pyarrow",
+    )
