@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_sorted": fulltext.export_sorted,
         "vocab_growth": fulltext.vocab_growth,
         "realtime_get": fulltext.realtime_get,
+        "atomic_update": fulltext.atomic_update,
         "pack_sequences": chunking.pack_sequences,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "export_sorted": oracles.EXPORT_SORTED,
         "vocab_growth": oracles.VOCAB_GROWTH,
         "realtime_get": oracles.REALTIME_GET,
+        "atomic_update": oracles.ATOMIC_UPDATE,
         "multimodal_meta": oracles.MULTIMODAL_META,
         "pack_sequences": oracles.PACK_SEQUENCES,
         "prefix_search": oracles.PREFIX_SEARCH,

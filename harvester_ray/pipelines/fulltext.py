@@ -3668,3 +3668,99 @@ def realtime_get(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+# fixed atomic-update set: these docs get ``text || ' updatedtok'``
+# pushed through the upsert path (tombstone old version + delta add)
+ATOMIC_IDS = [5, 17, 42, 101, 250]
+ATOMIC_TOKEN = "updatedtok"
+
+
+def index_for_atomic(sf_dir: str) -> IndexPaths:
+    """Full-corpus base index, then UPSERT the ATOMIC_IDS docs with a
+    token appended — the reference's `_changes` replace semantics
+    (harvester/solr_updater.py:875-962): old versions tombstoned
+    (scoped to sources existing then), new versions a delta segment."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from harvester_ray.index.maintenance import (
+        delta_dirs,
+        load_tombstones,
+        upsert_docs,
+    )
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:atom".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_{key}")
+    paths = IndexPaths(out)
+    if (
+        os.path.exists(paths.stats)
+        and delta_dirs(out)
+        and len(load_tombstones(out))
+    ):
+        return paths
+    src = os.path.join(sf_dir, "documents.parquet")
+    cols = list(DEFAULT_INDEX_CONFIG.doc_columns)
+    build_index(ray.data.read_parquet(src, columns=cols), out)
+
+    def retext(t: pa.Table) -> pa.Table:
+        new_text = pc.binary_join_element_wise(
+            t["text"].cast(pa.string()),
+            pa.array([ATOMIC_TOKEN] * len(t), pa.string()),
+            " ",
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", new_text)
+
+    updated = ray.data.read_parquet(
+        src, columns=cols, filter=pads.field("doc_id").isin(ATOMIC_IDS)
+    ).map_batches(retext, batch_format="pyarrow")
+    upsert_docs(out, updated)
+    return paths
+
+
+def atomic_update(sf_dir: str) -> "ray.data.Dataset":
+    """Post-upsert live doc stats: (doc_id, doc_len) for every LIVE doc
+    — each source segment's doc table read in place with its SCOPED
+    tombstone set anti-filtered (dead ids are change-log-sized, one
+    ray.put per segment), unioned across segments. The updated docs
+    must show their NEW length (+1 token); nothing else moves. Exact
+    regardless of the Lucene-style stats caveat (doc_len/tf carry no
+    corpus-stats dependence before compaction)."""
+    import numpy as np
+
+    from harvester_ray.index.maintenance import (
+        deleted_for_source,
+        source_dirs,
+    )
+
+    paths = index_for_atomic(sf_dir)
+    parts = []
+    for i, src in enumerate(source_dirs(paths.root)):
+        ds = ray.data.read_parquet(
+            IndexPaths(src).doc_table, columns=["doc_id", "doc_len"]
+        )
+        dead = deleted_for_source(paths.root, i)
+        if len(dead):
+            dead_ref = ray.put(dead)
+
+            def drop(t: pa.Table, _ref=dead_ref) -> pa.Table:
+                mask = ~np.isin(
+                    t["doc_id"].to_numpy(zero_copy_only=False),
+                    ray.get(_ref),
+                )
+                return t.filter(pa.array(mask))
+
+            ds = ds.map_batches(drop, batch_format="pyarrow")
+        parts.append(ds)
+    out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "doc_len": t["doc_len"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -2805,3 +2805,24 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes
 FROM documents
 """
+
+
+def _atomic_update_sql() -> str:
+    from harvester_ray.pipelines.fulltext import ATOMIC_IDS, ATOMIC_TOKEN
+
+    ids = ", ".join(str(i) for i in ATOMIC_IDS)
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN ({ids})
+              THEN text || ' {ATOMIC_TOKEN}' ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         FROM docs2)
+SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id
+"""
+
+
+ATOMIC_UPDATE = _atomic_update_sql()
