@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         chunking,
         dedup,
         multimodal,
+        sketches,
         similarity,
         textstats,
     )
@@ -69,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": fulltext.vocab_growth,
         "realtime_get": fulltext.realtime_get,
         "atomic_update": fulltext.atomic_update,
+        "heavy_hitters": sketches.heavy_hitters,
+        "hll_registers": sketches.hll_registers,
         "pack_sequences": chunking.pack_sequences,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
@@ -279,6 +282,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": oracles.VOCAB_GROWTH,
         "realtime_get": oracles.REALTIME_GET,
         "atomic_update": oracles.ATOMIC_UPDATE,
+        "heavy_hitters": oracles.HEAVY_HITTERS,
+        "hll_registers": oracles.HLL_REGISTERS,
         "multimodal_meta": oracles.MULTIMODAL_META,
         "pack_sequences": oracles.PACK_SEQUENCES,
         "prefix_search": oracles.PREFIX_SEARCH,

@@ -2826,3 +2826,55 @@ SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id
 
 
 ATOMIC_UPDATE = _atomic_update_sql()
+
+
+def _heavy_hitters_sql() -> str:
+    from harvester_ray.stages.sketches import HH_D
+
+    return f"""
+WITH toks AS ({_TOKS}),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT term, count(*) AS n FROM toks GROUP BY term
+HAVING count(*) >= ((SELECT n FROM tot) + {HH_D - 1}) // {HH_D}
+"""
+
+
+HEAVY_HITTERS = _heavy_hitters_sql()
+
+
+def _hll_registers_sql() -> str:
+    """The SAME double-quadratic Mersenne-modular hash + bucket/rank
+    arithmetic as stages/sketches._hll_parts, term for term (user_id
+    >= 0, so % and np.mod agree; every product of two sub-2^31 values
+    fits BIGINT; ceil(log2(v+1)) is exact in float64 for v < 2^31 on
+    both engines). DISTINCT commutes with hashing, so dedup-first
+    keeps the oracle cheap."""
+    from harvester_ray.stages.sketches import (
+        HLL_M,
+        _HASH_A,
+        _HASH_A2,
+        _HASH_B,
+        _HASH_B2,
+        _MERSENNE,
+        _V_BITS,
+    )
+
+    return f"""
+WITH xm AS (SELECT DISTINCT (user_id % {_MERSENNE}) AS x FROM events),
+r1 AS (SELECT ((x * x + {_HASH_A} * x + {_HASH_B}) % {_MERSENNE}) AS r
+       FROM xm),
+h AS (SELECT ((r * r + {_HASH_A2} * r + {_HASH_B2}) % {_MERSENNE}) AS h
+      FROM r1),
+parts AS (SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS v FROM h),
+ranked AS (
+  SELECT bucket,
+         CASE WHEN v = 0 THEN {_V_BITS + 1}
+              ELSE {_V_BITS + 1} - CAST(ceil(log2(v + 1)) AS BIGINT)
+         END AS rank
+  FROM parts
+)
+SELECT bucket, max(rank) AS rank FROM ranked GROUP BY bucket
+"""
+
+
+HLL_REGISTERS = _hll_registers_sql()

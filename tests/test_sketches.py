@@ -1,0 +1,69 @@
+"""Sketch operators: exactness of the verified outputs (the oracle
+gate's job, replicated at sf0.001 by test_oracle_gate) plus the
+properties the gate cannot see — estimator quality, merge invariance,
+candidate-superset guarantee."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_within_bound(ray_session):
+    """m=256 registers over the test corpus land in the linear-counting
+    regime; the estimate must sit within 15% of the exact distinct
+    count (1.04/sqrt(256) = 6.5% standard error)."""
+    import duckdb
+
+    from harvester_ray.stages.sketches import hll_estimate, hll_registers
+
+    est = hll_estimate(hll_registers(SF))
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.15, (est, exact)
+
+
+def test_hll_registers_merge_invariant(ray_session):
+    """Register tables merge by elementwise max: computing over two
+    halves of the stream and max-merging equals the one-shot result."""
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.sketches import HLL_M, _hll_parts
+
+    x = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])[
+        "user_id"
+    ].to_numpy()
+
+    def regs(arr):
+        r = np.zeros(HLL_M, np.int64)
+        if len(arr):
+            b, k = _hll_parts(arr.astype(np.int64))
+            np.maximum.at(r, b, k)
+        return r
+
+    whole = regs(x)
+    merged = np.maximum(regs(x[: len(x) // 2]), regs(x[len(x) // 2 :]))
+    assert (whole == merged).all()
+
+
+def test_heavy_hitters_candidate_superset(ray_session):
+    """Pigeonhole: every term at or above the global threshold must
+    appear in the phase-1 candidate union no matter how the corpus is
+    batched (checked by brute force on the raw token stream)."""
+    import duckdb
+
+    from harvester_ray.stages.sketches import HH_D, heavy_hitters
+
+    out = heavy_hitters(SF)
+    got = dict(zip(out["term"].to_pylist(), out["n"].to_pylist()))
+    rows = duckdb.sql(
+        f"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+            '[a-z0-9]+')) AS term FROM '{SF}/documents.parquet'),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT term, count(*) AS n FROM toks GROUP BY term
+        HAVING count(*) >= ((SELECT n FROM tot) + {HH_D - 1}) // {HH_D}"""
+    ).fetchall()
+    assert got == {t: n for t, n in rows}
+    assert len(got) > 0
