@@ -2878,3 +2878,30 @@ SELECT bucket, max(rank) AS rank FROM ranked GROUP BY bucket
 
 
 HLL_REGISTERS = _hll_registers_sql()
+
+
+def _mixture_weights_sql() -> str:
+    from harvester_ray.stages.textstats import MIX_DEN, MIX_FP, MIX_NUM_UNIF
+
+    w = MIX_DEN - MIX_NUM_UNIF
+    return f"""
+WITH toks AS ({_TOKS}),
+tok_by_doc AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+per AS (
+  SELECT d.source, count(*) AS n_docs,
+         CAST(sum(coalesce(t.n, 0)) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN tok_by_doc t USING (doc_id)
+  GROUP BY d.source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS s FROM per)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * {MIX_FP} // (SELECT t FROM tot) AS BIGINT)
+         AS share_fp,
+       CAST(({MIX_NUM_UNIF} * ({MIX_FP} // (SELECT s FROM tot))
+             + {w} * (n_tokens * {MIX_FP} // (SELECT t FROM tot)))
+            // {MIX_DEN} AS BIGINT) AS mix_fp
+FROM per
+"""
+
+
+MIXTURE_WEIGHTS = _mixture_weights_sql()

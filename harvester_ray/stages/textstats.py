@@ -1017,3 +1017,79 @@ def ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return kd.map_batches(assign, batch_format="pyarrow")
+
+
+# data-mixing constants: mix = (MIX_NUM_UNIF * uniform +
+# (MIX_DEN - MIX_NUM_UNIF) * token_share) / MIX_DEN, all in integer
+# fixed-point-6 arithmetic so both engines agree bit for bit
+MIX_FP = 1_000_000
+MIX_NUM_UNIF = 3
+MIX_DEN = 10
+
+
+def mixture_weights(sf_dir: str) -> pa.Table:
+    """Per-source data-mixing weights (the DoReMi-style reweighting a
+    training pipeline applies before sampling — Xie et al. 2023 learn
+    the weights; this is the standard uniform<->proportional
+    interpolation baseline): (source, n_docs, n_tokens, share_fp,
+    mix_fp) with share_fp = floor(n_tokens * 1e6 / total_tokens) and
+    mix_fp = floor((3*floor(1e6/S) + 7*share_fp) / 10) — every op an
+    integer floor-division, exact on both engines.
+
+    Shape: one streaming pass pre-aggregates (source -> docs, tokens)
+    per batch (combiner), a source-keyed groupby sums the partials,
+    and the driver folds the SOURCE-DICTIONARY-sized result (one row
+    per source — the same driver-fold cost class as the sketch ops)."""
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.functions.text import TOKEN_SQL_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        n_tok = pc.count_substring_regex(text, TOKEN_SQL_RE).cast(pa.int64())
+        tmp = pa.table({"source": t["source"], "n_tokens": n_tok})
+        # per-batch combiner: collapse to one row per source
+        agg = tmp.group_by("source").aggregate(
+            [("n_tokens", "sum"), ("n_tokens", "count")]
+        )
+        return pa.table(
+            {
+                "source": agg["source"],
+                "n_tokens": agg["n_tokens_sum"].cast(pa.int64()),
+                "n_docs": agg["n_tokens_count"].cast(pa.int64()),
+            }
+        )
+
+    per = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .take_all()
+    )
+    total = sum(r["n_tokens"] for r in per)
+    s = len(per)
+    unif = MIX_FP // s
+    rows = sorted(per, key=lambda r: r["source"])
+    share = [r["n_tokens"] * MIX_FP // total for r in rows]
+    mix = [
+        (MIX_NUM_UNIF * unif + (MIX_DEN - MIX_NUM_UNIF) * sh) // MIX_DEN
+        for sh in share
+    ]
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+            "n_tokens": pa.array(
+                [r["n_tokens"] for r in rows], pa.int64()
+            ),
+            "share_fp": pa.array(share, pa.int64()),
+            "mix_fp": pa.array(mix, pa.int64()),
+        }
+    )
