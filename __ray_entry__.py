@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
         "wildcard_search": fulltext.wildcard_search,
+        "regex_search": fulltext.regex_search,
         "synonym_search": fulltext.synonym_search,
         "fuzzy_search": fulltext.fuzzy_search,
         "did_you_mean": fulltext.did_you_mean,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # eval-set decontamination sweep (8-gram overlap vs benchmark)
         "decontaminate": dedup.decontaminate,
+        "contamination_scores": dedup.contamination_scores,
         # corpus profiling: exact doc-length quantiles
         "doc_len_quantiles": fulltext.doc_len_quantiles,
         # text analysis (DuckDB-oracled since round 2)
@@ -289,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles.PACK_SEQUENCES,
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,
+        "regex_search": oracles.REGEX_SEARCH,
         "synonym_search": oracles.SYNONYM_SEARCH,
         "fuzzy_search": oracles.FUZZY_SEARCH,
         "did_you_mean": oracles.DID_YOU_MEAN,
@@ -381,5 +384,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep": oracles.DEDUP_KEEP,
         "dedup_keep_antijoin": oracles.DEDUP_KEEP,
         "decontaminate": oracles.DECONTAMINATE,
+        "contamination_scores": oracles.CONTAMINATION_SCORES,
         "doc_len_quantiles": oracles.DOC_LEN_QUANTILES,
     }

@@ -312,3 +312,18 @@ def wildcard_expansions(
     so the kernel (pc.match_like) and the DuckDB oracle share the
     pattern string verbatim."""
     return _pattern_expansions(dict_ds, patterns, cap, pc.match_like)
+
+
+def regex_expansions(
+    dict_ds: "ray.data.Dataset",
+    patterns: list[tuple[int, str]],
+    cap: int,
+) -> pd.DataFrame:
+    """(query_id, term) — Lucene RegexpQuery rewrite: top-``cap``
+    dictionary terms matching each regex, df DESC, term ASC. Both
+    engines run RE2 partial-match semantics (pc.match_substring_regex
+    / DuckDB regexp_matches), so pattern strings are shared verbatim
+    with the oracle; anchor with ^$ for whole-term matches."""
+    return _pattern_expansions(
+        dict_ds, patterns, cap, pc.match_substring_regex
+    )

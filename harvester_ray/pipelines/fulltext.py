@@ -3764,3 +3764,29 @@ def atomic_update(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+# (query_id, RE2 regex) — whole-term anchored, alternation, bounded
+# repetition, char class, and a no-match pattern; partial-match
+# semantics identical between pc.match_substring_regex and DuckDB
+# regexp_matches
+REGEX_SET: list[tuple[int, str]] = [
+    (0, "^sc.n$"),
+    (1, "o[rw]$"),
+    (2, "^(join|merge)$"),
+    (3, "zz+q"),
+    (4, "a.*a"),
+]
+REGEX_CAP = 4
+
+
+def regex_search(sf_dir: str) -> "ray.data.Dataset":
+    """Regexp term queries (Lucene RegexpQuery rewrite, the Solr
+    /terms regex surface): expand each RE2 pattern against the
+    dictionary (top-REGEX_CAP by df DESC, term ASC — the same rewrite
+    cap as wildcard/prefix), then BM25-OR over the expansion."""
+    from harvester_ray.index.expand import regex_expansions
+
+    paths = index_for(sf_dir)
+    exp = regex_expansions(_dict_ds(paths), REGEX_SET, REGEX_CAP)
+    return _ranked_for_expansions(paths, exp)

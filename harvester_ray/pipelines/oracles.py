@@ -2905,3 +2905,59 @@ FROM per
 
 
 MIXTURE_WEIGHTS = _mixture_weights_sql()
+
+
+def _contamination_scores_sql() -> str:
+    from harvester_ray.stages.dedup import (
+        CONTAM_FP,
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+    )
+
+    m, r = DECON_BENCH_MOD, DECON_BENCH_REM
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ts) - 7),
+           i -> array_to_string(ts[i:i+7], ' '))) AS gs
+  FROM tk WHERE len(ts) >= 8
+),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % {m} = {r}),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM ex
+        WHERE doc_id % {m} != {r} GROUP BY doc_id),
+hit AS (SELECT e.doc_id, count(*) AS n_cont
+        FROM ex e JOIN bench b USING (g)
+        WHERE e.doc_id % {m} != {r} GROUP BY e.doc_id)
+SELECT t.doc_id, t.n_grams,
+       coalesce(h.n_cont, 0) AS n_contaminated,
+       CAST(coalesce(h.n_cont, 0) * {CONTAM_FP} // t.n_grams AS BIGINT)
+         AS frac_fp
+FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+
+CONTAMINATION_SCORES = _contamination_scores_sql()
+
+
+def _regex_sql() -> str:
+    from harvester_ray.pipelines.fulltext import REGEX_CAP, REGEX_SET
+
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in REGEX_SET)
+    return _expansion_sql(
+        f"""SELECT query_id, term FROM (
+      SELECT qp.query_id, d.term,
+             row_number() OVER (PARTITION BY qp.query_id
+                                ORDER BY d.df DESC, d.term ASC) AS rn
+      FROM qp JOIN dict d ON regexp_matches(d.term, qp.pattern)
+    ) WHERE rn <= {REGEX_CAP}""",
+        f"qp(query_id, pattern) AS (VALUES {values})",
+    )
+
+
+REGEX_SEARCH = _regex_sql()

@@ -978,26 +978,9 @@ DECON_BENCH_MOD = 13
 DECON_BENCH_REM = 5
 
 
-def decontaminate(sf_dir: str) -> "ray.data.Dataset":
-    """(doc_id, n_contaminated_grams): for every NON-benchmark doc, how
-    many of its distinct 8-token grams also appear in any benchmark
-    doc (doc_id % 13 == 5) — the eval-set decontamination sweep a
-    training corpus runs before training. Docs shorter than 8 tokens
-    carry no grams.
-
-    Scale shape: one tokenize+gram map over the corpus emitting
-    DISTINCT (gram, doc_id, is_bench) rows, one gram-hash-partitioned
-    groupby marking grams seen on the benchmark side (vectorized per
-    partition — no per-gram Python), one (doc_id) count groupby with
-    Ray's combiner. No broadcast of the benchmark side (it scales with
-    the corpus), no all-pairs anywhere."""
-    from ray.data.aggregate import Count
-
-    parts = shuffle_partitions()
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
+def _decon_gram_rows(parts: int):
+    """DISTINCT (gram, doc_id, is_bench, _part) rows per batch — the
+    shared front half of decontaminate / contamination_scores."""
 
     def gram_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1031,6 +1014,31 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
                 ),
             }
         )
+
+    return gram_rows
+
+
+def decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_contaminated_grams): for every NON-benchmark doc, how
+    many of its distinct 8-token grams also appear in any benchmark
+    doc (doc_id % 13 == 5) — the eval-set decontamination sweep a
+    training corpus runs before training. Docs shorter than 8 tokens
+    carry no grams.
+
+    Scale shape: one tokenize+gram map over the corpus emitting
+    DISTINCT (gram, doc_id, is_bench) rows, one gram-hash-partitioned
+    groupby marking grams seen on the benchmark side (vectorized per
+    partition — no per-gram Python), one (doc_id) count groupby with
+    Ray's combiner. No broadcast of the benchmark side (it scales with
+    the corpus), no all-pairs anywhere."""
+    from ray.data.aggregate import Count
+
+    parts = shuffle_partitions()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    gram_rows = _decon_gram_rows(parts)
 
     def mark_part(g: pa.Table) -> pa.Table:
         """One gram-hash partition, vectorized: contaminated candidate
@@ -1839,3 +1847,76 @@ def semdedup_pairs(
         .groupby(["vec_id_a", "vec_id_b"])
         .aggregate(ray.data.aggregate.Max("sim_r6", alias_name="sim_r6"))
     )
+
+
+CONTAM_FP = 1_000_000
+
+
+def contamination_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Graded decontamination (the score the binary `decontaminate`
+    sweep thresholds): for every NON-benchmark doc with >= 8 tokens,
+    (doc_id, n_grams, n_contaminated, frac_fp) where n_grams counts
+    its DISTINCT 8-token grams, n_contaminated those also present in
+    any benchmark doc, and frac_fp = n_contaminated * 1e6 // n_grams
+    (integer-exact). Same shuffle shape as decontaminate — shared
+    gram front half, gram-hash-partitioned benchmark marking that
+    emits (doc_id, hit) for EVERY non-benchmark gram row — then ONE
+    doc-keyed groupby carries both counts (no join, no second corpus
+    pass; zero-hit docs keep a row because every gram row counts)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    parts = shuffle_partitions()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    rows = docs.map_batches(
+        _decon_gram_rows(parts), batch_format="pyarrow"
+    )
+
+    def mark_part(g: pa.Table) -> pa.Table:
+        """One gram-hash partition: every NON-benchmark row comes out
+        with hit = gram-present-on-the-benchmark-side — counts and
+        contaminated counts then ride ONE doc-keyed groupby (no join,
+        no second pass over the corpus)."""
+        grams = g["gram"].to_numpy(zero_copy_only=False)
+        bench = g["is_bench"].to_numpy(zero_copy_only=False)
+        keep = ~bench
+        hit = np.isin(grams, grams[bench]) & keep
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    g["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "hit": pa.array(hit[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    counted = (
+        rows.groupby("_part")
+        .map_groups(mark_part, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_grams"),
+            Sum("hit", alias_name="n_contaminated"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_cont = pc.fill_null(t["n_contaminated"], 0).cast(pa.int64())
+        n_grams = t["n_grams"].cast(pa.int64())
+        frac = pc.divide(
+            pc.multiply(n_cont, pa.scalar(CONTAM_FP, pa.int64())), n_grams
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_grams": n_grams,
+                "n_contaminated": n_cont,
+                "frac_fp": frac.cast(pa.int64()),
+            }
+        )
+
+    return counted.map_batches(finalize, batch_format="pyarrow")
