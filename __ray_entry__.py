@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": fulltext.prefix_search,
         "wildcard_search": fulltext.wildcard_search,
         "regex_search": fulltext.regex_search,
+        "join_query_topk": fulltext.join_query_topk,
         "synonym_search": fulltext.synonym_search,
         "fuzzy_search": fulltext.fuzzy_search,
         "did_you_mean": fulltext.did_you_mean,
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,
         "regex_search": oracles.REGEX_SEARCH,
+        "join_query_topk": oracles.JOIN_QUERY_TOPK,
         "synonym_search": oracles.SYNONYM_SEARCH,
         "fuzzy_search": oracles.FUZZY_SEARCH,
         "did_you_mean": oracles.DID_YOU_MEAN,

@@ -3790,3 +3790,83 @@ def regex_search(sf_dir: str) -> "ray.data.Dataset":
     paths = index_for(sf_dir)
     exp = regex_expansions(_dict_ds(paths), REGEX_SET, REGEX_CAP)
     return _ranked_for_expansions(paths, exp)
+
+
+JOINQ_K = 10  # cross-core join: top docs returned per query
+
+
+def join_query_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Solr {!join} cross-core query parity (reference Solr surface —
+    the portal joins collection registry data onto item results,
+    harvester/solr_updater.py:64-134 maps both sides of that join):
+    for each OR query, find the matching docs, follow from=source
+    to=source, and return the top-JOINQ_K docs (n_chars DESC, doc_id
+    ASC) among ALL docs whose source contains at least one match —
+    the "docs related via a shared key to the matches" semantic.
+
+    Shape: shared scored match set → source hash join (match side) →
+    distinct (query_id, source) — a GROUP-DICTIONARY-sized set — →
+    second hash join back onto documents by source (the fan-out
+    side) → per-query grouped top-k with per-batch prune. Both joins
+    are key-partitioned; nothing is broadcast."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from harvester_ray.config import shuffle_partitions
+
+    parts = shuffle_partitions()
+    scored = _scored_match_set(sf_dir)
+    docs_src = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    matched_srcs = (
+        scored.join(
+            docs_src, join_type="inner", num_partitions=parts,
+            on=("doc_id",),
+        )
+        .groupby(["query_id", "source"])
+        .count()
+        .select_columns(["query_id", "source"])
+    )
+    docs_full = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    fanout = matched_srcs.join(
+        docs_full, join_type="inner", num_partitions=parts,
+        on=("source",),
+    )
+
+    _SORT = [("n_chars", "descending"), ("doc_id", "ascending")]
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        # per-batch top-k per query: only JOINQ_K rows per (batch,
+        # query) survive to the final per-query rank
+        out = []
+        for qid in pc.unique(t["query_id"]).to_pylist():
+            g = t.filter(pc.equal(t["query_id"], qid))
+            idx = pc.sort_indices(g, sort_keys=_SORT)[:JOINQ_K]
+            out.append(g.take(idx))
+        if not out:
+            return t.slice(0, 0)
+        return pa.concat_tables(out)
+
+    def rank(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:JOINQ_K]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        fanout.map_batches(local_prune, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(rank, batch_format="pyarrow")
+    )

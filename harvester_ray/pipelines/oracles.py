@@ -2961,3 +2961,31 @@ def _regex_sql() -> str:
 
 
 REGEX_SEARCH = _regex_sql()
+
+
+def _join_query_sql() -> str:
+    from harvester_ray.pipelines.fulltext import JOINQ_K
+
+    values = _or_query_values()
+    return f"""
+WITH toks AS ({_TOKS}),
+q(query_id, term) AS (VALUES {values}),
+matched AS (
+  SELECT DISTINCT q.query_id, d.source
+  FROM q JOIN toks t USING (term) JOIN documents d USING (doc_id)
+),
+fanout AS (
+  SELECT m.query_id, d2.doc_id, d2.n_chars
+  FROM matched m JOIN documents d2 USING (source)
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM fanout
+)
+SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {JOINQ_K}
+"""
+
+
+JOIN_QUERY_TOPK = _join_query_sql()
