@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "realtime_get": fulltext.realtime_get,
         "atomic_update": fulltext.atomic_update,
         "heavy_hitters": sketches.heavy_hitters,
+        "multimodal_meta": multimodal.multimodal_meta,
         "hll_registers": sketches.hll_registers,
         "pack_sequences": chunking.pack_sequences,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
@@ -237,7 +238,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "multimodal_features": multimodal.multimodal_features,
-        "multimodal_meta": multimodal.multimodal_meta,
         # non-SQL-expressible (rows-only driver check; each has a
         # pinned pure-Python golden test in tests/)
         "pages_flagship": pages.pages_flagship,
