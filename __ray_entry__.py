@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
         "multimodal_features": multimodal.multimodal_features,
         # non-SQL-expressible (rows-only driver check; each has a
         # pinned pure-Python golden test in tests/)

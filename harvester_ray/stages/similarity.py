@@ -371,3 +371,219 @@ def ann_lsh_topk(sf_dir: str, k: int = ANN_TOP_K) -> pd.DataFrame:
     )
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return top[["rank", "vec_id", "sim_r"]]
+
+
+# --- product quantization (ADC scan + exact rerank) ----------------------
+
+PQC_M = 4            # subspaces (dim must divide evenly)
+PQC_K = 16           # centroids per subspace -> 4-bit codes
+PQC_ITERS = 10
+PQC_RERANK = 64      # ADC candidates re-ranked with exact vectors
+
+
+class PqEncoder:
+    """Actor-pool encode stage: per-subspace codebooks held per actor;
+    per batch, normalize rows and argmin each subvector against its
+    codebook — one (rows x PQC_K) distance matmul per subspace."""
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = codebooks  # (M, K, dsub)
+        self._c2 = (codebooks**2).sum(axis=2)  # (M, K)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        E = E / norms
+        m_sub = E.shape[1] // PQC_M
+        cols = {"vec_id": batch["vec_id"]}
+        for m in range(PQC_M):
+            X = E[:, m * m_sub : (m + 1) * m_sub]
+            d2 = self._c2[m][None, :] - 2.0 * (X @ self.codebooks[m].T)
+            cols[f"c{m}"] = pa.array(
+                d2.argmin(axis=1).astype(np.uint8), pa.uint8()
+            )
+        return pa.table(cols)
+
+
+def pq_codes_layout(sf_dir: str) -> str:
+    """Materialize (once, cached+resumable) the PQ layout: per-subspace
+    k-means codebooks trained on the SAME deterministic driver sample
+    as the IVF trainer, then every vector encoded to PQC_M uint8 codes
+    by an actor pool — 16 bytes/vector at dim 64 (a 16x memory cut,
+    the compression that keeps a 10^9-vector corpus in cluster RAM)."""
+    from harvester_ray.state.lineage import dir_fingerprint, run_stage
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(emb_path)}:pqc".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"emb_pqc_{key}")
+
+    def write(tmp: str) -> None:
+        import ray
+
+        pf = pq.ParquetFile(emb_path)
+        sample_rows = []
+        need = IVF_TRAIN_ROWS
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg, columns=["embedding"])
+            sample_rows.append(t)
+            need -= len(t)
+            if need <= 0:
+                break
+        sample = np.asarray(
+            pa.concat_tables(sample_rows)["embedding"]
+            .to_pylist()[:IVF_TRAIN_ROWS],
+            dtype=np.float64,
+        )
+        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sample = sample / norms
+        dim = sample.shape[1]
+        if dim % PQC_M:
+            raise ValueError(f"dim {dim} not divisible by PQC_M={PQC_M}")
+        m_sub = dim // PQC_M
+        books = np.stack(
+            [
+                _kmeans(
+                    sample[:, m * m_sub : (m + 1) * m_sub],
+                    PQC_K,
+                    PQC_ITERS,
+                    LSH_SEED + m,
+                )
+                for m in range(PQC_M)
+            ]
+        )
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "m": pa.array(
+                        np.repeat(np.arange(PQC_M), PQC_K).astype(np.int64)
+                    ),
+                    "k": pa.array(
+                        np.tile(np.arange(PQC_K), PQC_M).astype(np.int64)
+                    ),
+                    "centroid": pa.array(
+                        [c.tolist() for b in books for c in b],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            os.path.join(tmp, "_codebooks.parquet"),
+        )
+        books_ref = ray.put(books)
+
+        class Encode(PqEncoder):
+            def __init__(self):
+                super().__init__(ray.get(books_ref))
+
+        (
+            ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(
+                Encode,
+                batch_format="pyarrow",
+                concurrency=stage_concurrency(),
+            )
+            .write_parquet(tmp)
+        )
+
+    run_stage(
+        "emb_pqc_layout",
+        out,
+        dir_fingerprint(emb_path),
+        write,
+        params=f"m={PQC_M},k={PQC_K},iters={PQC_ITERS},seed={LSH_SEED}",
+    )
+    return out
+
+
+def _pq_codebooks(layout: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(layout, "_codebooks.parquet"))
+    books = np.zeros(
+        (PQC_M, PQC_K, len(t["centroid"][0])), dtype=np.float64
+    )
+    for m, k, c in zip(
+        t["m"].to_pylist(), t["k"].to_pylist(), t["centroid"].to_pylist()
+    ):
+        books[m, k] = c
+    return books
+
+
+def ann_pq_topk(sf_dir: str, k: int = ANN_TOP_K) -> pd.DataFrame:
+    """(rank, vec_id, sim_r) PQ approximate top-k, the two-phase
+    production shape: (1) ADC scan — the query's (M x K) inner-product
+    lookup table is built once on the driver and broadcast; each batch
+    scores rows by M uint8-gather sums (no float vectors move) and
+    keeps its top-PQC_RERANK; (2) exact rerank — the surviving
+    candidate ids (a k-sized driver list) are fetched by covering row
+    groups and re-scored with exact cosine, so sim_r matches the
+    brute-force contract on the candidates it keeps."""
+    import ray
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qrow = fetch_query_vectors(emb_path, [ANN_QUERY_VEC_ID])
+    q = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    layout = pq_codes_layout(sf_dir)
+    books = _pq_codebooks(layout)
+    m_sub = len(qn) // PQC_M
+    lut = np.stack(
+        [
+            books[m] @ qn[m * m_sub : (m + 1) * m_sub]
+            for m in range(PQC_M)
+        ]
+    )  # (M, K)
+    lut_ref = ray.put(lut)
+
+    def adc(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "approx": pa.array([], pa.float64()),
+                }
+            )
+        L = ray.get(lut_ref)
+        approx = np.zeros(len(t), dtype=np.float64)
+        for m in range(PQC_M):
+            approx += L[m][t[f"c{m}"].to_numpy(zero_copy_only=False)]
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) > PQC_RERANK:
+            order = np.lexsort((ids, -approx))[:PQC_RERANK]
+            ids, approx = ids[order], approx[order]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "approx": pa.array(approx, pa.float64()),
+            }
+        )
+
+    files = [
+        os.path.join(layout, f)
+        for f in sorted(os.listdir(layout))
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    cand = (
+        ray.data.read_parquet(files)
+        .map_batches(adc, batch_format="pyarrow")
+        .sort(["approx", "vec_id"], descending=[True, False])
+        .limit(PQC_RERANK)
+        .to_pandas()
+    )
+    ids = cand["vec_id"].to_numpy().astype(np.int64).tolist()
+    exact = fetch_query_vectors(emb_path, ids)
+    E = np.asarray(exact["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(E, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((E @ qn) / norms, 6)
+    vids = exact["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vids, -sims))[:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "vec_id": vids[order].astype(np.int64),
+            "sim_r": sims[order],
+        }
+    )

@@ -240,3 +240,42 @@ def test_fetch_query_vectors_prunes_row_groups(tmp_path):
         if int(v) in set(want)
     }
     assert got == ref
+
+
+def test_pq_adc_rerank_recall_and_exactness(emb_dir, ray_session):
+    """Two-phase PQ: the exact-rerank phase makes every returned sim_r
+    equal the brute-force cosine, and the ADC candidates must recall
+    most of the true top-20 (deterministic seeded codebooks; random
+    gaussian vectors are PQ's hardest case, so the floor is modest)."""
+    from harvester_ray.stages.similarity import ann_pq_topk
+
+    sf_dir, E = emb_dir
+    q = E[ANN_QUERY_VEC_ID]
+    qn = q / np.linalg.norm(q)
+    sims = (E @ qn) / np.linalg.norm(E, axis=1)
+    exact = set(np.argsort(-np.round(sims, 6), kind="stable")[:20].tolist())
+
+    top = ann_pq_topk(sf_dir, k=20)
+    assert len(top) == 20
+    for vid, sim in zip(top["vec_id"], top["sim_r"]):
+        want = float(E[int(vid)] @ qn / np.linalg.norm(E[int(vid)]))
+        assert sim == pytest.approx(round(want, 6), abs=2e-6)
+    recall = len(exact & set(int(v) for v in top["vec_id"])) / 20
+    assert recall >= 0.3, recall
+
+    # 16 bytes/vector: the codes table carries M uint8 columns only
+    from harvester_ray.stages.similarity import PQC_M, pq_codes_layout
+
+    layout = pq_codes_layout(sf_dir)
+    import os
+
+    import pyarrow.parquet as papq
+
+    f = [
+        x for x in sorted(os.listdir(layout))
+        if x.endswith(".parquet") and not x.startswith("_")
+    ][0]
+    schema = papq.read_schema(os.path.join(layout, f))
+    code_cols = [n for n in schema.names if n.startswith("c")]
+    assert len(code_cols) == PQC_M
+    assert all(str(schema.field(n).type) == "uint8" for n in code_cols)
