@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stride-1 L-token windows occurring >=2x, per-doc union size
         "dup_span_stats": chunking.dup_span_stats,
         "sample_documents": relational.sample_documents,
+        "seeded_shuffle": relational.seeded_shuffle,
+        "dataset_split": relational.dataset_split,
         # per-stratum deterministic sampling + exact distinct-count
         "stratified_sample": relational.stratified_sample,
         "events_type_users": relational.events_type_users,
@@ -361,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_chunk_filter": oracles.DUP_CHUNK_FILTER,
         "dup_span_stats": oracles.DUP_SPAN_STATS,
         "sample_documents": oracles.SAMPLE_DOCUMENTS,
+        "seeded_shuffle": oracles.SEEDED_SHUFFLE,
+        "dataset_split": oracles.DATASET_SPLIT,
         "stratified_sample": oracles.STRATIFIED_SAMPLE,
         "events_type_users": oracles.EVENTS_TYPE_USERS,
         "events_latest_per_user": oracles.EVENTS_LATEST_PER_USER,

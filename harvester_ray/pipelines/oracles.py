@@ -2989,3 +2989,56 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {JOINQ_K}
 
 
 JOIN_QUERY_TOPK = _join_query_sql()
+
+
+def _seeded_shuffle_sql() -> str:
+    from harvester_ray.pipelines.relational import (
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+        SHUFFLE_SEED,
+        SHUFFLE_SHARDS,
+    )
+
+    h = (
+        f"(((abs(doc_id) % {_SAMPLE_MOD}) + {SHUFFLE_SEED})"
+        f" * {_SAMPLE_MULT}) % 4294967296"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h, ({h}) % {SHUFFLE_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY h ASC, doc_id ASC) AS pos,
+       doc_id
+FROM hashed
+"""
+
+
+SEEDED_SHUFFLE = _seeded_shuffle_sql()
+
+
+def _dataset_split_sql() -> str:
+    from harvester_ray.pipelines.relational import (
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+        SHUFFLE_SEED,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    h = (
+        f"((((abs(doc_id) % {_SAMPLE_MOD}) + {SHUFFLE_SEED})"
+        f" * {_SAMPLE_MULT}) % 4294967296) % 100"
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {h} < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+DATASET_SPLIT = _dataset_split_sql()

@@ -1102,3 +1102,92 @@ def source_capped_sample(sf_dir: str) -> "ray.data.Dataset":
         .groupby("source")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+SHUFFLE_SEED = 7
+SHUFFLE_SHARDS = 8
+# split thresholds over hash % 100: [0,90) train, [90,95) val, rest test
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95
+
+
+def _seeded_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """The sample_documents Knuth hash with a seed folded in — same
+    abs-first discipline so numpy and SQL agree on signed ids."""
+    return (
+        (np.abs(ids) % _SAMPLE_MOD + seed) * _SAMPLE_MULT
+    ) % (1 << 32)
+
+
+def seeded_shuffle(sf_dir: str) -> "ray.data.Dataset":
+    """Reproducible global shuffle for training-data export —
+    random_shuffle's output depends on block layout and RNG state;
+    a training pipeline needs the SAME order every rerun on any
+    cluster shape. Every doc gets (shard, pos, doc_id): shard =
+    seeded Knuth hash % SHUFFLE_SHARDS, pos = rank within the shard
+    under (hash, doc_id). Shards are hash-partitioned groups, so the
+    intra-shard sort is co-located and NO global rank structure
+    exists anywhere — readers consume shards in any order, each
+    internally shuffled. One groupby, no broadcast."""
+    import pyarrow.compute as pc
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _seeded_hash(ids, SHUFFLE_SEED)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                "shard": pa.array(
+                    (h % SHUFFLE_SHARDS).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def rank_shard(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "shard": g["shard"],
+                "pos": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(hashed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+    )
+
+
+def dataset_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment (90/5/5 by the seeded
+    doc_id hash) — membership is a pure function of the id, so the
+    split is stable across reruns, repartitioning and engines, and a
+    doc can never leak between splits. One stateless map, no shuffle."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _seeded_hash(ids, SHUFFLE_SEED) % 100
+        split = np.where(
+            b < SPLIT_TRAIN_PCT,
+            "train",
+            np.where(b < SPLIT_VAL_PCT, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
