@@ -3525,7 +3525,7 @@ def export_sorted(sf_dir: str) -> "ray.data.Dataset":
     joined = matched.join(
         docs, join_type="inner", num_partitions=shuffle_partitions(),
         on=("doc_id",),
-    )
+    ).materialize()  # consumed twice (key counts + rank pass): one join
 
     counts = joined.groupby("n_chars").count().take_all()
     if len(counts) > _EXPORT_OFFSET_KEYS_GUARD:
@@ -3608,10 +3608,14 @@ def vocab_growth(sf_dir: str) -> pa.Table:
         .take_all()
     )
     new_terms = {int(r["bucket"]): int(r["count()"]) for r in hist}
-    acc, rows = 0, []
+    acc, by_cp = 0, {}
     for i in range(VG_CHECKPOINTS):
         acc += new_terms.get(i, 0)
-        rows.append((int(cps[i]), acc))
+        # tiny corpora (max_id < N) repeat checkpoint values; the
+        # oracle GROUPs BY checkpoint, so keep ONE row per distinct
+        # cp — the cumulative count at its last bucket
+        by_cp[int(cps[i])] = acc
+    rows = sorted(by_cp.items())
     return pa.table(
         {
             "checkpoint": pa.array([r[0] for r in rows], pa.int64()),

@@ -2797,12 +2797,16 @@ REALTIME_GET = _realtime_get_sql()
 # the decode stage's payload is utf-8(text); media type round-robins
 # by doc_id (stages/multimodal.py synthesize_payloads) — both exactly
 # SQL-expressible, so the plumbing pipeline gets a value-hash oracle
+# ((doc_id % 3) + 3) % 3 mirrors Python %, which is floored (SQL %
+# takes the dividend's sign); coalesce mirrors the kernel's
+# (text or '').encode() on NULL text
 MULTIMODAL_META = """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image/fake'
-                       WHEN 1 THEN 'audio/fake'
-                       ELSE 'video/fake' END AS media_type,
-       octet_length(encode(text)) AS n_bytes
+       CASE ((doc_id % 3) + 3) % 3
+            WHEN 0 THEN 'image/fake'
+            WHEN 1 THEN 'audio/fake'
+            ELSE 'video/fake' END AS media_type,
+       coalesce(octet_length(encode(text)), 0) AS n_bytes
 FROM documents
 """
 
@@ -2993,20 +2997,31 @@ JOIN_QUERY_TOPK = _join_query_sql()
 
 def _seeded_shuffle_sql() -> str:
     from harvester_ray.pipelines.relational import (
-        _SAMPLE_MOD,
-        _SAMPLE_MULT,
         SHUFFLE_SEED,
         SHUFFLE_SHARDS,
     )
 
-    h = (
-        f"(((abs(doc_id) % {_SAMPLE_MOD}) + {SHUFFLE_SEED})"
-        f" * {_SAMPLE_MULT}) % 4294967296"
+    from harvester_ray.pipelines.relational import (
+        _SHUF_A,
+        _SHUF_A2,
+        _SHUF_B,
+        _SHUF_B2,
+        _SHUF_P,
     )
+
+    xm = f"((abs(doc_id) + {SHUFFLE_SEED}) % {_SHUF_P})"
     return f"""
-WITH hashed AS (
-  SELECT doc_id, {h} AS h, ({h}) % {SHUFFLE_SHARDS} AS shard
+WITH r1 AS (
+  SELECT doc_id,
+         ({xm} * {xm} + {_SHUF_A} * {xm} + {_SHUF_B}) % {_SHUF_P} AS r
   FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         (r * r + {_SHUF_A2} * r + {_SHUF_B2}) % {_SHUF_P} AS h,
+         ((r * r + {_SHUF_A2} * r + {_SHUF_B2}) % {_SHUF_P})
+           % {SHUFFLE_SHARDS} AS shard
+  FROM r1
 )
 SELECT shard,
        row_number() OVER (PARTITION BY shard
@@ -3021,23 +3036,33 @@ SEEDED_SHUFFLE = _seeded_shuffle_sql()
 
 def _dataset_split_sql() -> str:
     from harvester_ray.pipelines.relational import (
-        _SAMPLE_MOD,
-        _SAMPLE_MULT,
         SHUFFLE_SEED,
         SPLIT_TRAIN_PCT,
         SPLIT_VAL_PCT,
     )
 
-    h = (
-        f"((((abs(doc_id) % {_SAMPLE_MOD}) + {SHUFFLE_SEED})"
-        f" * {_SAMPLE_MULT}) % 4294967296) % 100"
+    from harvester_ray.pipelines.relational import (
+        _SHUF_A,
+        _SHUF_A2,
+        _SHUF_B,
+        _SHUF_B2,
+        _SHUF_P,
     )
+
+    xm = f"((abs(doc_id) + {SHUFFLE_SEED}) % {_SHUF_P})"
     return f"""
+WITH r1 AS (
+  SELECT doc_id,
+         ({xm} * {xm} + {_SHUF_A} * {xm} + {_SHUF_B}) % {_SHUF_P} AS r
+  FROM documents
+)
 SELECT doc_id,
-       CASE WHEN {h} < {SPLIT_TRAIN_PCT} THEN 'train'
-            WHEN {h} < {SPLIT_VAL_PCT} THEN 'val'
+       CASE WHEN ((r * r + {_SHUF_A2} * r + {_SHUF_B2}) % {_SHUF_P}) % 100
+                 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN ((r * r + {_SHUF_A2} * r + {_SHUF_B2}) % {_SHUF_P}) % 100
+                 < {SPLIT_VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
-FROM documents
+FROM r1
 """
 
 

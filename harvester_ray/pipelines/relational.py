@@ -1111,24 +1111,45 @@ SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 95
 
 
+_SHUF_P = (1 << 31) - 1  # Mersenne prime: products fit BIGINT/int64
+_SHUF_A = 1103515245
+_SHUF_B = 12345
+_SHUF_A2 = 69069
+_SHUF_B2 = 362437
+
+
 def _seeded_hash(ids: np.ndarray, seed: int) -> np.ndarray:
-    """The sample_documents Knuth hash with a seed folded in — same
-    abs-first discipline so numpy and SQL agree on signed ids."""
-    return (
-        (np.abs(ids) % _SAMPLE_MOD + seed) * _SAMPLE_MULT
-    ) % (1 << 32)
+    """Double-quadratic hash mod the Mersenne prime (the sketches.py
+    construction): 2^31-value key space — the Knuth sample hash
+    pre-mods by ~1e6, which would fold doc_ids 1_000_003 apart onto
+    identical shuffle keys and degrade the "shuffle" into id-ordered
+    runs past ~1M docs. abs() FIRST so numpy %% and SQL %% agree on
+    signed ids; every product of two sub-2^31 values fits int64 on
+    both engines."""
+    xm = (np.abs(ids) + seed) % _SHUF_P
+    r1 = (xm * xm + _SHUF_A * xm + _SHUF_B) % _SHUF_P
+    return (r1 * r1 + _SHUF_A2 * r1 + _SHUF_B2) % _SHUF_P
 
 
-def seeded_shuffle(sf_dir: str) -> "ray.data.Dataset":
+def seeded_shuffle(
+    sf_dir: str, shards: int = SHUFFLE_SHARDS
+) -> "ray.data.Dataset":
     """Reproducible global shuffle for training-data export —
     random_shuffle's output depends on block layout and RNG state;
     a training pipeline needs the SAME order every rerun on any
     cluster shape. Every doc gets (shard, pos, doc_id): shard =
-    seeded Knuth hash % SHUFFLE_SHARDS, pos = rank within the shard
-    under (hash, doc_id). Shards are hash-partitioned groups, so the
+    seeded hash % shards, pos = rank within the shard under
+    (hash, doc_id). Shards are hash-partitioned groups, so the
     intra-shard sort is co-located and NO global rank structure
     exists anywhere — readers consume shards in any order, each
-    internally shuffled. One groupby, no broadcast."""
+    internally shuffled. One groupby, no broadcast.
+
+    SIZE THE SHARD COUNT to the corpus: each shard materializes on
+    one worker for its rank pass (corpus/shards rows), so production
+    runs pass shards ≈ corpus_rows / worker_budget — the shard id is
+    part of the output contract, so it is a CALLER choice, not a
+    cluster-derived value (the fixed gate entry uses SHUFFLE_SHARDS
+    so the oracle is stable across driver CPU counts)."""
     import pyarrow.compute as pc
 
     def hashed(t: pa.Table) -> pa.Table:
@@ -1139,7 +1160,7 @@ def seeded_shuffle(sf_dir: str) -> "ray.data.Dataset":
                 "doc_id": pa.array(ids, pa.int64()),
                 "h": pa.array(h.astype(np.int64), pa.int64()),
                 "shard": pa.array(
-                    (h % SHUFFLE_SHARDS).astype(np.int64), pa.int64()
+                    (h % shards).astype(np.int64), pa.int64()
                 ),
             }
         )

@@ -391,6 +391,11 @@ class PqEncoder:
         self._c2 = (codebooks**2).sum(axis=2)  # (M, K)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols = {"vec_id": pa.array([], pa.int64())}
+            for m in range(PQC_M):
+                cols[f"c{m}"] = pa.array([], pa.uint8())
+            return pa.table(cols)
         E = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(E, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

@@ -97,10 +97,8 @@ def heavy_hitters(sf_dir: str) -> "ray.data.Dataset":
 
     src = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
     cands = sorted(
-        set(
-            src.map_batches(local_candidates, batch_format="pyarrow")
-            .unique("term")
-        )
+        src.map_batches(local_candidates, batch_format="pyarrow")
+        .unique("term")
     )
     cand_ref = ray.put(pa.array(cands, pa.string()))
 

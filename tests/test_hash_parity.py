@@ -12,10 +12,13 @@ ids64 = st.integers(min_value=-(2**62), max_value=2**62)
 
 @settings(max_examples=200, deadline=None)
 @given(st.lists(ids64, min_size=1, max_size=50))
-def test_seeded_knuth_hash_parity(xs):
+def test_seeded_shuffle_hash_parity(xs):
     from harvester_ray.pipelines.relational import (
-        _SAMPLE_MOD,
-        _SAMPLE_MULT,
+        _SHUF_A,
+        _SHUF_A2,
+        _SHUF_B,
+        _SHUF_B2,
+        _SHUF_P,
         SHUFFLE_SEED,
         _seeded_hash,
     )
@@ -24,9 +27,12 @@ def test_seeded_knuth_hash_parity(xs):
     con = duckdb.connect()
     con.execute("CREATE TABLE t(x BIGINT)")
     con.executemany("INSERT INTO t VALUES (?)", [(int(x),) for x in xs])
+    xm = f"((abs(x) + {SHUFFLE_SEED}) % {_SHUF_P})"
     want = con.execute(
-        f"SELECT (((abs(x) % {_SAMPLE_MOD}) + {SHUFFLE_SEED})"
-        f" * {_SAMPLE_MULT}) % 4294967296 FROM t"
+        f"""WITH r1 AS (SELECT ({xm} * {xm} + {_SHUF_A} * {xm}
+              + {_SHUF_B}) % {_SHUF_P} AS r FROM t)
+        SELECT (r * r + {_SHUF_A2} * r + {_SHUF_B2}) % {_SHUF_P}
+        FROM r1"""
     ).fetchnumpy()
     assert (got == list(want.values())[0].astype(np.int64)).all()
 
