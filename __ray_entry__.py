@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": sketches.heavy_hitters,
         "multimodal_meta": multimodal.multimodal_meta,
         "hll_registers": sketches.hll_registers,
+        "hll_registers_by_group": sketches.hll_registers_by_group,
         "pack_sequences": chunking.pack_sequences,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
@@ -291,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "atomic_update": oracles.ATOMIC_UPDATE,
         "heavy_hitters": oracles.HEAVY_HITTERS,
         "hll_registers": oracles.HLL_REGISTERS,
+        "hll_registers_by_group": oracles.HLL_REGISTERS_BY_GROUP,
         "multimodal_meta": oracles.MULTIMODAL_META,
         "pack_sequences": oracles.PACK_SEQUENCES,
         "prefix_search": oracles.PREFIX_SEARCH,

@@ -2884,6 +2884,48 @@ SELECT bucket, max(rank) AS rank FROM ranked GROUP BY bucket
 HLL_REGISTERS = _hll_registers_sql()
 
 
+def _hll_registers_by_group_sql() -> str:
+    """Grouped twin of HLL_REGISTERS: identical hash/bucket/rank
+    arithmetic, deduped and register-maxed PER event_type. DISTINCT
+    (event_type, user_id) commutes with hashing user_id, so the
+    grouped oracle is the single-key oracle with event_type carried
+    through every CTE."""
+    from harvester_ray.stages.sketches import (
+        HLL_M,
+        _HASH_A,
+        _HASH_A2,
+        _HASH_B,
+        _HASH_B2,
+        _MERSENNE,
+        _V_BITS,
+    )
+
+    return f"""
+WITH xm AS (SELECT DISTINCT event_type, (user_id % {_MERSENNE}) AS x
+            FROM events),
+r1 AS (SELECT event_type,
+              ((x * x + {_HASH_A} * x + {_HASH_B}) % {_MERSENNE}) AS r
+       FROM xm),
+h AS (SELECT event_type,
+             ((r * r + {_HASH_A2} * r + {_HASH_B2}) % {_MERSENNE}) AS h
+      FROM r1),
+parts AS (SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS v
+          FROM h),
+ranked AS (
+  SELECT event_type, bucket,
+         CASE WHEN v = 0 THEN {_V_BITS + 1}
+              ELSE {_V_BITS + 1} - CAST(ceil(log2(v + 1)) AS BIGINT)
+         END AS rank
+  FROM parts
+)
+SELECT event_type, bucket, max(rank) AS rank
+FROM ranked GROUP BY event_type, bucket
+"""
+
+
+HLL_REGISTERS_BY_GROUP = _hll_registers_by_group_sql()
+
+
 def _mixture_weights_sql() -> str:
     from harvester_ray.stages.textstats import MIX_DEN, MIX_FP, MIX_NUM_UNIF
 

@@ -226,3 +226,65 @@ def hll_estimate(registers: "pa.Table | object") -> float:
     if est <= 2.5 * m and zeros > 0:
         return float(m * np.log(m / zeros))
     return float(est)
+
+
+def hll_registers_by_group(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, bucket, rank) — the grouped form of
+    ``hll_registers`` (distinct users per event type in one pass):
+    per-batch partial registers PER GROUP (<= groups x HLL_M rows per
+    batch), then groupby(group, bucket).max(rank). Sketch
+    composability is the point: per-group register tables still merge
+    by elementwise max, so group cardinalities come from one shuffle
+    whose volume is bounded by groups x m, not by rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        bucket, rank = _hll_parts(x)
+        et = t["event_type"]
+        codes = pc.dictionary_encode(et.combine_chunks())
+        idx = (
+            codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n_groups = len(codes.dictionary)
+        regs = np.zeros((n_groups, HLL_M), np.int64)
+        np.maximum.at(regs, (idx, bucket), rank)
+        g_nz, b_nz = np.nonzero(regs)
+        return pa.table(
+            {
+                "event_type": codes.dictionary.take(
+                    pa.array(g_nz, pa.int64())
+                ).cast(pa.string()),
+                "bucket": pa.array(b_nz.astype(np.int64), pa.int64()),
+                "rank": pa.array(regs[g_nz, b_nz], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .max("rank")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"].cast(pa.string()),
+                    "bucket": t["bucket"].cast(pa.int64()),
+                    "rank": t["max(rank)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -48,6 +48,32 @@ def test_hll_registers_merge_invariant(ray_session):
     assert (whole == merged).all()
 
 
+def test_hll_grouped_matches_per_group_filter(ray_session):
+    """The grouped sketch equals hll_registers run on each group's
+    events in isolation (per-group registers are independent), and
+    each per-group estimate sits within the single-key error bound of
+    the exact per-group distinct count."""
+    import duckdb
+
+    from harvester_ray.stages.sketches import (
+        hll_estimate,
+        hll_registers_by_group,
+    )
+
+    t = pa.Table.from_pylist(hll_registers_by_group(SF).take_all())
+    groups = set(t["event_type"].to_pylist())
+    assert len(groups) > 1
+    for g in sorted(groups):
+        mask = pa.compute.equal(t["event_type"], g)
+        sub = t.filter(mask).select(["bucket", "rank"])
+        est = hll_estimate(sub)
+        exact = duckdb.sql(
+            f"""SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'
+            WHERE event_type = '{g}'"""
+        ).fetchone()[0]
+        assert abs(est - exact) / exact < 0.20, (g, est, exact)
+
+
 def test_heavy_hitters_candidate_superset(ray_session):
     """Pigeonhole: every term at or above the global threshold must
     appear in the phase-1 candidate union no matter how the corpus is
