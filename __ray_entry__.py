@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # eval-set decontamination sweep (8-gram overlap vs benchmark)
         "decontaminate": dedup.decontaminate,
         "contamination_scores": dedup.contamination_scores,
+        # exact cross-doc duplicated w-token spans (Lee et al. 2021)
+        "dup_ngram_spans": dedup.dup_ngram_spans,
         # corpus profiling: exact doc-length quantiles
         "doc_len_quantiles": fulltext.doc_len_quantiles,
         # text analysis (DuckDB-oracled since round 2)
@@ -394,5 +396,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_antijoin": oracles.DEDUP_KEEP,
         "decontaminate": oracles.DECONTAMINATE,
         "contamination_scores": oracles.CONTAMINATION_SCORES,
+        "dup_ngram_spans": oracles.DUP_NGRAM_SPANS,
         "doc_len_quantiles": oracles.DOC_LEN_QUANTILES,
     }

@@ -2926,6 +2926,33 @@ FROM ranked GROUP BY event_type, bucket
 HLL_REGISTERS_BY_GROUP = _hll_registers_by_group_sql()
 
 
+def _dup_ngram_spans_sql() -> str:
+    """Exact twin of stages/dedup.dup_ngram_spans: every strict
+    W-token window (1-based start over the analyzer token stream)
+    whose space-joined gram occurs in more than one distinct document.
+    The analyzer tokenization is regexp_extract_all(lower, [a-z0-9]+)
+    — the established SQL equivalent of tokenize_column (same stream
+    the HEAVY_HITTERS oracle uses). DuckDB list slicing l[i:j] is
+    1-based inclusive, so ts[i:i+W-1] is the W-token window at i."""
+    from harvester_ray.stages.dedup import DUP_SPAN_W as W
+
+    return f"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+win AS (SELECT doc_id, i AS start,
+               array_to_string(ts[i:i+{W - 1}], ' ') AS gram
+        FROM toks, unnest(range(1, greatest(len(ts) - {W} + 2, 1))) AS u(i)),
+dup AS (SELECT gram FROM win GROUP BY gram
+        HAVING count(DISTINCT doc_id) > 1)
+SELECT doc_id, start, gram FROM win
+WHERE gram IN (SELECT gram FROM dup)
+"""
+
+
+DUP_NGRAM_SPANS = _dup_ngram_spans_sql()
+
+
 def _mixture_weights_sql() -> str:
     from harvester_ray.stages.textstats import MIX_DEN, MIX_FP, MIX_NUM_UNIF
 

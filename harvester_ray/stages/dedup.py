@@ -1920,3 +1920,262 @@ def contamination_scores(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return counted.map_batches(finalize, batch_format="pyarrow")
+
+
+# dup-span candidate broadcast guard: max bytes of duplicated-window
+# hashes shipped to every pass-2 task before switching to the join path
+_DUP_SPAN_BROADCAST_GUARD = 64 << 20  # 8M distinct duplicated grams
+DUP_SPAN_W = 8  # window width in analyzer tokens
+
+
+def _strict_windows(
+    tok_h: np.ndarray, parent: np.ndarray, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All w-token windows that fit entirely inside one document.
+
+    Returns (window hash, owning row index, 1-based start within the
+    doc's token stream, flat index of the window's first token) —
+    row-major. Unlike ``_shingles_flat`` there is NO short-doc
+    fallback: a doc with fewer than w tokens contributes nothing,
+    matching the SQL sliding-window semantics exactly."""
+    n = len(tok_h)
+    empty = (
+        np.empty(0, np.uint64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+    if n < w:
+        return empty
+    h = np.zeros(n - w + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
+        for j in range(w):  # loop over w (constant), not over tokens
+            h = h * _POLY + tok_h[j : n - w + 1 + j]
+    valid = parent[: n - w + 1] == parent[w - 1 :]
+    g0 = np.flatnonzero(valid)
+    if len(g0) == 0:
+        return empty
+    shp = parent[g0]
+    row_base = np.concatenate(
+        ([0], np.cumsum(np.bincount(parent, minlength=int(parent[-1]) + 1)))
+    )[:-1]
+    start = g0 - row_base[shp] + 1
+    return h[g0], shp, start, g0
+
+
+def dup_ngram_spans(
+    sf_dir: str, w: int = DUP_SPAN_W, force_shuffle: bool = False
+) -> "ray.data.Dataset":
+    """Exact cross-document duplicated-span detection: every w-token
+    window of `documents.text` whose exact token sequence also occurs
+    in at least one OTHER document — (doc_id, start, gram), start
+    1-based in the doc's analyzer token stream. The span signal behind
+    suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for a
+    shuffle engine. Reference analog: the reference dedups whole
+    objects by md5 (harvester/image_harvest.py:238-257); this is the
+    sub-document form a webtext corpus needs.
+
+    Default shape — three passes, none of which ever shuffles the
+    full gram strings:
+
+    1. candidates — per batch, uint64 rolling-polynomial hashes of all
+       strict w-windows (16 bytes/row into the shuffle), deduped per
+       (hash, doc) per batch, then groupby(hash) with a Min/Max doc_id
+       aggregate: cross-doc duplication <=> min != max. Hash
+       collisions can only ADD candidates (a collision merges two
+       distinct grams' doc sets), never hide a true duplicate — the
+       candidate set is a guaranteed superset.
+    2. locate — re-scan, keep only windows whose hash is in the
+       candidate set (sorted-array broadcast, guarded by
+       _DUP_SPAN_BROADCAST_GUARD), and build gram strings ONLY for
+       those (w Arrow takes + binary_join_element_wise —
+       candidate-sized, not corpus-sized).
+    3. verify — groupby(hash partition).map_groups: sort each
+       partition by (gram, doc_id), segment on the exact gram string,
+       keep segments spanning >1 doc. This removes every collision
+       false-positive, so the output is exactly SQL-equal.
+
+    Past the guard (boilerplate-heavy corpora where the duplicated
+    vocabulary itself is huge) — or under force_shuffle=True — the
+    candidate pass is skipped entirely and EVERY window flows into
+    the pass-3 shuffle with its gram (one all-to-all, w× key
+    inflation: the honest cost of exact span dedup without a
+    candidate filter). Both paths end in the same exact in-partition
+    verify, so they are bit-identical.
+    """
+    from ray.data.aggregate import Max, Min
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    parts = shuffle_partitions()
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        tok_h, parent = _token_hashes(batch["text"])
+        sh, shp, _, _ = _strict_windows(tok_h, parent, w)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[shp]
+        pair = np.unique(
+            np.stack([sh.view(np.int64), doc], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "sh": pa.array(pair[:, 0], pa.int64()),
+                "doc_id": pa.array(pair[:, 1], pa.int64()),
+            }
+        )
+
+    n_cand = -1
+    if not force_shuffle:
+        cand = (
+            docs.map_batches(pass1, batch_format="pyarrow")
+            .groupby("sh")
+            .aggregate(
+                Min("doc_id", alias_name="dmin"),
+                Max("doc_id", alias_name="dmax"),
+            )
+            .map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t["dmin"], t["dmax"])
+                ).select(["sh"]),
+                batch_format="pyarrow",
+            )
+            .materialize()  # candidate-sized: bounded by dup grams
+        )
+        n_cand = cand.count()
+    _EMPTY_SPANS = pa.table(
+        {
+            "_part": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+        }
+    )
+
+    def locate(batch: pa.Table, dup_sorted: np.ndarray) -> pa.Table:
+        flat, parent_pa = flatten_tokens(tokenize_column(batch["text"]))
+        if len(flat) == 0:
+            return _EMPTY_SPANS
+        denc = pc.dictionary_encode(flat)
+        uniq = hash64_array(denc.dictionary).view(np.uint64)
+        tok_h = uniq[denc.indices.to_numpy(zero_copy_only=False)]
+        parent = parent_pa.to_numpy(zero_copy_only=False).astype(np.int64)
+        sh, shp, start, g0 = _strict_windows(tok_h, parent, w)
+        shi = sh.view(np.int64)
+        pos = np.searchsorted(dup_sorted, shi)
+        pos_c = np.minimum(pos, max(len(dup_sorted) - 1, 0))
+        mask = (
+            (pos < len(dup_sorted)) & (dup_sorted[pos_c] == shi)
+            if len(dup_sorted)
+            else np.zeros(len(shi), bool)
+        )
+        if not mask.any():
+            return _EMPTY_SPANS
+        g0m, shm = g0[mask], shi[mask]
+        cols = [
+            flat.take(pa.array(g0m + j, pa.int64())) for j in range(w)
+        ]
+        gram = pc.binary_join_element_wise(*cols, " ")
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[shp[mask]]
+        return pa.table(
+            {
+                "_part": pa.array(_part_of(shm, parts), pa.int64()),
+                "sh": pa.array(shm, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "start": pa.array(start[mask], pa.int64()),
+                "gram": gram.cast(pa.string()),
+            }
+        )
+
+    if 0 <= n_cand * 8 <= _DUP_SPAN_BROADCAST_GUARD:
+        dup_sorted = np.sort(
+            np.fromiter(
+                (r["sh"] for r in cand.take_all()),
+                np.int64,
+                count=n_cand,
+            )
+        )
+        ref = ray.put(dup_sorted)
+
+        def locate_bc(batch: pa.Table) -> pa.Table:
+            return locate(batch, ray.get(ref))
+
+        spans = docs.map_batches(locate_bc, batch_format="pyarrow")
+    else:
+        # full-shuffle path: no candidate filter — every window flows
+        # into the verify shuffle with its gram
+        if n_cand >= 0:
+            logger.info(
+                "dup_ngram_spans: %d candidate hashes exceed broadcast "
+                "guard, shuffling all windows", n_cand,
+            )
+
+        def locate_all(batch: pa.Table) -> pa.Table:
+            flat, parent_pa = flatten_tokens(
+                tokenize_column(batch["text"])
+            )
+            if len(flat) == 0:
+                return _EMPTY_SPANS
+            denc = pc.dictionary_encode(flat)
+            uniq = hash64_array(denc.dictionary).view(np.uint64)
+            tok_h = uniq[denc.indices.to_numpy(zero_copy_only=False)]
+            parent = parent_pa.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            sh, shp, start, g0 = _strict_windows(tok_h, parent, w)
+            if len(sh) == 0:
+                return _EMPTY_SPANS
+            shi = sh.view(np.int64)
+            cols = [
+                flat.take(pa.array(g0 + j, pa.int64())) for j in range(w)
+            ]
+            gram = pc.binary_join_element_wise(*cols, " ")
+            doc = batch["doc_id"].to_numpy(zero_copy_only=False)[shp]
+            return pa.table(
+                {
+                    "_part": pa.array(_part_of(shi, parts), pa.int64()),
+                    "sh": pa.array(shi, pa.int64()),
+                    "doc_id": pa.array(doc, pa.int64()),
+                    "start": pa.array(start, pa.int64()),
+                    "gram": gram.cast(pa.string()),
+                }
+            )
+
+        spans = docs.map_batches(locate_all, batch_format="pyarrow")
+
+    _EMPTY_OUT = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+        }
+    )
+
+    def verify_part(g: pa.Table) -> pa.Table:
+        """One hash partition of candidate spans: exact gram segments
+        via a sorted boundary scan; keep segments spanning >1 doc."""
+        if g.num_rows == 0:
+            return _EMPTY_OUT
+        g = g.sort_by(
+            [("gram", "ascending"), ("doc_id", "ascending")]
+        )
+        gr = np.asarray(g["gram"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+        ends = np.r_[starts[1:], len(gr)]
+        keep_seg = ids[starts] != ids[ends - 1]  # doc-sorted per gram
+        keep = np.repeat(keep_seg, ends - starts)
+        out = g.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].combine_chunks().cast(pa.int64()),
+                "start": out["start"].combine_chunks().cast(pa.int64()),
+                "gram": out["gram"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    return spans.groupby("_part").map_groups(
+        verify_part, batch_format="pyarrow"
+    )

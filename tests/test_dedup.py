@@ -594,3 +594,32 @@ def test_semdedup_subset_and_recall_floor(ray_session):
     assert len(sk) / len(ek) >= 0.9
     m = sd.merge(ex, on=["vec_id_a", "vec_id_b"], suffixes=("_s", "_e"))
     assert (m.sim_r6_s == m.sim_r6_e).all()
+
+
+def test_dup_ngram_spans_edge_semantics(tmp_path, ray_session):
+    """Strict-window edge cases: cross-doc shared 8-gram reported at
+    BOTH 1-based starts; unique windows excluded; a doc shorter than
+    w contributes nothing; a within-doc-only repeat is NOT cross-doc
+    duplication; broadcast and full-shuffle paths agree."""
+    import pyarrow.parquet as pq
+
+    texts = {
+        1: "a b c d e f g h i",            # shares a..h at start 1
+        2: "x a b c d e f g h z",          # shares a..h at start 2
+        3: "p q r",                        # < w tokens: nothing
+        4: "m n o p q r s t m n o p q r s t",  # within-doc repeat only
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    want = [(1, 1, "a b c d e f g h"), (2, 2, "a b c d e f g h")]
+    for fs in (False, True):
+        got = dedup.dup_ngram_spans(str(tmp_path), force_shuffle=fs).to_pandas()
+        rows = sorted(zip(got.doc_id, got.start, got.gram))
+        assert rows == want, (fs, rows)
