@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_scores": dedup.contamination_scores,
         # exact cross-doc duplicated w-token spans (Lee et al. 2021)
         "dup_ngram_spans": dedup.dup_ngram_spans,
+        # ...and the corpus with those spans scrubbed out
+        "dup_span_scrub": dedup.dup_span_scrub,
         # corpus profiling: exact doc-length quantiles
         "doc_len_quantiles": fulltext.doc_len_quantiles,
         # text analysis (DuckDB-oracled since round 2)
@@ -397,5 +399,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles.DECONTAMINATE,
         "contamination_scores": oracles.CONTAMINATION_SCORES,
         "dup_ngram_spans": oracles.DUP_NGRAM_SPANS,
+        "dup_span_scrub": oracles.DUP_SPAN_SCRUB,
         "doc_len_quantiles": oracles.DOC_LEN_QUANTILES,
     }

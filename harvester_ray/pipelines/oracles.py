@@ -2953,6 +2953,42 @@ WHERE gram IN (SELECT gram FROM dup)
 DUP_NGRAM_SPANS = _dup_ngram_spans_sql()
 
 
+def _dup_span_scrub_sql() -> str:
+    """Exact twin of stages/dedup.dup_span_scrub: drop every analyzer
+    token covered by a cross-doc duplicated W-window (the dup set of
+    DUP_NGRAM_SPANS) and re-join the kept token stream per doc. Every
+    document keeps a row; fully-covered and empty docs emit ''."""
+    from harvester_ray.stages.dedup import DUP_SPAN_W as W
+
+    return f"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+win AS (SELECT doc_id, i AS start,
+               array_to_string(ts[i:i+{W - 1}], ' ') AS gram
+        FROM toks, unnest(range(1, greatest(len(ts) - {W} + 2, 1))) AS u(i)),
+dup AS (SELECT gram FROM win GROUP BY gram
+        HAVING count(DISTINCT doc_id) > 1),
+cov AS (SELECT DISTINCT w.doc_id, w.start + o.off AS pos
+        FROM win w, unnest(range(0, {W})) AS o(off)
+        WHERE w.gram IN (SELECT gram FROM dup)),
+pos AS (SELECT doc_id, u.i AS pos, ts[u.i] AS tok
+        FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)),
+kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+         LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+         WHERE c.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS st,
+               count(*) AS nk
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.st, '') AS scrubbed_text,
+       len(t.ts) - coalesce(a.nk, 0) AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+DUP_SPAN_SCRUB = _dup_span_scrub_sql()
+
+
 def _mixture_weights_sql() -> str:
     from harvester_ray.stages.textstats import MIX_DEN, MIX_FP, MIX_NUM_UNIF
 

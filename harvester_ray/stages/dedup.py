@@ -2179,3 +2179,111 @@ def dup_ngram_spans(
     return spans.groupby("_part").map_groups(
         verify_part, batch_format="pyarrow"
     )
+
+
+def dup_span_scrub(sf_dir: str, w: int = DUP_SPAN_W) -> "ray.data.Dataset":
+    """Remove every cross-document duplicated w-token span from the
+    corpus — the ACTION half of Lee et al. 2021 exact substring dedup
+    (``dup_ngram_spans`` is the detection half). For each document,
+    every analyzer token covered by at least one verified duplicated
+    window is dropped and the remaining token stream re-joined.
+
+    Output: (doc_id, scrubbed_text, n_removed). ``scrubbed_text`` is
+    the space-joined KEPT analyzer tokens — the analyzer stream is
+    the unit spans are defined over, so the rebuilt text is the
+    canonical lowercased token join, not the raw bytes. Every
+    document keeps a row: untouched docs emit their full token join
+    with n_removed = 0; fully-covered and empty docs emit ''.
+
+    Shape: doc rows and verified span rows (duplication-bounded)
+    union into ONE stream keyed by hash(doc_id) partition, so a
+    single all-to-all co-locates each document's text with all of its
+    span starts (Acero joins cannot carry list payloads, and a
+    row-level join would duplicate text per span); the coverage mask
+    + token rebuild inside each partition are pure Arrow/numpy. The
+    only all-to-all beyond dup_ngram_spans is that doc-keyed shuffle
+    — the honest minimum: scrubbing must meet each doc's text once.
+    """
+    spans = dup_ngram_spans(sf_dir, w)
+    parts = shuffle_partitions()
+
+    def key_spans(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_part": pa.array(_part_of(doc, parts), pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "start": t["start"].cast(pa.int64()),
+                "_is_doc": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def key_docs(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_part": pa.array(_part_of(doc, parts), pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": pc.fill_null(t["text"], "").cast(pa.string()),
+                "start": pa.nulls(t.num_rows, pa.int64()),
+                "_is_doc": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    stream = docs.map_batches(key_docs, batch_format="pyarrow").union(
+        spans.map_batches(key_spans, batch_format="pyarrow")
+    )
+
+    _EMPTY_OUT = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "scrubbed_text": pa.array([], pa.string()),
+            "n_removed": pa.array([], pa.int64()),
+        }
+    )
+
+    def scrub_part(g: pa.Table) -> pa.Table:
+        """One hash partition: every doc's text row plus all of its
+        span rows. Vectorized coverage mask over the flat token
+        stream, then a list rebuild + binary_join."""
+        is_doc = pc.equal(g["_is_doc"], 1)
+        dtab = g.filter(is_doc).sort_by([("doc_id", "ascending")])
+        n = dtab.num_rows
+        if n == 0:
+            return _EMPTY_OUT
+        flat, parent_pa = flatten_tokens(tokenize_column(dtab["text"]))
+        parent = parent_pa.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(parent, minlength=n).astype(np.int64)
+        row_base = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        dids = dtab["doc_id"].to_numpy(zero_copy_only=False)
+        stab = g.filter(pc.invert(is_doc))
+        keep = np.ones(len(flat), dtype=bool)
+        if stab.num_rows:
+            sdoc = stab["doc_id"].to_numpy(zero_copy_only=False)
+            sstart = stab["start"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(dids, sdoc)  # doc ids unique per corpus
+            first = row_base[idx] + sstart - 1  # start is 1-based
+            keep[(first[:, None] + np.arange(w)[None, :]).ravel()] = False
+        kept_counts = np.bincount(parent[keep], minlength=n).astype(np.int64)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(kept_counts))), pa.int32()),
+            flat.filter(pa.array(keep)),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "scrubbed_text": pc.binary_join(kept_list, " ").cast(
+                    pa.string()
+                ),
+                "n_removed": pa.array(counts - kept_counts, pa.int64()),
+            }
+        )
+
+    return stream.groupby("_part").map_groups(
+        scrub_part, batch_format="pyarrow"
+    )

@@ -623,3 +623,52 @@ def test_dup_ngram_spans_edge_semantics(tmp_path, ray_session):
         got = dedup.dup_ngram_spans(str(tmp_path), force_shuffle=fs).to_pandas()
         rows = sorted(zip(got.doc_id, got.start, got.gram))
         assert rows == want, (fs, rows)
+
+
+def test_dup_span_scrub_semantics(tmp_path, ray_session):
+    """Scrub drops exactly the covered tokens: overlapping windows
+    merge, untouched docs keep their full token join, fully-covered
+    docs emit '', empty docs emit '', and a corpus with NO duplicated
+    spans passes through whole (empty packed-spans join side)."""
+    import pyarrow.parquet as pq
+
+    texts = {
+        1: "A B c d e f g h i",       # covered 1..8 -> keeps 'i'
+        2: "x a b c d e f g h z",     # covered 2..9 -> keeps 'x z'
+        3: "p q r",                   # < w tokens: untouched
+        4: "",                        # empty doc
+        5: "a b c d e f g h",         # fully covered -> ''
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = dedup.dup_span_scrub(str(tmp_path)).to_pandas()
+    rows = sorted(zip(got.doc_id, got.scrubbed_text, got.n_removed))
+    assert rows == [
+        (1, "i", 8),
+        (2, "x z", 8),
+        (3, "p q r", 0),
+        (4, "", 0),
+        (5, "", 8),
+    ], rows
+
+    nodup = tmp_path / "nodup"
+    nodup.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["only one doc long", "short"], pa.string()),
+            }
+        ),
+        str(nodup / "documents.parquet"),
+    )
+    got = dedup.dup_span_scrub(str(nodup)).to_pandas()
+    rows = sorted(zip(got.doc_id, got.scrubbed_text, got.n_removed))
+    assert rows == [(1, "only one doc long", 0), (2, "short", 0)], rows
