@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         # CCNet-style unigram LM quality score (token-level fixed point)
         "unigram_logprob": textstats.unigram_logprob,
+        # order-2 Laplace LM score, join path end to end
+        "bigram_logprob": textstats.bigram_logprob,
         "mixture_weights": textstats.mixture_weights,
         # DSIR importance-resampling weights (target-vs-corpus unigram
         # LM log ratio, Laplace-smoothed, term-level fixed point)
@@ -384,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": oracles.COLLOCATIONS,
         "repetition_stats": oracles.REPETITION_STATS,
         "unigram_logprob": oracles.UNIGRAM_LOGPROB,
+        "bigram_logprob": oracles.BIGRAM_LOGPROB,
         "mixture_weights": oracles.MIXTURE_WEIGHTS,
         "dsir_weights": oracles.DSIR_WEIGHTS,
         "ccnet_buckets": oracles.CCNET_BUCKETS,

@@ -1660,6 +1660,31 @@ GROUP BY t.doc_id
 """
 
 
+# Exact twin of stages/textstats.bigram_logprob: Laplace-smoothed
+# order-2 LM score, fixed-pointed once per bigram TYPE (ln mirrors
+# numpy's log over the identical double ratio), context counts derived
+# from the bigram table (c1 = sum_v c2), V = distinct corpus unigrams.
+# Docs with < 2 tokens have no bigram row and emit nothing.
+BIGRAM_LOGPROB = """
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+big AS (SELECT doc_id, ts[i] AS t1, ts[i + 1] AS t2
+        FROM toks, unnest(range(1, len(ts))) AS u(i)),
+c2 AS (SELECT t1, t2, count(*) AS c FROM big GROUP BY t1, t2),
+c1 AS (SELECT t1, sum(c) AS cc FROM c2 GROUP BY t1),
+vs AS (SELECT count(DISTINCT term)::DOUBLE AS v
+       FROM (SELECT unnest(ts) AS term FROM toks)),
+fp AS (SELECT c2.t1, c2.t2,
+              CAST(floor(ln((c2.c + 1)::DOUBLE / (c1.cc + (SELECT v FROM vs)))
+                         * 100000000 + 0.5) AS BIGINT) AS fp
+       FROM c2 JOIN c1 USING (t1))
+SELECT b.doc_id, count(*) AS n_bigrams, sum(f.fp)::BIGINT AS logprob2_fp
+FROM big b JOIN fp f USING (t1, t2)
+GROUP BY b.doc_id
+"""
+
+
 def _hybrid_rrf_sql() -> str:
     from harvester_ray.functions.text import tokenize
     from harvester_ray.pipelines.fulltext import RRF_K, _RRF_FP

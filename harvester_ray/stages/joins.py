@@ -19,7 +19,120 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci-hash multiplier
+
+
+def _key_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    """uint64 hash of the key tuple per row (int keys mix directly;
+    string keys pay one Python blake2b per UNIQUE batch value via
+    dictionary encode). Key columns must be non-null."""
+    from harvester_ray.functions.text import hash64_array
+
+    h = np.zeros(tbl.num_rows, np.uint64)
+    for k in keys:
+        col = tbl[k]
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            enc = pc.dictionary_encode(col.combine_chunks())
+            v = hash64_array(enc.dictionary).view(np.uint64)[
+                enc.indices.to_numpy(zero_copy_only=False)
+            ]
+        with np.errstate(over="ignore"):
+            h = (h ^ v) * _GOLD
+    return h
+
+
+def partitioned_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str] | tuple[str, ...],
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Hash join that tolerates empty shuffle partitions and empty
+    blocks, which Ray's ``Dataset.join`` does not: a partition that
+    receives no rows finalizes a ZERO-COLUMN table
+    (ArrowBlockBuilder().build()) that Acero rejects with "No match
+    ... for key field", and groupby aggregates upstream emit
+    zero-column empty blocks with the same effect — both bite any
+    small or skewed input. Same cost shape as the native join: ONE
+    all-to-all of both sides tagged into a shared stream keyed by the
+    key-tuple hash, then an in-partition Acero join per group.
+
+    Contract: key columns share names on both sides and are non-null;
+    payload (non-key) column names are disjoint across sides; payload
+    types must be Acero-joinable (no list columns).
+    """
+    from harvester_ray.config import shuffle_partitions
+
+    keys = list(on)
+    parts = num_partitions or shuffle_partitions()
+    lschema, rschema = left.schema(), right.schema()
+    lpay = [c for c in lschema.names if c not in keys]
+    rpay = [c for c in rschema.names if c not in keys]
+    overlap = set(lpay) & set(rpay)
+    if overlap:
+        raise ValueError(f"payload columns not disjoint: {sorted(overlap)}")
+    fields = [
+        (k, lschema.base_schema.field(k).type) for k in keys
+    ] + [
+        (c, lschema.base_schema.field(c).type) for c in lpay
+    ] + [
+        (c, rschema.base_schema.field(c).type) for c in rpay
+    ]
+    empty = pa.table(
+        {n: pa.array([], t) for n, t in fields}
+        | {
+            "_side": pa.array([], pa.int8()),
+            "_part": pa.array([], pa.int64()),
+        }
+    )
+
+    def mapper(side: int):
+        own = lpay if side == 0 else rpay
+        other = rpay if side == 0 else lpay
+        types = dict(fields)
+
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:  # zero-column empty block upstream
+                return empty
+            part = (
+                (_key_hash(t, keys) >> np.uint64(32)) % np.uint64(parts)
+            ).astype(np.int64)
+            cols = {k: t[k].cast(types[k]) for k in keys}
+            for c in own:
+                cols[c] = t[c].cast(types[c])
+            for c in other:
+                cols[c] = pa.nulls(t.num_rows, types[c])
+            cols["_side"] = pa.array(
+                np.full(t.num_rows, side, np.int8), pa.int8()
+            )
+            cols["_part"] = pa.array(part, pa.int64())
+            return pa.table(cols).select(empty.column_names)
+
+        return fn
+
+    stream = left.map_batches(mapper(0), batch_format="pyarrow").union(
+        right.map_batches(mapper(1), batch_format="pyarrow")
+    )
+    arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
+    out_cols = keys + lpay + rpay
+
+    def join_part(g: pa.Table) -> pa.Table:
+        ls = pc.equal(g["_side"], 0)
+        lt = g.filter(ls).select(keys + lpay)
+        rt = g.filter(pc.invert(ls)).select(keys + rpay)
+        return lt.join(
+            rt, keys=keys, join_type=arrow_how
+        ).select(out_cols)
+
+    return stream.groupby("_part").map_groups(
+        join_part, batch_format="pyarrow"
+    )
 
 
 def asof_join(

@@ -1093,3 +1093,176 @@ def mixture_weights(sf_dir: str) -> pa.Table:
             "mix_fp": pa.array(mix, pa.int64()),
         }
     )
+
+
+def _bigram_partials(batch: pa.Table) -> pa.Table:
+    """(t1, t2, cnt): corpus bigram counts pre-combined per batch —
+    adjacent token pairs that never span documents."""
+    empty = pa.table(
+        {
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    flat, parent = flatten_tokens(tokenize_column(batch["text"]))
+    if len(flat) < 2:
+        return empty
+    par = parent.to_numpy().astype(np.int64)
+    enc = flat.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = max(len(enc.dictionary), 1)
+    adj = par[1:] == par[:-1]
+    if not adj.any():
+        return empty
+    key = idx[:-1][adj] * v + idx[1:][adj]
+    uk, uc = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "t1": enc.dictionary.take(pa.array((uk // v).astype(np.int32))),
+            "t2": enc.dictionary.take(pa.array((uk % v).astype(np.int32))),
+            "cnt": pa.array(uc.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _doc_bigram_counts(batch: pa.Table) -> pa.Table:
+    """(doc_id, t1, t2, n_b): per-document bigram counts, pre-combined
+    per batch (the combiner half of the doc x bigram join path)."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "n_b": pa.array([], pa.int64()),
+        }
+    )
+    flat, parent = flatten_tokens(tokenize_column(batch["text"]))
+    if len(flat) < 2:
+        return empty
+    par = parent.to_numpy().astype(np.int64)
+    enc = flat.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = max(len(enc.dictionary), 1)
+    adj = par[1:] == par[:-1]
+    if not adj.any():
+        return empty
+    # composite (doc, t1, t2) key; bounded: batch_rows * v^2 << 2^63
+    key = (par[:-1][adj] * v + idx[:-1][adj]) * v + idx[1:][adj]
+    uk, uc = np.unique(key, return_counts=True)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[uk // (v * v)], pa.int64()),
+            "t1": enc.dictionary.take(
+                pa.array(((uk // v) % v).astype(np.int32))
+            ),
+            "t2": enc.dictionary.take(pa.array((uk % v).astype(np.int32))),
+            "n_b": pa.array(uc.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def bigram_logprob(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document bigram language-model log-probability with Laplace
+    smoothing — the order-2 extension of unigram_logprob (the CCNet
+    perplexity family; real CCNet uses a 5-gram KenLM, this is the
+    same signal at the order this engine can keep exact):
+
+        (doc_id, n_bigrams, logprob2_fp)
+        logprob2_fp = sum over adjacent in-doc token pairs (u, v) of
+                      floor(ln((c2(u,v) + 1) / (c1(u) + V)) * 1e8 + 0.5)
+
+    where c2 is the corpus bigram count, c1(u) = sum_v c2(u, v) (u's
+    count as a bigram CONTEXT, i.e. occurrences that are not
+    doc-final), and V the corpus unigram vocabulary size. The fixed
+    point is taken once per bigram TYPE, so per-doc values are
+    integer sums — accumulation order cannot drift the cross-engine
+    hash. Docs with fewer than two tokens emit no row.
+
+    Join path end to end (nothing broadcasts, the 10^9-bigram-table
+    story): per-batch combiners -> bigram-count groupby; context
+    counts derive from the bigram table itself (one tiny groupby, no
+    second corpus scan); fp types join per-doc bigram partials on
+    (t1, t2); one (doc -> integer sum) groupby finishes.
+    """
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.config import shuffle_partitions
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    c2 = (
+        ray.data.read_parquet(src, columns=["text"])
+        .map_batches(_bigram_partials, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("cnt", alias_name="c"))
+        .materialize()  # reused by c1 and the fp join
+    )
+    c1 = c2.groupby("t1").aggregate(Sum("c", alias_name="cc"))
+    vocab_size = float(
+        ray.data.read_parquet(src, columns=["text"])
+        .map_batches(_unigram_partials(), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="c"))
+        .count()
+    )
+    parts = shuffle_partitions()
+
+    def to_fp(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = t["cc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "t1": t["t1"],
+                "t2": t["t2"],
+                "fp": pa.array(
+                    np.floor(
+                        np.log((c + 1.0) / (cc + vocab_size))
+                        * _LOGPROB_FP
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from harvester_ray.stages.joins import partitioned_join
+
+    fp = partitioned_join(
+        c2, c1, on=("t1",), num_partitions=parts
+    ).map_batches(to_fp, batch_format="pyarrow")
+
+    dbc = ray.data.read_parquet(
+        src, columns=["doc_id", "text"]
+    ).map_batches(_doc_bigram_counts, batch_format="pyarrow")
+
+    def weigh(t: pa.Table) -> pa.Table:
+        n_b = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t["fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_bigrams": pa.array(n_b, pa.int64()),
+                "logprob2_fp": pa.array(f * n_b, pa.int64()),
+            }
+        )
+
+    return (
+        partitioned_join(dbc, fp, on=("t1", "t2"), num_partitions=parts)
+        .map_batches(weigh, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("logprob2_fp", alias_name="logprob2_fp"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "n_bigrams": t["n_bigrams"].cast(pa.int64()),
+                    "logprob2_fp": t["logprob2_fp"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

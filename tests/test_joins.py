@@ -51,3 +51,71 @@ def test_asof_join_crafted(ray_session):
     pd.testing.assert_frame_equal(
         out.astype(np.int64), want.astype(np.int64)
     )
+
+
+def test_partitioned_join_tiny_and_empty_blocks(ray_session):
+    """The empty-partition regime that crashes Ray's Dataset.join
+    (zero-column tables from partitions that received no rows): a
+    3-key join across 16 partitions, string + int keys, inner and
+    left_outer, plus zero-column empty blocks on the input (the shape
+    groupby aggregates emit)."""
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.stages.joins import partitioned_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b", "c"], pa.string()),
+                "lv": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "c", "d"], pa.string()),
+                "rv": pa.array([10, 30, 40], pa.int64()),
+            }
+        )
+    )
+    inner = partitioned_join(left, right, on=("k",), num_partitions=16)
+    rows = sorted(map(tuple, inner.to_pandas().values.tolist()))
+    assert rows == [("a", 1, 10), ("c", 3, 30)]
+
+    lo = partitioned_join(
+        left, right, on=("k",), how="left_outer", num_partitions=16
+    ).to_pandas()
+    got = sorted(zip(lo.k, lo.lv, lo.rv.fillna(-1).astype(int)))
+    assert got == [("a", 1, 10), ("b", 2, -1), ("c", 3, 30)]
+
+    # through a groupby aggregate (the zero-column empty-block source)
+    agg = (
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(["a", "a", "c"], pa.string()),
+                    "n": pa.array([1, 1, 5], pa.int64()),
+                }
+            )
+        )
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="rv"))
+    )
+    j = partitioned_join(left, agg, on=("k",), num_partitions=16)
+    rows = sorted(map(tuple, j.to_pandas().values.tolist()))
+    assert rows == [("a", 1, 2), ("c", 3, 5)]
+
+    # int keys
+    li = ray.data.from_arrow(
+        pa.table({"i": pa.array([1, 2], pa.int64()),
+                  "lv": pa.array([7, 8], pa.int64())})
+    )
+    ri = ray.data.from_arrow(
+        pa.table({"i": pa.array([2, 3], pa.int64()),
+                  "rv": pa.array([20, 30], pa.int64())})
+    )
+    rows = sorted(map(tuple, partitioned_join(
+        li, ri, on=("i",), num_partitions=16
+    ).to_pandas().values.tolist()))
+    assert rows == [(2, 8, 20)]

@@ -413,3 +413,45 @@ def test_ccnet_buckets_are_balanced_terciles(ray_session):
     assert b[b.bucket == "middle"].ppl_fp4.max() <= b[
         b.bucket == "head"
     ].ppl_fp4.min()
+
+
+def test_bigram_logprob_hand_computed(tmp_path, ray_session):
+    """Order-2 Laplace LM on a tiny corpus, checked against a direct
+    Python reference: c2 from adjacent in-doc pairs, c1 = context
+    totals, V = distinct unigrams; docs with < 2 tokens emit no row;
+    per-doc value is the integer sum of per-TYPE fixed points."""
+    import math
+
+    from harvester_ray.stages.textstats import bigram_logprob
+
+    texts = {1: "a b a b c", 2: "b c d", 3: "a", 4: ""}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        bigram_logprob(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    bigs = {d: list(zip(t.split(), t.split()[1:])) for d, t in texts.items()}
+    c2 = Counter(b for bs in bigs.values() for b in bs)
+    c1 = Counter()
+    for (u, _), c in c2.items():
+        c1[u] += c
+    vocab = len({w for t in texts.values() for w in t.split()})
+    fp = {
+        b: math.floor(math.log((c + 1) / (c1[b[0]] + vocab)) * 1e8 + 0.5)
+        for b, c in c2.items()
+    }
+    assert list(got.index) == [1, 2]  # docs 3 (1 token) and 4 (empty) absent
+    for d in (1, 2):
+        assert got.loc[d, "n_bigrams"] == len(bigs[d])
+        assert got.loc[d, "logprob2_fp"] == sum(fp[b] for b in bigs[d])
