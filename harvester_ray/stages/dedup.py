@@ -1159,6 +1159,7 @@ def _cc_join(sym: "ray.data.Dataset", labels0: "ray.data.Dataset") -> "ray.data.
     rounds of O(|edges| + |labels|) shuffles. The driver sees one
     integer (the changed-row count) per round."""
     from harvester_ray.config import shuffle_partitions
+    from harvester_ray.stages.joins import partitioned_join
 
     parts = shuffle_partitions()
     from ray.data.aggregate import Min
@@ -1171,10 +1172,14 @@ def _cc_join(sym: "ray.data.Dataset", labels0: "ray.data.Dataset") -> "ray.data.
             ),
             batch_format="pyarrow",
         )
+        _i64 = pa.int64()
         cand = (
-            sym.join(
-                nbr_lab, join_type="inner", num_partitions=parts,
-                on=("nbr",),
+            partitioned_join(
+                sym, nbr_lab, on=("nbr",), num_partitions=parts,
+                schemas=(
+                    pa.schema([("node", _i64), ("nbr", _i64)]),
+                    pa.schema([("nbr", _i64), ("nbr_label", _i64)]),
+                ),
             )
             .map_batches(
                 lambda t: pa.table(
@@ -1191,9 +1196,23 @@ def _cc_join(sym: "ray.data.Dataset", labels0: "ray.data.Dataset") -> "ray.data.
             ),
             batch_format="pyarrow",
         )
-        merged = (
-            L.join(cand, join_type="inner", num_partitions=parts, on=("node",))
-            .join(jump, join_type="inner", num_partitions=parts, on=("label",))
+        merged = partitioned_join(
+            partitioned_join(
+                L, cand, on=("node",), num_partitions=parts,
+                schemas=(
+                    pa.schema([("node", _i64), ("label", _i64)]),
+                    pa.schema([("node", _i64), ("cand", _i64)]),
+                ),
+            ),
+            jump,
+            on=("label",),
+            num_partitions=parts,
+            schemas=(
+                pa.schema(
+                    [("node", _i64), ("label", _i64), ("cand", _i64)]
+                ),
+                pa.schema([("label", _i64), ("jump_label", _i64)]),
+            ),
         )
 
         def step(t: pa.Table) -> pa.Table:
@@ -1219,6 +1238,9 @@ def _cc_join(sym: "ray.data.Dataset", labels0: "ray.data.Dataset") -> "ray.data.
 
         Lnew = merged.map_batches(step, batch_format="pyarrow").materialize()
         changed = Lnew.sum("changed")
+        if os.environ.get("HR_CC_DEBUG"):
+            print(f"[cc] round changed={changed} "
+                  f"nblocks={Lnew.num_blocks()}", flush=True)
         L = Lnew.select_columns(["node", "label"]).materialize()
         if not changed:
             return L
@@ -1321,9 +1343,11 @@ def anti_join_doc_ids(
         ),
         batch_format="pyarrow",
     )
-    joined = docs.join(
-        marked, join_type="left_outer",
-        num_partitions=shuffle_partitions(), on=("doc_id",),
+    from harvester_ray.stages.joins import partitioned_join
+
+    joined = partitioned_join(
+        docs, marked, on=("doc_id",), how="left_outer",
+        num_partitions=shuffle_partitions(),
     )
 
     def keep_nulls(t: pa.Table) -> pa.Table:

@@ -52,6 +52,7 @@ def partitioned_join(
     on: list[str] | tuple[str, ...],
     how: str = "inner",
     num_partitions: int | None = None,
+    schemas: tuple[pa.Schema, pa.Schema] | None = None,
 ) -> "ray.data.Dataset":
     """Hash join that tolerates empty shuffle partitions and empty
     blocks, which Ray's ``Dataset.join`` does not: a partition that
@@ -66,24 +67,31 @@ def partitioned_join(
     Contract: key columns share names on both sides and are non-null;
     payload (non-key) column names are disjoint across sides; payload
     types must be Acero-joinable (no list columns).
+
+    ``schemas``: pass (left pa.Schema, right pa.Schema) when known —
+    Dataset.schema() on a lazy groupby/join chain EXECUTES that chain
+    once just to learn the schema and then again for real, doubling
+    every upstream shuffle. All hot callsites pass schemas.
     """
     from harvester_ray.config import shuffle_partitions
 
     keys = list(on)
     parts = num_partitions or shuffle_partitions()
-    lschema, rschema = left.schema(), right.schema()
-    lpay = [c for c in lschema.names if c not in keys]
-    rpay = [c for c in rschema.names if c not in keys]
+    lsch, rsch = schemas if schemas is not None else (None, None)
+    if lsch is None:
+        lsch = left.schema().base_schema
+    if rsch is None:
+        rsch = right.schema().base_schema
+    lpay = [c for c in lsch.names if c not in keys]
+    rpay = [c for c in rsch.names if c not in keys]
     overlap = set(lpay) & set(rpay)
     if overlap:
         raise ValueError(f"payload columns not disjoint: {sorted(overlap)}")
-    fields = [
-        (k, lschema.base_schema.field(k).type) for k in keys
-    ] + [
-        (c, lschema.base_schema.field(c).type) for c in lpay
-    ] + [
-        (c, rschema.base_schema.field(c).type) for c in rpay
-    ]
+    fields = (
+        [(k, lsch.field(k).type) for k in keys]
+        + [(c, lsch.field(c).type) for c in lpay]
+        + [(c, rsch.field(c).type) for c in rpay]
+    )
     empty = pa.table(
         {n: pa.array([], t) for n, t in fields}
         | {
@@ -116,8 +124,17 @@ def partitioned_join(
 
         return fn
 
-    stream = left.map_batches(mapper(0), batch_format="pyarrow").union(
-        right.map_batches(mapper(1), batch_format="pyarrow")
+    # Bound the sort width: groupby's sort-shuffle uses the INPUT block
+    # count as its partition count, and a union inherits the sum of
+    # both sides' block lists — iterative callers (the CC relabel loop)
+    # would otherwise compound block counts ×3 per round, turning each
+    # round's shuffle quadratically wider (observed: 4→13→40→121→364
+    # blocks for 200 rows, 23 s/round). One shuffle-free coalesce pins
+    # every call's shuffle at `parts` map and reduce tasks.
+    stream = (
+        left.map_batches(mapper(0), batch_format="pyarrow")
+        .union(right.map_batches(mapper(1), batch_format="pyarrow"))
+        .repartition(parts)
     )
     arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
     out_cols = keys + lpay + rpay

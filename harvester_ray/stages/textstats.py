@@ -416,9 +416,34 @@ def collocations(
             lambda t: pa.table({"term_b": t["term"], "c_b": t["c"]}),
             batch_format="pyarrow",
         )
-        tagged = big.join(
-            ua, join_type="inner", num_partitions=parts_n, on=("term_a",)
-        ).join(ub, join_type="inner", num_partitions=parts_n, on=("term_b",))
+        from harvester_ray.stages.joins import partitioned_join
+
+        _s, _i = pa.string(), pa.int64()
+        tagged = partitioned_join(
+            partitioned_join(
+                big, ua, on=("term_a",), num_partitions=parts_n,
+                schemas=(
+                    pa.schema(
+                        [("term_a", _s), ("term_b", _s), ("c_ab", _i)]
+                    ),
+                    pa.schema([("term_a", _s), ("c_a", _i)]),
+                ),
+            ),
+            ub,
+            on=("term_b",),
+            num_partitions=parts_n,
+            schemas=(
+                pa.schema(
+                    [
+                        ("term_a", _s),
+                        ("term_b", _s),
+                        ("c_ab", _i),
+                        ("c_a", _i),
+                    ]
+                ),
+                pa.schema([("term_b", _s), ("c_b", _i)]),
+            ),
+        )
 
         def pmi_joined(t: pa.Table) -> pa.Table:
             c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -603,9 +628,21 @@ def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
         dt = ray.data.read_parquet(
             src, columns=["doc_id", "text"]
         ).map_batches(_doc_term_counts, batch_format="pyarrow")
-        joined = dt.join(
-            vocab_fp, join_type="inner",
-            num_partitions=shuffle_partitions(), on=("term",),
+        from harvester_ray.stages.joins import partitioned_join
+
+        joined = partitioned_join(
+            dt, vocab_fp, on=("term",),
+            num_partitions=shuffle_partitions(),
+            schemas=(
+                pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("term", pa.string()),
+                        ("n_t", pa.int64()),
+                    ]
+                ),
+                pa.schema([("term", pa.string()), ("fp", pa.int64())]),
+            ),
         )
 
         def weigh(t: pa.Table) -> pa.Table:
@@ -883,11 +920,14 @@ def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
     den_all = float(t_all + v)
     den_tgt = float(t_tgt + v)
 
-    joined_vocab = all_uni.join(
+    from harvester_ray.stages.joins import partitioned_join
+
+    joined_vocab = partitioned_join(
+        all_uni,
         tgt_uni,
-        join_type="left_outer",
-        num_partitions=shuffle_partitions(),
         on=("term",),
+        how="left_outer",
+        num_partitions=shuffle_partitions(),
     )
 
     def _ln_smoothed(counts: np.ndarray, den: float) -> np.ndarray:
@@ -920,11 +960,21 @@ def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
     dt = ray.data.read_parquet(
         src, columns=["doc_id", "text"]
     ).map_batches(_doc_term_counts, batch_format="pyarrow")
-    joined = dt.join(
+    joined = partitioned_join(
+        dt,
         vocab_fp,
-        join_type="inner",
-        num_partitions=shuffle_partitions(),
         on=("term",),
+        num_partitions=shuffle_partitions(),
+        schemas=(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("term", pa.string()),
+                    ("n_t", pa.int64()),
+                ]
+            ),
+            pa.schema([("term", pa.string()), ("fp", pa.int64())]),
+        ),
     )
 
     def weigh(t: pa.Table) -> pa.Table:
@@ -1095,7 +1145,7 @@ def mixture_weights(sf_dir: str) -> pa.Table:
     )
 
 
-def _bigram_partials(batch: pa.Table) -> pa.Table:
+def _corpus_bigram_counts(batch: pa.Table) -> pa.Table:
     """(t1, t2, cnt): corpus bigram counts pre-combined per batch —
     adjacent token pairs that never span documents."""
     empty = pa.table(
@@ -1193,7 +1243,7 @@ def bigram_logprob(sf_dir: str) -> "ray.data.Dataset":
     src = os.path.join(sf_dir, "documents.parquet")
     c2 = (
         ray.data.read_parquet(src, columns=["text"])
-        .map_batches(_bigram_partials, batch_format="pyarrow")
+        .map_batches(_corpus_bigram_counts, batch_format="pyarrow")
         .groupby(["t1", "t2"])
         .aggregate(Sum("cnt", alias_name="c"))
         .materialize()  # reused by c1 and the fp join
@@ -1228,8 +1278,13 @@ def bigram_logprob(sf_dir: str) -> "ray.data.Dataset":
 
     from harvester_ray.stages.joins import partitioned_join
 
+    _s, _i = pa.string(), pa.int64()
     fp = partitioned_join(
-        c2, c1, on=("t1",), num_partitions=parts
+        c2, c1, on=("t1",), num_partitions=parts,
+        schemas=(
+            pa.schema([("t1", _s), ("t2", _s), ("c", _i)]),
+            pa.schema([("t1", _s), ("cc", _i)]),
+        ),
     ).map_batches(to_fp, batch_format="pyarrow")
 
     dbc = ray.data.read_parquet(
@@ -1248,7 +1303,20 @@ def bigram_logprob(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return (
-        partitioned_join(dbc, fp, on=("t1", "t2"), num_partitions=parts)
+        partitioned_join(
+            dbc, fp, on=("t1", "t2"), num_partitions=parts,
+            schemas=(
+                pa.schema(
+                    [
+                        ("doc_id", _i),
+                        ("t1", _s),
+                        ("t2", _s),
+                        ("n_b", _i),
+                    ]
+                ),
+                pa.schema([("t1", _s), ("t2", _s), ("fp", _i)]),
+            ),
+        )
         .map_batches(weigh, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(

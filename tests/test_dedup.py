@@ -672,3 +672,14 @@ def test_dup_span_scrub_semantics(tmp_path, ray_session):
     got = dedup.dup_span_scrub(str(nodup)).to_pandas()
     rows = sorted(zip(got.doc_id, got.scrubbed_text, got.n_removed))
     assert rows == [(1, "only one doc long", 0), (2, "short", 0)], rows
+
+
+def test_cluster_labels_join_tiny_graph(ray_session):
+    """A 2-edge graph on the forced join path: few distinct keys mean
+    most shuffle partitions receive no rows — the regime where Ray's
+    native Dataset.join finalizes zero-column tables and crashes
+    (fixed by routing CC through partitioned_join)."""
+    got = _as_dict(
+        dedup.cluster_labels(_edges_ds([(0, 1), (5, 6)]), force_join=True)
+    )
+    assert got == {0: 0, 1: 0, 5: 5, 6: 5}
