@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_not": fulltext.bm25_topk_not,
         # facet counts over the full match set (Solr facet parity)
         "search_facets": fulltext.search_facets,
+        # two-phase distributed faceting on the doc-sharded tier
+        # (overrequest + refine; exact-membership regime asserted)
+        "search_facets_sharded": fulltext.search_facets_sharded,
         # numFound + range faceting over the full match set
         "search_numfound": fulltext.search_numfound,
         "search_range_facets": fulltext.search_range_facets,
@@ -287,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "porter_doc_stats": oracles.PORTER_DOC_STATS,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
         "search_facets": oracles.SEARCH_FACETS,
+        "search_facets_sharded": oracles.SEARCH_FACETS_SHARDED,
         "search_numfound": oracles.SEARCH_NUMFOUND,
         "search_range_facets": oracles.SEARCH_RANGE_FACETS,
         "search_pivot_facets": oracles.SEARCH_PIVOT_FACETS,

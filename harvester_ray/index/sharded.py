@@ -37,6 +37,8 @@ class ShardQueryActor:
         self.index = InvertedIndex(
             index_dir, preload=preload, shard=(shard_idx, n_shards)
         )
+        self._match_cache: dict = {}
+        self._facet_maps: dict = {}
 
     def search(
         self, query: str, k: int, mode: str, algorithm: str, after=None
@@ -47,6 +49,122 @@ class ShardQueryActor:
 
     def n_docs_local(self) -> int:
         return int(len(self.index._slots)) if self.index._slots is not None else 0
+
+    # ---- distributed faceting (Solr facet.overrequest + facet.refine
+    # analog: /root/reference/harvester/solr_updater.py delegates all
+    # faceted search to the Solr tier; this is that tier's two-phase
+    # protocol over doc shards) -------------------------------------
+
+    def _match_docs(self, query: str, mode: str) -> np.ndarray:
+        """This shard's FULL match set (sorted doc_ids) for the query —
+        cached per (query, mode): postings live here, so the match set
+        never leaves the shard; only bucket partials do."""
+        key = (query, mode)
+        hit = self._match_cache.get(key)
+        if hit is not None:
+            return hit
+        from harvester_ray.functions.text import tokenize
+
+        terms = sorted(set(tokenize(query)))
+        parts = []
+        for tm in terms:
+            p = self.index.postings(tm)
+            if p is not None:
+                parts.append(p.doc_ids)
+        if mode == "and":
+            if len(parts) < len(terms):
+                out = np.empty(0, np.int64)
+            else:
+                out = parts[0]
+                for q in parts[1:]:
+                    out = np.intersect1d(out, q, assume_unique=False)
+        else:
+            out = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, np.int64)
+            )
+        if len(self._match_cache) >= 32:
+            self._match_cache.pop(next(iter(self._match_cache)))
+        self._match_cache[key] = out
+        return out
+
+    def _facet_map(self, facet_parquet: str, facet_col: str):
+        """(sorted doc_ids, codes, dictionary) for this shard's doc
+        range — loaded ONCE per actor per facet column. Doc chunks are
+        contiguous doc_id ranges (build's bucket strategy), so the read
+        is row-group-pruned to this shard's range: per-actor memory is
+        |corpus|/S ids + int32 codes, the same budget as the shard's
+        slots array."""
+        key = (facet_parquet, facet_col)
+        hit = self._facet_maps.get(key)
+        if hit is not None:
+            return hit
+        import pyarrow.dataset as pads
+        import pyarrow.parquet  # noqa: F401
+
+        slots = self.index._slots
+        if slots is None or len(slots) == 0:
+            hit = (np.empty(0, np.int64), np.empty(0, np.int32), [])
+            self._facet_maps[key] = hit
+            return hit
+        lo, hi = int(slots[0]), int(slots[-1])
+        flt = (pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi)
+        t = pads.dataset(facet_parquet).to_table(
+            columns=["doc_id", facet_col], filter=flt
+        )
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t["doc_id"])
+        dids = t["doc_id"].take(idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = t[facet_col].take(idx).combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int32)
+        vocab = enc.dictionary.to_pylist()
+        hit = (dids, codes, vocab)
+        self._facet_maps[key] = hit
+        return hit
+
+    def _local_bucket_counts(
+        self, query: str, mode: str, facet_parquet: str, facet_col: str
+    ) -> dict:
+        m = self._match_docs(query, mode)
+        dids, codes, vocab = self._facet_map(facet_parquet, facet_col)
+        if len(m) == 0 or len(dids) == 0:
+            return {}
+        pos = np.searchsorted(dids, m)
+        ok = (pos < len(dids)) & (dids[np.minimum(pos, len(dids) - 1)] == m)
+        cnt = np.bincount(codes[pos[ok]], minlength=len(vocab))
+        return {vocab[i]: int(c) for i, c in enumerate(cnt) if c > 0}
+
+    def facet_phase1(
+        self,
+        query: str,
+        mode: str,
+        facet_parquet: str,
+        facet_col: str,
+        limit: int,
+    ) -> tuple[list[tuple[str, int]], bool]:
+        """Phase 1: this shard's top-``limit`` facet buckets by local
+        count (ties value asc) + a truncated flag (True when buckets
+        beyond the limit were cut — the router uses it to decide
+        whether candidate MEMBERSHIP is provably complete)."""
+        counts = self._local_bucket_counts(query, mode, facet_parquet, facet_col)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:limit], len(ranked) > limit
+
+    def facet_refine(
+        self,
+        query: str,
+        mode: str,
+        facet_parquet: str,
+        facet_col: str,
+        buckets: list[str],
+    ) -> list[int]:
+        """Phase 2: exact local counts for the router's candidate
+        buckets this shard did not report (match set + facet map are
+        cached, so refinement is a dict lookup per bucket)."""
+        counts = self._local_bucket_counts(query, mode, facet_parquet, facet_col)
+        return [int(counts.get(b, 0)) for b in buckets]
 
 
 class ShardedIndex:
@@ -93,6 +211,63 @@ class ShardedIndex:
 
     def total_docs(self) -> int:
         return sum(ray.get([a.n_docs_local.remote() for a in self.actors]))
+
+    def facet_search(
+        self,
+        query: str,
+        facet_parquet: str,
+        facet_col: str,
+        k: int = 10,
+        mode: str = "or",
+        overrequest: int = 4,
+    ) -> tuple[list[tuple[str, int]], bool]:
+        """Exact-refined distributed faceting (Solr's two-phase
+        facet.overrequest + facet.refine protocol): every shard
+        returns its local top-(k*overrequest) buckets over its FULL
+        match set; the router unions the bucket keys and asks each
+        shard for exact counts of candidates it did not report, so
+        every candidate's global count is exact. Only bucket partials
+        cross the network — S * k*overrequest rows, never the match
+        set.
+
+        Returns (top-k [(value, count)] by count desc / value asc,
+        exact) where ``exact`` is True when no shard truncated its
+        phase-1 list — then candidate membership is provably complete
+        and the result equals the unsharded full facet count. When a
+        shard truncated, counts are still exact per candidate but a
+        globally-heavy-yet-everywhere-just-below-the-local-limit
+        bucket can be missed — the same documented approximation Solr
+        ships; raise ``overrequest`` to shrink it."""
+        limit = max(1, k * overrequest)
+        phase1 = ray.get(
+            [
+                a.facet_phase1.remote(
+                    query, mode, facet_parquet, facet_col, limit
+                )
+                for a in self.actors
+            ]
+        )
+        cand = sorted({v for ranked, _tr in phase1 for v, _c in ranked})
+        exact = not any(tr for _ranked, tr in phase1)
+        totals = {v: 0 for v in cand}
+        refine_refs, refine_missing = [], []
+        for (ranked, _tr), actor in zip(phase1, self.actors):
+            got = dict(ranked)
+            for v, c in got.items():
+                totals[v] += c
+            missing = [v for v in cand if v not in got]
+            if missing:
+                refine_refs.append(
+                    actor.facet_refine.remote(
+                        query, mode, facet_parquet, facet_col, missing
+                    )
+                )
+                refine_missing.append(missing)
+        for missing, counts in zip(refine_missing, ray.get(refine_refs)):
+            for v, c in zip(missing, counts):
+                totals[v] += c
+        ranked = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k], exact
 
     def shutdown(self) -> None:
         for a in self.actors:

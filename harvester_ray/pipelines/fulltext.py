@@ -1279,6 +1279,70 @@ def bm25_topk_or_sharded(sf_dir: str, n_shards: int = 4) -> "object":
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
 
 
+FACET_SHARDED_K = 3          # facet.limit per query
+# Solr facet.overrequest analog; K*8 = 24 phase-1 buckets per shard
+# keeps the 20-value `source` facet inside the provably-exact regime
+# (every non-zero bucket reported by every shard) while still forcing
+# refinement calls wherever a shard's local match set misses a value.
+FACET_SHARDED_OVERREQUEST = 8
+
+
+def search_facets_sharded(sf_dir: str, n_shards: int = 4) -> "object":
+    """Distributed faceting on the doc-sharded serving tier: each OR
+    query's top-FACET_SHARDED_K `source` buckets via the two-phase
+    overrequest + refine protocol (ShardedIndex.facet_search) — facet
+    partials cross shards, never match sets. The tier reuses
+    bm25_topk_or_sharded's index build (segment_doc_chunks=n_shards);
+    each shard actor lazily loads only ITS doc range's facet column
+    (row-group-pruned — chunks are contiguous doc_id ranges). The SQL
+    oracle is the full unsharded facet count + per-query top-K, so a
+    pass proves phase-1 membership + refinement sum exactly equal the
+    global counts (the per-run ``exact`` flag is asserted: the test
+    corpus' bucket count is under the phase-1 limit, the regime where
+    the protocol is provably lossless)."""
+    import pandas as pd
+
+    from harvester_ray.config import IndexConfig
+    from harvester_ray.index.sharded import ShardedIndex
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:chunks{n_shards}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_sh_{key}")
+    paths = IndexPaths(out)
+    if not os.path.exists(paths.stats):
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=list(DEFAULT_INDEX_CONFIG.doc_columns),
+        )
+        build_index(docs, out, IndexConfig(segment_doc_chunks=n_shards))
+    facet_parquet = os.path.join(sf_dir, "documents.parquet")
+    sh = ShardedIndex(out, n_shards)
+    try:
+        rows = []
+        for qid, q in queries_for_mode("or"):
+            ranked, exact = sh.facet_search(
+                q,
+                facet_parquet,
+                "source",
+                k=FACET_SHARDED_K,
+                mode="or",
+                overrequest=FACET_SHARDED_OVERREQUEST,
+            )
+            if not exact:
+                raise AssertionError(
+                    f"facet phase-1 truncated for query {qid}; raise "
+                    "FACET_SHARDED_OVERREQUEST for an exact gate run"
+                )
+            for rank, (val, n) in enumerate(ranked, start=1):
+                rows.append((qid, rank, val, n))
+    finally:
+        sh.shutdown()
+    return pd.DataFrame(
+        rows, columns=["query_id", "bucket_rank", "source", "n_docs"]
+    )
+
+
 def bm25_topk_or_termsharded(sf_dir: str, n_shards: int = 4) -> "object":
     """The TERM-sharded (vocabulary-partitioned) serving tier under the
     driver gate: the same OR query set answered by TermShardedIndex —

@@ -389,6 +389,38 @@ GROUP BY m.query_id, d.source
 SEARCH_FACETS = _search_facets_sql()
 
 
+def _search_facets_sharded_sql() -> str:
+    """Unsharded ground truth for the two-phase distributed facet
+    protocol: full facet counts, then each query's top-K buckets by
+    (n_docs DESC, source ASC) — the router's exact-refined merge must
+    reproduce this bit for bit."""
+    from harvester_ray.pipelines.fulltext import FACET_SHARDED_K
+
+    values = _or_query_values()
+    return f"""
+WITH toks AS ({_TOKS}),
+postings AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+q(query_id, term) AS (VALUES {values}),
+m AS (SELECT DISTINCT q.query_id, p.doc_id FROM q JOIN postings p USING (term)),
+counts AS (
+  SELECT m.query_id, d.source, count(*) AS n_docs
+  FROM m JOIN documents d USING (doc_id)
+  GROUP BY m.query_id, d.source
+),
+ranked AS (
+  SELECT query_id, source, n_docs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_docs DESC, source ASC) AS bucket_rank
+  FROM counts
+)
+SELECT query_id, bucket_rank, source, n_docs
+FROM ranked WHERE bucket_rank <= {FACET_SHARDED_K}
+"""
+
+
+SEARCH_FACETS_SHARDED = _search_facets_sharded_sql()
+
+
 def _collapse_sql() -> str:
     """Field collapsing: per-posting BM25 fixed-pointed at 1e-8 BEFORE
     the sum (integer sums are order-independent on both engines), top-1

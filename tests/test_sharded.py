@@ -48,6 +48,22 @@ def sharded_setup(tmp_path_factory, ray_session):
     out = str(root / "idx")
     cfg = IndexConfig(segment_doc_chunks=N_SHARDS)
     build_index(ray.data.from_arrow(scattered), out, cfg, n_docs=600)
+    # facet sidecar for the distributed-faceting tests: one value per
+    # doc, written doc_id-sorted so shard range reads can prune
+    import pyarrow.parquet as pq
+
+    dids = np.sort(scattered["doc_id"].to_numpy())
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "source": pa.array(
+                    [f"s{abs(int(d)) % 7}" for d in dids], pa.string()
+                ),
+            }
+        ),
+        out + "_facets.parquet",
+    )
     return out
 
 
@@ -93,5 +109,64 @@ def test_sharded_search_after_matches_single_process(
             assert [d for d, _ in got] == [d for d, _ in want], (q, mode)
             for (_, s1), (_, s2) in zip(got, want):
                 assert s1 == pytest.approx(s2, rel=1e-12)
+    finally:
+        tier.shutdown()
+
+
+def _facet_truth(index_dir: str, query: str) -> dict[str, int]:
+    """Brute-force global facet counts for an OR query: single-process
+    match set -> facet values."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from harvester_ray.functions.text import tokenize
+
+    single = InvertedIndex(index_dir, preload=True)
+    parts = []
+    for tm in sorted(set(tokenize(query))):
+        p = single.postings(tm)
+        if p is not None:
+            parts.append(p.doc_ids)
+    m = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    t = pq.read_table(index_dir + "_facets.parquet")
+    by_id = dict(zip(t["doc_id"].to_numpy(), t["source"].to_pylist()))
+    return collections.Counter(by_id[d] for d in m)
+
+
+def test_facet_search_exact_regime(sharded_setup, ray_session):
+    """With the phase-1 limit above the bucket count, the two-phase
+    protocol (overrequest + refine) must reproduce the global facet
+    counts bucket for bucket, and flag the run exact."""
+    tier = ShardedIndex(sharded_setup, N_SHARDS)
+    try:
+        for q in ["w0 w1", "w3 w17 w120", "w500 w77"]:
+            truth = _facet_truth(sharded_setup, q)
+            want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))
+            got, exact = tier.facet_search(
+                q, sharded_setup + "_facets.parquet", "source",
+                k=len(want), mode="or", overrequest=4,
+            )
+            assert exact, q
+            assert got == want, q
+    finally:
+        tier.shutdown()
+
+
+def test_facet_refined_counts_exact_when_truncated(sharded_setup, ray_session):
+    """Phase-1 truncation (limit=1 per shard) may drop BUCKETS, but
+    refinement must make every returned candidate's count globally
+    exact — the Solr facet.refine contract."""
+    tier = ShardedIndex(sharded_setup, N_SHARDS)
+    try:
+        q = "w0 w1"
+        truth = _facet_truth(sharded_setup, q)
+        got, exact = tier.facet_search(
+            q, sharded_setup + "_facets.parquet", "source",
+            k=7, mode="or", overrequest=1,
+        )
+        assert len(got) >= 1
+        for val, cnt in got:
+            assert cnt == truth[val], (val, cnt, truth[val])
     finally:
         tier.shutdown()
