@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "token_counts": textstats.token_counts,
         "quality_score": textstats.quality_score,
+        # validation gate with per-reason reject counts (fetcher parity)
+        "quality_filter_reasons": textstats.quality_filter_reasons,
         "collocations": textstats.collocations,
         # Gopher-rule repetition counters (distinct/total, top-2-gram)
         "repetition_stats": textstats.repetition_stats,
@@ -385,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.DEDUP_EMBEDDING,
         "dedup_embedding_blocked": oracles.DEDUP_EMBEDDING,
         "quality_score": oracles.QUALITY_SCORE,
+        "quality_filter_reasons": oracles.QUALITY_FILTER_REASONS,
         "lang_id": oracles.LANG_ID,
         "token_counts": oracles.TOKEN_COUNTS,
         "collocations": oracles.COLLOCATIONS,

@@ -737,6 +737,66 @@ FROM feat
 QUALITY_SCORE = _quality_score_sql()
 
 
+def _quality_filter_reasons_sql() -> str:
+    """Per-reason reject histogram twin: the same four integer-rational
+    rules as stages/textstats.quality_filter_reasons (thresholds are
+    exact rationals so numpy and DuckDB cannot disagree on an edge),
+    every reason row materialized via a VALUES spine so zero counts
+    appear on both sides."""
+    from harvester_ray.stages.textstats import _LANG_PROFILES
+
+    stops = ", ".join(f"'{s}'" for s in sorted(_LANG_PROFILES["en"]))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+tok_rows AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+top_tok AS (
+  SELECT doc_id, max(c) AS top FROM (
+    SELECT doc_id, tok, count(*) AS c FROM tok_rows GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+feat AS (
+  SELECT t.doc_id,
+         len(ts)::BIGINT AS n,
+         len(list_distinct(ts))::BIGINT AS u,
+         len(list_filter(ts, x -> list_contains([{stops}], x)))::BIGINT AS st,
+         coalesce(tt.top, 0)::BIGINT AS top
+  FROM toks t LEFT JOIN top_tok tt USING (doc_id)
+),
+flags AS (
+  SELECT doc_id,
+         (n < 20)          AS too_short,
+         (st * 50 < n)     AS low_stopword,
+         (top * 20 > n * 3) AS high_repetition,
+         (u * 20 < n * 7)  AS low_diversity
+  FROM feat
+),
+reasons(reason) AS (VALUES ('too_short'), ('low_stopword'),
+                          ('high_repetition'), ('low_diversity'), ('kept')),
+hits AS (
+  SELECT 'too_short' AS reason, count(*) FILTER (too_short) AS n_docs FROM flags
+  UNION ALL
+  SELECT 'low_stopword', count(*) FILTER (low_stopword) FROM flags
+  UNION ALL
+  SELECT 'high_repetition', count(*) FILTER (high_repetition) FROM flags
+  UNION ALL
+  SELECT 'low_diversity', count(*) FILTER (low_diversity) FROM flags
+  UNION ALL
+  SELECT 'kept', count(*) FILTER (NOT (too_short OR low_stopword
+                                       OR high_repetition OR low_diversity))
+  FROM flags
+)
+SELECT r.reason, coalesce(h.n_docs, 0)::BIGINT AS n_docs
+FROM reasons r LEFT JOIN hits h USING (reason)
+"""
+
+
+QUALITY_FILTER_REASONS = _quality_filter_reasons_sql()
+
+
 def _lang_id_sql() -> str:
     from harvester_ray.stages.textstats import _LANG_PROFILES
 

@@ -148,6 +148,92 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(score, batch_format="pyarrow")
 
 
+# quality_filter_reasons rules — exact integer-rational thresholds so
+# the Ray kernels and the DuckDB oracle cannot drift on float edges:
+#   too_short        n_tokens < 20
+#   low_stopword     n_stop/n_tokens   < 0.02  == n_stop*50  < n_tokens
+#   high_repetition  top_tok/n_tokens  > 0.15  == top*20     > n*3
+#   low_diversity    n_uniq/n_tokens   < 0.35  == n_uniq*20  < n*7
+QF_REASONS = (
+    "too_short",
+    "low_stopword",
+    "high_repetition",
+    "low_diversity",
+    "kept",
+)
+
+
+def quality_filter_reasons(sf_dir: str) -> "ray.data.Dataset":
+    """The reference's validation-gate-with-reject-reasons
+    (/root/reference/harvester/fetcher.py records per-reason reject
+    counts as it validates records) re-expressed as a corpus quality
+    gate over `documents`: (reason, n_docs) for four Gopher/C4-style
+    rules plus 'kept' (docs failing none). A doc failing several rules
+    counts under EACH — the per-reason histogram a pipeline operator
+    tunes thresholds with. All five rows always emit (zeros included).
+
+    Shape: one vectorized map_batches pass (token counts, stopword
+    hits, per-doc top-token count and distinct count all via bincount
+    on dictionary indices — no Python row loop), per-batch partial
+    reason counts, then a 5-row groupby sum. Nothing but the 5-row
+    partials ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    stop_set = pa.array(sorted(_LANG_PROFILES["en"]))
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = len(t)
+        flat, parent = flatten_tokens(tokenize_column(t["text"]))
+        par = parent.to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(par, minlength=n).astype(np.int64)
+        stop_mask = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(par[stop_mask], minlength=n).astype(np.int64)
+        # per-doc distinct tokens + the most-repeated token's count:
+        # one composite (doc, token-code) key, one bincount
+        # sparse (doc, token-code) pairs — O(distinct pairs) memory,
+        # never an n x vocab dense matrix
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.int64(max(len(enc.dictionary), 1))
+        keys, counts = np.unique(par * v + codes, return_counts=True)
+        kdoc = (keys // v).astype(np.int64)
+        n_uniq = np.bincount(kdoc, minlength=n).astype(np.int64)
+        top = np.zeros(n, np.int64)
+        np.maximum.at(top, kdoc, counts)
+        too_short = n_tok < 20
+        low_stop = n_stop * 50 < n_tok
+        high_rep = top * 20 > n_tok * 3
+        low_div = n_uniq * 20 < n_tok * 7
+        kept = ~(too_short | low_stop | high_rep | low_div)
+        return pa.table(
+            {
+                "reason": pa.array(list(QF_REASONS), pa.string()),
+                "n_docs": pa.array(
+                    [
+                        int(too_short.sum()),
+                        int(low_stop.sum()),
+                        int(high_rep.sum()),
+                        int(low_div.sum()),
+                        int(kept.sum()),
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 WINNOW_K = 5   # tokens per k-gram
 WINNOW_W = 8   # winnowing window
 

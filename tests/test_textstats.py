@@ -455,3 +455,45 @@ def test_bigram_logprob_hand_computed(tmp_path, ray_session):
     for d in (1, 2):
         assert got.loc[d, "n_bigrams"] == len(bigs[d])
         assert got.loc[d, "logprob2_fp"] == sum(fp[b] for b in bigs[d])
+
+
+def test_quality_filter_reasons_golden(crafted, ray_session):
+    """Per-reason counts vs a pure-Python oracle on the crafted corpus
+    (all docs < 20 tokens -> too_short fires for every non-empty-rule
+    doc; empty doc: too_short only). All five rows must emit."""
+    from harvester_ray.stages.textstats import (
+        _LANG_PROFILES,
+        QF_REASONS,
+        quality_filter_reasons,
+    )
+
+    stops = _LANG_PROFILES["en"]
+    want = {r: 0 for r in QF_REASONS}
+    for txt in TEXTS:
+        ts = tokenize(txt)
+        n = len(ts)
+        st = sum(t in stops for t in ts)
+        c = Counter(ts)
+        top = max(c.values()) if c else 0
+        u = len(c)
+        flags = {
+            "too_short": n < 20,
+            "low_stopword": st * 50 < n,
+            "high_repetition": top * 20 > n * 3,
+            "low_diversity": u * 20 < n * 7,
+        }
+        for r, f in flags.items():
+            want[r] += int(f)
+        want["kept"] += int(not any(flags.values()))
+    got = dict(
+        zip(
+            *(
+                quality_filter_reasons(crafted)
+                .to_pandas()
+                .sort_values("reason")[c]
+                .tolist()
+                for c in ("reason", "n_docs")
+            )
+        )
+    )
+    assert got == {k: want[k] for k in got} and set(got) == set(QF_REASONS)
