@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": textstats.doc_entropy,
         # corpus-wide top duplicated word 3-grams (repetition analysis)
         "common_ngrams": textstats.common_ngrams,
+        # fastText-style hashed-ngram linear quality classifier
+        # (map-only; deterministic LCG stand-in weights)
+        "hashed_classifier_scores": textstats.hashed_classifier_scores,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -399,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": oracles.CCNET_BUCKETS,
         "doc_entropy": oracles.DOC_ENTROPY,
         "common_ngrams": oracles.COMMON_NGRAMS,
+        "hashed_classifier_scores": oracles.HASHED_CLASSIFIER,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,

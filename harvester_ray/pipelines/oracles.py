@@ -3289,3 +3289,51 @@ FROM r1
 
 
 DATASET_SPLIT = _dataset_split_sql()
+
+
+def _hashed_classifier_sql() -> str:
+    """Twin of textstats.hashed_classifier_scores: the fold hash is
+    list_reduce over codepoints (first element seeds the accumulator,
+    matching the Python mirror), bigram hashes combine full token
+    hashes positionally via the ts[i]/ts[i+1] indexing pattern, and
+    the LCG weight expression is integer-exact term for term."""
+    from harvester_ray.stages.textstats import (
+        _QC_B,
+        _QC_M,
+        _QC_WA,
+        _QC_WC,
+        _QC_WM,
+    )
+
+    w = (
+        f"((hb % {_QC_B}) * {_QC_WA} + {_QC_WC}) % {_QC_WM}"
+        f" - {_QC_WM // 2}"
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+           FROM documents),
+th AS (SELECT doc_id, i,
+              list_reduce(
+                list_transform(string_split(ts[i], ''),
+                               c -> unicode(c)::BIGINT),
+                (a, c) -> (a * 31 + c) % {_QC_M}) AS h
+       FROM d, unnest(range(1, len(ts) + 1)) AS u(i)),
+feats AS (
+  SELECT doc_id, h AS hb FROM th
+  UNION ALL
+  SELECT a.doc_id, (a.h * 31 + b.h) % {_QC_M} AS hb
+  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+s AS (SELECT doc_id, count(*) AS nf,
+             CAST(sum({w}) AS BIGINT) AS sc
+      FROM feats GROUP BY doc_id)
+SELECT doc.doc_id,
+       coalesce(s.nf, 0) AS n_feats,
+       coalesce(s.sc, 0) AS score_sum,
+       CASE WHEN coalesce(s.sc, 0) > 0 THEN 1 ELSE 0 END AS keep
+FROM documents doc LEFT JOIN s USING (doc_id)
+"""
+
+
+HASHED_CLASSIFIER = _hashed_classifier_sql()

@@ -1420,3 +1420,89 @@ def bigram_logprob(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear classifier (Joulin et al. 2016 "Bag of
+# Tricks" shape): features are hashed word unigrams + bigrams, the
+# model is a linear layer over B hash buckets. Deterministic stand-in
+# weights (an LCG over the bucket id — glibc constants) make the
+# classifier reproducible and SQL-expressible, so the WHOLE scoring
+# path (tokenize -> hash -> bucket -> weight -> sum) sits under the
+# value-hash oracle gate; swapping in trained weights is a lookup-table
+# change, not a shape change. The analog of the reference's per-record
+# validation gate (harvester/fetcher.py reject rules) upgraded to a
+# model-scored keep/drop decision.
+_QC_M = 2147483647       # Mersenne prime 2^31-1 — fold-hash modulus
+_QC_B = 4096             # hashed feature buckets
+_QC_WA = 1103515245      # LCG multiplier (public glibc constants)
+_QC_WC = 12345
+_QC_WM = 2147483648      # 2^31; weights land in [-2^30, 2^30)
+
+
+def _qc_token_hash(tok: str) -> int:
+    """Fold hash over codepoints — mirrors DuckDB's
+    list_reduce(list_transform(string_split(t, ''), unicode),
+    (a, c) -> (a*31 + c) % M): the first codepoint seeds the
+    accumulator un-modded (list_reduce semantics), every later step
+    stays < 2^36 so both engines compute in exact int64."""
+    h = ord(tok[0])
+    for ch in tok[1:]:
+        h = (h * 31 + ord(ch)) % _QC_M
+    return h
+
+
+def _qc_weights(h: np.ndarray) -> np.ndarray:
+    """Bucket + deterministic weight of feature-hash array ``h`` —
+    every product fits int64 (bucket < 4096)."""
+    b = h % _QC_B
+    return (b * _QC_WA + _QC_WC) % _QC_WM - _QC_WM // 2
+
+
+def hashed_classifier_scores(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_feats, score_sum, keep) — hashed-ngram linear
+    quality classifier over every document.
+
+    Map-only (docs are row-complete per batch; ZERO shuffle — the
+    100-TB shape): one Arrow tokenize per batch, token hashing
+    O(unique tokens) via dictionary-encode, bigram hashes as one
+    vectorized combine over consecutive same-doc positions, integer
+    weight sums via np.add.at. keep = score_sum > 0."""
+
+    def score(t: pa.Table) -> pa.Table:
+        n = len(t)
+        flat, parent = flatten_tokens(tokenize_column(t["text"]))
+        par = parent.to_numpy(zero_copy_only=False)
+        enc = flat.combine_chunks().dictionary_encode() if isinstance(
+            flat, pa.ChunkedArray
+        ) else flat.dictionary_encode()
+        dic = enc.dictionary.to_pylist()
+        dh = np.array(
+            [_qc_token_hash(v) for v in dic], dtype=np.int64
+        ) if dic else np.empty(0, np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        h = dh[idx] if len(idx) else np.empty(0, np.int64)
+        score_sum = np.zeros(n, np.int64)
+        np.add.at(score_sum, par, _qc_weights(h))
+        nf = np.bincount(par, minlength=n).astype(np.int64)
+        if len(h) >= 2:
+            same = par[:-1] == par[1:]
+            hb = (h[:-1][same] * 31 + h[1:][same]) % _QC_M
+            pb = par[:-1][same]
+            np.add.at(score_sum, pb, _qc_weights(hb))
+            nf += np.bincount(pb, minlength=n)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_feats": pa.array(nf, pa.int64()),
+                "score_sum": pa.array(score_sum, pa.int64()),
+                "keep": pa.array(
+                    (score_sum > 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).map_batches(score, batch_format="pyarrow", batch_size=2048)

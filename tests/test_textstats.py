@@ -497,3 +497,64 @@ def test_quality_filter_reasons_golden(crafted, ray_session):
         )
     )
     assert got == {k: want[k] for k in got} and set(got) == set(QF_REASONS)
+
+
+def _py_classifier(text):
+    """Independent pure-Python twin of hashed_classifier_scores."""
+    from harvester_ray.stages.textstats import (
+        _QC_B, _QC_M, _QC_WA, _QC_WC, _QC_WM,
+    )
+
+    def th(tok):
+        h = ord(tok[0])
+        for c in tok[1:]:
+            h = (h * 31 + ord(c)) % _QC_M
+        return h
+
+    def w(h):
+        return (h % _QC_B * _QC_WA + _QC_WC) % _QC_WM - _QC_WM // 2
+
+    toks = tokenize(text)
+    hs = [th(t) for t in toks]
+    feats = hs + [(a * 31 + b) % _QC_M for a, b in zip(hs, hs[1:])]
+    s = sum(w(h) for h in feats)
+    return len(feats), s, 1 if s > 0 else 0
+
+
+def test_hashed_classifier_golden(crafted, ray_session):
+    from harvester_ray.stages.textstats import hashed_classifier_scores
+
+    got = (
+        hashed_classifier_scores(crafted)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(TEXTS)
+    for i, text in enumerate(TEXTS):
+        nf, s, keep = _py_classifier(text)
+        row = got.iloc[i]
+        assert row["doc_id"] == i
+        assert row["n_feats"] == nf, (i, text)
+        assert row["score_sum"] == s
+        assert row["keep"] == keep
+    # empty doc: zero features, zero score, dropped
+    empty = got.iloc[TEXTS.index("")]
+    assert empty["n_feats"] == 0 and empty["score_sum"] == 0
+    assert empty["keep"] == 0
+
+
+def test_hashed_classifier_hash_matches_duckdb():
+    """The fold hash must mirror DuckDB's list_reduce exactly —
+    including the single-char seed case (no lambda application)."""
+    import duckdb
+
+    from harvester_ray.stages.textstats import _QC_M, _qc_token_hash
+
+    for tok in ["a", "0", "scan", "zz9q", "the", "x" * 40]:
+        sql = duckdb.sql(
+            "select list_reduce(list_transform(string_split("
+            f"'{tok}', ''), c -> unicode(c)::BIGINT), "
+            f"(a, c) -> (a * 31 + c) % {_QC_M})"
+        ).fetchone()[0]
+        assert _qc_token_hash(tok) == sql, tok
