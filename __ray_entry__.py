@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolean NOT (exclusion before top-k)
         "bm25_topk_not": fulltext.bm25_topk_not,
         # facet counts over the full match set (Solr facet parity)
+        # offline IR rank evaluation of the engine's own BM25 top-k
+        # (precision@k / recall / MRR vs conjunctive qrels)
+        "rank_eval": fulltext.rank_eval,
         "search_facets": fulltext.search_facets,
         # two-phase distributed faceting on the doc-sharded tier
         # (overrequest + refine; exact-membership regime asserted)
@@ -294,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk_termsharded": oracles.BM25F_TOPK,
         "porter_doc_stats": oracles.PORTER_DOC_STATS,
         "bm25_topk_not": oracles.BM25_TOPK_NOT,
+        "rank_eval": oracles.RANK_EVAL,
         "search_facets": oracles.SEARCH_FACETS,
         "search_facets_sharded": oracles.SEARCH_FACETS_SHARDED,
         "search_numfound": oracles.SEARCH_NUMFOUND,

@@ -3938,3 +3938,194 @@ def join_query_topk(sf_dir: str) -> "ray.data.Dataset":
         .groupby("query_id")
         .map_groups(rank, batch_format="pyarrow")
     )
+
+
+# -- IR rank evaluation ---------------------------------------------------
+
+RANK_EVAL_SENTINEL = 1 << 30  # "no hit" min-rank sentinel
+
+
+def rank_eval(sf_dir: str) -> "ray.data.Dataset":
+    """Offline retrieval-quality evaluation of the engine's own BM25
+    OR top-k — the relevance-eval harness a search migration runs
+    before cutover (the reference's acceptance check is exactly
+    "same docs come back": solr_updater sync verified by query
+    spot-checks). qrels are deterministic conjunctive relevance:
+    a doc is relevant to a query iff it contains ALL the query's
+    terms. Output per query: (query_id, n_rel, n_hit, p10_fp6,
+    recall_fp6, rr_fp6) — precision@k, recall and reciprocal rank in
+    integer fixed point (nonnegative floor divisions only, so Python
+    // and DuckDB // agree).
+
+    Scale shape: retrieved is query-bounded (|Q| x TOP_K — a driver
+    fold by design); the corpus-scale relevance set never materializes
+    — a pruned postings read expands to (query, doc) rows, ONE grouped
+    count finds full-conjunction docs, and per-batch partials reduce
+    to |Q| rows. MRR's first-hit rank rides the same aggregate as a
+    Min over sentinel-coded ranks."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count, Min, Sum
+
+    from harvester_ray.functions.text import tokenize
+
+    qterms = [
+        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
+    ]
+    n_terms = {qid: len(ts) for qid, ts in qterms}
+    all_terms = sorted({t for _, ts in qterms for t in ts})
+    paths = index_for(sf_dir)
+
+    # retrieved: |Q| x TOP_K rows — bounded, broadcast once
+    ret_rows = bm25_topk_or(sf_dir).take_all()
+    ret_by_q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for qid in n_terms:
+        rows = sorted(
+            ((r["doc_id"], r["rank"]) for r in ret_rows
+             if r["query_id"] == qid)
+        )
+        ret_by_q[qid] = (
+            np.array([d for d, _ in rows], dtype=np.int64),
+            np.array([rk for _, rk in rows], dtype=np.int64),
+        )
+    ret_ref = ray.put(ret_by_q)
+    max_qid = max(n_terms)
+    nt_arr = np.zeros(max_qid + 1, np.int64)
+    for qid, nt in n_terms.items():
+        nt_arr[qid] = nt
+
+    post = ray.data.read_parquet(
+        paths.postings,
+        columns=["term", "doc_id"],
+        filter=pads.field("term").isin(all_terms),
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        qids, dids = [], []
+        for qid, ts in qterms:
+            sel = t.filter(
+                pc.is_in(t["term"], value_set=pa.array(ts, pa.string()))
+            )["doc_id"].to_numpy(zero_copy_only=False)
+            qids.append(np.full(len(sel), qid, dtype=np.int64))
+            dids.append(sel.astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(qids) if qids else [], pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(dids) if dids else [], pa.int64()
+                ),
+            }
+        )
+
+    _partial_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("n_rel", pa.int64()),
+            ("n_hit", pa.int64()),
+            ("min_rank", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        """(query, doc, n_matched) rows -> <= |Q| metric partials."""
+        if len(t) == 0 or "_n" not in t.column_names:
+            # groupby can emit schema-less empty blocks — re-emit typed
+            return _partial_schema.empty_table()
+        qs = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nm = t["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ds_ = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        full = nm == nt_arr[qs]
+        qs, ds_ = qs[full], ds_[full]
+        lookup = ray.get(ret_ref)
+        out_q, out_rel, out_hit, out_min = [], [], [], []
+        for qid in np.unique(qs):
+            m = qs == qid
+            docs = ds_[m]
+            r_docs, r_ranks = lookup[int(qid)]
+            pos = np.searchsorted(r_docs, docs)
+            pos = np.minimum(pos, max(len(r_docs) - 1, 0))
+            hit = (
+                r_docs[pos] == docs if len(r_docs) else
+                np.zeros(len(docs), bool)
+            )
+            ranks = r_ranks[pos][hit] if len(r_docs) else np.empty(0)
+            out_q.append(int(qid))
+            out_rel.append(int(len(docs)))
+            out_hit.append(int(hit.sum()))
+            out_min.append(
+                int(ranks.min()) if len(ranks) else RANK_EVAL_SENTINEL
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "n_rel": pa.array(out_rel, pa.int64()),
+                "n_hit": pa.array(out_hit, pa.int64()),
+                "min_rank": pa.array(out_min, pa.int64()),
+            }
+        )
+
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(sorted(n_terms), pa.int64()),
+                "n_rel": pa.array([0] * len(n_terms), pa.int64()),
+                "n_hit": pa.array([0] * len(n_terms), pa.int64()),
+                "min_rank": pa.array(
+                    [RANK_EVAL_SENTINEL] * len(n_terms), pa.int64()
+                ),
+            }
+        )
+    )
+
+    _final_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("n_rel", pa.int64()),
+            ("n_hit", pa.int64()),
+            ("p10_fp6", pa.int64()),
+            ("recall_fp6", pa.int64()),
+            ("rr_fp6", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if len(t) == 0 or "n_rel" not in t.column_names:
+            return _final_schema.empty_table()
+        n_rel = t["n_rel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_hit = t["n_hit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        minr = t["min_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = np.int64(10**6)
+        recall = np.where(n_rel > 0, n_hit * fp // np.maximum(n_rel, 1), 0)
+        rr = np.where(
+            minr < RANK_EVAL_SENTINEL, fp // np.maximum(minr, 1), 0
+        )
+        return pa.table(
+            {
+                "query_id": t["query_id"].cast(pa.int64()),
+                "n_rel": pa.array(n_rel, pa.int64()),
+                "n_hit": pa.array(n_hit, pa.int64()),
+                "p10_fp6": pa.array(n_hit * fp // TOP_K, pa.int64()),
+                "recall_fp6": pa.array(recall, pa.int64()),
+                "rr_fp6": pa.array(rr, pa.int64()),
+            }
+        )
+
+    return (
+        post.map_batches(expand, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(partials, batch_format="pyarrow")
+        .union(seed)
+        .groupby("query_id")
+        .aggregate(
+            Sum("n_rel", alias_name="n_rel"),
+            Sum("n_hit", alias_name="n_hit"),
+            Min("min_rank", alias_name="min_rank"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

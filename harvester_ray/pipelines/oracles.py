@@ -3337,3 +3337,63 @@ FROM documents doc LEFT JOIN s USING (doc_id)
 
 
 HASHED_CLASSIFIER = _hashed_classifier_sql()
+
+
+def _rank_eval_sql() -> str:
+    """Twin of fulltext.rank_eval: retrieved = the standard BM25 OR
+    ranked CTE (identical to BM25_TOPK_OR, so rank identity is already
+    gated), qrels = full-conjunction docs, metrics in nonnegative
+    integer floor divisions only (DuckDB // truncates, Python //
+    floors — they agree exactly on nonnegatives, which is why no
+    negative value ever reaches a division here)."""
+    from harvester_ray.pipelines.fulltext import TOP_K
+
+    values = _or_query_values()
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( {_SCORE_EXPRS["bm25"]} ) AS score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dict d USING (term)
+  JOIN doclen l USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC)
+           AS rank
+  FROM scored
+),
+ret AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {TOP_K}),
+nq AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+mc AS (SELECT q.query_id, p.doc_id, count(*) AS nm
+       FROM q JOIN postings p USING (term)
+       GROUP BY q.query_id, p.doc_id),
+rel AS (SELECT mc.query_id, mc.doc_id
+        FROM mc JOIN nq USING (query_id)
+        WHERE mc.nm = nq.n_terms),
+m AS (SELECT r.query_id, count(*) AS n_rel,
+             count(t.rank) AS n_hit, min(t.rank) AS minr
+      FROM rel r
+      LEFT JOIN ret t
+        ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+      GROUP BY r.query_id),
+allq AS (SELECT DISTINCT query_id FROM q)
+SELECT a.query_id,
+       coalesce(m.n_rel, 0) AS n_rel,
+       coalesce(m.n_hit, 0) AS n_hit,
+       coalesce(m.n_hit, 0) * 1000000 // {TOP_K} AS p10_fp6,
+       CASE WHEN coalesce(m.n_rel, 0) > 0
+            THEN coalesce(m.n_hit, 0) * 1000000 // m.n_rel
+            ELSE 0 END AS recall_fp6,
+       CASE WHEN m.minr IS NOT NULL THEN 1000000 // m.minr
+            ELSE 0 END AS rr_fp6
+FROM allq a LEFT JOIN m USING (query_id)
+"""
+
+
+RANK_EVAL = _rank_eval_sql()

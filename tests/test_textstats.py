@@ -558,3 +558,27 @@ def test_hashed_classifier_hash_matches_duckdb():
             f"(a, c) -> (a * 31 + c) % {_QC_M})"
         ).fetchone()[0]
         assert _qc_token_hash(tok) == sql, tok
+
+
+def test_rank_eval_invariants(ray_session):
+    """Structural invariants of rank_eval on the reference query set:
+    single-term queries have every retrieved doc relevant (OR == AND
+    when |q| == 1), OOV-conjunct queries have an empty qrel set, and
+    p10 is exactly n_hit * 10^6 // TOP_K."""
+    from harvester_ray.pipelines.fulltext import TOP_K, rank_eval
+
+    df = (
+        rank_eval("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("query_id")
+        .astype("int64")
+    )
+    # qid 0 = "scan" (single term): every top-k doc contains the term
+    assert df.loc[0, "n_hit"] == min(TOP_K, df.loc[0, "n_rel"])
+    assert df.loc[0, "rr_fp6"] == 10**6
+    # qid 4 = "zzzq scan": zzzq is OOV, so no doc matches ALL terms
+    assert (df.loc[4] == 0).all()
+    # p10 identity on every query
+    assert (
+        df["p10_fp6"] == df["n_hit"] * 10**6 // TOP_K
+    ).all()
