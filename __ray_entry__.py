@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25F over REAL extracted fields (<title> vs <h1>/<p>) —
         # the reference's many-field index document end to end
         "pages_bm25f": pages.pages_bm25f,
+        # per-url keep-newest snapshot over a multi-crawl pages table
+        "pages_latest_snapshot": pages.pages_latest_snapshot,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dup": dedup.simhash_near_dup,

@@ -369,3 +369,148 @@ def pages_bm25f(sf_dir: str | None = None, n_pages: int = 500) -> pa.Table:
             "doc_id": pa.array(np.asarray(dids, np.int64), pa.int64()),
         }
     )
+
+
+# -- re-crawl snapshot resolution ----------------------------------------
+
+RECRAWL_EVERY = 3       # every 3rd url gets a second (newer) snapshot
+_SNAP_GUARD_BYTES = 64 << 20  # dup-url side table broadcast guard
+
+
+def recrawl_corpus(n_pages: int = 500, seed: int = 42) -> str:
+    """Deterministic re-crawl input: the pages table UNION a newer
+    snapshot (warc_ts + 30 days, html re-rendered with a marker
+    paragraph) for every RECRAWL_EVERY-th url — the multi-snapshot
+    shape a real Common-Crawl dump has for the same url across
+    crawls. Cached on disk like pages_corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    base = pages_corpus(n_pages, seed)
+    out = os.path.join(CACHE_ROOT, f"recrawl_{n_pages}_s{seed}")
+    dst = os.path.join(out, "pages.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(base, "pages.parquet"))
+        keep = np.arange(len(t)) % RECRAWL_EVERY == 0
+        snap = t.filter(pa.array(keep))
+        marker = pa.array(
+            [
+                (h.as_py() or b"").replace(
+                    b"</body>", b"<p>recrawl update</p></body>"
+                )
+                for h in snap["html"]
+            ],
+            pa.binary(),
+        )
+        ts = pc.add(
+            snap["warc_ts"].cast(pa.int64()),
+            pa.scalar(30 * 24 * 3600 * 10**6, pa.int64()),
+        ).cast(pa.timestamp("us"))
+        snap = pa.table(
+            {
+                "url": snap["url"],
+                "warc_ts": ts,
+                "html": marker,
+                "text": pa.nulls(len(snap), pa.string()),
+                "lang": snap["lang"],
+            }
+        )
+        pq.write_table(
+            pa.concat_tables([t, snap]), dst + ".tmp", row_group_size=2048
+        )
+        os.replace(dst + ".tmp", dst)
+    return out
+
+
+def latest_snapshot(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-url keep-NEWEST snapshot over a multi-crawl pages table —
+    the dedup a Common-Crawl-style corpus needs before extraction
+    (the reference's couch sync has the same semantics: a re-harvested
+    record replaces the stored doc by id).
+
+    Scale shape: the heavy (html) payload is NEVER shuffled. Pass 1
+    projects (url, warc_ts) only and finds urls with >1 snapshot plus
+    their max ts (light groupby — bytes ∝ distinct urls). Pass 2
+    streams the full table once, keeping a row iff its url is
+    un-duplicated or its ts is the winner (vectorized index_in +
+    timestamp compare against the broadcast dup map). The dup side
+    table is re-crawl-bounded (dups only, not all urls) and guarded;
+    past the guard, swap in the partitioned anti-join twin
+    (stages/joins.partitioned_join keyed by url-hash) — same
+    two-pass shape, one extra payload shuffle of ONLY the dup rows."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max
+
+    meta = (
+        pages.select_columns(["url", "warc_ts"])
+        .groupby("url")
+        .aggregate(Count(alias_name="n"), Max("warc_ts", alias_name="max_ts"))
+    )
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n" not in t.column_names:
+            return pa.schema(
+                [("url", pa.string()), ("max_ts", pa.timestamp("us"))]
+            ).empty_table()
+        d = t.filter(pc.greater(t["n"], 1))
+        return pa.table(
+            {
+                "url": d["url"].cast(pa.string()),
+                "max_ts": d["max_ts"].cast(pa.timestamp("us")),
+            }
+        )
+
+    dup_rows = meta.map_batches(only_dups, batch_format="pyarrow").take_all()
+    dup_urls = pa.array([r["url"] for r in dup_rows], pa.string())
+    dup_ts = np.array(
+        [r["max_ts"] for r in dup_rows], dtype="datetime64[us]"
+    ).astype(np.int64) if dup_rows else np.empty(0, np.int64)
+    approx = sum(len(u.as_py()) + 16 for u in dup_urls)
+    if approx > _SNAP_GUARD_BYTES:
+        raise NotImplementedError(
+            f"dup-url table ~{approx>>20} MiB exceeds the broadcast "
+            "guard; wire the partitioned_join twin for this corpus"
+        )
+    dup_ref = ray.put((dup_urls, dup_ts))
+
+    def keep_latest(t: pa.Table) -> pa.Table:
+        urls, ts_max = ray.get(dup_ref)
+        idx = pc.index_in(t["url"], value_set=urls)
+        pos = idx.to_numpy(zero_copy_only=False)
+        ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_dup = ~np.isnan(pos) if pos.dtype.kind == "f" else pc.is_valid(
+            idx
+        ).to_numpy(zero_copy_only=False)
+        win = np.ones(len(t), bool)
+        if is_dup.any():
+            di = pos[is_dup].astype(np.int64)
+            win[is_dup] = ts[is_dup] == ts_max[di]
+        return t.filter(pa.array(win))
+
+    return pages.map_batches(keep_latest, batch_format="pyarrow")
+
+
+def pages_latest_snapshot(
+    sf_dir: str | None = None, n_pages: int = 500
+) -> "ray.data.Dataset":
+    """Driver entry (rows-only): resolve the re-crawl corpus to one
+    row per url and emit (url, warc_ts, is_recrawl) — deterministic,
+    payload-free output schema."""
+    corpus = recrawl_corpus(n_pages)
+    pages = ray.data.read_parquet(os.path.join(corpus, "pages.parquet"))
+    kept = latest_snapshot(pages)
+
+    def emit(t: pa.Table) -> pa.Table:
+        has_marker = pc.match_substring(
+            t["html"].cast(pa.string()), "recrawl update"
+        )
+        return pa.table(
+            {
+                "url": t["url"].cast(pa.string()),
+                "warc_ts": t["warc_ts"].cast(pa.timestamp("us")),
+                "is_recrawl": has_marker.cast(pa.int64()),
+            }
+        )
+
+    return kept.map_batches(emit, batch_format="pyarrow")

@@ -44,6 +44,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -129,17 +131,44 @@ def make_chunker(chunk_size: int, overlap: int, analyzer=DEFAULT_ANALYZER):
     return fn
 
 
+# process-level cache of the materialized chunk table / dup-chunk set
+# — the same sharing contract as fulltext._MATCH_SET_CACHE: keyed by
+# (abspath, params), bounded, read-only inputs. Five gate entries
+# (doc_chunks, chunk_dups, dup_chunk_filter, passage_topk and
+# chunk_dups' second use inside dup_chunk_filter) otherwise re-run the
+# identical tokenize+window pass.
+_CHUNK_CACHE: dict = {}
+_CHUNK_CACHE_MAX = 8
+
+
+def _chunk_cached(key: tuple, build) -> "ray.data.Dataset":
+    hit = _CHUNK_CACHE.get(key)
+    if hit is None:
+        while len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+        hit = _CHUNK_CACHE[key] = build().materialize()
+    return hit
+
+
 def doc_chunks(
     sf_dir: str,
     chunk_size: int = CHUNK_SIZE,
     overlap: int = CHUNK_OVERLAP,
 ) -> "ray.data.Dataset":
     """(doc_id, chunk_id, n_tokens, chunk_text) token windows."""
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(
-        make_chunker(chunk_size, overlap),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+
+    def build():
+        ds = ray.data.read_parquet(
+            _docs_path(sf_dir), columns=["doc_id", "text"]
+        )
+        return ds.map_batches(
+            make_chunker(chunk_size, overlap),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return _chunk_cached(
+        ("chunks", os.path.abspath(sf_dir), chunk_size, overlap), build
     )
 
 
@@ -252,6 +281,7 @@ def token_shards(
 
 DUP_FRAC_NUM = 3  # drop a doc when n_dup_chunks/n_chunks > 3/10
 DUP_FRAC_DEN = 10  # (RefinedWeb drops past ~30% duplicated lines)
+_DUP_SET_GUARD_BYTES = 64 << 20  # dup-text broadcast bound; join past it
 
 
 def chunk_dups(
@@ -271,27 +301,32 @@ def chunk_dups(
     them verbatim."""
     from ray.data.aggregate import Count, Sum
 
-    pairs = (
-        doc_chunks(sf_dir, chunk_size, overlap)
-        .groupby(["chunk_text", "doc_id"])
-        .aggregate(Count(alias_name="n_occ"))
-    )
-    agg = pairs.groupby("chunk_text").aggregate(
-        Count(alias_name="n_docs"), Sum("n_occ", alias_name="n_occ")
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        nd = t["n_docs"].cast(pa.int64())
-        out = pa.table(
-            {
-                "chunk_text": t["chunk_text"].cast(pa.string()),
-                "n_docs": nd,
-                "n_occ": t["n_occ"].cast(pa.int64()),
-            }
+    def build():
+        pairs = (
+            doc_chunks(sf_dir, chunk_size, overlap)
+            .groupby(["chunk_text", "doc_id"])
+            .aggregate(Count(alias_name="n_occ"))
         )
-        return out.filter(pc.greater_equal(nd, 2))
+        agg = pairs.groupby("chunk_text").aggregate(
+            Count(alias_name="n_docs"), Sum("n_occ", alias_name="n_occ")
+        )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+        def finalize(t: pa.Table) -> pa.Table:
+            nd = t["n_docs"].cast(pa.int64())
+            out = pa.table(
+                {
+                    "chunk_text": t["chunk_text"].cast(pa.string()),
+                    "n_docs": nd,
+                    "n_occ": t["n_occ"].cast(pa.int64()),
+                }
+            )
+            return out.filter(pc.greater_equal(nd, 2))
+
+        return agg.map_batches(finalize, batch_format="pyarrow")
+
+    return _chunk_cached(
+        ("dups", os.path.abspath(sf_dir), chunk_size, overlap), build
+    )
 
 
 def dup_chunk_filter(
@@ -303,10 +338,14 @@ def dup_chunk_filter(
     drop every document whose cross-doc duplicated chunks exceed
     DUP_FRAC_NUM/DUP_FRAC_DEN of its chunks (integer-exact:
     drop iff DEN·n_dup > NUM·n_chunks; zero-chunk docs are kept).
-    Shuffle shape: the chunk table left-joins the duplicated-text set
-    by hash (both chunk-table-sized at worst), one per-doc grouped
-    count, and the engine's hash anti-join streams the kept corpus —
-    no driver materialization on any path."""
+    Shuffle shape: the duplicated-text set (already materialized by
+    the chunk_dups cache, so its size is known for free) marks the
+    chunk table either by a guarded broadcast is_in (zero shuffle —
+    the common case: dup chunks are a sliver of the corpus) or, past
+    _DUP_SET_GUARD_BYTES, by the hash left-join (chunk-table-sized at
+    worst); then one per-doc grouped count, and the engine's hash
+    anti-join streams the kept corpus — no unguarded driver
+    materialization on any path."""
     from ray.data.aggregate import Count, Sum
 
     from harvester_ray.config import shuffle_partitions
@@ -315,28 +354,44 @@ def dup_chunk_filter(
     chunks = doc_chunks(sf_dir, chunk_size, overlap).select_columns(
         ["doc_id", "chunk_text"]
     )
-    dup = chunk_dups(sf_dir, chunk_size, overlap).select_columns(
-        ["chunk_text"]
-    ).map_batches(
-        lambda t: t.append_column(
-            "_dup", pa.array(np.ones(len(t), np.int8), pa.int8())
-        ),
-        batch_format="pyarrow",
-    )
-    marked = chunks.join(
-        dup,
-        join_type="left_outer",
-        num_partitions=shuffle_partitions(),
-        on=("chunk_text",),
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t["doc_id"].cast(pa.int64()),
-                "is_dup": pc.fill_null(t["_dup"], 0).cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    dup_set = chunk_dups(sf_dir, chunk_size, overlap)
+    if dup_set.size_bytes() <= _DUP_SET_GUARD_BYTES:
+        dup_texts = pa.array(
+            [r["chunk_text"] for r in dup_set.take_all()], pa.string()
+        )
+        dup_ref = ray.put(dup_texts)
+
+        def mark(t: pa.Table) -> pa.Table:
+            hit = pc.is_in(t["chunk_text"], value_set=ray.get(dup_ref))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "is_dup": hit.cast(pa.int64()),
+                }
+            )
+
+        marked = chunks.map_batches(mark, batch_format="pyarrow")
+    else:
+        dup = dup_set.select_columns(["chunk_text"]).map_batches(
+            lambda t: t.append_column(
+                "_dup", pa.array(np.ones(len(t), np.int8), pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+        marked = chunks.join(
+            dup,
+            join_type="left_outer",
+            num_partitions=shuffle_partitions(),
+            on=("chunk_text",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "is_dup": pc.fill_null(t["_dup"], 0).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     stats = marked.groupby("doc_id").aggregate(
         Count(alias_name="n_chunks"), Sum("is_dup", alias_name="n_dup")
     )

@@ -89,3 +89,38 @@ def test_update_pages_auto_compaction(tmp_path, ray_session):
     )
     update_pages_index(corpus, out, cfg)
     assert delta_dirs(idx_dir) == []          # compacted again (>=1)
+
+
+def test_latest_snapshot_keeps_newest_per_url(ray_session):
+    """Re-crawl resolution: one row per url; re-crawled urls keep the
+    NEWER snapshot (marker html, +30 days), single-crawl urls keep
+    their original row byte-identically."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from harvester_ray.pipelines.pages import (
+        RECRAWL_EVERY,
+        latest_snapshot,
+        pages_corpus,
+        recrawl_corpus,
+    )
+
+    corpus = recrawl_corpus(200)
+    pages = ray.data.read_parquet(os.path.join(corpus, "pages.parquet"))
+    kept = latest_snapshot(pages).to_pandas().sort_values("url")
+    base = pq.read_table(
+        os.path.join(pages_corpus(200), "pages.parquet")
+    ).to_pandas().sort_values("url")
+    assert len(kept) == len(base) == 200
+    assert kept["url"].is_unique
+    k = kept.set_index("url")
+    b = base.set_index("url")
+    for url, row in b.iterrows():
+        i = int(url.rsplit("/", 1)[1])
+        if i % RECRAWL_EVERY == 0:
+            assert k.loc[url, "warc_ts"] > row["warc_ts"]
+            assert b"recrawl update" in k.loc[url, "html"]
+        else:
+            assert k.loc[url, "warc_ts"] == row["warc_ts"]
+            assert k.loc[url, "html"] == row["html"]
