@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_bm25f": pages.pages_bm25f,
         # per-url keep-newest snapshot over a multi-crawl pages table
         "pages_latest_snapshot": pages.pages_latest_snapshot,
+        # incremental re-crawl sync: lineage-detected shard change ->
+        # upsert -> compaction; rank parity with full rebuild (pytest)
+        "pages_recrawl_sync": pages.pages_recrawl_sync,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dup": dedup.simhash_near_dup,

@@ -5,6 +5,7 @@ changes-feed main loop, solr_updater.py:875-962, as batch shards)."""
 import os
 import shutil
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from harvester_ray.corpus import generate_pages, write_corpus
@@ -124,3 +125,61 @@ def test_latest_snapshot_keeps_newest_per_url(ray_session):
         else:
             assert k.loc[url, "warc_ts"] == row["warc_ts"]
             assert k.loc[url, "html"] == row["html"]
+
+
+def test_recrawl_sync_matches_full_rebuild(ray_session, tmp_path):
+    """The upsert path after re-crawl resolution must rank-match a
+    from-scratch rebuild over the SAME resolved corpus — the engine's
+    merged corpus stats (N, df, avgdl across base + deltas + scoped
+    tombstones) are exact, so BM25 ranks cannot drift."""
+    import ray.data
+
+    from harvester_ray.index.query import QueryActor
+    from harvester_ray.pipelines.pages import (
+        build_pages_index,
+        latest_snapshot,
+        pages_corpus,
+        pages_recrawl_sync,
+        recrawl_corpus,
+    )
+
+    n = 300
+    got = (
+        pages_recrawl_sync(n_pages=n)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    # full rebuild over the resolved (latest-snapshot) corpus
+    rc = recrawl_corpus(n)
+    resolved_dir = tmp_path / "resolved"
+    os.makedirs(resolved_dir)
+    t = pa.Table.from_pylist(
+        latest_snapshot(
+            ray.data.read_parquet(os.path.join(rc, "pages.parquet"))
+        ).take_all()
+    ).sort_by("url")
+    pq.write_table(t, str(resolved_dir / "pages.parquet"))
+    paths = build_pages_index(
+        str(resolved_dir / "pages.parquet"), str(tmp_path / "idx")
+    )
+    queries_ds = ray.data.read_parquet(
+        os.path.join(pages_corpus(n), "queries.parquet")
+    )
+    exp = (
+        queries_ds.map_batches(
+            QueryActor,
+            fn_constructor_args=(paths.root,),
+            fn_constructor_kwargs={"k": 10},
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=32,
+        )
+        .to_pandas()[["query_id", "rank", "doc_id"]]
+        .astype("int64")
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = got.astype("int64")
+    assert got.equals(exp)
