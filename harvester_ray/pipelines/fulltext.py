@@ -3944,6 +3944,21 @@ def join_query_topk(sf_dir: str) -> "ray.data.Dataset":
 
 RANK_EVAL_SENTINEL = 1 << 30  # "no hit" min-rank sentinel
 
+# binary-relevance DCG weights, fixed-point: w(r) = round(1e6/log2(r+1)).
+# Precomputed ONCE in Python and embedded verbatim in the SQL twin, so
+# no cross-engine libm call ever happens; IDCG prefix sums are integer
+# sums of the same integers.
+import itertools as _it
+import math as _math
+
+RANK_EVAL_W_FP: tuple[int, ...] = tuple(
+    int(_math.floor(10**6 / _math.log2(r + 1) + 0.5))
+    for r in range(1, TOP_K + 1)
+)
+RANK_EVAL_IDCG_FP: tuple[int, ...] = tuple(
+    _it.accumulate(RANK_EVAL_W_FP)
+)
+
 
 def rank_eval(sf_dir: str) -> "ray.data.Dataset":
     """Offline retrieval-quality evaluation of the engine's own BM25
@@ -4026,8 +4041,10 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
             ("n_rel", pa.int64()),
             ("n_hit", pa.int64()),
             ("min_rank", pa.int64()),
+            ("dcg_fp", pa.int64()),
         ]
     )
+    w_fp = np.array(RANK_EVAL_W_FP, dtype=np.int64)
 
     def partials(t: pa.Table) -> pa.Table:
         """(query, doc, n_matched) rows -> <= |Q| metric partials."""
@@ -4040,7 +4057,7 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
         full = nm == nt_arr[qs]
         qs, ds_ = qs[full], ds_[full]
         lookup = ray.get(ret_ref)
-        out_q, out_rel, out_hit, out_min = [], [], [], []
+        out_q, out_rel, out_hit, out_min, out_dcg = [], [], [], [], []
         for qid in np.unique(qs):
             m = qs == qid
             docs = ds_[m]
@@ -4058,12 +4075,18 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
             out_min.append(
                 int(ranks.min()) if len(ranks) else RANK_EVAL_SENTINEL
             )
+            out_dcg.append(
+                int(w_fp[ranks.astype(np.int64) - 1].sum())
+                if len(ranks)
+                else 0
+            )
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "n_rel": pa.array(out_rel, pa.int64()),
                 "n_hit": pa.array(out_hit, pa.int64()),
                 "min_rank": pa.array(out_min, pa.int64()),
+                "dcg_fp": pa.array(out_dcg, pa.int64()),
             }
         )
 
@@ -4076,6 +4099,7 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
                 "min_rank": pa.array(
                     [RANK_EVAL_SENTINEL] * len(n_terms), pa.int64()
                 ),
+                "dcg_fp": pa.array([0] * len(n_terms), pa.int64()),
             }
         )
     )
@@ -4088,8 +4112,10 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
             ("p10_fp6", pa.int64()),
             ("recall_fp6", pa.int64()),
             ("rr_fp6", pa.int64()),
+            ("ndcg_fp6", pa.int64()),
         ]
     )
+    idcg_fp = np.array(RANK_EVAL_IDCG_FP, dtype=np.int64)
 
     def finalize(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -4104,6 +4130,9 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
         rr = np.where(
             minr < RANK_EVAL_SENTINEL, fp // np.maximum(minr, 1), 0
         )
+        dcg = t["dcg_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ideal = idcg_fp[np.minimum(np.maximum(n_rel, 1), TOP_K) - 1]
+        ndcg = np.where(n_rel > 0, dcg * fp // ideal, 0)
         return pa.table(
             {
                 "query_id": t["query_id"].cast(pa.int64()),
@@ -4112,6 +4141,7 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
                 "p10_fp6": pa.array(n_hit * fp // TOP_K, pa.int64()),
                 "recall_fp6": pa.array(recall, pa.int64()),
                 "rr_fp6": pa.array(rr, pa.int64()),
+                "ndcg_fp6": pa.array(ndcg, pa.int64()),
             }
         )
 
@@ -4126,6 +4156,7 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
             Sum("n_rel", alias_name="n_rel"),
             Sum("n_hit", alias_name="n_hit"),
             Min("min_rank", alias_name="min_rank"),
+            Sum("dcg_fp", alias_name="dcg_fp"),
         )
         .map_batches(finalize, batch_format="pyarrow")
     )

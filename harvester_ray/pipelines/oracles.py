@@ -3346,9 +3346,19 @@ def _rank_eval_sql() -> str:
     integer floor divisions only (DuckDB // truncates, Python //
     floors — they agree exactly on nonnegatives, which is why no
     negative value ever reaches a division here)."""
-    from harvester_ray.pipelines.fulltext import TOP_K
+    from harvester_ray.pipelines.fulltext import (
+        RANK_EVAL_IDCG_FP,
+        RANK_EVAL_W_FP,
+        TOP_K,
+    )
 
     values = _or_query_values()
+    w_values = ", ".join(
+        f"({r}, {w})" for r, w in enumerate(RANK_EVAL_W_FP, start=1)
+    )
+    idcg_values = ", ".join(
+        f"({m}, {v})" for m, v in enumerate(RANK_EVAL_IDCG_FP, start=1)
+    )
     return f"""
 WITH {_CORPUS_CTES},
 q(query_id, term) AS (VALUES {values}),
@@ -3370,6 +3380,8 @@ ranked AS (
 ),
 ret AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {TOP_K}),
 nq AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+rankw(rank, w_fp) AS (VALUES {w_values}),
+idcg(m, idcg_fp) AS (VALUES {idcg_values}),
 mc AS (SELECT q.query_id, p.doc_id, count(*) AS nm
        FROM q JOIN postings p USING (term)
        GROUP BY q.query_id, p.doc_id),
@@ -3377,10 +3389,12 @@ rel AS (SELECT mc.query_id, mc.doc_id
         FROM mc JOIN nq USING (query_id)
         WHERE mc.nm = nq.n_terms),
 m AS (SELECT r.query_id, count(*) AS n_rel,
-             count(t.rank) AS n_hit, min(t.rank) AS minr
+             count(t.rank) AS n_hit, min(t.rank) AS minr,
+             CAST(coalesce(sum(w.w_fp), 0) AS BIGINT) AS dcg_fp
       FROM rel r
       LEFT JOIN ret t
         ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+      LEFT JOIN rankw w ON w.rank = t.rank
       GROUP BY r.query_id),
 allq AS (SELECT DISTINCT query_id FROM q)
 SELECT a.query_id,
@@ -3391,7 +3405,12 @@ SELECT a.query_id,
             THEN coalesce(m.n_hit, 0) * 1000000 // m.n_rel
             ELSE 0 END AS recall_fp6,
        CASE WHEN m.minr IS NOT NULL THEN 1000000 // m.minr
-            ELSE 0 END AS rr_fp6
+            ELSE 0 END AS rr_fp6,
+       CASE WHEN coalesce(m.n_rel, 0) > 0
+            THEN m.dcg_fp * 1000000
+                 // (SELECT i.idcg_fp FROM idcg i
+                     WHERE i.m = least(m.n_rel, {TOP_K}))
+            ELSE 0 END AS ndcg_fp6
 FROM allq a LEFT JOIN m USING (query_id)
 """
 

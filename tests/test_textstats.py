@@ -582,3 +582,12 @@ def test_rank_eval_invariants(ray_session):
     assert (
         df["p10_fp6"] == df["n_hit"] * 10**6 // TOP_K
     ).all()
+    # nDCG: perfect when every retrieved doc is relevant and there are
+    # >= TOP_K relevant docs; zero iff no hits; never above 1.0
+    from harvester_ray.pipelines.fulltext import RANK_EVAL_IDCG_FP
+
+    full = (df["n_hit"] == TOP_K) & (df["n_rel"] >= TOP_K)
+    assert (df.loc[full, "ndcg_fp6"] == 10**6).all()
+    assert (df.loc[df["n_hit"] == 0, "ndcg_fp6"] == 0).all()
+    assert (df["ndcg_fp6"] <= 10**6).all()
+    assert len(RANK_EVAL_IDCG_FP) == TOP_K
