@@ -58,10 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolean NOT (exclusion before top-k)
         "bm25_topk_not": fulltext.bm25_topk_not,
         # facet counts over the full match set (Solr facet parity)
-        # offline IR rank evaluation of the engine's own BM25 top-k
-        # (precision@k / recall / MRR vs conjunctive qrels)
-        "rank_eval": fulltext.rank_eval,
         "search_facets": fulltext.search_facets,
+        # offline IR rank evaluation of the engine's own BM25 top-k
+        # (precision@k / recall / MRR / nDCG vs conjunctive qrels)
+        "rank_eval": fulltext.rank_eval,
         # two-phase distributed faceting on the doc-sharded tier
         # (overrequest + refine; exact-membership regime asserted)
         "search_facets_sharded": fulltext.search_facets_sharded,

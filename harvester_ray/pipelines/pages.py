@@ -428,20 +428,28 @@ def latest_snapshot(pages: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-url keep-NEWEST snapshot over a multi-crawl pages table —
     the dedup a Common-Crawl-style corpus needs before extraction
     (the reference's couch sync has the same semantics: a re-harvested
-    record replaces the stored doc by id).
+    record replaces the stored doc by id). Contract: exactly one row
+    per url. Rows tied at the max warc_ts break deterministically by
+    content hash (largest hash64 of the html bytes wins); byte-
+    identical full ties collapse through a targeted per-url shuffle of
+    ONLY the tied urls' rows.
 
-    Scale shape: the heavy (html) payload is NEVER shuffled. Pass 1
-    projects (url, warc_ts) only and finds urls with >1 snapshot plus
-    their max ts (light groupby — bytes ∝ distinct urls). Pass 2
-    streams the full table once, keeping a row iff its url is
+    Scale shape: the heavy (html) payload is never shuffled on the
+    common path. Pass 1 projects (url, warc_ts) only and finds urls
+    with >1 snapshot plus their max ts (light groupby — bytes ∝
+    re-crawled urls, size-guarded BEFORE it lands on the driver).
+    Pass 2 streams the full table once, keeping a row iff its url is
     un-duplicated or its ts is the winner (vectorized index_in +
-    timestamp compare against the broadcast dup map). The dup side
-    table is re-crawl-bounded (dups only, not all urls) and guarded;
-    past the guard, swap in the partitioned anti-join twin
-    (stages/joins.partitioned_join keyed by url-hash) — same
-    two-pass shape, one extra payload shuffle of ONLY the dup rows."""
+    timestamp compare against the broadcast dup map). Ties — rare in
+    real dumps — divert only their own rows through a groupby(url)
+    head-by-content-hash. Past the guard, swap in the partitioned
+    anti-join twin (stages/joins.partitioned_join keyed by url-hash)
+    — same two-pass shape, one extra payload shuffle of the dup rows."""
     import numpy as np
     from ray.data.aggregate import Count, Max
+
+    from harvester_ray.functions.text import hash64_bytes
+    from harvester_ray.stages.joins import bounded_side_table
 
     meta = (
         pages.select_columns(["url", "warc_ts"])
@@ -462,34 +470,102 @@ def latest_snapshot(pages: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    dup_rows = meta.map_batches(only_dups, batch_format="pyarrow").take_all()
+    dup_rows = bounded_side_table(
+        meta.map_batches(only_dups, batch_format="pyarrow"),
+        _SNAP_GUARD_BYTES,
+        "latest_snapshot dup-url table",
+    )
     dup_urls = pa.array([r["url"] for r in dup_rows], pa.string())
     dup_ts = np.array(
         [r["max_ts"] for r in dup_rows], dtype="datetime64[us]"
     ).astype(np.int64) if dup_rows else np.empty(0, np.int64)
-    approx = sum(len(u.as_py()) + 16 for u in dup_urls)
-    if approx > _SNAP_GUARD_BYTES:
-        raise NotImplementedError(
-            f"dup-url table ~{approx>>20} MiB exceeds the broadcast "
-            "guard; wire the partitioned_join twin for this corpus"
-        )
     dup_ref = ray.put((dup_urls, dup_ts))
+
+    # tie detection: count rows sitting AT the max ts per dup url
+    # (another light projection pass; output ⊆ the guarded dup set)
+    def at_max(t: pa.Table) -> pa.Table:
+        urls, ts_max = ray.get(dup_ref)
+        idx = pc.index_in(t["url"], value_set=urls)
+        pos = idx.to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = valid.copy()
+        if valid.any():
+            m[valid] = ts[valid] == dup_ts[pos[valid].astype(np.int64)]
+        return pa.table({"url": t["url"].filter(pa.array(m))})
+
+    tie_counts = (
+        pages.select_columns(["url", "warc_ts"])
+        .map_batches(at_max, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Count(alias_name="n_at_max"))
+    )
+    tied = sorted(
+        r["url"]
+        for r in bounded_side_table(
+            tie_counts.map_batches(
+                lambda t: t.filter(pc.greater(t["n_at_max"], 1)).select(
+                    ["url"]
+                )
+                if len(t) and "n_at_max" in t.column_names
+                else pa.schema([("url", pa.string())]).empty_table(),
+                batch_format="pyarrow",
+            ),
+            _SNAP_GUARD_BYTES,
+            "latest_snapshot tied-url table",
+        )
+    )
+    tied_arr = pa.array(tied, pa.string())
+    tied_ref = ray.put(tied_arr)
 
     def keep_latest(t: pa.Table) -> pa.Table:
         urls, ts_max = ray.get(dup_ref)
         idx = pc.index_in(t["url"], value_set=urls)
         pos = idx.to_numpy(zero_copy_only=False)
         ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        is_dup = ~np.isnan(pos) if pos.dtype.kind == "f" else pc.is_valid(
-            idx
-        ).to_numpy(zero_copy_only=False)
+        is_dup = pc.is_valid(idx).to_numpy(zero_copy_only=False)
         win = np.ones(len(t), bool)
         if is_dup.any():
             di = pos[is_dup].astype(np.int64)
             win[is_dup] = ts[is_dup] == ts_max[di]
+        if len(tied):
+            # tied urls resolve in their own shuffled branch
+            t_tied = pc.is_in(
+                t["url"], value_set=ray.get(tied_ref)
+            ).to_numpy(zero_copy_only=False)
+            win &= ~t_tied
         return t.filter(pa.array(win))
 
-    return pages.map_batches(keep_latest, batch_format="pyarrow")
+    kept = pages.map_batches(keep_latest, batch_format="pyarrow")
+    if not tied:
+        return kept
+
+    def only_tied_at_max(t: pa.Table) -> pa.Table:
+        urls, ts_max = ray.get(dup_ref)
+        m = pc.is_in(t["url"], value_set=ray.get(tied_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        if m.any():
+            idx = pc.index_in(t["url"], value_set=urls)
+            pos = idx.to_numpy(zero_copy_only=False)
+            ts = t["warc_ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            at = np.zeros(len(t), bool)
+            at[m] = ts[m] == ts_max[pos[m].astype(np.int64)]
+            m = at
+        return t.filter(pa.array(m))
+
+    def head_by_content(g: pa.Table) -> pa.Table:
+        h = [hash64_bytes(v.as_py() or b"") for v in g["html"]]
+        return g.take([int(np.argmax(np.array(h, np.int64)))])
+
+    resolved = (
+        pages.map_batches(only_tied_at_max, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(head_by_content, batch_format="pyarrow")
+    )
+    return kept.union(resolved)
 
 
 def pages_latest_snapshot(

@@ -354,10 +354,18 @@ def dup_chunk_filter(
     chunks = doc_chunks(sf_dir, chunk_size, overlap).select_columns(
         ["doc_id", "chunk_text"]
     )
+    from harvester_ray.stages.joins import bounded_side_table
+
     dup_set = chunk_dups(sf_dir, chunk_size, overlap)
     if dup_set.size_bytes() <= _DUP_SET_GUARD_BYTES:
         dup_texts = pa.array(
-            [r["chunk_text"] for r in dup_set.take_all()], pa.string()
+            [
+                r["chunk_text"]
+                for r in bounded_side_table(
+                    dup_set, _DUP_SET_GUARD_BYTES, "dup-chunk set"
+                )
+            ],
+            pa.string(),
         )
         dup_ref = ray.put(dup_texts)
 

@@ -241,3 +241,22 @@ def asof_join(
         return pa.table(cols)
 
     return tagged.groupby("__key").map_groups(resolve, batch_format="pyarrow")
+
+
+def bounded_side_table(
+    ds: "object", guard_bytes: int, label: str
+) -> list[dict]:
+    """Materialize a SMALL side table for driver broadcast — size is
+    checked BEFORE take_all() so an over-guard table never lands on
+    the driver (the guard must prevent the blow-up, not post-date it).
+    Callers document their past-guard twin (partitioned_join / hash
+    anti-join) in the NotImplementedError they surface."""
+    mat = ds.materialize()
+    size = mat.size_bytes() or 0
+    if size > guard_bytes:
+        raise NotImplementedError(
+            f"{label}: side table ~{size >> 20} MiB exceeds the "
+            f"{guard_bytes >> 20} MiB broadcast guard; use the "
+            "partitioned/hash-join twin for this input"
+        )
+    return mat.take_all()

@@ -183,3 +183,49 @@ def test_recrawl_sync_matches_full_rebuild(ray_session, tmp_path):
     )
     got = got.astype("int64")
     assert got.equals(exp)
+
+
+def test_latest_snapshot_breaks_ts_ties_by_content_hash(
+    tmp_path, ray_session
+):
+    """Rows tied at the max warc_ts must resolve to EXACTLY one row
+    per url: the largest content hash wins; byte-identical full ties
+    still collapse to one row (targeted per-url shuffle)."""
+    import numpy as np
+    import ray.data
+
+    from harvester_ray.functions.text import hash64_bytes
+    from harvester_ray.pipelines.pages import latest_snapshot
+
+    ts = pa.array([1000, 1000, 1000, 500, 1000, 1000], pa.timestamp("us"))
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["u/a", "u/a", "u/a", "u/b", "u/c", "u/c"], pa.string()
+            ),
+            "warc_ts": ts,
+            "html": pa.array(
+                [b"v1", b"v2", b"v3", b"old", b"same", b"same"],
+                pa.binary(),
+            ),
+            "text": pa.nulls(6, pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "pages.parquet"))
+    kept = (
+        latest_snapshot(
+            ray.data.read_parquet(str(tmp_path / "pages.parquet"))
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(kept["url"]) == ["u/a", "u/b", "u/c"]
+    # u/a: three distinct contents tied at max ts -> largest hash wins
+    want = max([b"v1", b"v2", b"v3"], key=hash64_bytes)
+    assert kept.loc[0, "html"] == want
+    # u/b: single row passes through untouched
+    assert kept.loc[1, "html"] == b"old"
+    # u/c: byte-identical full tie still collapses to ONE row
+    assert kept.loc[2, "html"] == b"same"
