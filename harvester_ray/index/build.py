@@ -469,6 +469,27 @@ def make_sorted_batch_encoder(avgdl: float, cfg: IndexConfig):
     return encode_batch
 
 
+def _present_buckets(post_root: str) -> list[int]:
+    """Bucket ids that actually exist under the hive-partitioned
+    postings root (``bucket=N`` dirs), sorted. Per-bucket stages fan
+    out over these instead of range(num_term_buckets): a small corpus
+    fills a fraction of the hash space, and launching a Ray task per
+    EMPTY bucket is pure fixed cost. At corpus scale every bucket
+    exists and this equals range(num_term_buckets)."""
+    try:
+        entries = os.listdir(post_root)
+    except OSError:
+        return []
+    out = []
+    for e in entries:
+        if e.startswith("bucket="):
+            try:
+                out.append(int(e.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def _atomic_side_write(
     tbl: pa.Table, out_dir: str, key: str, row_group_size: int | None = None
 ) -> None:
@@ -758,7 +779,10 @@ def build_index(
             return len(out)
 
         os.makedirs(tmp, exist_ok=True)
-        ray.get([dict_bucket.remote(b) for b in range(cfg.num_term_buckets)])
+        # launch only buckets that exist on disk: a small corpus fills
+        # a fraction of the 128 hash buckets and the per-task fixed
+        # cost (~20 ms) dominates empty launches; at scale all exist
+        ray.get([dict_bucket.remote(b) for b in _present_buckets(post_root)])
 
     def write_dictionary(tmp: str) -> None:
         if bucketed:
@@ -887,7 +911,7 @@ def build_index(
         ray.get(
             [
                 encode_bucket_chunk.remote(b, c)
-                for b in range(cfg.num_term_buckets)
+                for b in _present_buckets(post_root)
                 for c in range(n_chunks)
             ]
         )

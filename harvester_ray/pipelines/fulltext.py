@@ -18,6 +18,7 @@ import ray.data
 from harvester_ray.config import DEFAULT_INDEX_CONFIG, stage_concurrency
 from harvester_ray.index.build import ENGINE_VERSION, IndexPaths, build_index
 from harvester_ray.index.query import QueryActor
+from harvester_ray.stages.joins import join_parquet_side
 
 CACHE_ROOT = "/tmp/harvester_ray_cache"
 
@@ -188,6 +189,64 @@ def doc_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# Long-lived serving actors per (index root, pool config) — a real
+# serving tier keeps its query actors RESIDENT across requests, so the
+# per-actor index load (the stateful-stage __init__) amortizes over the
+# query stream instead of repeating per entry. Bounded LRU; evicted
+# pools are killed. The key folds in the index's stats/deltas mtimes so
+# an in-process upsert/compaction refreshes the pool instead of serving
+# stale state.
+_SERVE_POOL: "dict[tuple, list]" = {}
+_SERVE_POOL_MAX = 6
+_SERVE_POOL_SIZE = 2
+# query batches at or under this row count route to the resident pool;
+# larger streams (a real query LOG) go through the autoscaling
+# map_batches pool, which is the right shape for sustained load
+_SERVE_POOL_ROWS = 512
+
+
+def _serving_pool(cls, root: str, **ctor_kwargs) -> list:
+    fp = 0
+    for sub in ("stats.json", "deltas", ""):
+        try:
+            fp = fp * 1_000_003 + os.stat(
+                os.path.join(root, sub) if sub else root
+            ).st_mtime_ns
+        except OSError:
+            fp = fp * 1_000_003
+    key = (cls.__qualname__, root, tuple(sorted(ctor_kwargs.items())), fp)
+    pool = _SERVE_POOL.get(key)
+    if pool is None:
+        while len(_SERVE_POOL) >= _SERVE_POOL_MAX:
+            for a in _SERVE_POOL.pop(next(iter(_SERVE_POOL))):
+                ray.kill(a)
+        # num_cpus=0: resident pools must not RESERVE cores while idle —
+        # several pools (per algorithm/scorer) would otherwise pin every
+        # CPU and starve the Ray Data executions sharing the cluster
+        # (observed as a full-process hang at 8 CPUs). A dedicated
+        # serving deployment would size real num_cpus per actor.
+        act = ray.remote(num_cpus=0)(cls)
+        pool = [
+            act.remote(root, **ctor_kwargs)
+            for _ in range(_SERVE_POOL_SIZE)
+        ]
+        _SERVE_POOL[key] = pool
+    return pool
+
+
+def _pool_eval(pool: list, tbl: pa.Table) -> "pa.Table | None":
+    """Round-robin ``tbl`` across the resident pool; None if no rows
+    came back (callers emit their typed empty)."""
+    step = -(-tbl.num_rows // len(pool))  # ceil
+    refs = [
+        a.__call__.remote(tbl.slice(i * step, step))
+        for i, a in enumerate(pool)
+        if i * step < tbl.num_rows
+    ]
+    parts = [p for p in ray.get(refs) if p.num_rows]
+    return pa.concat_tables(parts) if parts else None
+
+
 def _query_pool(
     paths: IndexPaths,
     items,
@@ -201,6 +260,41 @@ def _query_pool(
     query [/ mode / exclude / after_*]) -> (query_id, rank, doc_id
     [, score]). Pool sizing and the typed re-emit live HERE so page-1,
     page-2, expansions and NOT queries cannot drift apart."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        cols = {
+            "query_id": t["query_id"],
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"],
+        }
+        if keep_score:
+            cols["score"] = t["score"]
+        return pa.table(cols)
+
+    tbl = items if isinstance(items, pa.Table) else (
+        pa.Table.from_pylist(items) if items else None
+    )
+    if tbl is not None and tbl.num_rows <= _SERVE_POOL_ROWS:
+        pool = _serving_pool(
+            QueryActor, paths.root, k=k, algorithm=algorithm, scorer=scorer
+        )
+        out_t = _pool_eval(pool, tbl)
+        if out_t is None:  # typed empty
+            out_t = pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+                | (
+                    {"score": pa.array([], pa.float64())}
+                    if keep_score
+                    else {}
+                )
+            )
+            return ray.data.from_arrow(out_t)
+        return ray.data.from_arrow(emit(out_t))
+
     ds = (
         ray.data.from_arrow(items)
         if isinstance(items, pa.Table)
@@ -218,17 +312,6 @@ def _query_pool(
         concurrency=stage_concurrency(divisor=4, hi=8),
         batch_size=8,
     )
-
-    def emit(t: pa.Table) -> pa.Table:
-        cols = {
-            "query_id": t["query_id"],
-            "rank": t["rank"].cast(pa.int64()),
-            "doc_id": t["doc_id"],
-        }
-        if keep_score:
-            cols["score"] = t["score"]
-        return pa.table(cols)
-
     return out.map_batches(emit, batch_format="pyarrow")
 
 
@@ -488,67 +571,17 @@ def _match_set_cached(sf_dir: str, kind: str, build) -> "ray.data.Dataset":
 
 
 def _distinct_match_set(sf_dir: str) -> "ray.data.Dataset":
+    """(query_id, doc_id) — each OR query's FULL distinct match set.
+    Derived as a projection of the cached scored match set (one row per
+    (query, doc) there), so the facet/sort/filter consumers and the
+    ranked consumers share ONE postings scan + (query, doc) shuffle per
+    process instead of building two parallel match sets."""
     return _match_set_cached(
-        sf_dir, "distinct", lambda: _distinct_match_set_build(sf_dir)
-    )
-
-
-def _distinct_match_set_build(sf_dir: str) -> "ray.data.Dataset":
-    """(query_id, doc_id) — each OR query's FULL distinct match set:
-    pruned postings read (only the query terms' rows leave storage) →
-    per-batch expansion → distinct (query, doc) groupby. Shared by the
-    full-match-set consumers that don't need scores (search_facets,
-    sort_by_field_topk); shuffles the match set, never all postings."""
-    import pyarrow.dataset as pads
-
-    from harvester_ray.functions.text import tokenize
-    from ray.data.aggregate import Count
-
-    paths = index_for(sf_dir)
-    qterms = [
-        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
-    ]
-    all_terms = sorted({t for _, ts in qterms for t in ts})
-    post = ray.data.read_parquet(
-        paths.postings,
-        columns=["term", "doc_id"],
-        filter=pads.field("term").isin(all_terms),
-    )
-
-    def expand(t: pa.Table) -> pa.Table:
-        import numpy as np
-        import pyarrow.compute as pc
-
-        qids, dids = [], []
-        for qid, ts in qterms:
-            mask = pc.is_in(t["term"], value_set=pa.array(ts, pa.string()))
-            sel = t.filter(mask)["doc_id"].to_numpy(zero_copy_only=False)
-            qids.append(np.full(len(sel), qid, dtype=np.int64))
-            dids.append(sel.astype(np.int64))
-        return pa.table(
-            {
-                "query_id": pa.array(
-                    np.concatenate(qids) if qids else [], pa.int64()
-                ),
-                "doc_id": pa.array(
-                    np.concatenate(dids) if dids else [], pa.int64()
-                ),
-            }
-        )
-
-    return (
-        post.map_batches(expand, batch_format="pyarrow")
-        .groupby(["query_id", "doc_id"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(  # typed re-emit: aggregate can yield schema-less
-            lambda t: pa.table(
-                {
-                    "query_id": t["query_id"].cast(pa.int64()),
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        sf_dir,
+        "distinct",
+        lambda: _scored_match_set(sf_dir).select_columns(
+            ["query_id", "doc_id"]
+        ),
     )
 
 
@@ -563,15 +596,11 @@ def search_facets(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Count
 
     matches = _distinct_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        matches,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"],
-    )
-    joined = matches.join(
-        docs,
-        join_type="inner",
-        num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
     return (
         joined.groupby(["query_id", "source"])
@@ -600,13 +629,11 @@ def json_facet_stats(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     matches = _distinct_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        matches,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "n_chars"],
-    )
-    joined = matches.join(
-        docs, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
     buckets = joined.groupby(["query_id", "source"]).aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
@@ -653,15 +680,11 @@ def sort_by_field_topk(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     matches = _distinct_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        matches,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "n_chars"],
-    )
-    joined = matches.join(
-        docs,
-        join_type="inner",
-        num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
 
     import pyarrow.compute as pc
@@ -792,12 +815,9 @@ def _query_joined_postings(
             columns=["term", "doc_id", "tf"],
             filter=pads.field("term").isin(all_terms),
         )
-        dlen = ray.data.read_parquet(
-            paths.doc_table, columns=["doc_id", "doc_len"]
-        )
-        return post.join(
-            dlen, join_type="inner", num_partitions=shuffle_partitions(),
-            on=("doc_id",),
+        return join_parquet_side(
+            post, paths.doc_table,
+            columns=["doc_id", "doc_len"], on=["doc_id"],
         )
 
     return _match_set_cached(sf_dir, "qjoined", build)
@@ -827,7 +847,7 @@ def _weighted_match_set_build(
 
     import numpy as np
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
     from harvester_ray.functions.text import tokenize
     from harvester_ray.index.build import bm25_idf, bm25_norm
@@ -961,13 +981,20 @@ def _weighted_match_set_build(
     return (
         post.map_batches(score_rows, batch_format="pyarrow")
         .groupby(["query_id", "doc_id"])
-        .aggregate(Sum("score_fp", alias_name="score_fp"))
+        # nterms rides along for free: each expanded row is one
+        # (query-term, doc) posting, so the group count IS the
+        # distinct-query-term match count (mm_topk's input)
+        .aggregate(
+            Sum("score_fp", alias_name="score_fp"),
+            Count(alias_name="nterms"),
+        )
         .map_batches(  # typed re-emit after the aggregate
             lambda t: pa.table(
                 {
                     "query_id": t["query_id"].cast(pa.int64()),
                     "doc_id": t["doc_id"].cast(pa.int64()),
                     "score_fp": t["score_fp"].cast(pa.int64()),
+                    "nterms": t["nterms"].cast(pa.int64()),
                 }
             ),
             batch_format="pyarrow",
@@ -1073,13 +1100,11 @@ def collapse_topk(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     scored = _scored_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        scored,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"],
-    )
-    joined = scored.join(
-        docs, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
 
     import pyarrow.compute as pc
@@ -1640,13 +1665,11 @@ def bm25_topk_filtered(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     scored = _scored_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        scored,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang"],
-    )
-    joined = scored.join(
-        docs, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
     flt = joined.map_batches(
         lambda t: t.filter(pc.equal(t["lang"], FILTER_LANG)),
@@ -1811,23 +1834,25 @@ def query_language(sf_dir: str) -> "ray.data.Dataset":
             ),
         }
     )
-    out = ray.data.from_arrow(items).map_batches(
-        BooleanQueryActor,
-        fn_constructor_args=(paths.root,),
-        fn_constructor_kwargs={"k": TOP_K},
-        batch_format="pyarrow",
-        concurrency=stage_concurrency(divisor=4, hi=8),
-        batch_size=8,
-    )
-    return out.map_batches(
-        lambda t: pa.table(
+    pool = _serving_pool(BooleanQueryActor, paths.root, k=TOP_K)
+    out_t = _pool_eval(pool, items)
+    if out_t is None:
+        out_t = pa.table(
             {
-                "query_id": t["query_id"],
-                "rank": t["rank"].cast(pa.int64()),
-                "doc_id": t["doc_id"],
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+        return ray.data.from_arrow(out_t)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": out_t["query_id"],
+                "rank": out_t["rank"].cast(pa.int64()),
+                "doc_id": out_t["doc_id"],
+            }
+        )
     )
 
 
@@ -1860,15 +1885,11 @@ def search_range_facets(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     matches = _distinct_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        matches,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "n_chars"],
-    )
-    joined = matches.join(
-        docs,
-        join_type="inner",
-        num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
 
     def bucket(t: pa.Table) -> pa.Table:
@@ -2011,15 +2032,11 @@ def search_pivot_facets(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     matches = _distinct_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        matches,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "lang"],
-    )
-    joined = matches.join(
-        docs,
-        join_type="inner",
-        num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
     return (
         joined.groupby(["query_id", "source", "lang"])
@@ -2562,13 +2579,11 @@ def bm25_boosted_topk(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     scored = _scored_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        scored,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "n_chars"],
-    )
-    joined = scored.join(
-        docs, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
 
     def boost(t: pa.Table) -> pa.Table:
@@ -2635,13 +2650,11 @@ def search_field_stats(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     scored = _scored_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        scored,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "n_chars"],
-    )
-    joined = scored.join(
-        docs, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
     agg = joined.groupby("query_id").aggregate(
         Count(alias_name="n_matches"),
@@ -2680,13 +2693,11 @@ def grouped_search_topk(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     scored = _scored_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        scored,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"],
-    )
-    joined = scored.join(
-        docs, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
     _SORT = [("score_fp", "descending"), ("doc_id", "ascending")]
 
@@ -2911,22 +2922,23 @@ def significant_terms(sf_dir: str) -> "ray.data.Dataset":
         )
     )
 
-    post = ray.data.read_parquet(paths.postings, columns=["term", "doc_id"])
     fg = (
-        scored.select_columns(["query_id", "doc_id"])
-        .join(
-            post, join_type="inner",
-            num_partitions=shuffle_partitions(), on=("doc_id",),
+        join_parquet_side(
+            scored.select_columns(["query_id", "doc_id"]),
+            paths.postings,
+            columns=["term", "doc_id"],
+            on=["doc_id"],
         )
         .groupby(["query_id", "term"])
         .aggregate(Count(alias_name="df_fg"))
     )
-    dict_ds = ray.data.read_parquet(
-        paths.dictionary, columns=["term", "df"]
-    )
-    j = fg.join(
-        dict_ds, join_type="inner",
-        num_partitions=shuffle_partitions(), on=("term",),
+    j = join_parquet_side(
+        fg, paths.dictionary,
+        columns=["term", "df"], on=["term"],
+        left_schema=pa.schema(
+            [("query_id", pa.int64()), ("term", pa.string()),
+             ("df_fg", pa.int64())]
+        ),
     )
 
     def lift(t: pa.Table) -> pa.Table:
@@ -2991,15 +3003,12 @@ def search_field_quantiles(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.pipelines.relational import QUANTILES_R4
 
     scored = _scored_match_set(sf_dir)
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "n_chars"],
-    )
     hist = (
-        scored.select_columns(["query_id", "doc_id"])
-        .join(
-            docs, join_type="inner",
-            num_partitions=shuffle_partitions(), on=("doc_id",),
+        join_parquet_side(
+            scored.select_columns(["query_id", "doc_id"]),
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+            on=["doc_id"],
         )
         .groupby(["query_id", "n_chars"])
         .aggregate(Count(alias_name="c"))
@@ -3039,67 +3048,14 @@ def search_field_quantiles(sf_dir: str) -> "ray.data.Dataset":
 MM_MIN = 2  # required optional clauses; capped at |query terms| (Solr rule)
 
 
-def _match_term_counts(sf_dir: str) -> "ray.data.Dataset":
-    """(query_id, doc_id, nterms) — how many DISTINCT query terms each
-    match-set doc matched, derived from the shared cached
-    postings⨝doc_len join (each row there is a unique (term, doc)
-    posting, so a per-query row count IS the distinct-term count)."""
-    import numpy as np
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
-
-    from harvester_ray.functions.text import tokenize
-
-    paths = index_for(sf_dir)
-    qterms = [
-        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
-    ]
-    all_terms = sorted({t for _, ts in qterms for t in ts})
-    post = _query_joined_postings(sf_dir, paths, all_terms)
-
-    def expand(t: pa.Table) -> pa.Table:
-        qids, dids = [], []
-        for qid, ts in qterms:
-            mask = pc.is_in(t["term"], value_set=pa.array(ts, pa.string()))
-            sel = t.filter(mask)["doc_id"].to_numpy(zero_copy_only=False)
-            qids.append(np.full(len(sel), qid, dtype=np.int64))
-            dids.append(sel.astype(np.int64))
-        return pa.table(
-            {
-                "query_id": pa.array(
-                    np.concatenate(qids) if qids else [], pa.int64()
-                ),
-                "doc_id": pa.array(
-                    np.concatenate(dids) if dids else [], pa.int64()
-                ),
-            }
-        )
-
-    return (
-        post.map_batches(expand, batch_format="pyarrow")
-        .groupby(["query_id", "doc_id"])
-        .aggregate(Count(alias_name="nterms"))
-        .map_batches(  # typed re-emit after the aggregate
-            lambda t: pa.table(
-                {
-                    "query_id": t["query_id"].cast(pa.int64()),
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                    "nterms": t["nterms"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
-
-
 def mm_topk(sf_dir: str) -> "ray.data.Dataset":
     """Solr edismax minimum-should-match (mm=MM_MIN) top-k: each OR
     query keeps only docs matching at least min(MM_MIN, |query terms|)
     distinct query terms (Solr caps mm at the optional-clause count),
-    ranked by the unchanged BM25 score. Shuffle shape: the cached
-    scored match set hash-joins the per-(query, doc) distinct-term
-    counts (both match-set-sized, never corpus-sized), a vectorized
-    threshold filter, then the per-query top-k. Output
+    ranked by the unchanged BM25 score. Shuffle shape: NONE beyond the
+    shared scored-match-set build — the distinct-term count (nterms)
+    rides along in that set's grouped aggregate, so mm is a vectorized
+    threshold filter plus the per-query top-k. Output
     (query_id, rank, doc_id). Reference analog: the Solr mm parameter
     every Calisphere multi-term search passes through."""
     import numpy as np
@@ -3115,12 +3071,9 @@ def mm_topk(sf_dir: str) -> "ray.data.Dataset":
     for qid, ts in qterms:
         req[qid] = min(MM_MIN, len(ts))
 
-    joined = _scored_match_set(sf_dir).join(
-        _match_term_counts(sf_dir),
-        join_type="inner",
-        num_partitions=shuffle_partitions(),
-        on=("query_id", "doc_id"),
-    )
+    # the scored match set carries nterms (ride-along group count in
+    # _weighted_match_set_build) — no second expand/groupby/join pass
+    joined = _scored_match_set(sf_dir)
 
     def keep(t: pa.Table) -> pa.Table:
         qid = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3290,13 +3243,11 @@ def facet_query_counts(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     matches = _distinct_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        matches,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars"],
-    )
-    joined = matches.join(
-        docs, join_type="inner",
-        num_partitions=shuffle_partitions(), on=("doc_id",),
+        on=["doc_id"],
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -3391,12 +3342,8 @@ def doc_keywords(sf_dir: str) -> "ray.data.Dataset":
     post = ray.data.read_parquet(
         paths.postings, columns=["term", "doc_id", "tf"]
     )
-    dic = ray.data.read_parquet(paths.dictionary, columns=["term", "df"])
-    joined = post.join(
-        dic,
-        join_type="inner",
-        num_partitions=shuffle_partitions(),
-        on=("term",),
+    joined = join_parquet_side(
+        post, paths.dictionary, columns=["term", "df"], on=["term"],
     )
 
     def weigh(t: pa.Table) -> pa.Table:
@@ -3473,13 +3420,11 @@ def expand_topk(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.config import shuffle_partitions
 
     scored = _scored_match_set(sf_dir)
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        scored,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"],
-    )
-    joined = scored.join(
-        docs, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     )
 
     _SORT = [("score_fp", "descending"), ("doc_id", "ascending")]
@@ -3581,14 +3526,12 @@ def export_sorted(sf_dir: str) -> "ray.data.Dataset":
         columns=["term", "doc_id"],
         filter=pads.field("term") == EXPORT_TERM,
     ).select_columns(["doc_id"])
-    docs = ray.data.read_parquet(
+    joined = join_parquet_side(
+        matched,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "lang", "n_chars"],
         filter=pads.field("lang") == EXPORT_LANG,
-    )
-    joined = matched.join(
-        docs, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("doc_id",),
+        on=["doc_id"],
     ).materialize()  # consumed twice (key counts + rank pass): one join
 
     counts = joined.groupby("n_chars").count().take_all()
@@ -3717,13 +3660,12 @@ def realtime_get(sf_dir: str) -> "ray.data.Dataset":
         for d in dirs
     ]
     lens = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-    stored = ray.data.read_parquet(
+    joined = join_parquet_side(
+        lens,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "n_chars"],
         filter=flt,
-    )
-    joined = lens.join(
-        stored, join_type="inner", num_partitions=4, on=("doc_id",)
+        on=["doc_id"],
     )
     return joined.map_batches(
         lambda t: pa.table(
@@ -3876,34 +3818,31 @@ def join_query_topk(sf_dir: str) -> "ray.data.Dataset":
     distinct (query_id, source) — a GROUP-DICTIONARY-sized set — →
     second hash join back onto documents by source (the fan-out
     side) → per-query grouped top-k with per-batch prune. Both joins
-    are key-partitioned; nothing is broadcast."""
+    pick broadcast vs key-partitioned by side size (join_parquet_side
+    guard); past the guard nothing is broadcast."""
     import numpy as np
     import pyarrow.compute as pc
 
-    from harvester_ray.config import shuffle_partitions
-
-    parts = shuffle_partitions()
     scored = _scored_match_set(sf_dir)
-    docs_src = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source"],
-    )
     matched_srcs = (
-        scored.join(
-            docs_src, join_type="inner", num_partitions=parts,
-            on=("doc_id",),
+        join_parquet_side(
+            scored,
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+            on=["doc_id"],
         )
         .groupby(["query_id", "source"])
         .count()
         .select_columns(["query_id", "source"])
     )
-    docs_full = ray.data.read_parquet(
+    fanout = join_parquet_side(
+        matched_srcs,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "n_chars"],
-    )
-    fanout = matched_srcs.join(
-        docs_full, join_type="inner", num_partitions=parts,
-        on=("source",),
+        on=["source"],
+        left_schema=pa.schema(
+            [("query_id", pa.int64()), ("source", pa.string())]
+        ),
     )
 
     _SORT = [("n_chars", "descending"), ("doc_id", "ascending")]

@@ -138,12 +138,19 @@ def q3_top_orders(sf_dir: str) -> "ray.data.Dataset":
 
         orders = orders.map_batches(filt_orders, batch_format="pyarrow")
     else:
-        orders = orders.join(
+        from harvester_ray.stages.joins import ds_join
+
+        orders = ds_join(
+            orders,
             building.select_columns(["c_custkey"]),
-            join_type="inner",
-            num_partitions=shuffle_partitions(),
             on=("o_custkey",),
             right_on=("c_custkey",),
+            schemas=(
+                pa.schema(
+                    [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+                ),
+                pa.schema([("c_custkey", pa.int64())]),
+            ),
         ).select_columns(["o_orderkey", "o_custkey"])
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -158,9 +165,17 @@ def q3_top_orders(sf_dir: str) -> "ray.data.Dataset":
     line = _round_cols(
         line.map_batches(revenue, batch_format="pyarrow"), ["revenue"]
     )
-    joined = line.join(
-        orders, join_type="inner", num_partitions=shuffle_partitions(),
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    from harvester_ray.stages.joins import ds_join
+
+    joined = ds_join(
+        line,
+        orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        schemas=(
+            pa.schema([("l_orderkey", pa.int64()), ("revenue", pa.int64())]),
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        ),
     )
     agg = joined.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
     top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)

@@ -516,11 +516,19 @@ def dup_span_stats(sf_dir: str, span_l: int = SPAN_L) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
-    hits = occ.join(
+    from harvester_ray.stages.joins import ds_join
+
+    hits = ds_join(
+        occ,
         dup,
-        join_type="inner",
-        num_partitions=shuffle_partitions(),
         on=("gram",),
+        schemas=(
+            pa.schema(
+                [("gram", pa.string()), ("doc_id", pa.int64()),
+                 ("pos", pa.int64()), ("n_tokens", pa.int64())]
+            ),
+            pa.schema([("gram", pa.string())]),
+        ),
     ).select_columns(["doc_id", "pos", "n_tokens"])
 
     def cover(g: pa.Table) -> pa.Table:

@@ -243,6 +243,180 @@ def asof_join(
     return tagged.groupby("__key").map_groups(resolve, batch_format="pyarrow")
 
 
+# Parquet side tables beneath this on-disk size broadcast (ray.put once,
+# Acero-joined inside each left batch); past it they stream through the
+# task-based all-to-all. 256 MiB is well under a worker heap at the
+# default object-store slice and still covers any metadata projection a
+# single node should hold.
+_SIDE_BYTES_GUARD = 256 << 20
+
+
+def _parquet_bytes(path: str) -> int | None:
+    """Total parquet bytes under ``path`` (file or directory) when it is
+    locally stat-able; None for remote/unknown paths (callers then take
+    the streaming join path — never guess a remote side is small)."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith((".parquet", ".pq")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total or None
+    except OSError:
+        return None
+
+
+def join_parquet_side(
+    left: "ray.data.Dataset",
+    path: str,
+    columns: list[str],
+    on: list[str] | tuple[str, ...],
+    how: str = "inner",
+    filter=None,
+    guard_bytes: int = _SIDE_BYTES_GUARD,
+    left_schema: pa.Schema | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Equi-join ``left`` against a parquet side table, physical plan
+    picked by the side's ON-DISK size (known before any execution):
+
+    - beneath ``guard_bytes``: broadcast hash join — the pruned side is
+      read once on the driver, ``ray.put`` once, and Acero-joined inside
+      each left batch. ZERO shuffles, one Dataset execution. This is the
+      right plan whenever the side is a bounded metadata projection.
+    - past the guard (or a non-local path): ``partitioned_join`` — one
+      task-based all-to-all; same hash-shuffle shape as Ray's native
+      join without its per-execution aggregator-actor pool spin-up
+      (measured multi-second fixed cost per join at small scale).
+
+    ``filter`` is a pyarrow.dataset expression applied at the side read
+    on BOTH plans (row-group pruned). Key/payload names must be disjoint
+    from ``left``'s columns except the key columns themselves."""
+    keys = list(on)
+    size = _parquet_bytes(path)
+    if size is not None and size <= guard_bytes:
+        import pyarrow.dataset as pads
+
+        side = pads.dataset(path).to_table(columns=columns, filter=filter)
+        side = side.combine_chunks()
+        if left_schema is None:
+            try:  # free for materialized/parquet lefts; None for lazy
+                left_schema = left.schema(
+                    fetch_if_missing=False
+                ).base_schema
+            except AttributeError:
+                left_schema = None
+        arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
+        spay = [c for c in side.column_names if c not in keys]
+        # typed empty for zero-column blocks (groupby-derived lefts emit
+        # them); lefts with unknowable lazy schemas never do — map chains
+        # over reads preserve their blocks' columns
+        empty_out = (
+            pa.table(
+                {f.name: pa.array([], f.type) for f in left_schema}
+                | {
+                    c: pa.array([], side.schema.field(c).type)
+                    for c in spay
+                }
+            )
+            if left_schema is not None
+            else None
+        )
+        side_ref = ray.put(side)
+
+        def bj(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:  # zero-column empty block upstream
+                if empty_out is None:
+                    raise ValueError(
+                        "join_parquet_side: zero-column empty block from "
+                        "a left whose schema is unknown — pass left_schema"
+                    )
+                return empty_out
+            s = ray.get(side_ref)
+            return t.join(s, keys=keys, join_type=arrow_how).select(
+                list(t.column_names)
+                + [c for c in s.column_names if c not in keys]
+            )
+
+        return left.map_batches(bj, batch_format="pyarrow")
+
+    right = ray.data.read_parquet(path, columns=columns, filter=filter)
+    rsch = pa.schema(
+        [right.schema().base_schema.field(c) for c in columns]
+    )
+    # left_schema=None lets partitioned_join fetch it (executes lazy
+    # chains once — hot callsites with lazy lefts pass it explicitly)
+    return partitioned_join(
+        left,
+        right,
+        on=keys,
+        how=how,
+        num_partitions=num_partitions,
+        schemas=(left_schema, rsch),
+    )
+
+
+def ds_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: tuple[str, ...] | list[str],
+    right_on: tuple[str, ...] | list[str] | None = None,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+    schemas: tuple[pa.Schema, pa.Schema] | None = None,
+) -> "ray.data.Dataset":
+    """Drop-in for ``Dataset.join`` routed through ``partitioned_join``
+    (task-based all-to-all, empty-partition-safe, no per-execution
+    shuffle-actor pool). Falls back to the native operator when the
+    contract doesn't fit (unsupported join type, or a lazy input whose
+    schema isn't already known and no ``schemas`` override — deriving it
+    would execute the chain twice)."""
+    keys = list(on)
+    rkeys = list(right_on) if right_on else keys
+    how = {"inner": "inner", "left_outer": "left_outer"}.get(join_type)
+    lsch, rsch = schemas if schemas is not None else (None, None)
+    if how is not None:
+        try:
+            if lsch is None:
+                lsch = left.schema(fetch_if_missing=False).base_schema
+            if rsch is None:
+                rsch = right.schema(fetch_if_missing=False).base_schema
+        except AttributeError:
+            lsch = rsch = None
+    if how is None or lsch is None or rsch is None:
+        from harvester_ray.config import shuffle_partitions
+
+        return left.join(
+            right,
+            join_type=join_type,
+            num_partitions=num_partitions or shuffle_partitions(),
+            on=tuple(keys),
+            right_on=tuple(rkeys) if right_on else None,
+        )
+    if rkeys != keys:
+        ren = dict(zip(rkeys, keys))
+        names = [ren.get(c, c) for c in rsch.names]
+        right = right.map_batches(
+            lambda t, _n=names: t.rename_columns(_n),
+            batch_format="pyarrow",
+        )
+        rsch = pa.schema(
+            [pa.field(n, f.type) for n, f in zip(names, rsch)]
+        )
+    return partitioned_join(
+        left,
+        right,
+        on=keys,
+        how=how,
+        num_partitions=num_partitions,
+        schemas=(lsch, rsch),
+    )
+
+
 def bounded_side_table(
     ds: "object", guard_bytes: int, label: str
 ) -> list[dict]:

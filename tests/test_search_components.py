@@ -29,21 +29,34 @@ def test_mm_cap_keeps_single_term_queries_unfiltered(ray_session):
 
 
 def test_mm_docs_match_at_least_two_terms(ray_session):
+    """Independent ground truth: re-tokenize the raw documents and count
+    distinct query terms per (query, doc) — every mm_topk row must meet
+    the capped threshold. (The engine-side nterms now rides along inside
+    _scored_match_set, so this check must NOT consume that path.)"""
+    import os
+
+    import pyarrow.parquet as pq
+
     from harvester_ray.functions.text import tokenize
     from harvester_ray.pipelines import fulltext
 
-    counts = fulltext._match_term_counts(SF).to_pandas()
-    nt = {
-        (int(r.query_id), int(r.doc_id)): int(r.nterms)
-        for r in counts.itertuples()
-    }
     mm = fulltext.mm_topk(SF).to_pandas()
-    req = {
-        qid: min(fulltext.MM_MIN, len(set(tokenize(q))))
-        for qid, q in fulltext.queries_for_mode("or")
+    need_docs = set(mm.doc_id.astype(int))
+    docs = pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    tok = {
+        int(d): set(tokenize(t))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if int(d) in need_docs
     }
+    qterms = {
+        qid: set(tokenize(q)) for qid, q in fulltext.queries_for_mode("or")
+    }
+    req = {qid: min(fulltext.MM_MIN, len(ts)) for qid, ts in qterms.items()}
     for r in mm.itertuples():
-        assert nt[(int(r.query_id), int(r.doc_id))] >= req[int(r.query_id)]
+        qid, did = int(r.query_id), int(r.doc_id)
+        assert len(qterms[qid] & tok[did]) >= req[qid]
 
 
 def test_termvectors_reconstruct_doc_lens(ray_session):
