@@ -24,7 +24,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from harvester_ray.pipelines import fulltext, pages, relational
+    from harvester_ray.pipelines import fulltext, pages, relational, weburls
     from harvester_ray.stages import (
         chunking,
         dedup,
@@ -254,6 +254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fastText-style hashed-ngram linear quality classifier
         # (map-only; deterministic LCG stand-in weights)
         "hashed_classifier_scores": textstats.hashed_classifier_scores,
+        # url axis: general canonicalizer gated against a closed-form
+        # SQL rebuild of the same deterministic messy urls
+        "url_canonical": weburls.url_canonical,
+        "url_dedup_latest": weburls.url_dedup_latest,
+        "domain_profile": weburls.domain_profile,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -412,6 +417,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_entropy": oracles.DOC_ENTROPY,
         "common_ngrams": oracles.COMMON_NGRAMS,
         "hashed_classifier_scores": oracles.HASHED_CLASSIFIER,
+        "url_canonical": oracles.URL_CANONICAL,
+        "url_dedup_latest": oracles.URL_DEDUP_LATEST,
+        "domain_profile": oracles.DOMAIN_PROFILE,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,

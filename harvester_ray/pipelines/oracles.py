@@ -3416,3 +3416,67 @@ FROM allq a LEFT JOIN m USING (query_id)
 
 
 RANK_EVAL = _rank_eval_sql()
+
+
+# --- URL-axis webtext operators (weburls.py) -------------------------------
+# The messy url and its CLOSED-FORM canonical are both rebuilt from the
+# same (doc_id, source) arithmetic as functions/urls.synth_urls, so the
+# engine's general parser/canonicalizer is value-hash-gated end to end.
+_URL_SYNTH = """
+SELECT doc_id, n_chars,
+  (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END)
+  || '://'
+  || (CASE (doc_id // 7) % 4 WHEN 0 THEN 'www.' WHEN 2 THEN 'm.'
+           WHEN 3 THEN 'blog.' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) || '.COM'
+  || (CASE WHEN doc_id % 5 = 0
+           THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
+           WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+  || '/articles/' || (doc_id % 97)
+  || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+  || '?'
+  || (CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN 'ref=home&' ELSE '' END)
+  || 'id=' || (doc_id % 13)
+  || (CASE WHEN doc_id % 4 = 1 THEN '#section-2' ELSE '' END)
+    AS url,
+  (CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+  || '://'
+  || (CASE (doc_id // 7) % 4 WHEN 0 THEN 'www.' WHEN 2 THEN 'm.'
+           WHEN 3 THEN 'blog.' ELSE '' END)
+  || lower(source) || '.com'
+  || (CASE WHEN doc_id % 5 = 0 THEN ''
+           WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+  || '/articles/' || (doc_id % 97)
+  || '?id=' || (doc_id % 13)
+  || (CASE WHEN doc_id % 3 = 0 THEN '&ref=home' ELSE '' END)
+    AS url_canon,
+  (CASE (doc_id // 7) % 4 WHEN 0 THEN 'www.' WHEN 2 THEN 'm.'
+       WHEN 3 THEN 'blog.' ELSE '' END)
+  || lower(source) || '.com' AS host,
+  lower(source) || '.com' AS domain,
+  (doc_id * 2654435761) % 100000000 AS snap_ts
+FROM documents
+"""
+
+URL_CANONICAL = f"""
+WITH u AS ({_URL_SYNTH})
+SELECT doc_id, url, url_canon FROM u
+"""
+
+URL_DEDUP_LATEST = f"""
+WITH u AS ({_URL_SYNTH}),
+r AS (SELECT url_canon, doc_id, snap_ts,
+        row_number() OVER (PARTITION BY url_canon
+                           ORDER BY snap_ts DESC, doc_id DESC) AS rn,
+        count(*) OVER (PARTITION BY url_canon) AS n_snapshots
+      FROM u)
+SELECT url_canon, doc_id, snap_ts, n_snapshots FROM r WHERE rn = 1
+"""
+
+DOMAIN_PROFILE = f"""
+WITH u AS ({_URL_SYNTH})
+SELECT domain, count(DISTINCT host) AS n_hosts, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM u GROUP BY domain
+"""

@@ -1,0 +1,99 @@
+"""URL kernel + weburls pipeline pins (semantics the value-hash oracle
+doesn't state explicitly)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from harvester_ray.functions.urls import (
+    canonicalize_urls,
+    host_of,
+    registrable_domain,
+    synth_urls,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+CANON_VECTORS = [
+    # case-fold scheme+host, strip default port, drop fragment,
+    # drop utm_*, sort params, strip trailing slash
+    (
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&z=1&a=2#frag",
+        "http://www.example.com/a/b?a=2&z=1",
+    ),
+    ("https://Host.Org:443/", "https://host.org/"),
+    ("https://h.org:8443/x?b=2&a=1", "https://h.org:8443/x?a=1&b=2"),
+    ("http://h.net", "http://h.net/"),  # empty path -> '/'
+    ("http://h.net/p///", "http://h.net/p"),
+    ("http://h.net/p?utm_a=1&utm_b=2", "http://h.net/p"),  # all dropped
+    ("http://h.net/p?", "http://h.net/p"),  # empty query drops '?'
+    # non-default port on http kept; params already sorted stay put
+    ("http://h.net:8080/p?a=1&b=2", "http://h.net:8080/p?a=1&b=2"),
+    # https with http's default port: 80 is NOT default for https
+    ("https://h.net:80/p", "https://h.net:80/p"),
+]
+
+
+def test_canonicalize_vectors():
+    got = canonicalize_urls(
+        pa.array([m for m, _ in CANON_VECTORS])
+    ).to_pylist()
+    assert got == [c for _, c in CANON_VECTORS]
+
+
+def test_canonicalize_idempotent():
+    canon = pa.array([c for _, c in CANON_VECTORS])
+    again = canonicalize_urls(canon).to_pylist()
+    assert again == canon.to_pylist()
+
+
+def test_non_url_rows_become_null():
+    out = canonicalize_urls(pa.array(["not a url", "", "ftp:/x"]))
+    assert out.to_pylist() == [None, None, None]
+
+
+def test_host_and_domain():
+    urls = pa.array(
+        ["HTTP://WWW.A.B.Example.COM:8080/x", "https://solo/x"]
+    )
+    hosts = host_of(urls)
+    assert hosts.to_pylist() == ["www.a.b.example.com", "solo"]
+    assert registrable_domain(hosts).to_pylist() == ["example.com", "solo"]
+
+
+def test_synth_urls_deterministic_and_messy():
+    d = pa.array(list(range(100)), pa.int64())
+    s = pa.array(["src%d" % (i % 20) for i in range(100)])
+    u1 = synth_urls(d, s).to_pylist()
+    u2 = synth_urls(d, s).to_pylist()
+    assert u1 == u2
+    # every canonical-rule clause is exercised somewhere in the stream
+    assert any(":80/" in u or ":443/" in u for u in u1)  # default ports
+    assert any(":8080/" in u for u in u1)  # non-default port
+    assert any("utm_source=" in u for u in u1)
+    assert any("#section-2" in u for u in u1)
+    assert any("/?" in u for u in u1)  # trailing slash before query
+    assert any(c.isupper() for u in u1 for c in u)
+
+
+def test_url_dedup_latest_properties(ray_session):
+    from harvester_ray.pipelines import weburls
+
+    dd = weburls.url_dedup_latest(SF).to_pandas()
+    cc = weburls.url_canonical(SF).to_pandas()
+    # snapshot counts cover the corpus exactly once
+    assert int(dd.n_snapshots.sum()) == len(cc)
+    # every winner doc maps to its own canonical url
+    m = dict(zip(cc.doc_id, cc.url_canon))
+    assert all(m[r.doc_id] == r.url_canon for r in dd.itertuples())
+
+
+def test_domain_profile_folds_hosts(ray_session):
+    from harvester_ray.pipelines import weburls
+
+    dp = weburls.domain_profile(SF).to_pandas()
+    assert (dp.n_hosts >= 1).all() and (dp.n_hosts <= 4).all()
+    assert dp.n_docs.sum() == len(
+        weburls.url_canonical(SF).to_pandas()
+    )
