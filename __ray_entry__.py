@@ -259,6 +259,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": weburls.url_canonical,
         "url_dedup_latest": weburls.url_dedup_latest,
         "domain_profile": weburls.domain_profile,
+        # integer-fixed-point PageRank over the synthesized link
+        # graph: per-iteration explode + doc-keyed groupby-sum
+        "pagerank_fixed": weburls.pagerank_fixed,
+        # inbound anchor-text aggregation + politeness crawl frontier
+        "anchor_text_topk": weburls.anchor_text_topk,
+        "crawl_frontier": weburls.crawl_frontier,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -420,6 +426,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": oracles.URL_CANONICAL,
         "url_dedup_latest": oracles.URL_DEDUP_LATEST,
         "domain_profile": oracles.DOMAIN_PROFILE,
+        "pagerank_fixed": oracles.PAGERANK_FIXED,
+        "anchor_text_topk": oracles.ANCHOR_TEXT_TOPK,
+        "crawl_frontier": oracles.CRAWL_FRONTIER,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,

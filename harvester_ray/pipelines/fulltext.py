@@ -3582,39 +3582,56 @@ def vocab_growth(sf_dir: str) -> pa.Table:
     (reference sizes its Solr schema once, by hand; here the curve is
     computed from the built index).
 
-    Scale shape: per-term first occurrence is ONE groupby-min over the
-    postings (term-keyed, same shuffle as the dictionary build), then
-    each term becomes a single row bucketed by searchsorted into ≤N
-    checkpoint cells; only the N-row histogram ever leaves the
-    cluster. Nothing driver-side scales with vocabulary or corpus."""
+    Scale shape: ZERO shuffle — the postings are hive-bucketed by
+    hash(term), so every term's postings live in exactly one bucket
+    dir and a per-bucket task computes its terms' exact first
+    occurrences locally (the same partitioning fact the dictionary
+    build exploits, index/build.py dict_bucket). Each task returns an
+    N-cell histogram; the driver folds ≤ num_term_buckets such arrays.
+    max_id comes from parquet row-group statistics (no data read)."""
     import numpy as np
+    import pyarrow.parquet as pq
+
+    from harvester_ray.index.build import _present_buckets
 
     paths = index_for(sf_dir)
-    post = ray.data.read_parquet(paths.postings, columns=["term", "doc_id"])
-    max_id = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    ).max("doc_id")
+    meta = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata
+    col = {
+        meta.schema.column(i).name: i for i in range(meta.num_columns)
+    }["doc_id"]
+    max_id = max(
+        meta.row_group(g).column(col).statistics.max
+        for g in range(meta.num_row_groups)
+    )
     cps = np.array(
         [max_id * i // VG_CHECKPOINTS for i in range(1, VG_CHECKPOINTS + 1)],
         dtype=np.int64,
     )
 
-    firsts = post.groupby("term").min("doc_id")
+    @ray.remote(num_cpus=1)
+    def vg_bucket(bdir: str, cps_: np.ndarray) -> np.ndarray:
+        import pyarrow.dataset as pads
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        fd = t["min(doc_id)"].to_numpy(zero_copy_only=False)
+        t = pads.dataset(bdir).to_table(columns=["term", "doc_id"])
+        g = t.group_by("term").aggregate([("doc_id", "min")])
+        fd = g["doc_id_min"].to_numpy(zero_copy_only=False)
         # smallest checkpoint index holding fd (cp_N = max_id >= any fd)
-        return pa.table(
-            {"bucket": pa.array(np.searchsorted(cps, fd), pa.int64())}
-        )
+        return np.bincount(
+            np.searchsorted(cps_, fd), minlength=len(cps_)
+        ).astype(np.int64)
 
-    hist = (
-        firsts.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .count()
-        .take_all()
+    hists = ray.get(
+        [
+            vg_bucket.remote(
+                os.path.join(paths.postings, f"bucket={b}"), cps
+            )
+            for b in _present_buckets(paths.postings)
+        ]
     )
-    new_terms = {int(r["bucket"]): int(r["count()"]) for r in hist}
+    folded = np.sum(hists, axis=0) if hists else np.zeros(len(cps), np.int64)
+    new_terms = {i: int(c) for i, c in enumerate(folded)}
     acc, by_cp = 0, {}
     for i in range(VG_CHECKPOINTS):
         acc += new_terms.get(i, 0)
@@ -3713,7 +3730,17 @@ def index_for_atomic(sf_dir: str) -> IndexPaths:
         return paths
     src = os.path.join(sf_dir, "documents.parquet")
     cols = list(DEFAULT_INDEX_CONFIG.doc_columns)
-    build_index(ray.data.read_parquet(src, columns=cols), out)
+    # the base is byte-identical to the shared pristine index — clone
+    # it (atomically: copy to a tmp dir, rename in) instead of paying a
+    # second full build; only the upsert below is this fixture's own
+    import shutil
+
+    base = index_for(sf_dir)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(base.root, tmp)
+    os.rename(tmp, out)
 
     def retext(t: pa.Table) -> pa.Table:
         new_text = pc.binary_join_element_wise(

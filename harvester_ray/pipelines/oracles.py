@@ -3480,3 +3480,90 @@ SELECT domain, count(DISTINCT host) AS n_hosts, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM u GROUP BY domain
 """
+
+
+def _pagerank_sql() -> str:
+    """Iteration-unrolled integer PageRank twin of
+    weburls.pagerank_fixed (same floor-division fixed point, same
+    synthesized 3-out-link graph)."""
+    from harvester_ray.pipelines.weburls import (
+        PR_EDGE_MULTS,
+        PR_FP,
+        PR_ITERS,
+    )
+
+    mults = ", ".join(
+        f"(doc_id * {a} + {b}) % (SELECT n FROM nn)"
+        for a, b in PR_EDGE_MULTS
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"r0 AS (SELECT doc_id, {PR_FP} // (SELECT n FROM nn) AS r "
+        "FROM documents)",
+        f"e AS (SELECT doc_id AS src, unnest([{mults}]) AS dst "
+        "FROM documents)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT d.doc_id, "
+            f"(15 * {PR_FP}) // (100 * (SELECT n FROM nn)) "
+            f"+ (85 * coalesce(s.c, 0)) // 100 AS r "
+            "FROM documents d LEFT JOIN "
+            f"(SELECT e.dst AS doc_id, sum(r{i-1}.r // 3) AS c "
+            f"FROM e JOIN r{i-1} ON r{i-1}.doc_id = e.src "
+            "GROUP BY e.dst) s ON s.doc_id = d.doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, CAST(r AS BIGINT) AS rank_fp FROM r{PR_ITERS}"
+    )
+
+
+PAGERANK_FIXED = _pagerank_sql()
+
+
+def _anchor_text_sql() -> str:
+    """Twin of weburls.anchor_text_topk: same 3-out-link graph, anchor
+    = source doc's first tokenizer token (regexp_extract returns the
+    FIRST match; '' when the doc has no token, filtered like the Ray
+    side's null), mode anchor per target with (count DESC, term ASC)
+    tie-break."""
+    from harvester_ray.pipelines.weburls import PR_EDGE_MULTS
+
+    mults = ", ".join(
+        f"(doc_id * {a} + {b}) % (SELECT n FROM nn)"
+        for a, b in PR_EDGE_MULTS
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+a AS (SELECT doc_id, regexp_extract(lower(text), '[a-z0-9]+') AS anchor
+      FROM documents),
+e AS (SELECT unnest([{mults}]) AS dst, anchor FROM a WHERE anchor <> ''),
+c AS (SELECT dst AS doc_id, anchor, count(*) AS n FROM e GROUP BY dst, anchor),
+t AS (SELECT doc_id, anchor, n,
+        sum(n) OVER (PARTITION BY doc_id) AS n_inlinks,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY n DESC, anchor ASC) AS rk
+      FROM c)
+SELECT doc_id, CAST(n_inlinks AS BIGINT) AS n_inlinks,
+       anchor AS top_anchor, CAST(n AS BIGINT) AS top_anchor_n
+FROM t WHERE rk = 1
+"""
+
+
+ANCHOR_TEXT_TOPK = _anchor_text_sql()
+
+
+CRAWL_FRONTIER = f"""
+WITH u AS ({_URL_SYNTH}),
+hr AS (SELECT host, row_number() OVER (ORDER BY host ASC) - 1 AS host_rank
+       FROM (SELECT DISTINCT host FROM u)),
+nh AS (SELECT count(*) AS n FROM hr),
+w AS (SELECT doc_id, host,
+        row_number() OVER (PARTITION BY host
+                           ORDER BY n_chars DESC, doc_id ASC) - 1 AS wave
+      FROM u)
+SELECT w.doc_id, w.host, CAST(w.wave AS BIGINT) AS wave,
+       CAST(w.wave * (SELECT n FROM nh) + hr.host_rank AS BIGINT) AS slot
+FROM w JOIN hr USING (host)
+"""

@@ -178,3 +178,267 @@ def domain_profile(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return out.map_batches(typed, batch_format="pyarrow")
+
+
+# --- link graph -------------------------------------------------------------
+# Deterministic synthetic out-links: every doc links to 3 targets
+# ((d*7+1), (d*13+5), (d*31+11)) mod N over the dense doc_id space —
+# multi-edges and self-links allowed, identically on both engines. The
+# documents table carries no link column, so the graph is synthesized
+# the same way the url column is; swapping in a real (src, dst) edge
+# table changes only the explode step.
+PR_ITERS = 5
+PR_FP = 1_000_000  # rank fixed point
+PR_EDGE_MULTS = ((7, 1), (13, 5), (31, 11))
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+
+def pagerank_fixed(sf_dir: str) -> "ray.data.Dataset":
+    """PageRank (damping 0.85, PR_ITERS fixed iterations) in pure
+    integer arithmetic: r0 = FP // N; each iteration every doc sends
+    r // 3 to its 3 targets and
+    r' = (15*FP) // (100*N) + (85 * inbound_sum) // 100.
+
+    Scale shape: the canonical iterative web-graph op — one
+    explode-map (4 rows per doc: 3 contributions + a zero self-row so
+    sink docs keep a row) and one doc-keyed groupby-sum PER ITERATION,
+    all lazily chained into a single streaming plan; no edge table is
+    materialized (targets are computed from the src id in-map — with a
+    real edge table this becomes the same map over co-partitioned
+    edges). Exact on both engines (floor division throughout). Output
+    (doc_id, rank_fp)."""
+    from ray.data.aggregate import Sum
+
+    n = _n_docs(sf_dir)
+    base = (15 * PR_FP) // (100 * n)
+    r0 = PR_FP // n
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "r": pa.array(
+                    np.full(t.num_rows, r0, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = _docs(sf_dir, ["doc_id"]).map_batches(
+        seed, batch_format="pyarrow"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = r // 3
+        dsts = [(d * a + b) % n for a, b in PR_EDGE_MULTS]
+        dst = np.concatenate(dsts + [d])  # self zero-row keeps sinks
+        c = np.concatenate(
+            [contrib] * len(PR_EDGE_MULTS) + [np.zeros(len(d), np.int64)]
+        )
+        return pa.table(
+            {"doc_id": pa.array(dst, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["c"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "r": pa.array(base + (85 * s) // 100, pa.int64()),
+            }
+        )
+
+    for _ in range(PR_ITERS):
+        ranks = (
+            ranks.map_batches(explode, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(finish, batch_format="pyarrow")
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "rank_fp": t["r"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def anchor_text_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Inbound anchor-text aggregation — the classic web-index signal
+    (link text describes the TARGET page better than its own body;
+    every large-scale web index folds it in). The link graph is the
+    same synthesized 3-out-link graph as pagerank_fixed; each edge
+    carries the source page's first analyzer token as its anchor text
+    stand-in (deterministic, so the SQL twin mirrors it with
+    regexp_extract). Per target doc: total inbound links and the most
+    frequent anchor term (count DESC, term ASC tie-break).
+
+    Scale shape: one map (first-token extract + 3-way edge explode —
+    the text column never leaves the map), ONE exact (dst, anchor)
+    groupby-count, then the per-batch one-candidate-per-doc combiner +
+    doc-keyed reduce of url_dedup_latest — the second shuffle moves at
+    most one row per (doc, batch). Docs with no inbound anchored edge
+    (source text had no token) simply don't appear, identically in
+    SQL. Output (doc_id, n_inlinks, top_anchor, top_anchor_n)."""
+    n = _n_docs(sf_dir)
+
+    def edges(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        first = pc.struct_field(
+            pc.extract_regex(lowered, r"(?P<t>[a-z0-9]+)"), "t"
+        )
+        keep = pc.is_valid(first).to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        anchor = first.filter(pa.array(keep))
+        dst = np.concatenate([(d * a + b) % n for a, b in PR_EDGE_MULTS])
+        anchors = pa.concat_arrays(
+            [anchor.combine_chunks() if isinstance(anchor, pa.ChunkedArray)
+             else anchor] * len(PR_EDGE_MULTS)
+        )
+        return pa.table(
+            {"doc_id": pa.array(dst, pa.int64()), "anchor": anchors}
+        )
+
+    counted = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby(["doc_id", "anchor"])
+        .count()
+    )
+
+    def local_best(t: pa.Table) -> pa.Table:
+        # counts are exact after the groupby; a doc's rows may still
+        # span batches, so forward one local winner + a partial sum
+        t = t.rename_columns(["doc_id", "anchor", "n"])
+        t = t.sort_by(
+            [
+                ("doc_id", "ascending"),
+                ("n", "descending"),
+                ("anchor", "ascending"),
+            ]
+        )
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "anchor": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "part_inlinks": pa.array([], pa.int64()),
+                }
+            )
+        change = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        sums = np.bincount(seg, weights=t["n"].to_numpy(zero_copy_only=False))
+        return t.take(pa.array(starts)).append_column(
+            "part_inlinks", pa.array(sums.astype(np.int64), pa.int64())
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("anchor", "ascending")]
+        )
+        best = g.take(idx[:1])
+        return pa.table(
+            {
+                "doc_id": best["doc_id"].cast(pa.int64()),
+                "n_inlinks": pa.array(
+                    [pc.sum(g["part_inlinks"]).as_py()], pa.int64()
+                ),
+                "top_anchor": best["anchor"].cast(pa.string()),
+                "top_anchor_n": best["n"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        counted.map_batches(local_best, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+# hosts past this count need the range-partition prefix-scan rank path
+# (same contract as fulltext's _EXPORT_OFFSET_KEYS_GUARD)
+_FRONTIER_HOSTS_GUARD = 1_000_000
+
+
+def crawl_frontier(sf_dir: str) -> "ray.data.Dataset":
+    """Politeness-scheduled crawl frontier: every url gets a per-host
+    WAVE (rank under page priority n_chars DESC, doc_id ASC — one
+    fetch per host per wave) and a global SLOT that round-robins the
+    hosts (slot = wave * n_hosts + host_rank), i.e. the dispatch order
+    a rate-limited fetcher pool consumes. The reference serializes
+    per-collection fetches for exactly this reason (one fetcher per
+    collection, /root/reference/harvester/fetcher.py run loop); at
+    Common-Crawl scale the same contract is per-HOST.
+
+    Scale shape: hosts are ranked from a distinct-host groupby (rows =
+    hosts, driver cumsum guarded at _FRONTIER_HOSTS_GUARD — past it
+    this becomes the range-partition prefix-scan, the export_sorted
+    contract); the corpus itself moves through ONE host-keyed groupby
+    of three light columns (text never moves). Output
+    (doc_id, host, wave, slot)."""
+
+    def with_host(t: pa.Table) -> pa.Table:
+        t = _with_urls(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "host": host_of(t["url"]),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    hosted = (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(with_host, batch_format="pyarrow")
+        .materialize()  # light projection, consumed twice
+    )
+    hosts = hosted.groupby("host").count().take_all()
+    if len(hosts) > _FRONTIER_HOSTS_GUARD:
+        raise NotImplementedError(
+            f"{len(hosts)} hosts exceeds the driver rank guard — "
+            "needs the range-partition prefix-scan rank path"
+        )
+    rank_of = {
+        r["host"]: i
+        for i, r in enumerate(sorted(hosts, key=lambda r: r["host"]))
+    }
+    n_hosts = len(rank_of)
+    rank_ref = ray.put(rank_of)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        hr = ray.get(rank_ref)
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")],
+        )
+        g = g.take(idx)
+        wave = np.arange(len(g), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "host": g["host"].cast(pa.string()),
+                "wave": pa.array(wave, pa.int64()),
+                "slot": pa.array(
+                    wave * n_hosts + hr[g["host"][0].as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return hosted.groupby("host").map_groups(
+        rank_group, batch_format="pyarrow"
+    )
