@@ -97,3 +97,50 @@ def test_domain_profile_folds_hosts(ray_session):
     assert dp.n_docs.sum() == len(
         weburls.url_canonical(SF).to_pandas()
     )
+
+
+def test_pagerank_conserves_and_favors_indegree(ray_session):
+    """Rank mass stays ~FP (floor-division leakage only: each doc
+    loses <3 units at the split and <100 at the damping) and every
+    rank is at least the teleport floor."""
+    from harvester_ray.pipelines.weburls import PR_FP, pagerank_fixed
+
+    t = pagerank_fixed(SF).to_pandas()
+    n = len(t)
+    assert n == 500
+    assert t["doc_id"].is_unique
+    base = (15 * PR_FP) // (100 * n)
+    assert (t["rank_fp"] >= base).all()
+    total = t["rank_fp"].sum()
+    # per-doc floor losses bound the leakage from FP
+    assert PR_FP * 0.9 < total <= PR_FP
+
+
+def test_anchor_text_counts(ray_session):
+    """n_inlinks sums to the number of anchored edges (3 per doc with
+    a nonempty first token) and the top anchor never exceeds its doc's
+    inlink count."""
+    from harvester_ray.pipelines.weburls import anchor_text_topk
+
+    t = anchor_text_topk(SF).to_pandas()
+    assert t["doc_id"].is_unique
+    assert int(t["n_inlinks"].sum()) == 3 * 500  # every sf0.001 doc tokenizes
+    assert (t["top_anchor_n"] >= 1).all()
+    assert (t["top_anchor_n"] <= t["n_inlinks"]).all()
+    assert (t["top_anchor"].str.len() > 0).all()
+
+
+def test_crawl_frontier_politeness(ray_session):
+    """Slots are a bijection onto the dispatch order; within a host
+    waves are 0..k-1 and slot order respects wave order; no two urls
+    of one host share a wave (the politeness contract)."""
+    from harvester_ray.pipelines.weburls import crawl_frontier
+
+    t = crawl_frontier(SF).to_pandas()
+    assert len(t) == 500
+    assert t["slot"].is_unique
+    n_hosts = t["host"].nunique()
+    assert (t["slot"] == t["wave"] * n_hosts + t["slot"] % n_hosts).all()
+    for _, g in t.groupby("host"):
+        waves = np.sort(g["wave"].to_numpy())
+        assert (waves == np.arange(len(g))).all()
