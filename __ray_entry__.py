@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fastText-style hashed-ngram linear quality classifier
         # (map-only; deterministic LCG stand-in weights)
         "hashed_classifier_scores": textstats.hashed_classifier_scores,
+        # Gopher-rules composite keep/drop gate (first failing reason)
+        "gopher_filter": textstats.gopher_filter,
+        # PII scrub: email/phone/IPv4 redaction with per-category counts
+        "pii_redact": textstats.pii_redact,
         # url axis: general canonicalizer gated against a closed-form
         # SQL rebuild of the same deterministic messy urls
         "url_canonical": weburls.url_canonical,
@@ -265,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inbound anchor-text aggregation + politeness crawl frontier
         "anchor_text_topk": weburls.anchor_text_topk,
         "crawl_frontier": weburls.crawl_frontier,
+        # HITS hubs/authorities: per-iteration edge⨝rank join +
+        # global L1 normalization scalars (integer-exact)
+        "hits_scores": weburls.hits_scores,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -423,6 +430,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_entropy": oracles.DOC_ENTROPY,
         "common_ngrams": oracles.COMMON_NGRAMS,
         "hashed_classifier_scores": oracles.HASHED_CLASSIFIER,
+        "gopher_filter": oracles.GOPHER_FILTER,
+        "pii_redact": oracles.PII_REDACT,
+        "hits_scores": oracles.HITS_SCORES,
         "url_canonical": oracles.URL_CANONICAL,
         "url_dedup_latest": oracles.URL_DEDUP_LATEST,
         "domain_profile": oracles.DOMAIN_PROFILE,

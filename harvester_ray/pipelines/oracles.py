@@ -3567,3 +3567,151 @@ SELECT w.doc_id, w.host, CAST(w.wave AS BIGINT) AS wave,
        CAST(w.wave * (SELECT n FROM nh) + hr.host_rank AS BIGINT) AS slot
 FROM w JOIN hr USING (host)
 """
+
+
+def _gopher_filter_sql() -> str:
+    """Twin of textstats.gopher_filter: same token definition as
+    REPETITION_STATS plus per-doc token-char sums; identical rule order
+    and integer cross-multiplication thresholds."""
+    from harvester_ray.stages.textstats import (
+        GF_BIGRAM_DEN,
+        GF_BIGRAM_NUM,
+        GF_DISTINCT_DEN,
+        GF_DISTINCT_NUM,
+        GF_MAX_MEAN_LEN,
+        GF_MAX_TOKENS,
+        GF_MIN_MEAN_LEN,
+        GF_MIN_TOKENS,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+           FROM documents),
+uni AS (SELECT doc_id, unnest(ts) AS term FROM d),
+tstats AS (SELECT doc_id, count(*) AS n_tokens,
+                  count(DISTINCT term) AS n_distinct,
+                  sum(len(term)) AS sum_len
+           FROM uni GROUP BY doc_id),
+big AS (SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+        FROM d, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+bc AS (SELECT doc_id, a, b, count(*) AS c FROM big GROUP BY doc_id, a, b),
+bstats AS (SELECT doc_id, max(c) AS max_bigram_tf, sum(c) AS n_bigrams
+           FROM bc GROUP BY doc_id),
+m AS (SELECT d.doc_id,
+        coalesce(t.n_tokens, 0) AS n_tokens,
+        coalesce(t.n_distinct, 0) AS n_distinct,
+        coalesce(t.sum_len, 0) AS sum_len,
+        coalesce(b.max_bigram_tf, 0) AS max_bigram_tf,
+        coalesce(b.n_bigrams, 0) AS n_bigrams
+      FROM d LEFT JOIN tstats t USING (doc_id)
+             LEFT JOIN bstats b USING (doc_id)),
+r AS (SELECT doc_id,
+        CASE
+          WHEN n_tokens < {GF_MIN_TOKENS} THEN 'too_short'
+          WHEN n_tokens > {GF_MAX_TOKENS} THEN 'too_long'
+          WHEN sum_len < {GF_MIN_MEAN_LEN} * n_tokens
+            OR sum_len > {GF_MAX_MEAN_LEN} * n_tokens THEN 'word_length'
+          WHEN n_distinct * {GF_DISTINCT_DEN}
+               < n_tokens * {GF_DISTINCT_NUM} THEN 'low_distinct'
+          WHEN max_bigram_tf * {GF_BIGRAM_DEN}
+               > n_bigrams * {GF_BIGRAM_NUM} THEN 'repetitive_bigram'
+          ELSE 'ok' END AS reason
+      FROM m)
+SELECT doc_id, CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT)
+         AS keep,
+       reason
+FROM r
+"""
+
+
+GOPHER_FILTER = _gopher_filter_sql()
+
+
+def _pii_redact_sql() -> str:
+    """Twin of textstats.pii_redact: the contact tail is rebuilt from
+    the same doc_id arithmetic and the RE2 patterns are shared verbatim
+    (both engines run RE2)."""
+    from harvester_ray.stages.textstats import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+WITH p AS (SELECT doc_id,
+        coalesce(text, '')
+        || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+        || '.com call ' || (100 + doc_id % 900)
+        || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        || ' from 10.' || (doc_id % 256)
+        || '.' || ((doc_id // 7) % 256)
+        || '.' || (doc_id % 100) AS txt
+      FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(txt,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(txt, '{PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(txt, '{PII_IP_RE}')) AS BIGINT)
+         AS n_ips
+FROM p
+"""
+
+
+PII_REDACT = _pii_redact_sql()
+
+
+def _hits_sql() -> str:
+    """Iteration-unrolled integer HITS twin of weburls.hits_scores:
+    same graph, same L1 normalization to HITS_FP each half-step."""
+    from harvester_ray.pipelines.weburls import (
+        HITS_FP,
+        HITS_ITERS,
+        PR_EDGE_MULTS,
+    )
+
+    mults = ", ".join(
+        f"(doc_id * {a} + {b}) % (SELECT n FROM nn)"
+        for a, b in PR_EDGE_MULTS
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"e AS (SELECT doc_id AS src, unnest([{mults}]) AS dst "
+        "FROM documents)",
+        f"h0 AS (SELECT doc_id, {HITS_FP} // (SELECT n FROM nn) AS v "
+        "FROM documents)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"a{i}r AS (SELECT d.doc_id, coalesce(s.c, 0) AS c "
+            "FROM documents d LEFT JOIN "
+            f"(SELECT e.dst AS doc_id, sum(h{i-1}.v) AS c "
+            f"FROM e JOIN h{i-1} ON h{i-1}.doc_id = e.src "
+            "GROUP BY e.dst) s ON s.doc_id = d.doc_id)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT doc_id, "
+            f"c * {HITS_FP} // (SELECT sum(c) FROM a{i}r) AS v FROM a{i}r)"
+        )
+        ctes.append(
+            f"h{i}r AS (SELECT e.src AS doc_id, sum(a{i}.v) AS c "
+            f"FROM e JOIN a{i} ON a{i}.doc_id = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT doc_id, "
+            f"c * {HITS_FP} // (SELECT sum(c) FROM h{i}r) AS v FROM h{i}r)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a{HITS_ITERS}.doc_id, "
+        f"CAST(a{HITS_ITERS}.v AS BIGINT) AS auth_fp, "
+        f"CAST(h{HITS_ITERS}.v AS BIGINT) AS hub_fp "
+        f"FROM a{HITS_ITERS} JOIN h{HITS_ITERS} USING (doc_id)"
+    )
+
+
+HITS_SCORES = _hits_sql()

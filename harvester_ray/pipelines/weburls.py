@@ -442,3 +442,173 @@ def crawl_frontier(sf_dir: str) -> "ray.data.Dataset":
     return hosted.groupby("host").map_groups(
         rank_group, batch_format="pyarrow"
     )
+
+
+# --- HITS (hubs & authorities) ----------------------------------------------
+# Same synthesized 3-out-link graph as pagerank_fixed; HITS_ITERS
+# interleaved power iterations (a_i = norm(A^T h_{i-1}), h_i =
+# norm(A a_i)) with L1 normalization to HITS_FP each half-step so every
+# value stays a bounded int64 (c * FP // sum(c), all positive — floor
+# division agrees across engines).
+HITS_ITERS = 2
+HITS_FP = 1_000_000
+
+
+def hits_scores(sf_dir: str) -> "ray.data.Dataset":
+    """HITS hub/authority scores over the synthetic link graph in pure
+    integer arithmetic: (doc_id, auth_fp, hub_fp).
+
+    Scale shape — the pattern PageRank cannot show: the hub half-step
+    needs a(dst) AT the src row, i.e. a genuine distributed join of the
+    rank table onto the edge stream (edges re-derived in-map from the
+    dense id space; a real edge table swaps in as the same join). Per
+    iteration: one explode + doc-keyed groupby-sum (authority), one
+    edge⨝rank hash join + src-keyed groupby-sum (hub), and two driver
+    SCALARS (the L1 sums) — rank tables are kept RAW (unnormalized) and
+    the c * FP // total scaling is fused into each consumer map, so the
+    only materializations are the two grouped sums per iteration; the
+    rank tables live distributed, never collected."""
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.stages.joins import ds_join
+
+    n = _n_docs(sf_dir)
+    if HITS_FP // n <= 0:
+        raise NotImplementedError(
+            "HITS_FP must exceed the doc count for a nonzero seed"
+        )
+
+    from harvester_ray.config import shuffle_partitions
+
+    # size-aware join plan: rank tables carry one row per doc, so the
+    # all-to-all partition count derives from n (cluster-derived cap at
+    # corpus scale, a handful of partitions at fixture scale)
+    join_parts = max(4, min(shuffle_partitions(), n // 50_000 + 4))
+    raw_schema = pa.schema([("doc_id", pa.int64()), ("c", pa.int64())])
+    edge_schema = pa.schema([("src", pa.int64()), ("doc_id", pa.int64())])
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "c": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def explode_fwd(total: int):
+        # scaled h contributions to each target + a zero self-row so
+        # docs with no inlinks keep a (zero) authority row
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = t["c"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            v = c * HITS_FP // total
+            dst = np.concatenate(
+                [(d * a + b) % n for a, b in PR_EDGE_MULTS] + [d]
+            )
+            cc = np.concatenate(
+                [v] * len(PR_EDGE_MULTS) + [np.zeros(len(d), np.int64)]
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(dst, pa.int64()),
+                    "c": pa.array(cc, pa.int64()),
+                }
+            )
+
+        return fn
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        # (src, doc_id=dst) edge rows re-derived from the dense id space
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = np.concatenate([(d * a + b) % n for a, b in PR_EDGE_MULTS])
+        return pa.table(
+            {
+                "src": pa.array(np.tile(d, len(PR_EDGE_MULTS)), pa.int64()),
+                "doc_id": pa.array(dst, pa.int64()),
+            }
+        )
+
+    def scaled(total: int, out_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            c = t["c"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    out_col: pa.array(c * HITS_FP // total, pa.int64()),
+                }
+            )
+
+        return fn
+
+    # seed: raw c = 1 per doc with total n scales to FP // n
+    h_raw = _docs(sf_dir, ["doc_id"]).map_batches(
+        seed, batch_format="pyarrow"
+    )
+    total_h = n
+    a_raw, total_a = h_raw, total_h  # overwritten in the first iteration
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            h_raw.map_batches(explode_fwd(total_h), batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t["doc_id"].cast(pa.int64()),
+                        "c": t["c"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        total_a = int(a_raw.sum("c"))
+        edges = a_raw.map_batches(edges_of, batch_format="pyarrow")
+        joined = ds_join(
+            edges,
+            a_raw,
+            on=("doc_id",),
+            schemas=(edge_schema, raw_schema),
+            num_partitions=join_parts,
+        )
+
+        def hub_contrib(t: pa.Table, _total=total_a) -> pa.Table:
+            c = t["c"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": t["src"].cast(pa.int64()),
+                    "c": pa.array(c * HITS_FP // _total, pa.int64()),
+                }
+            )
+
+        h_raw = (
+            joined.map_batches(hub_contrib, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t["doc_id"].cast(pa.int64()),
+                        "c": t["c"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        total_h = int(h_raw.sum("c"))
+
+    auth = a_raw.map_batches(
+        scaled(total_a, "auth_fp"), batch_format="pyarrow"
+    )
+    hub = h_raw.map_batches(scaled(total_h, "hub_fp"), batch_format="pyarrow")
+    return ds_join(
+        auth,
+        hub,
+        on=("doc_id",),
+        schemas=(
+            pa.schema([("doc_id", pa.int64()), ("auth_fp", pa.int64())]),
+            pa.schema([("doc_id", pa.int64()), ("hub_fp", pa.int64())]),
+        ),
+        num_partitions=join_parts,
+    )

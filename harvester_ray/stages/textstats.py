@@ -1506,3 +1506,169 @@ def hashed_classifier_scores(sf_dir: str) -> "ray.data.Dataset":
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     ).map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+
+# --- Gopher-rule composite document filter ----------------------------------
+# Published Gopher quality heuristics (Rae et al. 2021 §A1.1) at the
+# thresholds below; every rule is integer-exact (cross-multiplication,
+# no ratios), so the keep/reason decision hashes identically on both
+# engines. First failing rule in _GF_ORDER wins.
+GF_MIN_TOKENS = 30
+GF_MAX_TOKENS = 90
+GF_MIN_MEAN_LEN = 3  # mean token chars in [3, 10]
+GF_MAX_MEAN_LEN = 10
+GF_DISTINCT_NUM, GF_DISTINCT_DEN = 35, 100  # distinct/total >= 0.35
+GF_BIGRAM_NUM, GF_BIGRAM_DEN = 1, 10  # max-2gram/total-2grams <= 0.1
+
+
+def gopher_filter(sf_dir: str) -> "ray.data.Dataset":
+    """The Gopher-rules keep/drop gate as ONE map-only stage:
+    (doc_id, keep, reason) where reason is the first failing rule of
+    too_short | too_long | word_length | low_distinct |
+    repetitive_bigram, else 'ok'. This is the composite ACTION the
+    per-signal counters (repetition_stats, quality_score) feed in a
+    real curation run — fused here so the corpus is tokenized once and
+    nothing shuffles (docs are row-complete per batch; reference
+    analog: the typed-reason validation gate of
+    harvester/solr_updater.py:445-473).
+    """
+
+    def decide(t: pa.Table) -> pa.Table:
+        n_rows = len(t)
+        flat, parent = flatten_tokens(tokenize_column(t["text"]))
+        n_tok = np.zeros(n_rows, np.int64)
+        n_dis = np.zeros(n_rows, np.int64)
+        sum_len = np.zeros(n_rows, np.int64)
+        max_big = np.zeros(n_rows, np.int64)
+        n_big = np.zeros(n_rows, np.int64)
+        if len(flat):
+            par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+            enc = (
+                flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray)
+                else flat
+            ).dictionary_encode()
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = max(len(enc.dictionary), 1)
+            n_tok = np.bincount(par, minlength=n_rows).astype(np.int64)
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            sum_len = np.bincount(
+                par, weights=lens, minlength=n_rows
+            ).astype(np.int64)
+            pair = par * v + idx
+            n_dis = np.bincount(
+                np.unique(pair) // v, minlength=n_rows
+            ).astype(np.int64)
+            adj = par[1:] == par[:-1]
+            if adj.any():
+                pa_doc = par[:-1][adj]
+                key = (pa_doc * v + idx[:-1][adj]) * v + idx[1:][adj]
+                uk, uc = np.unique(key, return_counts=True)
+                np.maximum.at(max_big, uk // (v * v), uc)
+                n_big = np.bincount(pa_doc, minlength=n_rows).astype(
+                    np.int64
+                )
+        conds = [
+            n_tok < GF_MIN_TOKENS,
+            n_tok > GF_MAX_TOKENS,
+            (sum_len < GF_MIN_MEAN_LEN * n_tok)
+            | (sum_len > GF_MAX_MEAN_LEN * n_tok),
+            n_dis * GF_DISTINCT_DEN < n_tok * GF_DISTINCT_NUM,
+            max_big * GF_BIGRAM_DEN > n_big * GF_BIGRAM_NUM,
+        ]
+        reasons = [
+            "too_short",
+            "too_long",
+            "word_length",
+            "low_distinct",
+            "repetitive_bigram",
+        ]
+        reason = np.select(conds, reasons, default="ok")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "keep": pa.array(
+                    (reason == "ok").astype(np.int64), pa.int64()
+                ),
+                "reason": pa.array(reason.astype(str), pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(decide, batch_format="pyarrow", batch_size=2048)
+
+
+# --- PII redaction -----------------------------------------------------------
+# RE2 patterns shared verbatim with the DuckDB twin (both engines run
+# RE2, so match semantics are identical by construction). The corpus
+# text carries no PII, so a deterministic contact tail is synthesized
+# from doc_id on BOTH sides (the url_canonical pattern) — the real
+# redaction kernel then runs over real-looking strings and the full
+# redacted text sits under the value hash.
+PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.com"
+PII_PHONE_RE = r"\d{3}-555-\d{4}"
+PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def _synth_pii_tail(doc_id: pa.ChunkedArray) -> pa.Array:
+    d = doc_id.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def s(x: np.ndarray) -> pa.Array:
+        return pa.array(x.astype("U"), pa.string())
+
+    return pc.binary_join_element_wise(
+        " contact user",
+        s(d),
+        "@mail",
+        s(d % 7),
+        ".com call ",
+        s(100 + d % 900),
+        "-555-",
+        pc.utf8_lpad(s(d % 10000), width=4, padding="0"),
+        " from 10.",
+        s(d % 256),
+        ".",
+        s((d // 7) % 256),
+        ".",
+        s(d % 100),
+        "",
+    )
+
+
+def pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII scrub — the standard pre-training redaction pass: emails,
+    NANP-style phone numbers and IPv4 literals replaced by typed
+    placeholder tokens, with per-category match counts. Map-only, zero
+    shuffle; one compiled-RE2 pass per pattern per batch (count then
+    global replace), patterns non-overlapping by construction. Output
+    (doc_id, redacted, n_emails, n_phones, n_ips)."""
+
+    def redact(t: pa.Table) -> pa.Table:
+        full = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""),
+            _synth_pii_tail(t["doc_id"].combine_chunks()),
+            "",
+        )
+        out = full
+        counts = {}
+        for name, pat, repl in (
+            ("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+            ("n_phones", PII_PHONE_RE, "<PHONE>"),
+            ("n_ips", PII_IP_RE, "<IP>"),
+        ):
+            counts[name] = pc.count_substring_regex(full, pat).cast(
+                pa.int64()
+            )
+            out = pc.replace_substring_regex(out, pat, repl)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "redacted": out,
+                **counts,
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(redact, batch_format="pyarrow", batch_size=2048)

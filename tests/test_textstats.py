@@ -591,3 +591,74 @@ def test_rank_eval_invariants(ray_session):
     assert (df.loc[df["n_hit"] == 0, "ndcg_fp6"] == 0).all()
     assert (df["ndcg_fp6"] <= 10**6).all()
     assert len(RANK_EVAL_IDCG_FP) == TOP_K
+
+
+def test_gopher_filter_golden(ray_session):
+    """Rule order + thresholds replicated in pure Python per doc."""
+    from harvester_ray.stages.textstats import (
+        GF_BIGRAM_DEN,
+        GF_BIGRAM_NUM,
+        GF_DISTINCT_DEN,
+        GF_DISTINCT_NUM,
+        GF_MAX_MEAN_LEN,
+        GF_MAX_TOKENS,
+        GF_MIN_MEAN_LEN,
+        GF_MIN_TOKENS,
+        gopher_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet").to_pylist()
+    expect = {}
+    for row in docs:
+        ts = tokenize(row["text"] or "")
+        n = len(ts)
+        sl = sum(len(t) for t in ts)
+        nd = len(set(ts))
+        bigs = Counter(zip(ts, ts[1:]))
+        mx = max(bigs.values()) if bigs else 0
+        nb = sum(bigs.values())
+        if n < GF_MIN_TOKENS:
+            r = "too_short"
+        elif n > GF_MAX_TOKENS:
+            r = "too_long"
+        elif sl < GF_MIN_MEAN_LEN * n or sl > GF_MAX_MEAN_LEN * n:
+            r = "word_length"
+        elif nd * GF_DISTINCT_DEN < n * GF_DISTINCT_NUM:
+            r = "low_distinct"
+        elif mx * GF_BIGRAM_DEN > nb * GF_BIGRAM_NUM:
+            r = "repetitive_bigram"
+        else:
+            r = "ok"
+        expect[row["doc_id"]] = r
+
+    got = gopher_filter(sf).to_pandas()
+    assert len(got) == len(expect)
+    for _, row in got.iterrows():
+        assert row["reason"] == expect[row["doc_id"]]
+        assert row["keep"] == (1 if row["reason"] == "ok" else 0)
+    # the fixture corpus exercises both outcomes
+    assert 0 < got["keep"].sum() < len(got)
+
+
+def test_pii_redact_residual_free(ray_session):
+    """Every synthesized PII string is found (counts >= 1 per
+    category) and nothing matching any pattern survives redaction."""
+    import re
+
+    from harvester_ray.stages.textstats import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        pii_redact,
+    )
+
+    t = pii_redact("/root/testdata/sf0.001").to_pandas()
+    assert (t["n_emails"] >= 1).all()
+    assert (t["n_phones"] >= 1).all()
+    assert (t["n_ips"] >= 1).all()
+    pats = [re.compile(p) for p in (PII_EMAIL_RE, PII_PHONE_RE, PII_IP_RE)]
+    for s in t["redacted"]:
+        assert "<EMAIL>" in s and "<PHONE>" in s and "<IP>" in s
+        for p in pats:
+            assert not p.search(s)

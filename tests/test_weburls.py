@@ -144,3 +144,38 @@ def test_crawl_frontier_politeness(ray_session):
     for _, g in t.groupby("host"):
         waves = np.sort(g["wave"].to_numpy())
         assert (waves == np.arange(len(g))).all()
+
+
+def test_hits_matches_pure_python_golden(ray_session):
+    """Exact integer HITS replicated in numpy on the same graph: both
+    half-steps, both normalizations, iteration for iteration."""
+    import pyarrow.parquet as pq
+
+    from harvester_ray.pipelines.weburls import (
+        HITS_FP,
+        HITS_ITERS,
+        PR_EDGE_MULTS,
+        hits_scores,
+    )
+
+    n = pq.ParquetFile(SF + "/documents.parquet").metadata.num_rows
+    ids = np.arange(n, dtype=np.int64)
+    h = np.full(n, HITS_FP // n, dtype=np.int64)
+    a = h
+    for _ in range(HITS_ITERS):
+        a_raw = np.zeros(n, dtype=np.int64)
+        for m, b in PR_EDGE_MULTS:
+            np.add.at(a_raw, (ids * m + b) % n, h)
+        a = a_raw * HITS_FP // a_raw.sum()
+        h_raw = np.zeros(n, dtype=np.int64)
+        for m, b in PR_EDGE_MULTS:
+            h_raw += a[(ids * m + b) % n]
+        h = h_raw * HITS_FP // h_raw.sum()
+
+    t = hits_scores(SF).to_pandas().sort_values("doc_id")
+    assert len(t) == n and t["doc_id"].is_unique
+    assert np.array_equal(t["auth_fp"].to_numpy(), a)
+    assert np.array_equal(t["hub_fp"].to_numpy(), h)
+    # L1 mass conserved up to per-doc floor loss
+    assert HITS_FP * 0.9 < t["auth_fp"].sum() <= HITS_FP
+    assert HITS_FP * 0.9 < t["hub_fp"].sum() <= HITS_FP
