@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # offline IR rank evaluation of the engine's own BM25 top-k
         # (precision@k / recall / MRR / nDCG vs conjunctive qrels)
         "rank_eval": fulltext.rank_eval,
+        # percolator / reverse search: stored queries matched against
+        # the doc stream at ingest time (index-free, map-only)
+        "percolate_matches": fulltext.percolate_matches,
         # two-phase distributed faceting on the doc-sharded tier
         # (overrequest + refine; exact-membership regime asserted)
         "search_facets_sharded": fulltext.search_facets_sharded,
@@ -258,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": textstats.gopher_filter,
         # PII scrub: email/phone/IPv4 redaction with per-category counts
         "pii_redact": textstats.pii_redact,
+        # the full curation sweep composed end to end (quality gate ∩
+        # exact-dedup canonical − eval subset − contaminated)
+        "curate_corpus": textstats.curate_corpus,
         # url axis: general canonicalizer gated against a closed-form
         # SQL rebuild of the same deterministic messy urls
         "url_canonical": weburls.url_canonical,
@@ -432,6 +438,8 @@ def oracle_sql() -> dict[str, str]:
         "hashed_classifier_scores": oracles.HASHED_CLASSIFIER,
         "gopher_filter": oracles.GOPHER_FILTER,
         "pii_redact": oracles.PII_REDACT,
+        "curate_corpus": oracles.CURATE_CORPUS,
+        "percolate_matches": oracles.PERCOLATE_MATCHES,
         "hits_scores": oracles.HITS_SCORES,
         "url_canonical": oracles.URL_CANONICAL,
         "url_dedup_latest": oracles.URL_DEDUP_LATEST,

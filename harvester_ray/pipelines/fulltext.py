@@ -4126,3 +4126,85 @@ def rank_eval(sf_dir: str) -> "ray.data.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def percolate_matches(sf_dir: str) -> "ray.data.Dataset":
+    """Percolator / reverse search (the Elasticsearch percolate query,
+    Lucene MemoryIndex): the STORED queries are the small side and the
+    document stream is matched against them at ingest time — the
+    alerting / routing shape, structurally the inverse of every other
+    entry here (no index is built or read). A stored query matches a
+    doc iff the doc contains ALL the query's terms.
+
+    Scale shape: map-only, zero shuffle — the stored-query set is
+    config-sized (closure capture), each batch tokenizes once and
+    folds term membership into per-doc BITMASK words (one uint64 word
+    per 64 stored-query terms), then each query is one mask compare
+    over the batch. Output (query_id, doc_id) for every match."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from harvester_ray.functions.text import (
+        flatten_tokens,
+        tokenize,
+        tokenize_column,
+    )
+
+    qterms = [
+        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
+    ]
+    all_terms = sorted({t for _, ts in qterms for t in ts})
+    bit_of = {t: i for i, t in enumerate(all_terms)}
+    n_words = max(1, (len(all_terms) + 63) // 64)
+    q_masks = []
+    for qid, ts in qterms:
+        m = np.zeros(n_words, dtype=np.uint64)
+        for t in ts:
+            b = bit_of[t]
+            m[b // 64] |= np.uint64(1) << np.uint64(b % 64)
+        q_masks.append((qid, m))
+    term_arr = pa.array(all_terms, pa.string())
+
+    def match(t: pa.Table) -> pa.Table:
+        n_rows = len(t)
+        masks = np.zeros((n_rows, n_words), dtype=np.uint64)
+        flat, parent = tokenize_column(t["text"]), None
+        flat, parent = flatten_tokens(flat)
+        if len(flat):
+            par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = pc.fill_null(
+                pc.index_in(flat, value_set=term_arr), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = idx >= 0
+            p, b = par[sel], idx[sel]
+            for w in range(n_words):
+                ws = (b // 64) == w
+                np.bitwise_or.at(
+                    masks[:, w],
+                    p[ws],
+                    np.uint64(1) << (b[ws] % 64).astype(np.uint64),
+                )
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_d = [], []
+        for qid, qm in q_masks:
+            hit = np.all((masks & qm) == qm, axis=1)
+            if hit.any():
+                out_d.append(d[hit])
+                out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(match, batch_format="pyarrow", batch_size=2048)

@@ -3715,3 +3715,48 @@ def _hits_sql() -> str:
 
 
 HITS_SCORES = _hits_sql()
+
+
+def _percolate_sql() -> str:
+    """Twin of fulltext.percolate_matches: conjunctive stored-query
+    match over per-doc distinct token sets."""
+    values = _or_query_values()
+    return f"""
+WITH q(query_id, term) AS (VALUES {values}),
+nq AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id),
+tk AS (SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+       FROM documents),
+e AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+m AS (SELECT q.query_id, e.doc_id, count(*) AS c
+      FROM q JOIN e USING (term) GROUP BY q.query_id, e.doc_id)
+SELECT m.query_id, m.doc_id
+FROM m JOIN nq USING (query_id)
+WHERE m.c = nq.n
+"""
+
+
+PERCOLATE_MATCHES = _percolate_sql()
+
+
+def _curate_corpus_sql() -> str:
+    """Twin of textstats.curate_corpus: the gopher gate, exact-dedup
+    canonical rule, eval-subset exclusion and zero-contamination rule
+    composed over the SAME CTEs that gate each leg individually."""
+    from harvester_ray.stages.dedup import DECON_BENCH_MOD, DECON_BENCH_REM
+
+    return f"""
+WITH gf AS ({GOPHER_FILTER}),
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+cont AS ({DECONTAMINATE})
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+JOIN gf ON gf.doc_id = d.doc_id AND gf.keep = 1
+JOIN canon ON canon.doc_id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
+WHERE cont.doc_id IS NULL
+  AND d.doc_id % {DECON_BENCH_MOD} != {DECON_BENCH_REM}
+"""
+
+
+CURATE_CORPUS = _curate_corpus_sql()

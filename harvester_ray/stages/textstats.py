@@ -1672,3 +1672,58 @@ def pii_redact(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(redact, batch_format="pyarrow", batch_size=2048)
+
+
+def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """The full curation sweep END TO END — the composite a 100-TB
+    training-data run executes as one streaming pipeline: keep a doc
+    iff it (1) passes the Gopher quality gate, (2) is its exact-dup
+    cluster's canonical (min doc_id per md5(text)), (3) is not part of
+    the held-out eval subset, and (4) shares no 8-gram with it
+    (decontamination). Output (doc_id, source, n_chars).
+
+    Scale shape: each leg is the already-gated distributed operator;
+    the composition is doc_id-keyed hash joins of id-projected streams
+    (quality ∩ canonical via partitioned join, minus contaminated via
+    the hash anti-join) and ONE size-aware join back to the documents
+    projection for the output columns — no leg materializes on the
+    driver, nothing broadcasts past the guarded side-table plan."""
+    from harvester_ray.pipelines.relational import dedup_exact
+    from harvester_ray.stages.dedup import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+        anti_join_doc_ids,
+        decontaminate,
+    )
+    from harvester_ray.stages.joins import ds_join, join_parquet_side
+
+    id_schema = pa.schema([("doc_id", pa.int64())])
+
+    def keep_ids(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["keep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = (k == 1) & (d % DECON_BENCH_MOD != DECON_BENCH_REM)
+        return pa.table({"doc_id": pa.array(d[mask], pa.int64())})
+
+    quality = gopher_filter(sf_dir).map_batches(
+        keep_ids, batch_format="pyarrow"
+    )
+    canonical = dedup_exact(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    kept = ds_join(
+        quality, canonical, on=("doc_id",), schemas=(id_schema, id_schema)
+    )
+    contaminated = decontaminate(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    kept = anti_join_doc_ids(kept, contaminated)
+    return join_parquet_side(
+        kept,
+        os.path.join(sf_dir, "documents.parquet"),
+        ["doc_id", "source", "n_chars"],
+        on=("doc_id",),
+        left_schema=id_schema,
+    )

@@ -662,3 +662,56 @@ def test_pii_redact_residual_free(ray_session):
         assert "<EMAIL>" in s and "<PHONE>" in s and "<IP>" in s
         for p in pats:
             assert not p.search(s)
+
+
+def test_percolate_conjunctive_semantics(ray_session):
+    """Exact stored-query match sets replicated in pure Python; the
+    OOV-bearing query matches nothing."""
+    from harvester_ray.pipelines.fulltext import (
+        percolate_matches,
+        queries_for_mode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet").to_pylist()
+    expect = set()
+    for qid, q in queries_for_mode("or"):
+        terms = set(tokenize(q))
+        for row in docs:
+            if terms <= set(tokenize(row["text"] or "")):
+                expect.add((qid, row["doc_id"]))
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate_matches(sf).take_all()
+    }
+    assert got == expect
+    assert len(got) > 0
+    assert not any(qid == 4 for qid, _ in got)  # zzzq is OOV
+
+
+def test_curate_corpus_is_intersection_of_legs(ray_session):
+    """Every kept doc passes each leg individually, and every doc that
+    passes all legs is kept (exact set equality)."""
+    from harvester_ray.pipelines.relational import dedup_exact
+    from harvester_ray.stages.dedup import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+        decontaminate,
+    )
+    from harvester_ray.stages.textstats import curate_corpus, gopher_filter
+
+    sf = "/root/testdata/sf0.001"
+    quality = {
+        r["doc_id"] for r in gopher_filter(sf).take_all() if r["keep"] == 1
+    }
+    canonical = {r["doc_id"] for r in dedup_exact(sf).take_all()}
+    contaminated = {r["doc_id"] for r in decontaminate(sf).take_all()}
+    expect = {
+        d
+        for d in quality & canonical
+        if d % DECON_BENCH_MOD != DECON_BENCH_REM and d not in contaminated
+    }
+    got = curate_corpus(sf).to_pandas()
+    assert set(got["doc_id"]) == expect
+    assert 0 < len(got) < 500
+    assert set(got.columns) == {"doc_id", "source", "n_chars"}
