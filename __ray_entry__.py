@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "atomic_update": fulltext.atomic_update,
         "heavy_hitters": sketches.heavy_hitters,
         "multimodal_meta": multimodal.multimodal_meta,
+        # video frame sampling: actor-pool 1->N frame explode, frame
+        # bytes pinned by md5 (window/stride arithmetic under the hash)
+        "frame_sample": multimodal.frame_sample,
         "hll_registers": sketches.hll_registers,
         "hll_registers_by_group": sketches.hll_registers_by_group,
         "pack_sequences": chunking.pack_sequences,
@@ -342,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": oracles.HLL_REGISTERS,
         "hll_registers_by_group": oracles.HLL_REGISTERS_BY_GROUP,
         "multimodal_meta": oracles.MULTIMODAL_META,
+        "frame_sample": oracles.FRAME_SAMPLE,
         "pack_sequences": oracles.PACK_SEQUENCES,
         "prefix_search": oracles.PREFIX_SEARCH,
         "wildcard_search": oracles.WILDCARD_SEARCH,

@@ -3760,3 +3760,28 @@ WHERE cont.doc_id IS NULL
 
 
 CURATE_CORPUS = _curate_corpus_sql()
+
+
+def _frame_sample_sql() -> str:
+    """Twin of multimodal.frame_sample: video payloads are the utf-8
+    bytes of ascii text, so frames are substr windows."""
+    from harvester_ray.stages.multimodal import FRAME_BYTES, FRAME_STRIDE
+
+    return f"""
+WITH v AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+           WHERE doc_id % 3 = 2),
+f AS (SELECT doc_id, t,
+        (len(t) + {FRAME_BYTES} - 1) // {FRAME_BYTES} AS n_frames
+      FROM v WHERE len(t) > 0),
+x AS (SELECT doc_id, n_frames, t,
+        unnest(range(0, n_frames)) AS frame_idx
+      FROM f)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       md5(substr(t, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+         AS frame_md5
+FROM x WHERE frame_idx % {FRAME_STRIDE} = 0
+"""
+
+
+FRAME_SAMPLE = _frame_sample_sql()

@@ -169,3 +169,67 @@ def multimodal_meta(sf_dir: str) -> "ray.data.Dataset":
         lambda t: t.select(["doc_id", "media_type", "n_bytes"]),
         batch_format="pyarrow",
     )
+
+
+# video frame-sampling parameters: FRAME_BYTES bytes per synthetic
+# frame, keep every FRAME_STRIDE-th frame (fps downsample)
+FRAME_BYTES = 32
+FRAME_STRIDE = 3
+
+
+class FrameSampler:
+    """Frame-sampling actor stage for video payloads: split the opaque
+    payload into fixed-size frames, keep every ``stride``-th one, emit
+    one row per sampled frame — the 1→N explode a video pipeline runs
+    before per-frame feature extraction. The "decode" is the
+    deterministic fixed-window rule (no video libs in this container)
+    but the plumbing — actor state in __init__, small wide-row batches,
+    explode output layout — is the production shape.
+    """
+
+    def __init__(self, frame_bytes: int = FRAME_BYTES,
+                 stride: int = FRAME_STRIDE):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, totals, md5s = [], [], [], []
+        fb = self.frame_bytes
+        for did, mt, payload in zip(
+            batch["doc_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if not (mt or "").startswith("video/") or not payload:
+                continue
+            n_frames = (len(payload) + fb - 1) // fb
+            for i in range(0, n_frames, self.stride):
+                ids.append(did)
+                idxs.append(i)
+                totals.append(n_frames)
+                md5s.append(
+                    hashlib.md5(payload[i * fb:(i + 1) * fb]).hexdigest()
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "n_frames": pa.array(totals, pa.int64()),
+                "frame_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+
+def frame_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Sampled-frame rows for every video-typed payload:
+    (doc_id, frame_idx, n_frames, frame_md5). Actor-pool explode with
+    small batches (wide binary rows); frame content is pinned by md5 so
+    the window/stride arithmetic AND the sliced bytes sit under the
+    value-hash gate (payloads are ascii, so the SQL twin slices the
+    same bytes with substr)."""
+    return synthesize_payloads(sf_dir).map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=stage_concurrency(),
+    )

@@ -715,3 +715,38 @@ def test_curate_corpus_is_intersection_of_legs(ray_session):
     assert set(got["doc_id"]) == expect
     assert 0 < len(got) < 500
     assert set(got.columns) == {"doc_id", "source", "n_chars"}
+
+
+def test_frame_sample_window_arithmetic(ray_session):
+    """Frame windows replicated in pure Python: only video-typed docs,
+    stride-sampled indices, md5 of each FRAME_BYTES window."""
+    import hashlib
+
+    from harvester_ray.stages.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        frame_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(sf + "/documents.parquet").to_pylist()
+    expect = {}
+    for row in docs:
+        if row["doc_id"] % 3 != 2:
+            continue
+        payload = (row["text"] or "").encode("utf-8")
+        if not payload:
+            continue
+        nf = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+        for i in range(0, nf, FRAME_STRIDE):
+            expect[(row["doc_id"], i)] = (
+                nf,
+                hashlib.md5(
+                    payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                ).hexdigest(),
+            )
+    got = frame_sample(sf).to_pandas()
+    assert len(got) == len(expect)
+    for _, r in got.iterrows():
+        nf, md5 = expect[(r["doc_id"], r["frame_idx"])]
+        assert r["n_frames"] == nf and r["frame_md5"] == md5
