@@ -163,6 +163,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operator coverage (SURVEY.md §2.5-2.7)
         "q1_pricing": relational.q1_pricing,
         "q3_top_orders": relational.q3_top_orders,
+        # TPC-H Q5 shape: 5-way join with three physical plans
+        # (driver-fold dims, guarded broadcast maps, one fact hash join)
+        "q5_revenue": relational.q5_revenue,
+        # per-user running aggregate (ROWS UNBOUNDED PRECEDING window)
+        "events_running_total": relational.events_running_total,
         "region_customer_stats": relational.region_customer_stats,
         "orders_priority_count": relational.orders_priority_count,
         "distinct_segments": relational.distinct_segments,
@@ -390,6 +395,8 @@ def oracle_sql() -> dict[str, str]:
         "term_dictionary_merged": oracles.TERM_DICTIONARY,
         "q1_pricing": oracles.Q1_PRICING,
         "q3_top_orders": oracles.Q3_TOP_ORDERS,
+        "q5_revenue": oracles.Q5_REVENUE,
+        "events_running_total": oracles.EVENTS_RUNNING_TOTAL,
         "region_customer_stats": oracles.REGION_CUSTOMER_STATS,
         "orders_priority_count": oracles.ORDERS_PRIORITY_COUNT,
         "distinct_segments": oracles.DISTINCT_SEGMENTS,

@@ -3785,3 +3785,41 @@ FROM x WHERE frame_idx % {FRAME_STRIDE} = 0
 
 
 FRAME_SAMPLE = _frame_sample_sql()
+
+
+def _q5_sql() -> str:
+    from harvester_ray.pipelines.relational import (
+        Q5_DATE_HI,
+        Q5_DATE_LO,
+        Q5_REGION,
+    )
+
+    return f"""
+SELECT n_name,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+           AS BIGINT))::BIGINT AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n_name
+"""
+
+
+Q5_REVENUE = _q5_sql()
+
+EVENTS_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS running_n,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS running_value_r4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS UNBOUNDED PRECEDING)
+"""

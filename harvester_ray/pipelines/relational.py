@@ -1227,3 +1227,186 @@ def dataset_split(sf_dir: str) -> "ray.data.Dataset":
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def q5_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q5 shape — revenue per nation where the customer and the
+    line's supplier share a nation inside one region, over a date
+    range: the multi-way join-planning workout (5 joins, 3 different
+    physical plans). region⨝nation is config-scale (driver fold);
+    supplier and customer are key→nation maps broadcast under the q3
+    guard (hash ds_join past it); orders⨝lineitem — the two fact
+    tables — is the one genuine hash-partitioned join. Dates prune at
+    the read via a parquet row-group filter. Revenue is row-level
+    fixed-point (q1/q3 rule) so distributed sums are order-free.
+    Output (n_name, revenue)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from harvester_ray.stages.joins import ds_join
+
+    # config-scale dims on the driver: nations of the target region
+    regionkeys = {
+        r["r_regionkey"]
+        for r in _read(sf_dir, "region").take_all()
+        if r["r_name"] == Q5_REGION
+    }
+    nation_rows = _read(sf_dir, "nation").take_all()
+    nname_of = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation_rows
+        if r["n_regionkey"] in regionkeys
+    }
+    region_nations = np.array(sorted(nname_of), dtype=np.int64)
+    region_names = np.array(
+        [nname_of[k] for k in region_nations], dtype=object
+    )
+
+    def _key_map(table: str, key: str, val: str):
+        # small-dim key→nationkey map as SORTED parallel arrays (one
+        # vectorized searchsorted per batch, no per-row dict.get),
+        # guarded like q3's semi-join side
+        ds = _read(sf_dir, table, [key, val])
+        if ds.count() > _BROADCAST_KEYS_GUARD:
+            raise NotImplementedError(
+                f"{table} exceeds the broadcast guard — route through "
+                "ds_join like the orders⨝lineitem leg"
+            )
+        rows = ds.take_all()
+        keys = np.array([r[key] for r in rows], dtype=np.int64)
+        vals = np.array([r[val] for r in rows], dtype=np.int64)
+        order = np.argsort(keys)
+        return keys[order], vals[order]
+
+    def _lookup(pair, probe: np.ndarray, miss: int) -> np.ndarray:
+        keys, vals = pair
+        pos = np.searchsorted(keys, probe)
+        pos = np.minimum(pos, len(keys) - 1)
+        out = vals[pos]
+        out[keys[pos] != probe] = miss
+        return out
+
+    supp_ref = ray.put(_key_map("supplier", "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_key_map("customer", "c_custkey", "c_nationkey"))
+
+    lo = _dt.datetime.fromisoformat(Q5_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q5_DATE_HI)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def line_rev(t: pa.Table) -> pa.Table:
+        # supplier lookup + region filter + row-level fixed point
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = _lookup(ray.get(supp_ref), sk, -1)
+        keep = np.isin(snat, region_nations)
+        rev = (
+            t["l_extendedprice"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].cast(pa.float64()).to_numpy(zero_copy_only=False))
+        )
+        rev_fp = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].cast(pa.int64())
+                .filter(pa.array(keep)),
+                "s_nationkey": pa.array(snat[keep], pa.int64()),
+                "revenue": pa.array(rev_fp[keep], pa.int64()),
+            }
+        )
+
+    line = line.map_batches(line_rev, batch_format="pyarrow")
+
+    joined = ds_join(
+        line,
+        orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        schemas=(
+            pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("s_nationkey", pa.int64()),
+                    ("revenue", pa.int64()),
+                ]
+            ),
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        ),
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnat = _lookup(ray.get(cust_ref), ck, -2)
+        keep = cnat == t["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = region_names[
+            np.searchsorted(region_nations, cnat[keep])
+        ]
+        return pa.table(
+            {
+                "n_name": pa.array(names.astype(str), pa.string()),
+                "revenue": t["revenue"].filter(pa.array(keep)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"].cast(pa.string()),
+                "revenue": t["revenue"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_running_total(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running aggregate over event time — the ROWS UNBOUNDED
+    PRECEDING window (events_window_1h covers the RANGE frame): for
+    every event, the cumulative count and cumulative fixed-point value
+    sum of that user's events at-or-before it (ties broken by
+    event_id, both engines). One user-keyed groupby; each group sorts
+    locally and cumsums vectorized. Output
+    (event_id, user_id, running_n, running_value_r4)."""
+
+    def cum(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(idx)
+        v = g["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        v_fp = np.floor(v * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": g["event_id"].cast(pa.int64()),
+                "user_id": g["user_id"].cast(pa.int64()),
+                "running_n": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "running_value_r4": pa.array(np.cumsum(v_fp), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(cum, batch_format="pyarrow")
+    )

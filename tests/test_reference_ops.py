@@ -194,3 +194,46 @@ def test_setprop_replace():
     with _pytest.raises(KeyError):
         setprop_replace({}, "missing", "v", None)
     assert setprop_replace({}, "missing", "v", None, key_error_as_none=True) is None
+
+
+def test_q5_matches_duckdb(ray_session):
+    """Q5 five-way join vs DuckDB on sf0.001 (value-exact, fixed-point
+    revenue)."""
+    import duckdb
+
+    from harvester_ray.pipelines.oracles import Q5_REVENUE
+    from harvester_ray.pipelines.relational import q5_revenue
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    want = {
+        (r[0], r[1]) for r in con.execute(Q5_REVENUE).fetchall()
+    }
+    got = {
+        (r["n_name"], r["revenue"]) for r in q5_revenue(sf).take_all()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_events_running_total_monotone(ray_session):
+    """running_n is 1..k per user in ts order and the final cumsum per
+    user equals the user's total fixed-point value."""
+    import numpy as np
+
+    from harvester_ray.pipelines.relational import events_running_total
+
+    sf = "/root/testdata/sf0.001"
+    df = events_running_total(sf).to_pandas()
+    assert df["event_id"].is_unique
+    for _, g in df.groupby("user_id"):
+        n = np.sort(g["running_n"].to_numpy())
+        assert (n == np.arange(1, len(g) + 1)).all()
+        assert g["running_value_r4"].max() == g.loc[
+            g["running_n"].idxmax(), "running_value_r4"
+        ]
