@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_revenue": relational.q5_revenue,
         # per-user running aggregate (ROWS UNBOUNDED PRECEDING window)
         "events_running_total": relational.events_running_total,
+        # LAG window: per-user inter-arrival gaps
+        "events_interarrival": relational.events_interarrival,
+        # GROUP BY ROLLUP: multi-level aggregates off one fact pass
+        "orders_rollup": relational.orders_rollup,
         "region_customer_stats": relational.region_customer_stats,
         "orders_priority_count": relational.orders_priority_count,
         "distinct_segments": relational.distinct_segments,
@@ -397,6 +401,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": oracles.Q3_TOP_ORDERS,
         "q5_revenue": oracles.Q5_REVENUE,
         "events_running_total": oracles.EVENTS_RUNNING_TOTAL,
+        "events_interarrival": oracles.EVENTS_INTERARRIVAL,
+        "orders_rollup": oracles.ORDERS_ROLLUP,
         "region_customer_stats": oracles.REGION_CUSTOMER_STATS,
         "orders_priority_count": oracles.ORDERS_PRIORITY_COUNT,
         "distinct_segments": oracles.DISTINCT_SEGMENTS,

@@ -3823,3 +3823,20 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS UNBOUNDED PRECEDING)
 """
+
+
+EVENTS_INTERARRIVAL = """
+SELECT event_id, user_id,
+       CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), -1)
+            AS BIGINT) AS gap_us
+FROM events
+"""
+
+ORDERS_ROLLUP = """
+SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)::BIGINT AS n_orders
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+"""

@@ -1410,3 +1410,111 @@ def events_running_total(sf_dir: str) -> "ray.data.Dataset":
         .groupby("user_id")
         .map_groups(cum, batch_format="pyarrow")
     )
+
+
+def events_interarrival(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user inter-arrival gaps — the LAG window (running_total
+    covers the cumulative frame, window_1h the RANGE frame): for every
+    event, microseconds since the user's previous event (NULL-coded -1
+    for each user's first). Same one-groupby shape as sessionize.
+    Output (event_id, user_id, gap_us)."""
+
+    def gaps(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+            )
+        )
+        ts = (
+            g["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        gap = np.r_[np.int64(-1), np.diff(ts)].astype(np.int64)
+        return pa.table(
+            {
+                "event_id": g["event_id"].cast(pa.int64()),
+                "user_id": g["user_id"].cast(pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(year, priority) order counts — multi-level
+    aggregates derived from ONE fact pass: the fine (year, priority)
+    partials are computed once (per-batch combiner + one groupby), and
+    the year and grand-total levels fold those partials, never
+    re-reading the facts. NULL group keys are coded 'ALL' (both
+    engines). Output (o_year, o_orderpriority, n_orders)."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        tbl = pa.table(
+            {
+                "o_year": pc.cast(yr, pa.string()),
+                "o_orderpriority": t["o_orderpriority"].cast(pa.string()),
+                "n_orders": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            }
+        )
+        return tbl.group_by(["o_year", "o_orderpriority"]).aggregate(
+            [("n_orders", "sum")]
+        ).rename_columns(["o_year", "o_orderpriority", "n_orders"])
+
+    fine = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .materialize()  # fine level reused by both coarser levels
+    )
+
+    def relabel(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table(
+                {
+                    "o_year": t["o_year"].cast(pa.string())
+                    if "o_year" not in cols
+                    else pa.array([cols["o_year"]] * n, pa.string()),
+                    "o_orderpriority": t["o_orderpriority"].cast(pa.string())
+                    if "o_orderpriority" not in cols
+                    else pa.array(
+                        [cols["o_orderpriority"]] * n, pa.string()
+                    ),
+                    "n_orders": t["n_orders"].cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    year_level = (
+        fine.map_batches(
+            relabel({"o_orderpriority": "ALL"}), batch_format="pyarrow"
+        )
+        .groupby("o_year")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .map_batches(relabel({"o_orderpriority": "ALL"}),
+                     batch_format="pyarrow")
+    )
+    total_level = (
+        fine.map_batches(
+            relabel({"o_year": "ALL", "o_orderpriority": "ALL"}),
+            batch_format="pyarrow",
+        )
+        .groupby("o_year")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .map_batches(relabel({"o_orderpriority": "ALL"}),
+                     batch_format="pyarrow")
+    )
+    fine_typed = fine.map_batches(relabel({}), batch_format="pyarrow")
+    return fine_typed.union(year_level).union(total_level)

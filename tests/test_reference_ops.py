@@ -237,3 +237,30 @@ def test_events_running_total_monotone(ray_session):
         assert g["running_value_r4"].max() == g.loc[
             g["running_n"].idxmax(), "running_value_r4"
         ]
+
+
+def test_orders_rollup_levels_consistent(ray_session):
+    """Fine counts fold exactly into the year level and grand total."""
+    from harvester_ray.pipelines.relational import orders_rollup
+
+    df = orders_rollup("/root/testdata/sf0.001").to_pandas()
+    fine = df[(df["o_year"] != "ALL") & (df["o_orderpriority"] != "ALL")]
+    years = df[(df["o_year"] != "ALL") & (df["o_orderpriority"] == "ALL")]
+    total = df[(df["o_year"] == "ALL") & (df["o_orderpriority"] == "ALL")]
+    assert len(total) == 1
+    assert total["n_orders"].iloc[0] == fine["n_orders"].sum()
+    for _, r in years.iterrows():
+        assert (
+            r["n_orders"]
+            == fine.loc[fine["o_year"] == r["o_year"], "n_orders"].sum()
+        )
+
+
+def test_events_interarrival_one_first_per_user(ray_session):
+    from harvester_ray.pipelines.relational import events_interarrival
+
+    df = events_interarrival("/root/testdata/sf0.001").to_pandas()
+    assert df["event_id"].is_unique
+    firsts = df[df["gap_us"] == -1]
+    assert len(firsts) == df["user_id"].nunique()
+    assert (df.loc[df["gap_us"] != -1, "gap_us"] >= 0).all()
