@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": fulltext.vocab_growth,
         "realtime_get": fulltext.realtime_get,
         "atomic_update": fulltext.atomic_update,
+        # commit-point time travel: as_of=1 over the upserted fixture
+        # must equal the pristine-corpus ranking (same BM25 oracle)
+        "timetravel_topk": fulltext.timetravel_topk,
         "heavy_hitters": sketches.heavy_hitters,
         "multimodal_meta": multimodal.multimodal_meta,
         # video frame sampling: actor-pool 1->N frame explode, frame
@@ -350,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": oracles.VOCAB_GROWTH,
         "realtime_get": oracles.REALTIME_GET,
         "atomic_update": oracles.ATOMIC_UPDATE,
+        "timetravel_topk": oracles.BM25_TOPK_OR,
         "heavy_hitters": oracles.HEAVY_HITTERS,
         "hll_registers": oracles.HLL_REGISTERS,
         "hll_registers_by_group": oracles.HLL_REGISTERS_BY_GROUP,

@@ -122,11 +122,18 @@ def load_tombstones_scoped(index_dir: str) -> list[tuple[int, np.ndarray]]:
     return out
 
 
-def deleted_for_source(index_dir: str, source_idx: int) -> np.ndarray:
-    """Sorted unique doc_ids tombstoned for source ``source_idx``."""
+def deleted_for_source(
+    index_dir: str, source_idx: int, as_of: "int | None" = None
+) -> np.ndarray:
+    """Sorted unique doc_ids tombstoned for source ``source_idx``.
+
+    ``as_of=k`` restricts to the snapshot at source k-1's commit
+    (time travel): only tombstones stamped BEFORE source k existed
+    (seq < k) apply — a tombstone stamped seq=k was written at or
+    after that commit point."""
     parts = [
         ids for seq, ids in load_tombstones_scoped(index_dir)
-        if seq > source_idx
+        if seq > source_idx and (as_of is None or seq < as_of)
     ]
     if not parts:
         return np.empty(0, dtype=np.int64)

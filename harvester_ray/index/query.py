@@ -243,6 +243,7 @@ class InvertedIndex:
         scorer=None,
         shard: "tuple[int, int] | None" = None,
         term_shard: "tuple[int, int] | None" = None,
+        as_of: "int | None" = None,
     ):
         """``analyzer``: override the analyzer recorded in stats.json
         (functions.text.Analyzer). ``scorer``: SURVEY §2.10 scorer plug
@@ -285,6 +286,18 @@ class InvertedIndex:
 
         self.index_dir = index_dir
         src_dirs = source_dirs(index_dir)
+        # as_of=k: time-travel to source k-1's commit point (Lucene
+        # commit-point read): serve sources [0..k) and only tombstones
+        # stamped before source k existed — an LSM snapshot is fully
+        # determined by its source prefix + stamp-scoped tombstones,
+        # so no data is copied or rewritten to read history.
+        if as_of is not None:
+            if not (1 <= as_of <= len(src_dirs)):
+                raise ValueError(
+                    f"as_of must be in [1, {len(src_dirs)}]: {as_of}"
+                )
+            src_dirs = src_dirs[:as_of]
+        self.as_of = as_of
         self.paths = IndexPaths(index_dir)  # base source (back-compat)
         self._src_paths = [IndexPaths(d) for d in src_dirs]
         stats_list = []
@@ -423,7 +436,8 @@ class InvertedIndex:
             ]
         # per-source tombstone sets (arrays for isin, sets for WAND)
         self._dead = [
-            deleted_for_source(index_dir, i) for i in range(len(src_dirs))
+            deleted_for_source(index_dir, i, as_of=as_of)
+            for i in range(len(src_dirs))
         ]
         self._dead_sets = [
             set(d.tolist()) if len(d) else None for d in self._dead
@@ -1225,11 +1239,13 @@ class QueryActor:
         preload: bool = True,
         algorithm: str = "auto",
         scorer: "str | None" = None,
+        as_of: "int | None" = None,
     ):
         self.index = InvertedIndex(
             index_dir,
             preload=preload,
             scorer=SCORERS[scorer] if scorer else None,
+            as_of=as_of,
         )
         self.k = k
         self.algorithm = algorithm

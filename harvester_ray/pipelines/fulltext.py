@@ -254,6 +254,7 @@ def _query_pool(
     algorithm: str = "auto",
     scorer: "str | None" = None,
     keep_score: bool = False,
+    as_of: "int | None" = None,
 ) -> "ray.data.Dataset":
     """The shared QueryActor-pool stage every ranked entry runs:
     ``items`` (list of dicts or a typed Arrow table with query_id /
@@ -276,7 +277,12 @@ def _query_pool(
     )
     if tbl is not None and tbl.num_rows <= _SERVE_POOL_ROWS:
         pool = _serving_pool(
-            QueryActor, paths.root, k=k, algorithm=algorithm, scorer=scorer
+            QueryActor,
+            paths.root,
+            k=k,
+            algorithm=algorithm,
+            scorer=scorer,
+            as_of=as_of,
         )
         out_t = _pool_eval(pool, tbl)
         if out_t is None:  # typed empty
@@ -304,7 +310,8 @@ def _query_pool(
         QueryActor,
         fn_constructor_args=(paths.root,),
         fn_constructor_kwargs={
-            "k": k, "algorithm": algorithm, "scorer": scorer
+            "k": k, "algorithm": algorithm, "scorer": scorer,
+            "as_of": as_of,
         },
         batch_format="pyarrow",
         # cluster-derived pool bounds (a hard-coded 2 starves a 32-CPU
@@ -4208,3 +4215,21 @@ def percolate_matches(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(match, batch_format="pyarrow", batch_size=2048)
+
+
+def timetravel_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Commit-point time travel (Lucene IndexCommit / snapshot reads):
+    serve the reference OR query set against the UPSERTED index fixture
+    (base + stamp-1 tombstones + delta, the atomic_update state) at
+    ``as_of=1`` — the snapshot just before the upsert. An LSM snapshot
+    is a source prefix + stamp-scoped tombstones, so reading history
+    copies nothing; the result must be rank-identical to the pristine
+    corpus, which is exactly what the shared BM25_TOPK_OR oracle
+    states. The as_of=n_sources twin (equals the mutated full view) is
+    pinned in tests/test_maintenance.py."""
+    paths = index_for_atomic(sf_dir)
+    items = [
+        {"query_id": qid, "query": q, "mode": "or"}
+        for qid, q in queries_for_mode("or")
+    ]
+    return _query_pool(paths, items, as_of=1)

@@ -159,3 +159,42 @@ def test_verify_index_detects_stats_corruption(tmp_path, ray_session):
     report = verify_index(str(tmp_path / "idx"))
     assert not report["ok"]
     assert any("avgdl" in v for v in report["violations"])
+
+
+def test_as_of_time_travel(ray_session):
+    """as_of=1 on the upserted fixture reproduces the pristine index
+    bit-for-bit (ranks AND scores); as_of=n_sources equals the default
+    full view; out-of-range as_of raises."""
+    import pytest
+
+    from harvester_ray.index.query import InvertedIndex
+    from harvester_ray.pipelines.fulltext import (
+        index_for,
+        index_for_atomic,
+        queries_for_mode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    atomic = index_for_atomic(sf)
+    pristine = InvertedIndex(index_for(sf).root)
+    snap1 = InvertedIndex(atomic.root, as_of=1)
+    full_default = InvertedIndex(atomic.root)
+    n_src = full_default.n_sources
+    assert n_src >= 2
+    snap_full = InvertedIndex(atomic.root, as_of=n_src)
+    for _, q in queries_for_mode("or"):
+        want = pristine.search(q, k=10)
+        assert snap1.search(q, k=10) == want
+        assert snap_full.search(q, k=10) == full_default.search(q, k=10)
+    # the upsert is visible at full view: at least one query differs
+    assert any(
+        snap_full.search(q, k=10) != pristine.search(q, k=10)
+        or full_default.stats["n_docs"] != pristine.stats["n_docs"]
+        for _, q in queries_for_mode("or")
+    )
+    # snapshot stats are the stats at that commit
+    assert snap1.stats["n_docs"] == pristine.stats["n_docs"]
+    with pytest.raises(ValueError):
+        InvertedIndex(atomic.root, as_of=0)
+    with pytest.raises(ValueError):
+        InvertedIndex(atomic.root, as_of=n_src + 1)
