@@ -130,7 +130,9 @@ def deleted_for_source(
     ``as_of=k`` restricts to the snapshot at source k-1's commit
     (time travel): only tombstones stamped BEFORE source k existed
     (seq < k) apply — a tombstone stamped seq=k was written at or
-    after that commit point."""
+    after that commit point. ``as_of=n_sources+1`` therefore admits
+    every tombstone (the live view after trailing delete-only
+    commits)."""
     parts = [
         ids for seq, ids in load_tombstones_scoped(index_dir)
         if seq > source_idx and (as_of is None or seq < as_of)

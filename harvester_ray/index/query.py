@@ -290,11 +290,15 @@ class InvertedIndex:
         # commit-point read): serve sources [0..k) and only tombstones
         # stamped before source k existed — an LSM snapshot is fully
         # determined by its source prefix + stamp-scoped tombstones,
-        # so no data is copied or rewritten to read history.
+        # so no data is copied or rewritten to read history. The extra
+        # point as_of=n_sources+1 is the snapshot AFTER any trailing
+        # delete-only commits (all sources + all tombstones == the
+        # live view; a tombstone written when n sources existed is
+        # stamped seq=n, which as_of=n excludes by design).
         if as_of is not None:
-            if not (1 <= as_of <= len(src_dirs)):
+            if not (1 <= as_of <= len(src_dirs) + 1):
                 raise ValueError(
-                    f"as_of must be in [1, {len(src_dirs)}]: {as_of}"
+                    f"as_of must be in [1, {len(src_dirs) + 1}]: {as_of}"
                 )
             src_dirs = src_dirs[:as_of]
         self.as_of = as_of

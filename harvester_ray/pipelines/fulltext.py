@@ -4157,8 +4157,12 @@ def percolate_matches(sf_dir: str) -> "ray.data.Dataset":
         tokenize_column,
     )
 
+    # a stored query with no analyzer terms matches NOTHING (the SQL
+    # twin emits no rows for it; an all-zero mask would match-all)
     qterms = [
-        (qid, sorted(set(tokenize(q)))) for qid, q in queries_for_mode("or")
+        (qid, ts)
+        for qid, q in queries_for_mode("or")
+        if (ts := sorted(set(tokenize(q))))
     ]
     all_terms = sorted({t for _, ts in qterms for t in ts})
     bit_of = {t: i for i, t in enumerate(all_terms)}
@@ -4175,8 +4179,7 @@ def percolate_matches(sf_dir: str) -> "ray.data.Dataset":
     def match(t: pa.Table) -> pa.Table:
         n_rows = len(t)
         masks = np.zeros((n_rows, n_words), dtype=np.uint64)
-        flat, parent = tokenize_column(t["text"]), None
-        flat, parent = flatten_tokens(flat)
+        flat, parent = flatten_tokens(tokenize_column(t["text"]))
         if len(flat):
             par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
             idx = pc.fill_null(
@@ -4225,8 +4228,10 @@ def timetravel_topk(sf_dir: str) -> "ray.data.Dataset":
     is a source prefix + stamp-scoped tombstones, so reading history
     copies nothing; the result must be rank-identical to the pristine
     corpus, which is exactly what the shared BM25_TOPK_OR oracle
-    states. The as_of=n_sources twin (equals the mutated full view) is
-    pinned in tests/test_maintenance.py."""
+    states. The as_of=n_sources+1 twin (all sources + ALL tombstones,
+    including any stamped after the last source add — i.e. the live
+    view even after a delete-only commit) is pinned in
+    tests/test_maintenance.py."""
     paths = index_for_atomic(sf_dir)
     items = [
         {"query_id": qid, "query": q, "mode": "or"}

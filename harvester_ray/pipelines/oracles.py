@@ -3747,7 +3747,7 @@ def _curate_corpus_sql() -> str:
 
     return f"""
 WITH gf AS ({GOPHER_FILTER}),
-canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+canon AS ({DEDUP_EXACT}),
 cont AS ({DECONTAMINATE})
 SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d
@@ -3764,21 +3764,26 @@ CURATE_CORPUS = _curate_corpus_sql()
 
 def _frame_sample_sql() -> str:
     """Twin of multimodal.frame_sample: video payloads are the utf-8
-    bytes of ascii text, so frames are substr windows."""
+    BYTES of text, so frames are windows over to_hex(encode(text)) —
+    2 hex chars per byte gives exact byte windows regardless of text
+    encoding width, and the engine fingerprints md5(hex) for the same
+    reason (DuckDB md5 is VARCHAR-only). Media routing mirrors the
+    floored Python modulo (((doc_id % 3) + 3) % 3)."""
     from harvester_ray.stages.multimodal import FRAME_BYTES, FRAME_STRIDE
 
     return f"""
-WITH v AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
-           WHERE doc_id % 3 = 2),
-f AS (SELECT doc_id, t,
-        (len(t) + {FRAME_BYTES} - 1) // {FRAME_BYTES} AS n_frames
-      FROM v WHERE len(t) > 0),
-x AS (SELECT doc_id, n_frames, t,
+WITH v AS (SELECT doc_id, to_hex(encode(coalesce(text, ''))) AS h
+           FROM documents WHERE ((doc_id % 3) + 3) % 3 = 2),
+f AS (SELECT doc_id, h,
+        (len(h) // 2 + {FRAME_BYTES} - 1) // {FRAME_BYTES} AS n_frames
+      FROM v WHERE len(h) > 0),
+x AS (SELECT doc_id, n_frames, h,
         unnest(range(0, n_frames)) AS frame_idx
       FROM f)
 SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(n_frames AS BIGINT) AS n_frames,
-       md5(substr(t, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+       md5(substr(h, frame_idx * {2 * FRAME_BYTES} + 1,
+                  {2 * FRAME_BYTES}))
          AS frame_md5
 FROM x WHERE frame_idx % {FRAME_STRIDE} = 0
 """

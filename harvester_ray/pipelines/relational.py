@@ -1240,10 +1240,12 @@ def q5_revenue(sf_dir: str) -> "ray.data.Dataset":
     range: the multi-way join-planning workout (5 joins, 3 different
     physical plans). region⨝nation is config-scale (driver fold);
     supplier and customer are key→nation maps broadcast under the q3
-    guard (hash ds_join past it); orders⨝lineitem — the two fact
-    tables — is the one genuine hash-partitioned join. Dates prune at
-    the read via a parquet row-group filter. Revenue is row-level
-    fixed-point (q1/q3 rule) so distributed sums are order-free.
+    guard, and past it each leg degrades to a hash ``ds_join``
+    (supplier onto the line stream, customer onto the joined stream)
+    instead of aborting; orders⨝lineitem — the two fact tables — is
+    always a genuine hash-partitioned join. Dates prune at the read
+    via a parquet row-group filter. Revenue is row-level fixed-point
+    (q1/q3 rule) so distributed sums are order-free.
     Output (n_name, revenue)."""
     import datetime as _dt
 
@@ -1271,13 +1273,11 @@ def q5_revenue(sf_dir: str) -> "ray.data.Dataset":
     def _key_map(table: str, key: str, val: str):
         # small-dim key→nationkey map as SORTED parallel arrays (one
         # vectorized searchsorted per batch, no per-row dict.get),
-        # guarded like q3's semi-join side
+        # guarded like q3's semi-join side; past the guard the caller
+        # hash-joins the dim instead (returns None)
         ds = _read(sf_dir, table, [key, val])
         if ds.count() > _BROADCAST_KEYS_GUARD:
-            raise NotImplementedError(
-                f"{table} exceeds the broadcast guard — route through "
-                "ds_join like the orders⨝lineitem leg"
-            )
+            return None
         rows = ds.take_all()
         keys = np.array([r[key] for r in rows], dtype=np.int64)
         vals = np.array([r[val] for r in rows], dtype=np.int64)
@@ -1292,8 +1292,10 @@ def q5_revenue(sf_dir: str) -> "ray.data.Dataset":
         out[keys[pos] != probe] = miss
         return out
 
-    supp_ref = ray.put(_key_map("supplier", "s_suppkey", "s_nationkey"))
-    cust_ref = ray.put(_key_map("customer", "c_custkey", "c_nationkey"))
+    supp_map = _key_map("supplier", "s_suppkey", "s_nationkey")
+    cust_map = _key_map("customer", "c_custkey", "c_nationkey")
+    supp_ref = ray.put(supp_map) if supp_map is not None else None
+    cust_ref = ray.put(cust_map) if cust_map is not None else None
 
     lo = _dt.datetime.fromisoformat(Q5_DATE_LO)
     hi = _dt.datetime.fromisoformat(Q5_DATE_HI)
@@ -1308,16 +1310,17 @@ def q5_revenue(sf_dir: str) -> "ray.data.Dataset":
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
 
-    def line_rev(t: pa.Table) -> pa.Table:
-        # supplier lookup + region filter + row-level fixed point
-        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        snat = _lookup(ray.get(supp_ref), sk, -1)
-        keep = np.isin(snat, region_nations)
+    def _rev_fp(t: pa.Table) -> np.ndarray:
         rev = (
             t["l_extendedprice"].cast(pa.float64()).to_numpy(zero_copy_only=False)
             * (1.0 - t["l_discount"].cast(pa.float64()).to_numpy(zero_copy_only=False))
         )
-        rev_fp = np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+        return np.floor(rev * 10000.0 + 0.5).astype(np.int64)
+
+    def _region_rows(
+        t: pa.Table, snat: np.ndarray, rev_fp: np.ndarray
+    ) -> pa.Table:
+        keep = np.isin(snat, region_nations)
         return pa.table(
             {
                 "l_orderkey": t["l_orderkey"].cast(pa.int64())
@@ -1327,7 +1330,51 @@ def q5_revenue(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    line = line.map_batches(line_rev, batch_format="pyarrow")
+    if supp_ref is not None:
+
+        def line_rev(t: pa.Table) -> pa.Table:
+            # supplier lookup + region filter + row-level fixed point
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _region_rows(t, _lookup(ray.get(supp_ref), sk, -1), _rev_fp(t))
+
+        line = line.map_batches(line_rev, batch_format="pyarrow")
+    else:
+        # supplier past the guard: hash-join the dim onto the line
+        # stream, then apply the same region filter post-join
+        def line_keyed(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                    "l_suppkey": t["l_suppkey"].cast(pa.int64()),
+                    "revenue": pa.array(_rev_fp(t), pa.int64()),
+                }
+            )
+
+        line = ds_join(
+            line.map_batches(line_keyed, batch_format="pyarrow"),
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+            schemas=(
+                pa.schema(
+                    [
+                        ("l_orderkey", pa.int64()),
+                        ("l_suppkey", pa.int64()),
+                        ("revenue", pa.int64()),
+                    ]
+                ),
+                pa.schema(
+                    [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
+                ),
+            ),
+        ).map_batches(
+            lambda t: _region_rows(
+                t,
+                t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["revenue"].to_numpy(zero_copy_only=False),
+            ),
+            batch_format="pyarrow",
+        )
 
     joined = ds_join(
         line,
@@ -1346,9 +1393,7 @@ def q5_revenue(sf_dir: str) -> "ray.data.Dataset":
         ),
     )
 
-    def same_nation(t: pa.Table) -> pa.Table:
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cnat = _lookup(ray.get(cust_ref), ck, -2)
+    def _named_rows(t: pa.Table, cnat: np.ndarray) -> pa.Table:
         keep = cnat == t["s_nationkey"].to_numpy(zero_copy_only=False)
         names = region_names[
             np.searchsorted(region_nations, cnat[keep])
@@ -1360,12 +1405,46 @@ def q5_revenue(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
+    if cust_ref is not None:
+
+        def same_nation(t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _named_rows(t, _lookup(ray.get(cust_ref), ck, -2))
+
+        named = joined.map_batches(same_nation, batch_format="pyarrow")
+    else:
+        # customer past the guard: hash-join the dim onto the joined
+        # fact stream; the equality filter runs post-join
+        named = ds_join(
+            joined,
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            schemas=(
+                pa.schema(
+                    [
+                        ("l_orderkey", pa.int64()),
+                        ("s_nationkey", pa.int64()),
+                        ("revenue", pa.int64()),
+                        ("o_custkey", pa.int64()),
+                    ]
+                ),
+                pa.schema(
+                    [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+                ),
+            ),
+        ).map_batches(
+            lambda t: _named_rows(
+                t,
+                t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ),
+            batch_format="pyarrow",
+        )
+
     from ray.data.aggregate import Sum
 
-    out = (
-        joined.map_batches(same_nation, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    out = named.groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue")
     )
     return out.map_batches(
         lambda t: pa.table(

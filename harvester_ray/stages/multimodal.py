@@ -207,8 +207,15 @@ class FrameSampler:
                 ids.append(did)
                 idxs.append(i)
                 totals.append(n_frames)
+                # fingerprint = md5 of the frame's UPPERCASE HEX: hex
+                # is injective, so this pins the exact frame BYTES
+                # while staying SQL-expressible for any payload
+                # (DuckDB md5 takes VARCHAR only — raw-blob md5 would
+                # silently force an ascii-text assumption on the twin)
                 md5s.append(
-                    hashlib.md5(payload[i * fb:(i + 1) * fb]).hexdigest()
+                    hashlib.md5(
+                        payload[i * fb:(i + 1) * fb].hex().upper().encode()
+                    ).hexdigest()
                 )
         return pa.table(
             {
@@ -223,10 +230,11 @@ class FrameSampler:
 def frame_sample(sf_dir: str) -> "ray.data.Dataset":
     """Sampled-frame rows for every video-typed payload:
     (doc_id, frame_idx, n_frames, frame_md5). Actor-pool explode with
-    small batches (wide binary rows); frame content is pinned by md5 so
-    the window/stride arithmetic AND the sliced bytes sit under the
-    value-hash gate (payloads are ascii, so the SQL twin slices the
-    same bytes with substr)."""
+    small batches (wide binary rows); frame content is pinned by
+    md5-of-hex so the window/stride arithmetic AND the sliced bytes sit
+    under the value-hash gate for ANY payload bytes (the SQL twin
+    slices to_hex(encode(text)) — exact byte windows even when a frame
+    boundary splits a multi-byte character)."""
     return synthesize_payloads(sf_dir).map_batches(
         FrameSampler,
         batch_format="pyarrow",

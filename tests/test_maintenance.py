@@ -197,4 +197,38 @@ def test_as_of_time_travel(ray_session):
     with pytest.raises(ValueError):
         InvertedIndex(atomic.root, as_of=0)
     with pytest.raises(ValueError):
-        InvertedIndex(atomic.root, as_of=n_src + 1)
+        InvertedIndex(atomic.root, as_of=n_src + 2)
+
+
+def test_as_of_after_delete_only_commit(ray_session, tmp_path):
+    """A delete-only commit after the last source add is addressable:
+    as_of=n_sources still shows the pre-delete view (the tombstone is
+    stamped seq=n and excluded), while as_of=n_sources+1 equals the
+    live view including it."""
+    import shutil
+
+    from harvester_ray.index.maintenance import delete_docs
+    from harvester_ray.index.query import InvertedIndex
+    from harvester_ray.pipelines.fulltext import (
+        index_for_atomic,
+        queries_for_mode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "idx")
+    shutil.copytree(index_for_atomic(sf).root, root)
+    pre = InvertedIndex(root)
+    n_src = pre.n_sources
+    # tombstone the current top doc of the first OR query (a live doc)
+    _, q0 = queries_for_mode("or")[0]
+    victim = pre.search(q0, k=1)[0][0]
+    assert delete_docs(root, [victim]) == 1
+
+    live = InvertedIndex(root)
+    snap_pre = InvertedIndex(root, as_of=n_src)
+    snap_live = InvertedIndex(root, as_of=n_src + 1)
+    assert victim not in {d for d, _ in live.search(q0, k=10)}
+    assert snap_pre.search(q0, k=10) == pre.search(q0, k=10)
+    assert victim in {d for d, _ in snap_pre.search(q0, k=10)}
+    for _, q in queries_for_mode("or"):
+        assert snap_live.search(q, k=10) == live.search(q, k=10)

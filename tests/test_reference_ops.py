@@ -221,6 +221,24 @@ def test_q5_matches_duckdb(ray_session):
     assert got == want and len(got) > 0
 
 
+def test_q5_join_fallback_past_guard(ray_session, monkeypatch):
+    """With the broadcast guard forced to 0, both dim legs route
+    through the hash ds_join path and the result is identical."""
+    from harvester_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r["n_name"], r["revenue"])
+        for r in relational.q5_revenue(sf).take_all()
+    }
+    monkeypatch.setattr(relational, "_BROADCAST_KEYS_GUARD", 0)
+    got = {
+        (r["n_name"], r["revenue"])
+        for r in relational.q5_revenue(sf).take_all()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_events_running_total_monotone(ray_session):
     """running_n is 1..k per user in ts order and the final cumsum per
     user equals the user's total fixed-point value."""

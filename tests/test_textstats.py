@@ -689,6 +689,29 @@ def test_percolate_conjunctive_semantics(ray_session):
     assert not any(qid == 4 for qid, _ in got)  # zzzq is OOV
 
 
+def test_percolate_zero_term_query_matches_nothing(
+    ray_session, monkeypatch
+):
+    """A stored query with no analyzer tokens matches NO documents
+    (the SQL twin emits no rows for it; an all-zero bitmask must not
+    degenerate to match-all)."""
+    from harvester_ray.pipelines import fulltext
+
+    sf = "/root/testdata/sf0.001"
+    base = fulltext.queries_for_mode("or")
+    monkeypatch.setattr(
+        fulltext,
+        "queries_for_mode",
+        lambda m: base + [(999, "!!! ???")],
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in fulltext.percolate_matches(sf).take_all()
+    }
+    assert len(got) > 0
+    assert not any(qid == 999 for qid, _ in got)
+
+
 def test_curate_corpus_is_intersection_of_legs(ray_session):
     """Every kept doc passes each leg individually, and every doc that
     passes all legs is kept (exact set equality)."""
@@ -743,6 +766,7 @@ def test_frame_sample_window_arithmetic(ray_session):
                 nf,
                 hashlib.md5(
                     payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                    .hex().upper().encode()
                 ).hexdigest(),
             )
     got = frame_sample(sf).to_pandas()
@@ -750,3 +774,35 @@ def test_frame_sample_window_arithmetic(ray_session):
     for _, r in got.iterrows():
         nf, md5 = expect[(r["doc_id"], r["frame_idx"])]
         assert r["n_frames"] == nf and r["frame_md5"] == md5
+
+
+def test_frame_sample_non_ascii_matches_oracle(ray_session, tmp_path):
+    """Engine and SQL twin agree on MULTI-BYTE text, including a frame
+    boundary that splits a character — the case a char-based substr
+    oracle gets wrong."""
+    import duckdb
+
+    from harvester_ray.pipelines.oracles import FRAME_SAMPLE
+    from harvester_ray.stages.multimodal import FRAME_BYTES, frame_sample
+
+    # doc 2 is video-typed; text chosen so FRAME_BYTES lands inside a
+    # multi-byte char (é = 2 bytes) and char-len != byte-len
+    text = ("é" * FRAME_BYTES) + "日本語テキスト-tail"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([2, 5, 3], pa.int64()),
+            "text": pa.array([text, "ascii only", "ünïcode"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_id"], r["frame_idx"], r["n_frames"], r["frame_md5"])
+        for r in frame_sample(str(tmp_path)).take_all()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(FRAME_SAMPLE).fetchall()}
+    assert got == want and len(got) >= 2
