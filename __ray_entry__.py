@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmdirichlet_topk": fulltext.lmdirichlet_topk,
         # edismax minimum-should-match (mm=2, capped at |q| per Solr)
         "mm_topk": fulltext.mm_topk,
+        "pf_topk": fulltext.pf_topk,
         # /tvrh term vectors: per-doc (term, tf, df, tfidf_fp)
         "termvectors": fulltext.termvectors,
         # Luke handler: index-level statistics (metric, value)
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "rerank_topk": oracles.RERANK_TOPK,
         "lmdirichlet_topk": oracles.LMDIRICHLET_TOPK,
         "mm_topk": oracles.MM_TOPK,
+        "pf_topk": oracles.PF_TOPK,
         "termvectors": oracles.TERMVECTORS,
         "index_overview": oracles.INDEX_OVERVIEW,
         "facet_query_counts": oracles.FACET_QUERY_COUNTS,

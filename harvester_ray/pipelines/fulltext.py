@@ -3094,6 +3094,75 @@ def mm_topk(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# edismax pf: fp8 weight added per exact-phrase occurrence. (Solr
+# scores the phrase as its own BM25 clause; the deterministic
+# weight-per-occurrence contract keeps the twin integer-exact, the
+# same simplification bm25_boosted_topk makes for boost functions.)
+PF_BOOST_FP = 5 * _FP8
+
+
+def pf_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Solr edismax phrase-fields boost (pf) top-k — the third edismax
+    knob (qf→bm25f_topk, mm→mm_topk): docs where the WHOLE multi-term
+    query occurs as an exact adjacent phrase are boosted by
+    PF_BOOST_FP × the overlap-exact occurrence count on top of the
+    unchanged BM25 score. Shuffle shape: the shared scored-match-set
+    build + ONE batch phrase-query pass over the positional tier
+    (union-pruned term-bucket read); the phrase-hit table is
+    query-bounded and sparse (exact adjacency), so it rides into the
+    scoring map as a per-query sorted-array broadcast — no extra
+    shuffle, mirroring mm_topk. Single-term queries get no phrase leg
+    (the Solr pf rule). Output (query_id, rank, doc_id).
+    Reference analog: the Solr pf parameter of the request handlers
+    the reference's search UI queries."""
+    import numpy as np
+
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.index.positional import phrase_occurrences_multi
+
+    phrases = [
+        (qid, q)
+        for qid, q in queries_for_mode("or")
+        if len(tokenize(q)) >= 2
+    ]
+    occ = phrase_occurrences_multi(positions_for(sf_dir), phrases)
+    pid = occ["phrase_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    did = occ["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = occ["n_occurrences"].to_numpy(zero_copy_only=False).astype(np.int64)
+    by_q = {
+        int(q): (did[pid == q], n[pid == q]) for q in np.unique(pid)
+    }  # doc arrays arrive sorted per phrase_id (positional contract)
+    occ_ref = ray.put(by_q)
+
+    def boost(t: pa.Table) -> pa.Table:
+        qid = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = t["score_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        add = np.zeros(len(t), dtype=np.int64)
+        for q, (docs, occs) in ray.get(occ_ref).items():
+            if len(docs) == 0:
+                continue
+            sel = qid == q
+            if not sel.any():
+                continue
+            pos = np.minimum(np.searchsorted(docs, d[sel]), len(docs) - 1)
+            add[sel] = np.where(docs[pos] == d[sel], occs[pos], 0)
+        return pa.table(
+            {
+                "query_id": pa.array(qid, pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+                "final_fp": pa.array(sc + PF_BOOST_FP * add, pa.int64()),
+            }
+        )
+
+    return (
+        _scored_match_set(sf_dir)
+        .map_batches(boost, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_ranked_topk("final_fp", TOP_K), batch_format="pyarrow")
+    )
+
+
 # ── /tvrh term-vector component ─────────────────────────────────────
 
 TV_MAX_DOC = 5  # pinned doc set: doc_id < TV_MAX_DOC (present at all sfs)

@@ -2483,6 +2483,60 @@ SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {TOP_K}
 MM_TOPK = _mm_topk_sql()
 
 
+def _pf_topk_sql() -> str:
+    """Twin of fulltext.pf_topk: the standard fp8 scored match set
+    plus PF_BOOST_FP per exact-phrase occurrence of the whole
+    multi-term query (overlap-exact counting, the PHRASE_MATCH list
+    comprehension, over ORDERED query tokens)."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import _FP8, PF_BOOST_FP, TOP_K
+
+    values = _or_query_values()
+    branches = []
+    for qid, q in queries_for_mode("or"):
+        terms = tokenize(q)
+        if len(terms) < 2:
+            continue
+        k = len(terms)
+        conds = " AND ".join(
+            f"ts[i+{i}] = '{t}'" if i else f"ts[i] = '{t}'"
+            for i, t in enumerate(terms)
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id,\n"
+            f"  len([i FOR i IN range(1, greatest(len(ts) - {k} + 2, 1))\n"
+            f"       IF {conds}])::BIGINT AS n_occ\n"
+            f"FROM tsa"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+{_SC_CTE.format(fp8=_FP8)},
+tsa AS (SELECT doc_id,
+          regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+        FROM documents),
+ph AS ({union}),
+f AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.score_fp + {PF_BOOST_FP} * coalesce(ph.n_occ, 0) AS final_fp
+  FROM sc LEFT JOIN ph
+    ON ph.query_id = sc.query_id AND ph.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY final_fp DESC, doc_id ASC) AS rank
+  FROM f
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+PF_TOPK = _pf_topk_sql()
+
+
 def _termvectors_sql() -> str:
     """Per-doc term vectors for the pinned doc set: tf doc-local, df
     corpus-wide, tfidf_fp = fp8((1 + ln tf) * ln((N+1)/(df+1))) — the

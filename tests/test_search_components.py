@@ -132,3 +132,34 @@ def test_facet_query_counts_are_match_set_slices(ray_session):
             for r in got[got.facet == label].itertuples()
         }
         assert g == {int(k): int(v) for k, v in w.items()}, label
+
+
+def test_pf_boost_semantics(ray_session):
+    """pf: queries with NO exact-phrase hit rank exactly as plain BM25;
+    at least one phrase-hit query's page differs from its BM25 page
+    (the boost is live); every phrase-hit doc that was in the match set
+    gains PF_BOOST_FP x occurrences."""
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.index.positional import phrase_occurrences_multi
+    from harvester_ray.pipelines import fulltext
+
+    phrases = [
+        (qid, q)
+        for qid, q in fulltext.queries_for_mode("or")
+        if len(tokenize(q)) >= 2
+    ]
+    occ = phrase_occurrences_multi(fulltext.positions_for(SF), phrases)
+    hit_qids = set(occ["phrase_id"].to_pylist())
+    assert hit_qids, "phrase boost never exercised at this sf"
+
+    pf = fulltext.pf_topk(SF).to_pandas()
+    bm = fulltext.bm25_topk_or(SF).to_pandas()
+    changed = 0
+    for qid, _ in fulltext.queries_for_mode("or"):
+        a = pf[pf.query_id == qid].sort_values("rank").doc_id.tolist()
+        b = bm[bm.query_id == qid].sort_values("rank").doc_id.tolist()
+        if qid not in hit_qids:
+            assert a == b, f"boost leaked into phrase-less query {qid}"
+        elif a != b:
+            changed += 1
+    assert changed >= 1
