@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bytes pinned by md5 (window/stride arithmetic under the hash)
         "frame_sample": multimodal.frame_sample,
         "hll_registers": sketches.hll_registers,
+        "cms_registers": sketches.cms_registers,
         "hll_registers_by_group": sketches.hll_registers_by_group,
         "pack_sequences": chunking.pack_sequences,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
@@ -357,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "timetravel_topk": oracles.BM25_TOPK_OR,
         "heavy_hitters": oracles.HEAVY_HITTERS,
         "hll_registers": oracles.HLL_REGISTERS,
+        "cms_registers": oracles.CMS_REGISTERS,
         "hll_registers_by_group": oracles.HLL_REGISTERS_BY_GROUP,
         "multimodal_meta": oracles.MULTIMODAL_META,
         "frame_sample": oracles.FRAME_SAMPLE,

@@ -3055,6 +3055,41 @@ SELECT bucket, max(rank) AS rank FROM ranked GROUP BY bucket
 HLL_REGISTERS = _hll_registers_sql()
 
 
+def _cms_registers_sql() -> str:
+    """Twin of stages/sketches.cms_registers: the same double-quadratic
+    Mersenne hash with the row-salt added BEFORE the quadratic rounds;
+    registers are plain exact sums, so the whole sketch sits under the
+    value hash (user_id >= 0, so % and np.mod agree)."""
+    from harvester_ray.stages.sketches import (
+        CMS_D,
+        CMS_W,
+        _CMS_SALT,
+        _HASH_A,
+        _HASH_A2,
+        _HASH_B,
+        _HASH_B2,
+        _MERSENNE,
+    )
+
+    rows = ", ".join(f"({r})" for r in range(CMS_D))
+    return f"""
+WITH rws(r) AS (VALUES {rows}),
+xm AS (SELECT r, ((user_id % {_MERSENNE}) + r * {_CMS_SALT})
+              % {_MERSENNE} AS x
+       FROM events CROSS JOIN rws),
+r1 AS (SELECT r, ((x * x + {_HASH_A} * x + {_HASH_B}) % {_MERSENNE}) AS v
+       FROM xm),
+h AS (SELECT r, ((v * v + {_HASH_A2} * v + {_HASH_B2}) % {_MERSENNE}) AS h
+      FROM r1)
+SELECT CAST(r AS BIGINT) AS row, h % {CMS_W} AS bucket,
+       count(*)::BIGINT AS total
+FROM h GROUP BY 1, 2
+"""
+
+
+CMS_REGISTERS = _cms_registers_sql()
+
+
 def _hll_registers_by_group_sql() -> str:
     """Grouped twin of HLL_REGISTERS: identical hash/bucket/rank
     arithmetic, deduped and register-maxed PER event_type. DISTINCT

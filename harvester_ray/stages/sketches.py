@@ -288,3 +288,100 @@ def hll_registers_by_group(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+# Count-Min: CMS_D independent rows of CMS_W counters. Each row's hash
+# is the shared double-quadratic Mersenne family with a row-dependent
+# additive salt BEFORE the quadratic rounds (salting after would only
+# rotate buckets within a row). Point estimate = min over rows — an
+# OVERESTIMATE by construction, within eps*total with prob 1-delta
+# (eps = e/W, delta = e^-D; Cormode & Muthukrishnan 2005).
+CMS_D = 4
+CMS_W = 512
+_CMS_SALT = 7919
+
+
+def _cms_bucket(x: np.ndarray, row: int) -> np.ndarray:
+    """Row ``row``'s counter index for int64 keys — every op exact in
+    int64 and mirrored verbatim in SQL (CMS_REGISTERS)."""
+    xm = np.mod(np.mod(x, _MERSENNE) + row * _CMS_SALT, _MERSENNE)
+    r1 = np.mod(xm * xm + _HASH_A * xm + _HASH_B, _MERSENNE)
+    h = np.mod(r1 * r1 + _HASH_A2 * r1 + _HASH_B2, _MERSENNE)
+    return np.mod(h, CMS_W)
+
+
+def cms_registers(sf_dir: str) -> "ray.data.Dataset":
+    """(row, bucket, total) Count-Min registers over events.user_id
+    occurrence counts — the frequency-sketch complement of
+    hll_registers (distinct counts) and heavy_hitters (exact top
+    set). The same canonical mergeable shape: per-batch partial
+    register matrices (<= CMS_D * CMS_W rows per batch regardless of
+    batch size) -> groupby(row, bucket).sum — register tables merge by
+    elementwise SUM at any tree depth, so the result is independent of
+    batching and block order, and a 100-TB frequency profile moves
+    d*w counters per partition instead of a row per event."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) == 0:
+            return pa.table(
+                {
+                    "row": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                }
+            )
+        regs = np.zeros((CMS_D, CMS_W), np.int64)
+        for r in range(CMS_D):
+            np.add.at(regs[r], _cms_bucket(x, r), 1)
+        rr, bb = np.nonzero(regs)
+        return pa.table(
+            {
+                "row": pa.array(rr.astype(np.int64), pa.int64()),
+                "bucket": pa.array(bb.astype(np.int64), pa.int64()),
+                "total": pa.array(regs[rr, bb], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("total", alias_name="total"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "row": t["row"].cast(pa.int64()),
+                    "bucket": t["bucket"].cast(pa.int64()),
+                    "total": t["total"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def cms_estimate(registers: "pa.Table | object", key: int) -> int:
+    """Point frequency estimate for ``key`` from a (row, bucket, total)
+    register table: min over rows of the key's counter. Never
+    underestimates the true count."""
+    if hasattr(registers, "take_all"):
+        rows = registers.take_all()
+        regs = {(int(r["row"]), int(r["bucket"])): int(r["total"]) for r in rows}
+    else:
+        t = registers
+        regs = {
+            (int(a), int(b)): int(c)
+            for a, b, c in zip(
+                t["row"].to_pylist(),
+                t["bucket"].to_pylist(),
+                t["total"].to_pylist(),
+            )
+        }
+    x = np.array([key], dtype=np.int64)
+    return min(
+        regs.get((r, int(_cms_bucket(x, r)[0])), 0) for r in range(CMS_D)
+    )

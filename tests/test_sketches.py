@@ -93,3 +93,53 @@ def test_heavy_hitters_candidate_superset(ray_session):
     ).fetchall()
     assert got == {t: n for t, n in rows}
     assert len(got) > 0
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_keys(ray_session):
+    """CMS point estimates >= exact counts for EVERY observed key;
+    for the heaviest key the estimate is within eps*total of exact
+    (eps = e/W at 4 rows => far tighter than the observed corpus)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.sketches import cms_estimate, cms_registers
+
+    sf = "/root/testdata/sf0.001"
+    regs = cms_registers(sf).to_arrow_refs()
+    import ray as _ray
+
+    regs = pa.concat_tables([_ray.get(r) for r in regs])
+    users = pq.read_table(sf + "/events.parquet", columns=["user_id"])[
+        "user_id"
+    ].to_pylist()
+    exact = collections.Counter(users)
+    total = sum(exact.values())
+    for k, n in exact.items():
+        est = cms_estimate(regs, int(k))
+        assert est >= n, (k, est, n)
+    heavy, n_heavy = exact.most_common(1)[0]
+    est = cms_estimate(regs, int(heavy))
+    assert est - n_heavy <= (3 * total) // 512  # ~e/W * total
+
+
+def test_cms_registers_merge_invariant(ray_session):
+    """Register tables from different batch splits merge by SUM to the
+    same table (the mergeable-sketch contract)."""
+    import numpy as np
+
+    from harvester_ray.stages.sketches import CMS_D, CMS_W, _cms_bucket
+
+    rng_keys = np.arange(1, 5001, dtype=np.int64) * 17 % 997
+
+    def build(keys: np.ndarray) -> np.ndarray:
+        regs = np.zeros((CMS_D, CMS_W), np.int64)
+        for r in range(CMS_D):
+            np.add.at(regs[r], _cms_bucket(keys, r), 1)
+        return regs
+
+    whole = build(rng_keys)
+    split = build(rng_keys[:1234]) + build(rng_keys[1234:4000]) + build(
+        rng_keys[4000:]
+    )
+    assert (whole == split).all()
