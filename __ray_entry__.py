@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-fixed-point PageRank over the synthesized link
         # graph: per-iteration explode + doc-keyed groupby-sum
         "pagerank_fixed": weburls.pagerank_fixed,
+        "triangle_count": weburls.triangle_count,
         # inbound anchor-text aggregation + politeness crawl frontier
         "anchor_text_topk": weburls.anchor_text_topk,
         "crawl_frontier": weburls.crawl_frontier,
@@ -470,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_latest": oracles.URL_DEDUP_LATEST,
         "domain_profile": oracles.DOMAIN_PROFILE,
         "pagerank_fixed": oracles.PAGERANK_FIXED,
+        "triangle_count": oracles.TRIANGLE_COUNT,
         "anchor_text_topk": oracles.ANCHOR_TEXT_TOPK,
         "crawl_frontier": oracles.CRAWL_FRONTIER,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,

@@ -3611,6 +3611,35 @@ def _pagerank_sql() -> str:
 PAGERANK_FIXED = _pagerank_sql()
 
 
+def _triangle_count_sql() -> str:
+    """Twin of weburls.triangle_count: same synthesized affine+local
+    edge family, canonical undirected edges, apex-at-lowest wedge
+    join + closing-edge join, per-doc participation counts. The
+    modulo is applied in a CTE AFTER the unnest — a scalar subquery
+    inside the unnest list plus a downstream filter on the alias hits
+    a DuckDB binder INTERNAL error on this version."""
+    from harvester_ray.pipelines.weburls import TRI_EDGE_MULTS
+
+    mults = ", ".join(
+        f"doc_id * {a} + {b}" for a, b in TRI_EDGE_MULTS
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e00 AS (SELECT doc_id AS s, unnest([{mults}]) AS d0 FROM documents),
+e0 AS (SELECT s, d0 % (SELECT n FROM nn) AS d FROM e00),
+e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+      FROM e0 WHERE s != d),
+w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+t AS (SELECT a, b, c FROM w JOIN e ON e.u = w.b AND e.v = w.c),
+x AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
+SELECT doc_id, count(*)::BIGINT AS n_triangles FROM x GROUP BY doc_id
+"""
+
+
+TRIANGLE_COUNT = _triangle_count_sql()
+
+
 def _anchor_text_sql() -> str:
     """Twin of weburls.anchor_text_topk: same 3-out-link graph, anchor
     = source doc's first tokenizer token (regexp_extract returns the

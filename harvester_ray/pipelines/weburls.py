@@ -612,3 +612,127 @@ def hits_scores(sf_dir: str) -> "ray.data.Dataset":
         ),
         num_partitions=join_parts,
     )
+
+
+# triangle_count's edge family: the 3 affine out-links + 2 local
+# neighbor links (the affine family alone closes no triangles)
+TRI_EDGE_MULTS = PR_EDGE_MULTS + ((1, 1), (1, 2))
+
+
+def triangle_count(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc triangle participation over the synthesized 3-out-link
+    graph — the canonical two-join distributed graph op (the workload
+    a web-graph clustering-coefficient pass runs at crawl scale).
+    Semantics: undirected, de-duplicated, self-loop-free edges
+    (u < v); a triangle is {a < b < c} with all three edges present;
+    output (doc_id, n_triangles) for every doc in >= 1 triangle.
+
+    The edge family is PR_EDGE_MULTS plus two LOCAL links (d -> d+1,
+    d -> d+2, the site-navigation edges of a real crawl): the affine
+    family alone is measurably triangle-free at every sf, so the
+    local links supply the closable wedges.
+
+    Scale shape: edges synthesize in-map from doc_id (a real edge
+    table swaps in); canonicalization is one (u, v)-keyed groupby
+    (dedup); wedges come from the SELF-JOIN of the edge table on its
+    lower endpoint (partitioned hash join, b < c kept post-join: each
+    wedge exists once); closing edges via a second hash join on the
+    composite (b, c) key; the final explode + doc-keyed groupby-sum
+    counts each doc's triangles. Per-vertex work is bounded by
+    degree^2 — with 5 out-links per doc the undirected degree is ~10,
+    so wedge fan-out is a small constant (a real power-law graph
+    needs the standard high-degree-vertex split on join 1)."""
+    from ray.data.aggregate import Count
+
+    from harvester_ray.stages.joins import partitioned_join
+
+    n = _n_docs(sf_dir)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([d] * len(TRI_EDGE_MULTS))
+        dst = np.concatenate([(d * a + b) % n for a, b in TRI_EDGE_MULTS])
+        u, v = np.minimum(src, dst), np.maximum(src, dst)
+        keep = u != v
+        return pa.table(
+            {
+                "u": pa.array(u[keep], pa.int64()),
+                "v": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    edge_ds = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_m"))  # dedup multi-edges
+        .map_batches(
+            lambda t: pa.table(
+                {"u": t["u"].cast(pa.int64()), "v": t["v"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    esch = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    # wedges (a, b, c): edges (a,b) and (a,c) sharing lower endpoint a
+    right = edge_ds.map_batches(
+        lambda t: t.rename_columns(["u", "w"]), batch_format="pyarrow"
+    )
+    wedges = partitioned_join(
+        edge_ds,
+        right,
+        on=["u"],
+        schemas=(esch, pa.schema([("u", pa.int64()), ("w", pa.int64())])),
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["v"], t["w"])).rename_columns(
+            ["a", "b", "c"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # close each wedge with the (b, c) edge
+    tri = partitioned_join(
+        wedges.map_batches(
+            lambda t: t.rename_columns(["a", "u", "v"]),
+            batch_format="pyarrow",
+        ),
+        edge_ds.map_batches(
+            lambda t: t.append_column(
+                "_hit", pa.array(np.ones(len(t), np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["u", "v"],
+        schemas=(
+            pa.schema(
+                [("a", pa.int64()), ("u", pa.int64()), ("v", pa.int64())]
+            ),
+            pa.schema(
+                [("u", pa.int64()), ("v", pa.int64()), ("_hit", pa.int64())]
+            ),
+        ),
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([a, b, c]), pa.int64())}
+        )
+
+    return (
+        tri.map_batches(explode, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_triangles"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "n_triangles": t["n_triangles"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

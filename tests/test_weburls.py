@@ -179,3 +179,39 @@ def test_hits_matches_pure_python_golden(ray_session):
     # L1 mass conserved up to per-doc floor loss
     assert HITS_FP * 0.9 < t["auth_fp"].sum() <= HITS_FP
     assert HITS_FP * 0.9 < t["hub_fp"].sum() <= HITS_FP
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    """Per-doc triangle participation equals a pure-Python adjacency
+    brute force over the same synthesized edge family, and total
+    participation is divisible by 3 (each triangle names 3 docs)."""
+    import collections
+
+    from harvester_ray.pipelines.weburls import (
+        TRI_EDGE_MULTS,
+        _n_docs,
+        triangle_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = _n_docs(sf)
+    adj = collections.defaultdict(set)
+    for d in range(n):
+        for a, b in TRI_EDGE_MULTS:
+            t = (d * a + b) % n
+            if t != d:
+                adj[min(d, t)].add(max(d, t))
+    expect = collections.Counter()
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            for w in nbrs:
+                if v < w and w in adj.get(v, ()):
+                    expect[u] += 1
+                    expect[v] += 1
+                    expect[w] += 1
+    got = {
+        int(r["doc_id"]): int(r["n_triangles"])
+        for r in triangle_count(sf).take_all()
+    }
+    assert got == dict(expect)
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
