@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph: per-iteration explode + doc-keyed groupby-sum
         "pagerank_fixed": weburls.pagerank_fixed,
         "triangle_count": weburls.triangle_count,
+        "bfs_layers": weburls.bfs_layers,
         # inbound anchor-text aggregation + politeness crawl frontier
         "anchor_text_topk": weburls.anchor_text_topk,
         "crawl_frontier": weburls.crawl_frontier,
@@ -472,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_profile": oracles.DOMAIN_PROFILE,
         "pagerank_fixed": oracles.PAGERANK_FIXED,
         "triangle_count": oracles.TRIANGLE_COUNT,
+        "bfs_layers": oracles.BFS_LAYERS,
         "anchor_text_topk": oracles.ANCHOR_TEXT_TOPK,
         "crawl_frontier": oracles.CRAWL_FRONTIER,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,

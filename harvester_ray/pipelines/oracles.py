@@ -3640,6 +3640,44 @@ SELECT doc_id, count(*)::BIGINT AS n_triangles FROM x GROUP BY doc_id
 TRIANGLE_COUNT = _triangle_count_sql()
 
 
+def _bfs_layers_sql() -> str:
+    """Iteration-unrolled twin of weburls.bfs_layers: the same
+    Bellman-Ford relaxation (self rows UNION out-neighbor rows, then
+    groupby-min) per round, over the same affine+local edge family
+    (post-unnest modulo — see _triangle_count_sql)."""
+    from harvester_ray.pipelines.weburls import (
+        BFS_ITERS,
+        BFS_SEED,
+        TRI_EDGE_MULTS,
+    )
+
+    mults = ", ".join(f"doc_id * {a} + {b}" for a, b in TRI_EDGE_MULTS)
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"e00 AS (SELECT doc_id AS s, unnest([{mults}]) AS d0 "
+        "FROM documents)",
+        "e AS (SELECT s, d0 % (SELECT n FROM nn) AS d FROM e00)",
+        f"d0 AS (SELECT CAST({BFS_SEED} AS BIGINT) AS doc_id, "
+        "CAST(0 AS BIGINT) AS dist)",
+    ]
+    for i in range(1, BFS_ITERS + 1):
+        ctes.append(
+            f"d{i} AS (SELECT doc_id, min(dist) AS dist FROM ("
+            f"SELECT doc_id, dist FROM d{i-1} "
+            "UNION ALL "
+            f"SELECT e.d AS doc_id, d{i-1}.dist + 1 AS dist "
+            f"FROM d{i-1} JOIN e ON e.s = d{i-1}.doc_id"
+            ") GROUP BY doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, CAST(dist AS BIGINT) AS dist FROM d{BFS_ITERS}"
+    )
+
+
+BFS_LAYERS = _bfs_layers_sql()
+
+
 def _anchor_text_sql() -> str:
     """Twin of weburls.anchor_text_topk: same 3-out-link graph, anchor
     = source doc's first tokenizer token (regexp_extract returns the

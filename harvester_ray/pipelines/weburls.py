@@ -736,3 +736,66 @@ def triangle_count(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+BFS_ITERS = 4
+BFS_SEED = 0
+
+
+def bfs_layers(sf_dir: str) -> "ray.data.Dataset":
+    """Single-source shortest HOP distance from doc BFS_SEED over the
+    directed affine+local out-link graph, depth-limited to BFS_ITERS —
+    the crawl-depth / link-distance signal (how many clicks from the
+    seed), and the frontier-expansion iterative shape pagerank_fixed's
+    value propagation doesn't exercise. Bellman-Ford relaxation: each
+    iteration every reached doc re-emits itself plus (target, dist+1)
+    for its out-links, then ONE doc-keyed groupby-min — distances only
+    shrink, so BFS_ITERS rounds give exact <=BFS_ITERS-hop distances.
+    Targets are computed from the src id in-map (no edge table); the
+    whole loop chains lazily into one streaming plan like
+    pagerank_fixed. Output (doc_id, dist) for docs reached within
+    BFS_ITERS hops."""
+    from ray.data.aggregate import Min
+
+    n = _n_docs(sf_dir)
+
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([BFS_SEED], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    )
+
+    def relax(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = t["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = np.concatenate(
+            [d] + [(d * a + b) % n for a, b in TRI_EDGE_MULTS]
+        )
+        nd = np.concatenate([dist] + [dist + 1] * len(TRI_EDGE_MULTS))
+        return pa.table(
+            {
+                "doc_id": pa.array(dst, pa.int64()),
+                "dist": pa.array(nd, pa.int64()),
+            }
+        )
+
+    cur = seed
+    for _ in range(BFS_ITERS):
+        cur = (
+            cur.map_batches(relax, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Min("dist", alias_name="dist"))
+        )
+
+    return cur.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "dist": t["dist"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -215,3 +215,37 @@ def test_triangle_count_matches_bruteforce(ray_session):
     }
     assert got == dict(expect)
     assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+
+
+def test_bfs_layers_matches_python_bfs(ray_session):
+    """Distances equal a textbook BFS (depth-capped) over the same
+    directed edge family; the seed is at dist 0 and every dist <=
+    BFS_ITERS."""
+    import collections
+
+    from harvester_ray.pipelines.weburls import (
+        BFS_ITERS,
+        BFS_SEED,
+        TRI_EDGE_MULTS,
+        _n_docs,
+        bfs_layers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = _n_docs(sf)
+    dist = {BFS_SEED: 0}
+    frontier = collections.deque([BFS_SEED])
+    while frontier:
+        u = frontier.popleft()
+        if dist[u] == BFS_ITERS:
+            continue
+        for a, b in TRI_EDGE_MULTS:
+            t = (u * a + b) % n
+            if t not in dist:
+                dist[t] = dist[u] + 1
+                frontier.append(t)
+    got = {
+        int(r["doc_id"]): int(r["dist"]) for r in bfs_layers(sf).take_all()
+    }
+    assert got == dist
+    assert got[BFS_SEED] == 0 and max(got.values()) <= BFS_ITERS
