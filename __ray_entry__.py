@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed": weburls.pagerank_fixed,
         "triangle_count": weburls.triangle_count,
         "bfs_layers": weburls.bfs_layers,
+        "clustering_coef": weburls.clustering_coef,
+        "domain_rank": weburls.domain_rank,
         # inbound anchor-text aggregation + politeness crawl frontier
         "anchor_text_topk": weburls.anchor_text_topk,
         "crawl_frontier": weburls.crawl_frontier,
@@ -474,6 +476,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed": oracles.PAGERANK_FIXED,
         "triangle_count": oracles.TRIANGLE_COUNT,
         "bfs_layers": oracles.BFS_LAYERS,
+        "clustering_coef": oracles.CLUSTERING_COEF,
+        "domain_rank": oracles.DOMAIN_RANK,
         "anchor_text_topk": oracles.ANCHOR_TEXT_TOPK,
         "crawl_frontier": oracles.CRAWL_FRONTIER,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,

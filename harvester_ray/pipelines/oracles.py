@@ -3571,10 +3571,9 @@ FROM u GROUP BY domain
 """
 
 
-def _pagerank_sql() -> str:
-    """Iteration-unrolled integer PageRank twin of
-    weburls.pagerank_fixed (same floor-division fixed point, same
-    synthesized 3-out-link graph)."""
+def _pagerank_ctes() -> tuple[list[str], str]:
+    """(CTE list, final rank-CTE name) of the iteration-unrolled
+    integer PageRank — shared by PAGERANK_FIXED and DOMAIN_RANK."""
     from harvester_ray.pipelines.weburls import (
         PR_EDGE_MULTS,
         PR_FP,
@@ -3602,13 +3601,39 @@ def _pagerank_sql() -> str:
             f"FROM e JOIN r{i-1} ON r{i-1}.doc_id = e.src "
             "GROUP BY e.dst) s ON s.doc_id = d.doc_id)"
         )
+    return ctes, f"r{PR_ITERS}"
+
+
+def _pagerank_sql() -> str:
+    """Iteration-unrolled integer PageRank twin of
+    weburls.pagerank_fixed (same floor-division fixed point, same
+    synthesized 3-out-link graph)."""
+    ctes, last = _pagerank_ctes()
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT doc_id, CAST(r AS BIGINT) AS rank_fp FROM r{PR_ITERS}"
+        + f"\nSELECT doc_id, CAST(r AS BIGINT) AS rank_fp FROM {last}"
     )
 
 
 PAGERANK_FIXED = _pagerank_sql()
+
+
+def _domain_rank_sql() -> str:
+    """Twin of weburls.domain_rank: the unrolled PageRank joined to the
+    synthesized url host, summed per host."""
+    ctes, last = _pagerank_ctes()
+    ctes.append(f"u AS ({_URL_SYNTH})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT u.host, CAST(sum({last}.r) AS BIGINT) AS rank_fp,
+       count(*)::BIGINT AS n_docs
+FROM {last} JOIN u USING (doc_id) GROUP BY u.host
+"""
+    )
+
+
+DOMAIN_RANK = _domain_rank_sql()
 
 
 def _triangle_count_sql() -> str:
@@ -3618,13 +3643,21 @@ def _triangle_count_sql() -> str:
     modulo is applied in a CTE AFTER the unnest — a scalar subquery
     inside the unnest list plus a downstream filter on the alias hits
     a DuckDB binder INTERNAL error on this version."""
+    return f"""
+WITH {_TRI_CTES}
+SELECT doc_id, count(*)::BIGINT AS n_triangles FROM x GROUP BY doc_id
+"""
+
+
+def _tri_ctes() -> str:
+    """The shared CTE stack of the triangle family: canonical edges
+    (e), wedges (w), closed triangles (t), exploded members (x)."""
     from harvester_ray.pipelines.weburls import TRI_EDGE_MULTS
 
     mults = ", ".join(
         f"doc_id * {a} + {b}" for a, b in TRI_EDGE_MULTS
     )
-    return f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
+    return f"""nn AS (SELECT count(*) AS n FROM documents),
 e00 AS (SELECT doc_id AS s, unnest([{mults}]) AS d0 FROM documents),
 e0 AS (SELECT s, d0 % (SELECT n FROM nn) AS d FROM e00),
 e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
@@ -3632,12 +3665,38 @@ e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
 w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
       FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
 t AS (SELECT a, b, c FROM w JOIN e ON e.u = w.b AND e.v = w.c),
-x AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
-SELECT doc_id, count(*)::BIGINT AS n_triangles FROM x GROUP BY doc_id
+x AS (SELECT unnest([a, b, c]) AS doc_id FROM t)"""
+
+
+_TRI_CTES = _tri_ctes()
+
+TRIANGLE_COUNT = _triangle_count_sql()
+
+
+def _clustering_coef_sql() -> str:
+    """Twin of weburls.clustering_coef: degree from the exploded
+    canonical edge endpoints, triangle counts LEFT-joined, the same
+    floor-division fixed point."""
+    from harvester_ray.pipelines.weburls import LCC_FP
+
+    return f"""
+WITH {_TRI_CTES},
+deg AS (SELECT doc_id, count(*)::BIGINT AS degree FROM (
+          SELECT u AS doc_id FROM e UNION ALL SELECT v AS doc_id FROM e
+        ) GROUP BY doc_id),
+tc AS (SELECT doc_id, count(*)::BIGINT AS n_triangles
+       FROM x GROUP BY doc_id)
+SELECT deg.doc_id, deg.degree,
+       coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+       (CASE WHEN deg.degree >= 2
+             THEN (2 * coalesce(tc.n_triangles, 0) * {LCC_FP})
+                  // (deg.degree * (deg.degree - 1))
+             ELSE 0 END)::BIGINT AS lcc_fp
+FROM deg LEFT JOIN tc USING (doc_id)
 """
 
 
-TRIANGLE_COUNT = _triangle_count_sql()
+CLUSTERING_COEF = _clustering_coef_sql()
 
 
 def _bfs_layers_sql() -> str:

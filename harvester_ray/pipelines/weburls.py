@@ -619,6 +619,42 @@ def hits_scores(sf_dir: str) -> "ray.data.Dataset":
 TRI_EDGE_MULTS = PR_EDGE_MULTS + ((1, 1), (1, 2))
 
 
+def _canonical_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Undirected, de-duplicated, self-loop-free (u < v) edges of the
+    affine+local link graph — shared by triangle_count and
+    clustering_coef. Edges synthesize in-map from doc_id; dedup is one
+    (u, v)-keyed groupby."""
+    from ray.data.aggregate import Count
+
+    n = _n_docs(sf_dir)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([d] * len(TRI_EDGE_MULTS))
+        dst = np.concatenate([(d * a + b) % n for a, b in TRI_EDGE_MULTS])
+        u, v = np.minimum(src, dst), np.maximum(src, dst)
+        keep = u != v
+        return pa.table(
+            {
+                "u": pa.array(u[keep], pa.int64()),
+                "v": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_m"))  # dedup multi-edges
+        .map_batches(
+            lambda t: pa.table(
+                {"u": t["u"].cast(pa.int64()), "v": t["v"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def triangle_count(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc triangle participation over the synthesized 3-out-link
     graph — the canonical two-join distributed graph op (the workload
@@ -646,33 +682,7 @@ def triangle_count(sf_dir: str) -> "ray.data.Dataset":
 
     from harvester_ray.stages.joins import partitioned_join
 
-    n = _n_docs(sf_dir)
-
-    def edges(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.concatenate([d] * len(TRI_EDGE_MULTS))
-        dst = np.concatenate([(d * a + b) % n for a, b in TRI_EDGE_MULTS])
-        u, v = np.minimum(src, dst), np.maximum(src, dst)
-        keep = u != v
-        return pa.table(
-            {
-                "u": pa.array(u[keep], pa.int64()),
-                "v": pa.array(v[keep], pa.int64()),
-            }
-        )
-
-    edge_ds = (
-        _docs(sf_dir, ["doc_id"])
-        .map_batches(edges, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_m"))  # dedup multi-edges
-        .map_batches(
-            lambda t: pa.table(
-                {"u": t["u"].cast(pa.int64()), "v": t["v"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    edge_ds = _canonical_edges(sf_dir)
     esch = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
     # wedges (a, b, c): edges (a,b) and (a,c) sharing lower endpoint a
@@ -798,4 +808,128 @@ def bfs_layers(sf_dir: str) -> "ray.data.Dataset":
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+LCC_FP = 1_000_000  # clustering-coefficient fixed point
+
+
+def clustering_coef(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc local clustering coefficient over the undirected link
+    graph — lcc = 2*T / (deg*(deg-1)) in LCC_FP fixed point (floor
+    division; docs with deg < 2 score 0): the web-graph community
+    signal triangle_count's raw counts feed. Degrees come from ONE
+    endpoint-explode + doc-keyed groupby over the canonical edge
+    table; triangle counts join in by doc_id (left outer — most docs
+    are in no triangle); the division is a vectorized map. Output
+    (doc_id, degree, n_triangles, lcc_fp) for every doc with >= 1
+    edge."""
+    from ray.data.aggregate import Count
+
+    from harvester_ray.stages.joins import partitioned_join
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([u, v]), pa.int64())}
+        )
+
+    deg = (
+        _canonical_edges(sf_dir)
+        .map_batches(endpoints, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="degree"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "degree": t["degree"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = partitioned_join(
+        deg,
+        triangle_count(sf_dir),
+        on=["doc_id"],
+        how="left_outer",
+        schemas=(
+            pa.schema([("doc_id", pa.int64()), ("degree", pa.int64())]),
+            pa.schema([("doc_id", pa.int64()), ("n_triangles", pa.int64())]),
+        ),
+    )
+
+    def lcc(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri = (
+            t["n_triangles"]
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        denom = d * (d - 1)
+        out = np.where(denom > 0, (2 * tri * LCC_FP) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "degree": pa.array(d, pa.int64()),
+                "n_triangles": pa.array(tri, pa.int64()),
+                "lcc_fp": pa.array(out, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(lcc, batch_format="pyarrow")
+
+
+def domain_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Host-level PageRank mass: the per-doc rank_fp of pagerank_fixed
+    rolled up to the synthesized url host — the site-authority rollup
+    a crawl scheduler prioritizes fetch queues by. ONE doc_id-keyed
+    hash join attaches each doc's host (both sides co-partition by the
+    same key) and one host-keyed groupby sums; rank rows are two ints,
+    so the join moves no text. Output (host, rank_fp, n_docs)."""
+    from ray.data.aggregate import Count, Sum
+
+    from harvester_ray.functions.urls import host_of
+    from harvester_ray.stages.joins import ds_join
+
+    def hosts(t: pa.Table) -> pa.Table:
+        t = _with_urls(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "host": host_of(t["url"]),
+            }
+        )
+
+    host_ds = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        hosts, batch_format="pyarrow"
+    )
+    joined = ds_join(
+        pagerank_fixed(sf_dir),
+        host_ds,
+        on=("doc_id",),
+        schemas=(
+            pa.schema([("doc_id", pa.int64()), ("rank_fp", pa.int64())]),
+            pa.schema([("doc_id", pa.int64()), ("host", pa.string())]),
+        ),
+    )
+    return (
+        joined.groupby("host")
+        .aggregate(
+            Sum("rank_fp", alias_name="rank_fp"),
+            Count(alias_name="n_docs"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "host": t["host"].cast(pa.string()),
+                    "rank_fp": t["rank_fp"].cast(pa.int64()),
+                    "n_docs": t["n_docs"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )

@@ -249,3 +249,44 @@ def test_bfs_layers_matches_python_bfs(ray_session):
     }
     assert got == dist
     assert got[BFS_SEED] == 0 and max(got.values()) <= BFS_ITERS
+
+
+def test_clustering_coef_invariants(ray_session):
+    """Every doc with an edge appears exactly once; lcc is in [0, FP];
+    docs with degree < 2 score exactly 0; triangle participation
+    matches triangle_count."""
+    from harvester_ray.pipelines.weburls import (
+        LCC_FP,
+        clustering_coef,
+        triangle_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = clustering_coef(sf).take_all()
+    by_doc = {int(r["doc_id"]): r for r in rows}
+    assert len(by_doc) == len(rows)  # one row per doc
+    tri = {
+        int(r["doc_id"]): int(r["n_triangles"])
+        for r in triangle_count(sf).take_all()
+    }
+    for d, r in by_doc.items():
+        assert 0 <= r["lcc_fp"] <= LCC_FP
+        if r["degree"] < 2:
+            assert r["lcc_fp"] == 0
+        assert r["n_triangles"] == tri.get(d, 0)
+
+
+def test_domain_rank_conserves_rank_mass(ray_session):
+    """Host rollup conserves total PageRank mass and doc count."""
+    from harvester_ray.pipelines.weburls import (
+        _n_docs,
+        domain_rank,
+        pagerank_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = pagerank_fixed(sf).to_pandas()
+    per_host = domain_rank(sf).to_pandas()
+    assert per_host["rank_fp"].sum() == per_doc["rank_fp"].sum()
+    assert per_host["n_docs"].sum() == _n_docs(sf)
+    assert (per_host["n_docs"] > 0).all()
