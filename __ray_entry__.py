@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": relational.events_running_total,
         # LAG window: per-user inter-arrival gaps
         "events_interarrival": relational.events_interarrival,
+        "funnel_counts": relational.funnel_counts,
+        "retention_cohorts": relational.retention_cohorts,
         # GROUP BY ROLLUP: multi-level aggregates off one fact pass
         "orders_rollup": relational.orders_rollup,
         "region_customer_stats": relational.region_customer_stats,
@@ -414,6 +416,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_revenue": oracles.Q5_REVENUE,
         "events_running_total": oracles.EVENTS_RUNNING_TOTAL,
         "events_interarrival": oracles.EVENTS_INTERARRIVAL,
+        "funnel_counts": oracles.FUNNEL_COUNTS,
+        "retention_cohorts": oracles.RETENTION_COHORTS,
         "orders_rollup": oracles.ORDERS_ROLLUP,
         "region_customer_stats": oracles.REGION_CUSTOMER_STATS,
         "orders_priority_count": oracles.ORDERS_PRIORITY_COUNT,

@@ -573,6 +573,46 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
 FROM events GROUP BY event_type, hour
 """
 
+# funnel: nested min-filters ARE the greedy earliest chain (exists an
+# ordered chain iff the greedy chain succeeds); the outer c > 0 filter
+# mirrors the engine, which emits no row for an empty stage
+def _funnel_counts_sql() -> str:
+    from harvester_ray.pipelines.relational import FUNNEL_STEPS
+
+    ctes, prev = [], None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        if prev is None:
+            ctes.append(
+                f"f{i} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"f{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {prev} USING (user_id) "
+                f"WHERE e.event_type = '{step}' AND e.ts > {prev}.t "
+                "GROUP BY e.user_id)"
+            )
+        prev = f"f{i}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage, '{step}' AS event_type, c AS n_users "
+        f"FROM (SELECT count(*)::BIGINT AS c FROM f{i}) WHERE c > 0"
+        for i, step in enumerate(FUNNEL_STEPS, start=1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+FUNNEL_COUNTS = _funnel_counts_sql()
+
+RETENTION_COHORTS = """
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT c.cohort_day, d.day - c.cohort_day AS offset_days,
+       count(DISTINCT d.user_id)::BIGINT AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
 EVENTS_SESSIONS = f"""
 WITH e AS (
   SELECT user_id, event_id, ts,

@@ -1597,3 +1597,116 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
     fine_typed = fine.map_batches(relabel({}), batch_format="pyarrow")
     return fine_typed.union(year_level).union(total_level)
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Event-funnel completion: how many users reached each stage of
+    view -> click -> purchase with STRICTLY increasing timestamps —
+    the product-analytics op every event warehouse runs. Greedy
+    earliest-chain semantics (exists an ordered chain iff the greedy
+    chain over per-stage earliest-qualifying events succeeds —
+    identical nested min-filters in the SQL twin). ONE user-keyed
+    groupby (per-user events sort locally; each group emits one
+    reached-stage row), then a stage explode + tiny stage groupby.
+    Output (stage, event_type, n_users)."""
+    from ray.data.aggregate import Count
+
+    def reach(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        cur = -1  # last chained event time (us); strict >
+        stage = 0
+        for step in FUNNEL_STEPS:
+            cand = ts[(et == step) & (ts > cur)]
+            if len(cand) == 0:
+                break
+            cur = int(cand.min())
+            stage += 1
+        return pa.table({"stage_reached": pa.array([stage], pa.int64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = t["stage_reached"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stages = (
+            np.concatenate(
+                [np.arange(1, k + 1, dtype=np.int64) for k in s]
+            )
+            if len(s)
+            else np.empty(0, np.int64)
+        )  # one row per completed stage
+        return pa.table({"stage": pa.array(stages, pa.int64())})
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(reach, batch_format="pyarrow")
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Count(alias_name="n_users"))
+    )
+    names = {i + 1: s for i, s in enumerate(FUNNEL_STEPS)}
+
+    def label(t: pa.Table) -> pa.Table:
+        st = t["stage"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "stage": pa.array(st, pa.int64()),
+                "event_type": pa.array(
+                    [names[int(k)] for k in st], pa.string()
+                ),
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(label, batch_format="pyarrow")
+
+
+def retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention triangle: users grouped by first-active DAY
+    (integer epoch days — identical floor arithmetic in the twin),
+    counted distinct per (cohort_day, offset_days). ONE user-keyed
+    groupby emits each user's distinct (cohort, offset) rows (a
+    per-user combiner — rows out <= active days, never events), then
+    one (cohort, offset) groupby counts. Output
+    (cohort_day, offset_days, n_users)."""
+    from ray.data.aggregate import Count
+
+    US_PER_DAY = 86_400_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = ts // US_PER_DAY
+        cohort = int(days.min())
+        offs = np.unique(days - cohort)
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    np.full(len(offs), cohort, np.int64), pa.int64()
+                ),
+                "offset_days": pa.array(offs, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cohort_day": t["cohort_day"].cast(pa.int64()),
+                    "offset_days": t["offset_days"].cast(pa.int64()),
+                    "n_users": t["n_users"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -282,3 +282,26 @@ def test_events_interarrival_one_first_per_user(ray_session):
     firsts = df[df["gap_us"] == -1]
     assert len(firsts) == df["user_id"].nunique()
     assert (df.loc[df["gap_us"] != -1, "gap_us"] >= 0).all()
+
+
+def test_funnel_monotone_and_retention_covers_users(ray_session):
+    """Funnel stage counts are non-increasing with stage; retention's
+    offset-0 cell of each cohort counts every user of that cohort
+    exactly once across cohorts (each user belongs to one cohort)."""
+    import duckdb
+
+    from harvester_ray.pipelines.relational import (
+        funnel_counts,
+        retention_cohorts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    f = funnel_counts(sf).to_pandas().sort_values("stage")
+    assert (f["n_users"].diff().dropna() <= 0).all()
+    r = retention_cohorts(sf).to_pandas()
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    zero = r[r.offset_days == 0]
+    assert int(zero["n_users"].sum()) == n_users
+    assert (r["n_users"] > 0).all()
