@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": weburls.triangle_count,
         "bfs_layers": weburls.bfs_layers,
         "clustering_coef": weburls.clustering_coef,
+        "kcore_membership": weburls.kcore_membership,
         "domain_rank": weburls.domain_rank,
         # inbound anchor-text aggregation + politeness crawl frontier
         "anchor_text_topk": weburls.anchor_text_topk,
@@ -481,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": oracles.TRIANGLE_COUNT,
         "bfs_layers": oracles.BFS_LAYERS,
         "clustering_coef": oracles.CLUSTERING_COEF,
+        "kcore_membership": oracles.KCORE_MEMBERSHIP,
         "domain_rank": oracles.DOMAIN_RANK,
         "anchor_text_topk": oracles.ANCHOR_TEXT_TOPK,
         "crawl_frontier": oracles.CRAWL_FRONTIER,

@@ -3739,6 +3739,54 @@ FROM deg LEFT JOIN tc USING (doc_id)
 CLUSTERING_COEF = _clustering_coef_sql()
 
 
+def _kcore_sql() -> str:
+    """Round-unrolled twin of weburls.kcore_membership: same canonical
+    edge CTE, same synchronous peel (degree filter then two endpoint
+    semi-joins) per round."""
+    from harvester_ray.pipelines.weburls import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        TRI_EDGE_MULTS,
+    )
+
+    mults = ", ".join(f"doc_id * {a} + {b}" for a, b in TRI_EDGE_MULTS)
+    # every e{i} is referenced ~7x by round i+1 (directly and through
+    # v{i+1}); DuckDB inlines plain CTEs, so without MATERIALIZED the
+    # scan tree grows 7^rounds and exhausts file handles
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"e00 AS (SELECT doc_id AS s, unnest([{mults}]) AS d0 "
+        "FROM documents)",
+        "e01 AS (SELECT s, d0 % (SELECT n FROM nn) AS d FROM e00)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, "
+        "greatest(s, d) AS v FROM e01 WHERE s != d)",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT doc_id FROM ("
+            f"SELECT u AS doc_id FROM e{i-1} "
+            f"UNION ALL SELECT v AS doc_id FROM e{i-1}"
+            f") GROUP BY doc_id HAVING count(*) >= {KCORE_K})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e{i-1}.u, e{i-1}.v FROM e{i-1} "
+            f"JOIN v{i} a ON e{i-1}.u = a.doc_id "
+            f"JOIN v{i} b ON e{i-1}.v = b.doc_id)"
+        )
+    last = f"e{KCORE_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, count(*)::BIGINT AS core_degree FROM (
+  SELECT u AS doc_id FROM {last} UNION ALL SELECT v AS doc_id FROM {last}
+) GROUP BY doc_id
+"""
+    )
+
+
+KCORE_MEMBERSHIP = _kcore_sql()
+
+
 def _bfs_layers_sql() -> str:
     """Iteration-unrolled twin of weburls.bfs_layers: the same
     Bellman-Ford relaxation (self rows UNION out-neighbor rows, then

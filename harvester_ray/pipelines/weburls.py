@@ -933,3 +933,91 @@ def domain_rank(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 8  # peel rounds; convergence at this bound is pytest-pinned
+
+
+def kcore_membership(sf_dir: str) -> "ray.data.Dataset":
+    """K-core decomposition (k = KCORE_K) by synchronous degree
+    peeling — the graph-densification filter a web-spam / community
+    pipeline runs after triangle counting: each round drops every
+    vertex with degree < k and every edge touching one, KCORE_ROUNDS
+    rounds (fixed bound so the SQL twin unrolls; convergence at the
+    bound is pinned in pytest against an unbounded pure-Python peel).
+    Per round: ONE endpoint-explode + doc-keyed groupby-count, then
+    two empty-partition-safe hash semi-joins filter the edge stream to
+    surviving endpoints — edges and degrees stay distributed
+    throughout. Output (doc_id, core_degree) for the surviving
+    vertices with their within-core degree."""
+    from ray.data.aggregate import Count
+
+    from harvester_ray.stages.joins import partitioned_join
+
+    esch = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    vsch = pa.schema([("doc_id", pa.int64()), ("degree", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([u, v]), pa.int64())}
+        )
+
+    def degrees(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+        return (
+            edges.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="degree"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t["doc_id"].cast(pa.int64()),
+                        "degree": t["degree"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    # each round's edge set feeds THREE consumers (degree count + two
+    # semi-joins), so it is materialized per round — the standard
+    # iterative-algorithm checkpoint, bounded by the SHRINKING edge
+    # table (ints only, ~|TRI_EDGE_MULTS| rows/doc at round 0), never
+    # the corpus
+    edges = _canonical_edges(sf_dir).materialize()
+    for _ in range(KCORE_ROUNDS):
+        kept = degrees(edges).map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["degree"], KCORE_K)
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).materialize()
+        for key in ("u", "v"):
+            edges = partitioned_join(
+                edges,
+                kept.map_batches(
+                    lambda t, _k=key: t.rename_columns([_k]),
+                    batch_format="pyarrow",
+                ),
+                on=[key],
+                # the edge table only SHRINKS: a low fixed fan-out
+                # bounds the per-round block count (8 rounds x 2 joins
+                # of object-store blocks otherwise exhausts fds)
+                num_partitions=8,
+                schemas=(esch, pa.schema([(key, pa.int64())])),
+            ).map_batches(
+                lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+            )
+        edges = edges.materialize()
+
+    return degrees(edges).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "core_degree": t["degree"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -290,3 +290,48 @@ def test_domain_rank_conserves_rank_mass(ray_session):
     assert per_host["rank_fp"].sum() == per_doc["rank_fp"].sum()
     assert per_host["n_docs"].sum() == _n_docs(sf)
     assert (per_host["n_docs"] > 0).all()
+
+
+def test_kcore_converges_and_matches_unbounded_peel(ray_session):
+    """KCORE_ROUNDS bounds convergence on this graph: the engine's
+    bounded peel equals an UNBOUNDED pure-Python peel (so round
+    KCORE_ROUNDS is a fixed point), and every surviving vertex has
+    core degree >= KCORE_K."""
+    import collections
+
+    from harvester_ray.pipelines.weburls import (
+        KCORE_K,
+        TRI_EDGE_MULTS,
+        _n_docs,
+        kcore_membership,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = _n_docs(sf)
+    edges = set()
+    for d in range(n):
+        for a, b in TRI_EDGE_MULTS:
+            t = (d * a + b) % n
+            if t != d:
+                edges.add((min(d, t), max(d, t)))
+    while True:
+        deg = collections.Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        kept = {x for x, c in deg.items() if c >= KCORE_K}
+        nxt = {(u, v) for u, v in edges if u in kept and v in kept}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    got = {
+        int(r["doc_id"]): int(r["core_degree"])
+        for r in kcore_membership(sf).take_all()
+    }
+    assert got == dict(deg)
+    assert all(c >= KCORE_K for c in got.values())
+    assert got, "3-core is empty at this sf"
