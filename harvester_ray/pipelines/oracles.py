@@ -997,7 +997,7 @@ FROM events GROUP BY event_type
 """
 
 
-def _ann_batch_sql() -> str:
+def _ann_batch_sql(cand_where: str = "") -> str:
     from harvester_ray.pipelines.relational import (
         ANN_BATCH_QUERY_IDS,
         ANN_BATCH_TOP_K,
@@ -1010,7 +1010,7 @@ WITH q AS (SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv
 s AS (SELECT q.query_vec_id, e.vec_id,
              round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
                AS sim
-      FROM embeddings e CROSS JOIN q),
+      FROM embeddings e CROSS JOIN q {cand_where}),
 r AS (SELECT query_vec_id, vec_id,
              row_number() OVER (PARTITION BY query_vec_id
                                 ORDER BY sim DESC, vec_id ASC) AS rank
@@ -1020,6 +1020,20 @@ SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= {ANN_BATCH_TOP_K}
 
 
 ANN_COSINE_TOPK_BATCH = _ann_batch_sql()
+
+
+def _ann_filtered_sql() -> str:
+    """Twin of relational.ann_filtered_topk: the batched brute-force
+    ranking with the label predicate on the CANDIDATE side only
+    (query vectors are fetched by id, unfiltered — same as the
+    engine's fetch_query_vectors)."""
+    from harvester_ray.pipelines.relational import ANN_FILTER_LABELS
+
+    labels = ", ".join(str(x) for x in ANN_FILTER_LABELS)
+    return _ann_batch_sql(cand_where=f"WHERE e.label IN ({labels})")
+
+
+ANN_FILTERED_TOPK = _ann_filtered_sql()
 
 
 def _quantiles_sql() -> str:

@@ -917,14 +917,18 @@ ANN_BATCH_QUERY_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
 ANN_BATCH_TOP_K = 5
 
 
-def ann_cosine_topk_batch(sf_dir: str) -> "ray.data.Dataset":
+def ann_cosine_topk_batch(
+    sf_dir: str, read_filter: "object | None" = None
+) -> "ray.data.Dataset":
     """Batched brute-force ANN: top-k neighbors for a whole QUERY SET
     in one pipeline — each batch does ONE (rows x dim) @ (dim x Q)
     matmul against the broadcast normalized query matrix and keeps k
     rows per query (per-batch per-query top-k, lossless under the
     (sim DESC, vec_id ASC) order), so the final groupby handles
     <= k x Q x batches rows. The batched-inference shape every
-    embedding-scoring stage uses at scale."""
+    embedding-scoring stage uses at scale. ``read_filter`` (a parquet
+    dataset expression) restricts the candidate set AT THE READ —
+    the filtered-search entry below rides it."""
     from harvester_ray.stages.similarity import fetch_query_vectors
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -961,7 +965,7 @@ def ann_cosine_topk_batch(sf_dir: str) -> "ray.data.Dataset":
         )
 
     cands = ray.data.read_parquet(
-        emb_path, columns=["vec_id", "embedding"]
+        emb_path, columns=["vec_id", "embedding"], filter=read_filter
     ).map_batches(score, batch_format="pyarrow")
 
     def finalize(g: pa.Table) -> pa.Table:
@@ -984,6 +988,26 @@ def ann_cosine_topk_batch(sf_dir: str) -> "ray.data.Dataset":
 
     return cands.groupby("query_vec_id").map_groups(
         finalize, batch_format="pyarrow"
+    )
+
+
+ANN_FILTER_LABELS = (1, 3, 7)  # metadata predicate of the filtered search
+
+
+def ann_filtered_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Metadata-filtered vector search — the production vector-DB
+    feature (filter + ANN in one query): the batched brute-force
+    cosine top-k restricted to vectors whose label is in
+    ANN_FILTER_LABELS. The filter is PUSHED TO THE READ (parquet
+    row-group predicate via ann_cosine_topk_batch's read_filter), so
+    non-matching vectors never enter the matmul — at 100 TB the
+    pre-filter is the difference between scanning the corpus and
+    scanning the hit set. Output (query_vec_id, rank, vec_id)."""
+    import pyarrow.dataset as pads
+
+    return ann_cosine_topk_batch(
+        sf_dir,
+        read_filter=pads.field("label").isin(list(ANN_FILTER_LABELS)),
     )
 
 
@@ -1710,3 +1734,4 @@ def retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+

@@ -279,3 +279,30 @@ def test_pq_adc_rerank_recall_and_exactness(emb_dir, ray_session):
     code_cols = [n for n in schema.names if n.startswith("c")]
     assert len(code_cols) == PQC_M
     assert all(str(schema.field(n).type) == "uint8" for n in code_cols)
+
+
+def test_ann_filtered_only_returns_labeled_vectors(ray_session):
+    """Every filtered-search hit carries an allowed label, and the
+    filtered ranking differs from the unfiltered one (the predicate
+    actually prunes)."""
+    import duckdb
+
+    from harvester_ray.pipelines.relational import (
+        ANN_FILTER_LABELS,
+        ann_cosine_topk_batch,
+        ann_filtered_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = ann_filtered_topk(sf).to_pandas()
+    labels = dict(
+        duckdb.sql(
+            f"SELECT vec_id, label FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    )
+    assert len(got) > 0
+    assert all(labels[v] in ANN_FILTER_LABELS for v in got["vec_id"])
+    unfiltered = ann_cosine_topk_batch(sf).to_pandas()
+    a = set(map(tuple, got[["query_vec_id", "rank", "vec_id"]].values))
+    b = set(map(tuple, unfiltered[["query_vec_id", "rank", "vec_id"]].values))
+    assert a != b
