@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": relational.ann_cosine_topk,
         "ann_cosine_topk_batch": relational.ann_cosine_topk_batch,
         "ann_filtered_topk": relational.ann_filtered_topk,
+        "fuzzy_join": relational.fuzzy_join,
         # exact similarity join (prefix-filtered, guaranteed recall)
         # and its LSH-candidate twin — both DuckDB-oracled (round 3)
         "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
@@ -490,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ann_filtered_topk": oracles.ANN_FILTERED_TOPK,
+        "fuzzy_join": oracles.FUZZY_JOIN,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,
         "ngram_jaccard_dups": oracles.NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

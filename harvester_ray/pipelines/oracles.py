@@ -1036,6 +1036,33 @@ def _ann_filtered_sql() -> str:
 ANN_FILTERED_TOPK = _ann_filtered_sql()
 
 
+# fuzzy join: the same deterministic one-edit corruption (delete or
+# overwrite-with-'x' the (key mod len)-th char, 0-based -> substr is
+# 1-based so head = substr(name, 1, pos)), matched against the
+# DISTINCT canonical name dictionary by exact levenshtein <= 1 — the
+# engine's deletion-neighborhood blocking + ed<=1 verify must produce
+# exactly this set
+FUZZY_JOIN = """
+WITH dirty AS (
+  SELECT p_partkey AS dirty_key,
+         CASE WHEN p_partkey % 3 = 0
+              THEN substr(p_name, 1, p_partkey % len(p_name))
+                   || substr(p_name, p_partkey % len(p_name) + 2)
+              ELSE substr(p_name, 1, p_partkey % len(p_name))
+                   || 'x'
+                   || substr(p_name, p_partkey % len(p_name) + 2)
+         END AS dirty_name
+  FROM part
+),
+clean AS (SELECT DISTINCT p_name AS clean_name FROM part)
+SELECT d.dirty_key, c.clean_name,
+       (CASE WHEN d.dirty_name = c.clean_name THEN 0 ELSE 1 END)::BIGINT
+         AS dist
+FROM dirty d JOIN clean c
+  ON levenshtein(d.dirty_name, c.clean_name) <= 1
+"""
+
+
 def _quantiles_sql() -> str:
     from harvester_ray.pipelines.relational import QUANTILES_R4
 

@@ -1735,3 +1735,194 @@ def retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
         )
     )
 
+
+
+def _ed_le1(a: np.ndarray, b: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Vectorized edit-distance<=1 verify over padded uint8 char
+    matrices (n, L) — exact for the blocking join's candidate pairs
+    (no DP needed at threshold 1: equal-length pairs check hamming,
+    length-diff-1 pairs check the single-deletion alignment)."""
+    L = a.shape[1]
+    pos = np.arange(L)
+    res = np.zeros(len(la), dtype=bool)
+    same = la == lb
+    if same.any():
+        mism = ((a != b) & (pos < la[:, None])).sum(axis=1)
+        res[same] = mism[same] <= 1
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        swap = lb > la
+        x = np.where(swap[:, None], b, a)
+        y = np.where(swap[:, None], a, b)
+        ly = np.where(swap, la, lb)
+        valid = pos < ly[:, None]
+        neq = (x != y) & valid
+        first = np.where(neq.any(axis=1), neq.argmax(axis=1), ly)
+        # compare x with the char at `first` dropped against y
+        idx = np.minimum(pos[None, :] + (pos[None, :] >= first[:, None]), L - 1)
+        xs = np.take_along_axis(x, idx, axis=1)
+        res[d1] = (((xs != y) & valid).sum(axis=1) == 0)[d1]
+    return res
+
+
+def _char_matrix(names: list) -> tuple[np.ndarray, np.ndarray]:
+    """(padded uint8 matrix, lengths) for ascii strings."""
+    la = np.array([len(s) for s in names], dtype=np.int64)
+    L = max(1, int(la.max()) + 1 if len(la) else 1)
+    m = np.zeros((len(names), L), dtype=np.uint8)
+    for i, s in enumerate(names):
+        m[i, : len(s)] = np.frombuffer(s.encode(), dtype=np.uint8)
+    return m, la
+
+
+def fuzzy_join(sf_dir: str) -> "ray.data.Dataset":
+    """Entity resolution / record-linkage fuzzy join: each part row's
+    DIRTY name (deterministic one-edit corruption keyed by p_partkey —
+    delete or overwrite the (key mod len)-th char) is matched against
+    the canonical DISTINCT part-name dictionary at edit distance <= 1.
+    The distributed similarity-join pattern: both sides explode into
+    their deletion-1 neighborhoods (ed<=1 pairs ALWAYS share a
+    variant), ONE variant-keyed hash join yields a candidate superset,
+    a (dirty, clean) groupby dedups, and a vectorized ed<=1 kernel
+    verifies — no cross product anywhere. Output
+    (dirty_key, clean_name, dist)."""
+    from ray.data.aggregate import Count
+
+    from harvester_ray.stages.joins import partitioned_join
+
+    def _variant_rows(names: "pa.ChunkedArray | pa.Array") -> tuple:
+        """(variant array, parent row indices) — all deletion-1
+        variants incl. self, vectorized per DELETION POSITION (the
+        loop is over <= max-name-length positions, never rows)."""
+        names = (
+            names.combine_chunks()
+            if isinstance(names, pa.ChunkedArray)
+            else names
+        )
+        ln = pc.utf8_length(names).to_numpy(zero_copy_only=False)
+        max_len = int(ln.max()) if len(ln) else 0
+        rows = np.arange(len(names), dtype=np.int64)
+        out_v = [names]
+        out_p = [rows]
+        for p in range(max_len):
+            sel = ln > p  # rows long enough to delete position p
+            idx = pa.array(rows[sel])
+            sub = names.take(idx)
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, p),
+                pc.utf8_slice_codeunits(sub, p + 1),
+                "",
+            )
+            out_v.append(var)
+            out_p.append(rows[sel])
+        return pa.concat_arrays(
+            [v.cast(pa.string()) for v in out_v]
+        ), np.concatenate(out_p)
+
+    def _corrupt(t: pa.Table) -> tuple:
+        """Deterministic one-edit corruption of p_name keyed by
+        p_partkey: delete (key%3==0) or overwrite with 'x' the
+        (key mod len)-th char — vectorized per position."""
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = t["p_name"].combine_chunks()
+        ln = pc.utf8_length(names).to_numpy(zero_copy_only=False)
+        p_of = keys % np.maximum(ln, 1)
+        delete = keys % 3 == 0
+        out = np.empty(len(keys), dtype=object)
+        rows = np.arange(len(keys), dtype=np.int64)
+        for p in np.unique(p_of):
+            sel = p_of == p
+            idx = pa.array(rows[sel])
+            sub = names.take(idx)
+            head = pc.utf8_slice_codeunits(sub, 0, int(p))
+            tail = pc.utf8_slice_codeunits(sub, int(p) + 1)
+            dels = pc.binary_join_element_wise(head, tail, "")
+            subs = pc.binary_join_element_wise(head, "x", tail, "")
+            vals = np.where(
+                delete[sel],
+                dels.to_numpy(zero_copy_only=False),
+                subs.to_numpy(zero_copy_only=False),
+            )
+            out[sel] = vals
+        return keys, pa.array(out, pa.string())
+
+    def dirty_variants(t: pa.Table) -> pa.Table:
+        keys, dirty_names = _corrupt(t)
+        variants, parents = _variant_rows(dirty_names)
+        par = pa.array(parents)
+        return pa.table(
+            {
+                "variant": variants,
+                "dirty_key": pa.array(keys[parents], pa.int64()),
+                "dirty_name": dirty_names.take(par),
+            }
+        )
+
+    def clean_variants(t: pa.Table) -> pa.Table:
+        names = t["p_name"].combine_chunks()
+        variants, parents = _variant_rows(names)
+        return pa.table(
+            {
+                "variant": variants,
+                "clean_name": names.take(pa.array(parents)),
+            }
+        )
+
+    dirty = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        dirty_variants, batch_format="pyarrow"
+    )
+    clean = (
+        _read(sf_dir, "part", ["p_name"])
+        .groupby("p_name")
+        .aggregate(Count(alias_name="_c"))  # distinct canonical names
+        .map_batches(
+            lambda t: clean_variants(t.select(["p_name"])),
+            batch_format="pyarrow",
+        )
+    )
+    cands = partitioned_join(
+        dirty,
+        clean,
+        on=["variant"],
+        schemas=(
+            pa.schema(
+                [
+                    ("variant", pa.string()),
+                    ("dirty_key", pa.int64()),
+                    ("dirty_name", pa.string()),
+                ]
+            ),
+            pa.schema([("variant", pa.string()), ("clean_name", pa.string())]),
+        ),
+    )
+
+    def verify(g: pa.Table) -> pa.Table:
+        dn = g["dirty_name"].to_pylist()
+        cn = g["clean_name"].to_pylist()
+        a, la = _char_matrix(dn)
+        b, lb = _char_matrix(cn)
+        L = max(a.shape[1], b.shape[1])
+        a = np.pad(a, ((0, 0), (0, L - a.shape[1])))
+        b = np.pad(b, ((0, 0), (0, L - b.shape[1])))
+        ok = _ed_le1(a, b, la, lb)
+        eq = pc.equal(g["dirty_name"], g["clean_name"]).to_numpy(
+            zero_copy_only=False
+        )
+        dist = np.where(eq, 0, 1).astype(np.int64)
+        return pa.table(
+            {
+                "dirty_key": g["dirty_key"].cast(pa.int64()).filter(pa.array(ok)),
+                "clean_name": g["clean_name"].filter(pa.array(ok)),
+                "dist": pa.array(dist[ok], pa.int64()),
+            }
+        )
+
+    return (
+        cands.groupby(["dirty_key", "clean_name", "dirty_name"])
+        .aggregate(Count(alias_name="_n"))  # dedup candidate pairs
+        .map_batches(verify, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["dirty_key", "clean_name", "dist"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -305,3 +305,32 @@ def test_funnel_monotone_and_retention_covers_users(ray_session):
     zero = r[r.offset_days == 0]
     assert int(zero["n_users"].sum()) == n_users
     assert (r["n_users"] > 0).all()
+
+
+def test_ed_le1_kernel():
+    """The vectorized edit-distance<=1 verify: exact on equal strings,
+    substitutions, end/middle deletions, and rejects distance-2."""
+    import numpy as np
+
+    from harvester_ray.pipelines.relational import _char_matrix, _ed_le1
+
+    pairs = [
+        ("cold widget", "cold widget", True),   # equal
+        ("cold widget", "cold widgex", True),   # subst last
+        ("xold widget", "cold widget", True),   # subst first
+        ("old widget", "cold widget", True),    # delete first
+        ("cold widge", "cold widget", True),    # delete last
+        ("cold idget", "cold widget", True),    # delete middle
+        ("cold widget", "cold gadget", False),  # distance 2
+        ("co widget", "cold widget", False),    # delete 2
+        ("dold widgex", "cold widget", False),  # subst 2
+        ("", "x", True),
+        ("", "xy", False),
+    ]
+    a, la = _char_matrix([p[0] for p in pairs])
+    b, lb = _char_matrix([p[1] for p in pairs])
+    L = max(a.shape[1], b.shape[1])
+    a = np.pad(a, ((0, 0), (0, L - a.shape[1])))
+    b = np.pad(b, ((0, 0), (0, L - b.shape[1])))
+    got = _ed_le1(a, b, la, lb)
+    assert got.tolist() == [p[2] for p in pairs]
