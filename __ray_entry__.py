@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk_batch": relational.ann_cosine_topk_batch,
         "ann_filtered_topk": relational.ann_filtered_topk,
         "fuzzy_join": relational.fuzzy_join,
+        "value_outliers": relational.value_outliers,
         # exact similarity join (prefix-filtered, guaranteed recall)
         # and its LSH-candidate twin — both DuckDB-oracled (round 3)
         "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
@@ -492,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ann_filtered_topk": oracles.ANN_FILTERED_TOPK,
         "fuzzy_join": oracles.FUZZY_JOIN,
+        "value_outliers": oracles.VALUE_OUTLIERS,
         "ngram_jaccard_exact": oracles.NGRAM_JACCARD,
         "ngram_jaccard_dups": oracles.NGRAM_JACCARD,
         "dedup_clusters": oracles.DEDUP_CLUSTERS,

@@ -1042,6 +1042,32 @@ ANN_FILTERED_TOPK = _ann_filtered_sql()
 # DISTINCT canonical name dictionary by exact levenshtein <= 1 — the
 # engine's deletion-neighborhood blocking + ed<=1 verify must produce
 # exactly this set
+# exact z-score outliers: HUGEINT cross-multiplication mirrors the
+# engine's |v*n - s| > isqrt(t^2*(q*n - s^2)) floor-sqrt rule (for
+# integers, lhs > floor(sqrt(rhs)) <=> lhs^2 > rhs)
+def _value_outliers_sql() -> str:
+    from harvester_ray.pipelines.relational import Z_OUT_THRESH
+
+    t2 = Z_OUT_THRESH * Z_OUT_THRESH
+    return f"""
+WITH v AS (SELECT event_id,
+                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vfp
+           FROM events),
+agg AS (SELECT count(*)::HUGEINT AS n,
+               sum(CAST(vfp AS HUGEINT)) AS s,
+               sum(CAST(vfp AS HUGEINT) * CAST(vfp AS HUGEINT)) AS q
+        FROM v)
+SELECT event_id, vfp AS value_r4,
+       CAST(abs(CAST(vfp AS HUGEINT) * n - s) AS BIGINT) AS dev
+FROM v, agg
+WHERE (CAST(vfp AS HUGEINT) * n - s) * (CAST(vfp AS HUGEINT) * n - s)
+      > {t2} * (q * n - s * s)
+"""
+
+
+VALUE_OUTLIERS = _value_outliers_sql()
+
+
 FUZZY_JOIN = """
 WITH dirty AS (
   SELECT p_partkey AS dirty_key,

@@ -1926,3 +1926,67 @@ def fuzzy_join(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+Z_OUT_THRESH = 3  # |value - mean| > 3 sigma
+
+
+def value_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Exact distributed z-score outlier detection over events.value —
+    the data-quality gate of a numeric pipeline, with NO floating
+    point anywhere: flag v iff (v·n − s)² > t²·(q·n − s²) over the
+    fixed-point values, evaluated as |v·n − s| > isqrt(t²·(q·n − s²))
+    (floor-sqrt equivalence is exact for integers), so the per-row
+    test is one int64 compare. Two passes: per-batch (count, sum,
+    sumsq) partial rows fold to exact PYTHON ints on the driver (one
+    row per batch — immune to int64 overflow at any corpus size),
+    then the filter map streams. Output (event_id, value_r4, dev)
+    where dev = |v·n − s| (the integer deviation numerator)."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vfp = np.floor(v * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(vfp)], pa.int64()),
+                "s": pa.array([int(vfp.sum())], pa.int64()),
+                # per-batch sumsq fits int64 (vfp^2 <= ~3e13, batch
+                # rows <= ~1e5); the CROSS-batch fold is Python ints
+                "q": pa.array([int((vfp * vfp).sum())], pa.int64()),
+                "m": pa.array(
+                    [int(np.abs(vfp).max()) if len(vfp) else 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    s = sum(int(r["s"]) for r in parts)
+    q = sum(int(r["q"]) for r in parts)
+    m = max((int(r["m"]) for r in parts), default=0)
+    if m * n >= 2**62:  # the per-row vfp*n product must stay int64
+        raise NotImplementedError(
+            "value domain x row count exceeds the int64 per-row "
+            "product; rescale the fixed point or shard the test"
+        )
+    thresh = math.isqrt(Z_OUT_THRESH * Z_OUT_THRESH * (q * n - s * s))
+    s_ref, n_ref = s, n  # driver-computed exact scalars close over
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vfp = np.floor(v * 10000.0 + 0.5).astype(np.int64)
+        dev = np.abs(vfp * n_ref - s_ref)
+        keep = dev > thresh
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64())
+                .filter(pa.array(keep)),
+                "value_r4": pa.array(vfp[keep], pa.int64()),
+                "dev": pa.array(dev[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
