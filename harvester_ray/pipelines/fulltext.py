@@ -3099,6 +3099,8 @@ def mm_topk(sf_dir: str) -> "ray.data.Dataset":
 # weight-per-occurrence contract keeps the twin integer-exact, the
 # same simplification bm25_boosted_topk makes for boost functions.)
 PF_BOOST_FP = 5 * _FP8
+# phrase-hit rows above this broadcast guard hash-join instead
+PF_BROADCAST_ROWS = 2_000_000
 
 
 def pf_topk(sf_dir: str) -> "ray.data.Dataset":
@@ -3110,11 +3112,13 @@ def pf_topk(sf_dir: str) -> "ray.data.Dataset":
     build + ONE batch phrase-query pass over the positional tier
     (union-pruned term-bucket read); the phrase-hit table is
     query-bounded and sparse (exact adjacency), so it rides into the
-    scoring map as a per-query sorted-array broadcast — no extra
-    shuffle, mirroring mm_topk. Single-term queries get no phrase leg
-    (the Solr pf rule). Output (query_id, rank, doc_id).
-    Reference analog: the Solr pf parameter of the request handlers
-    the reference's search UI queries."""
+    scoring map as a per-query sorted-array broadcast under
+    PF_BROADCAST_ROWS — past the guard (a head query whose phrase
+    matches a corpus-scale doc set) it hash-joins onto the match set
+    instead. Single-term queries get no phrase leg (the Solr pf
+    rule). Output (query_id, rank, doc_id). Reference analog: the
+    Solr pf parameter of the request handlers the reference's search
+    UI queries."""
     import numpy as np
 
     from harvester_ray.functions.text import tokenize
@@ -3126,40 +3130,94 @@ def pf_topk(sf_dir: str) -> "ray.data.Dataset":
         if len(tokenize(q)) >= 2
     ]
     occ = phrase_occurrences_multi(positions_for(sf_dir), phrases)
-    pid = occ["phrase_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    did = occ["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = occ["n_occurrences"].to_numpy(zero_copy_only=False).astype(np.int64)
-    by_q = {
-        int(q): (did[pid == q], n[pid == q]) for q in np.unique(pid)
-    }  # doc arrays arrive sorted per phrase_id (positional contract)
-    occ_ref = ray.put(by_q)
+    matches = _scored_match_set(sf_dir)
 
-    def boost(t: pa.Table) -> pa.Table:
-        qid = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sc = t["score_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
-        add = np.zeros(len(t), dtype=np.int64)
-        for q, (docs, occs) in ray.get(occ_ref).items():
-            if len(docs) == 0:
-                continue
-            sel = qid == q
-            if not sel.any():
-                continue
-            pos = np.minimum(np.searchsorted(docs, d[sel]), len(docs) - 1)
-            add[sel] = np.where(docs[pos] == d[sel], occs[pos], 0)
-        return pa.table(
-            {
-                "query_id": pa.array(qid, pa.int64()),
-                "doc_id": pa.array(d, pa.int64()),
-                "final_fp": pa.array(sc + PF_BOOST_FP * add, pa.int64()),
-            }
+    if occ.num_rows > PF_BROADCAST_ROWS:
+        from harvester_ray.stages.joins import partitioned_join
+
+        ren = occ.rename_columns(["query_id", "doc_id", "n_occ"])
+        joined = partitioned_join(
+            matches,
+            ray.data.from_arrow(ren),
+            on=["query_id", "doc_id"],
+            how="left_outer",
+            schemas=(
+                pa.schema(
+                    [
+                        ("query_id", pa.int64()),
+                        ("doc_id", pa.int64()),
+                        ("score_fp", pa.int64()),
+                        ("nterms", pa.int64()),
+                    ]
+                ),
+                pa.schema(
+                    [
+                        ("query_id", pa.int64()),
+                        ("doc_id", pa.int64()),
+                        ("n_occ", pa.int64()),
+                    ]
+                ),
+            ),
         )
 
-    return (
-        _scored_match_set(sf_dir)
-        .map_batches(boost, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(_ranked_topk("final_fp", TOP_K), batch_format="pyarrow")
+        def add_joined(t: pa.Table) -> pa.Table:
+            sc = t["score_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n_occ = (
+                t["n_occ"].fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "query_id": t["query_id"].cast(pa.int64()),
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "final_fp": pa.array(
+                        sc + PF_BOOST_FP * n_occ, pa.int64()
+                    ),
+                }
+            )
+
+        boosted = joined.map_batches(add_joined, batch_format="pyarrow")
+    else:
+        pid = occ["phrase_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = occ["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = occ["n_occurrences"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        by_q = {
+            int(q): (did[pid == q], n[pid == q]) for q in np.unique(pid)
+        }  # doc arrays arrive sorted per phrase_id (positional contract)
+        occ_ref = ray.put(by_q)
+
+        def boost(t: pa.Table) -> pa.Table:
+            qid = t["query_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sc = t["score_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+            add = np.zeros(len(t), dtype=np.int64)
+            for q, (docs, occs) in ray.get(occ_ref).items():
+                if len(docs) == 0:
+                    continue
+                sel = qid == q
+                if not sel.any():
+                    continue
+                pos = np.minimum(
+                    np.searchsorted(docs, d[sel]), len(docs) - 1
+                )
+                add[sel] = np.where(docs[pos] == d[sel], occs[pos], 0)
+            return pa.table(
+                {
+                    "query_id": pa.array(qid, pa.int64()),
+                    "doc_id": pa.array(d, pa.int64()),
+                    "final_fp": pa.array(sc + PF_BOOST_FP * add, pa.int64()),
+                }
+            )
+
+        boosted = matches.map_batches(boost, batch_format="pyarrow")
+
+    return boosted.groupby("query_id").map_groups(
+        _ranked_topk("final_fp", TOP_K), batch_format="pyarrow"
     )
 
 

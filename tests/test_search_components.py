@@ -163,3 +163,17 @@ def test_pf_boost_semantics(ray_session):
         elif a != b:
             changed += 1
     assert changed >= 1
+
+
+def test_pf_join_path_matches_broadcast(ray_session, monkeypatch):
+    """With the broadcast guard forced to 0, the phrase-hit table hash
+    joins onto the match set and the final page is identical."""
+    from harvester_ray.pipelines import fulltext
+
+    want = fulltext.pf_topk(SF).to_pandas()
+    monkeypatch.setattr(fulltext, "PF_BROADCAST_ROWS", 0)
+    got = fulltext.pf_topk(SF).to_pandas()
+    key = ["query_id", "rank", "doc_id"]
+    assert sorted(map(tuple, got[key].values)) == sorted(
+        map(tuple, want[key].values)
+    )
