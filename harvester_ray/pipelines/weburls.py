@@ -618,12 +618,39 @@ def hits_scores(sf_dir: str) -> "ray.data.Dataset":
 # neighbor links (the affine family alone closes no triangles)
 TRI_EDGE_MULTS = PR_EDGE_MULTS + ((1, 1), (1, 2))
 
+# process-level cache of materialized graph artifacts — the same
+# sharing contract as fulltext._MATCH_SET_CACHE: the canonical edge
+# table and the triangle counts are each consumed by several gate
+# entries (triangle_count, clustering_coef, kcore_membership), and
+# both are bounded int-pair tables (~|TRI_EDGE_MULTS| rows/doc, two
+# int64 columns), far smaller than the corpus. Keyed by path only;
+# the gate's sf_dirs are read-only testdata.
+_GRAPH_CACHE: dict = {}
+_GRAPH_CACHE_MAX = 8
+
+
+def _graph_cached(sf_dir: str, kind: str, build) -> "ray.data.Dataset":
+    key = (os.path.abspath(sf_dir), kind)
+    hit = _GRAPH_CACHE.get(key)
+    if hit is None:
+        while len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        hit = _GRAPH_CACHE[key] = build().materialize()
+    return hit
+
 
 def _canonical_edges(sf_dir: str) -> "ray.data.Dataset":
     """Undirected, de-duplicated, self-loop-free (u < v) edges of the
-    affine+local link graph — shared by triangle_count and
-    clustering_coef. Edges synthesize in-map from doc_id; dedup is one
-    (u, v)-keyed groupby."""
+    affine+local link graph — shared by triangle_count,
+    clustering_coef and kcore_membership (materialized once per
+    process via _graph_cached). Edges synthesize in-map from doc_id;
+    dedup is one (u, v)-keyed groupby."""
+    return _graph_cached(
+        sf_dir, "canonical_edges", lambda: _canonical_edges_plan(sf_dir)
+    )
+
+
+def _canonical_edges_plan(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Count
 
     n = _n_docs(sf_dir)
@@ -677,7 +704,16 @@ def triangle_count(sf_dir: str) -> "ray.data.Dataset":
     counts each doc's triangles. Per-vertex work is bounded by
     degree^2 — with 5 out-links per doc the undirected degree is ~10,
     so wedge fan-out is a small constant (a real power-law graph
-    needs the standard high-degree-vertex split on join 1)."""
+    needs the standard high-degree-vertex split on join 1).
+
+    The (doc_id, n_triangles) result is itself cached per process
+    (clustering_coef joins it back in)."""
+    return _graph_cached(
+        sf_dir, "triangle_count", lambda: _triangle_count_plan(sf_dir)
+    )
+
+
+def _triangle_count_plan(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Count
 
     from harvester_ray.stages.joins import partitioned_join
@@ -985,8 +1021,11 @@ def kcore_membership(sf_dir: str) -> "ray.data.Dataset":
     # semi-joins), so it is materialized per round — the standard
     # iterative-algorithm checkpoint, bounded by the SHRINKING edge
     # table (ints only, ~|TRI_EDGE_MULTS| rows/doc at round 0), never
-    # the corpus
-    edges = _canonical_edges(sf_dir).materialize()
+    # the corpus. Peeling is monotone (the edge set only shrinks and a
+    # stable round keeps every edge), so an unchanged edge count means
+    # every later round is the identity — exact early exit.
+    edges = _canonical_edges(sf_dir)
+    prev_m = edges.count()
     for _ in range(KCORE_ROUNDS):
         kept = degrees(edges).map_batches(
             lambda t: t.filter(
@@ -1011,6 +1050,10 @@ def kcore_membership(sf_dir: str) -> "ray.data.Dataset":
                 lambda t: t.select(["u", "v"]), batch_format="pyarrow"
             )
         edges = edges.materialize()
+        m = edges.count()
+        if m == prev_m:
+            break
+        prev_m = m
 
     return degrees(edges).map_batches(
         lambda t: pa.table(
