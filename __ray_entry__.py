@@ -305,6 +305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities: per-iteration edge⨝rank join +
         # global L1 normalization scalars (integer-exact)
         "hits_scores": weburls.hits_scores,
+        # geo/spatial search over synthesized integer micro-degree
+        # geotags: geofilt+geodist top-k and bbox spatial stats facet
+        "geo_radius_topk": weburls.geo_radius_topk,
+        "geo_bbox_stats": weburls.geo_bbox_stats,
         # the two entries the round-2 driver run never reached sit
         # BEFORE the expensive rows-only dedup family on purpose
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -489,6 +493,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_rank": oracles.DOMAIN_RANK,
         "anchor_text_topk": oracles.ANCHOR_TEXT_TOPK,
         "crawl_frontier": oracles.CRAWL_FRONTIER,
+        "geo_radius_topk": oracles.GEO_RADIUS_TOPK,
+        "geo_bbox_stats": oracles.GEO_BBOX_STATS,
         "ann_cosine_topk": oracles.ANN_COSINE_TOPK,
         "ann_cosine_topk_batch": oracles.ANN_COSINE_TOPK_BATCH,
         "ann_filtered_topk": oracles.ANN_FILTERED_TOPK,

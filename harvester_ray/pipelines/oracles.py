@@ -4215,3 +4215,81 @@ SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
 """
+
+
+def _geo_ctes() -> str:
+    """Shared coordinate-synth CTE of the geo family — mirrors
+    weburls._geo_coords term for term (integer micro-degrees)."""
+    from harvester_ray.pipelines.weburls import (
+        GEO_LAT_ADD,
+        GEO_LAT_MOD,
+        GEO_LAT_MULT,
+        GEO_LON_ADD,
+        GEO_LON_MOD,
+        GEO_LON_MULT,
+    )
+
+    return f"""geo AS (
+  SELECT doc_id, n_chars,
+         (doc_id * {GEO_LAT_MULT} + {GEO_LAT_ADD}) % {GEO_LAT_MOD}
+             - 90000000 AS lat_u,
+         (doc_id * {GEO_LON_MULT} + {GEO_LON_ADD}) % {GEO_LON_MOD}
+             - 180000000 AS lon_u
+  FROM documents)"""
+
+
+def _geo_radius_topk_sql() -> str:
+    """Twin of weburls.geo_radius_topk: same synthesized coordinates,
+    same integer squared planar distance, radius predicate, and
+    (dist2 ASC, doc_id ASC) rank."""
+    from harvester_ray.pipelines.weburls import (
+        GEO_QUERY_POINTS,
+        GEO_RADIUS2,
+        GEO_TOP_K,
+    )
+
+    pts = ", ".join(f"({q}, {la}, {lo})" for q, la, lo in GEO_QUERY_POINTS)
+    return f"""
+WITH {_geo_ctes()},
+pts(query_id, qlat, qlon) AS (VALUES {pts}),
+dist AS (
+  SELECT p.query_id, g.doc_id,
+         (g.lat_u - p.qlat) * (g.lat_u - p.qlat)
+         + (g.lon_u - p.qlon) * (g.lon_u - p.qlon) AS dist2
+  FROM geo g CROSS JOIN pts p),
+rnk AS (
+  SELECT query_id, doc_id, dist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist2 ASC, doc_id ASC) AS rank
+  FROM dist WHERE dist2 <= {GEO_RADIUS2})
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, dist2::BIGINT AS dist2
+FROM rnk WHERE rank <= {GEO_TOP_K}
+"""
+
+
+GEO_RADIUS_TOPK = _geo_radius_topk_sql()
+
+
+def _geo_bbox_stats_sql() -> str:
+    """Twin of weburls.geo_bbox_stats: closed-bound box membership,
+    count + sum(n_chars) per box."""
+    from harvester_ray.pipelines.weburls import GEO_BBOXES
+
+    boxes = ", ".join(
+        f"({q}, {a}, {b}, {c}, {d})" for q, a, b, c, d in GEO_BBOXES
+    )
+    return f"""
+WITH {_geo_ctes()},
+boxes(query_id, lat_lo, lat_hi, lon_lo, lon_hi) AS (VALUES {boxes})
+SELECT b.query_id::BIGINT AS query_id,
+       count(g.doc_id)::BIGINT AS n_docs,
+       coalesce(sum(g.n_chars), 0)::BIGINT AS sum_chars
+FROM boxes b LEFT JOIN geo g
+  ON g.lat_u >= b.lat_lo AND g.lat_u <= b.lat_hi
+ AND g.lon_u >= b.lon_lo AND g.lon_u <= b.lon_hi
+GROUP BY b.query_id
+"""
+
+
+GEO_BBOX_STATS = _geo_bbox_stats_sql()

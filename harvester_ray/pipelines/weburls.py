@@ -1064,3 +1064,166 @@ def kcore_membership(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+# --- geo / spatial search ----------------------------------------------------
+# Deterministic synthetic geotags over the dense doc_id space — the
+# documents table carries no coordinate column, so (lat, lon) are
+# synthesized the same way the url/link columns are (affine mod, both
+# engines mirror the arithmetic); swapping in real page geotags changes
+# only the in-map synth. Coordinates are INTEGER micro-degrees and the
+# distance metric is the squared planar (flat-earth) distance in
+# micro-degrees — no trig, no floats, so ranks and distances are exact
+# on both engines (the Solr analog is geofilt + sort=geodist with a
+# plane-projection distance; great-circle needs only a different
+# in-map kernel).
+# multipliers exceed the moduli so even a tiny dense id space wraps
+# and spreads over the whole coordinate box (products stay < 2^63 for
+# any realistic doc count; both engines use the same BIGINT terms)
+GEO_LAT_MULT, GEO_LAT_ADD, GEO_LAT_MOD = 2_654_435_761, 11, 180_000_001
+GEO_LON_MULT, GEO_LON_ADD, GEO_LON_MOD = 2_246_822_519, 7, 360_000_001
+GEO_TOP_K = 10
+# squared radius for the geofilt predicate: 90 degrees in micro-degrees
+GEO_RADIUS2 = 90_000_000**2
+# (query_id, lat_u, lon_u) probe points, micro-degrees
+GEO_QUERY_POINTS = (
+    (1, 25_000_000, -100_000_000),
+    (2, -40_000_000, 150_000_000),
+    (3, 60_000_000, 10_000_000),
+    (4, 0, 0),
+    (5, -10_000_000, -60_000_000),
+)
+# (query_id, lat_lo, lat_hi, lon_lo, lon_hi) bounding boxes (closed)
+GEO_BBOXES = (
+    (1, -90_000_000, 0, -180_000_000, 0),
+    (2, 0, 90_000_000, 0, 180_000_000),
+    (3, -45_000_000, 45_000_000, -90_000_000, 90_000_000),
+)
+
+
+def _geo_coords(ids: "np.ndarray") -> "tuple[np.ndarray, np.ndarray]":
+    lat = (ids * GEO_LAT_MULT + GEO_LAT_ADD) % GEO_LAT_MOD - 90_000_000
+    lon = (ids * GEO_LON_MULT + GEO_LON_ADD) % GEO_LON_MOD - 180_000_000
+    return lat, lon
+
+
+def geo_radius_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Radius-filtered nearest-neighbor search (Solr geofilt +
+    sort=geodist): for each GEO_QUERY_POINTS probe, the GEO_TOP_K
+    closest documents within GEO_RADIUS2, ranked (dist2 ASC, doc_id
+    ASC). Output (query_id, rank, doc_id, dist2).
+
+    Scale shape: coordinates synthesize in-map; each batch computes
+    the |batch| x |Q| squared-distance matrix (ints), applies the
+    radius predicate, and keeps k rows per query (lossless per-batch
+    per-query top-k under the total order), so the final query-keyed
+    groupby sees <= k x Q x batches rows — the ann_cosine_topk_batch
+    shape with an integer metric. A production layout would
+    hive-partition by coarse grid cell and prune probes to cells
+    intersecting the radius (the ann_lsh_topk pattern)."""
+
+    k = GEO_TOP_K
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _geo_coords(ids)
+        out_q, out_d, out_s = [], [], []
+        for qid, qlat, qlon in GEO_QUERY_POINTS:
+            dist2 = (lat - qlat) ** 2 + (lon - qlon) ** 2
+            m = dist2 <= GEO_RADIUS2
+            cids, cd = ids[m], dist2[m]
+            take = (
+                np.lexsort((cids, cd))[:k]
+                if len(cids) > k
+                else np.arange(len(cids))
+            )
+            out_q.append(np.full(len(take), qid, np.int64))
+            out_d.append(cids[take])
+            out_s.append(cd[take])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "dist2": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g["doc_id"].to_numpy(zero_copy_only=False),
+                g["dist2"].to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        take = pa.array(order.astype(np.int64))
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(take).cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"].take(take).cast(pa.int64()),
+                "dist2": g["dist2"].take(take).cast(pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def geo_bbox_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Bounding-box spatial facet with stats (the Solr spatial facet +
+    stats component): for each GEO_BBOXES box, the count of documents
+    whose synthesized point falls inside (closed bounds) and their
+    total n_chars. Output (query_id, n_docs, sum_chars).
+
+    Scale shape: map-only membership tests + per-batch partial sums;
+    the groupby moves |boxes| x batches rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat, lon = _geo_coords(ids)
+        qs, ns, cs = [], [], []
+        for qid, lat_lo, lat_hi, lon_lo, lon_hi in GEO_BBOXES:
+            m = (
+                (lat >= lat_lo)
+                & (lat <= lat_hi)
+                & (lon >= lon_lo)
+                & (lon <= lon_hi)
+            )
+            qs.append(qid)
+            ns.append(int(m.sum()))
+            cs.append(int(nch[m].sum()))
+        return pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "n_docs": pa.array(ns, pa.int64()),
+                "sum_chars": pa.array(cs, pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"].cast(pa.int64()),
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "sum_chars": t["sum_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

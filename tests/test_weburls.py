@@ -335,3 +335,66 @@ def test_kcore_converges_and_matches_unbounded_peel(ray_session):
     assert got == dict(deg)
     assert all(c >= KCORE_K for c in got.values())
     assert got, "3-core is empty at this sf"
+
+
+def test_geo_radius_topk_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from harvester_ray.pipelines import weburls
+
+    got = (
+        weburls.geo_radius_topk(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    ids = (
+        pq.read_table(SF + "/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    lat, lon = weburls._geo_coords(ids)
+    # coordinates must actually spread over the box (the multiplier
+    # wraps even a tiny dense id space)
+    assert lat.min() < -45_000_000 < 45_000_000 < lat.max()
+    assert lon.min() < -90_000_000 < 90_000_000 < lon.max()
+
+    for qid, qlat, qlon in weburls.GEO_QUERY_POINTS:
+        d2 = (lat - qlat) ** 2 + (lon - qlon) ** 2
+        m = d2 <= weburls.GEO_RADIUS2
+        order = np.lexsort((ids[m], d2[m]))[: weburls.GEO_TOP_K]
+        want_ids = ids[m][order].tolist()
+        want_d2 = d2[m][order].tolist()
+        sub = got[got.query_id == qid]
+        assert sub.doc_id.tolist() == want_ids
+        assert sub.dist2.tolist() == want_d2
+        assert sub["rank"].tolist() == list(range(1, len(want_ids) + 1))
+
+
+def test_geo_bbox_stats_membership(ray_session):
+    import pyarrow.parquet as pq
+
+    from harvester_ray.pipelines import weburls
+
+    got = (
+        weburls.geo_bbox_stats(SF)
+        .to_pandas()
+        .set_index("query_id")
+        .sort_index()
+    )
+    t = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    nch = t["n_chars"].to_numpy().astype(np.int64)
+    lat, lon = weburls._geo_coords(ids)
+    for qid, lat_lo, lat_hi, lon_lo, lon_hi in weburls.GEO_BBOXES:
+        m = (
+            (lat >= lat_lo)
+            & (lat <= lat_hi)
+            & (lon >= lon_lo)
+            & (lon <= lon_hi)
+        )
+        assert got.loc[qid, "n_docs"] == int(m.sum())
+        assert got.loc[qid, "sum_chars"] == int(nch[m].sum())
