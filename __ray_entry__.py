@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-2 Laplace LM score, join path end to end
         "bigram_logprob": textstats.bigram_logprob,
         "mixture_weights": textstats.mixture_weights,
+        # BPE tokenizer training: first merge rounds over the
+        # vocabulary dataset (corpus read once; rounds touch only
+        # the word-count table)
+        "bpe_merges": textstats.bpe_merges,
         # DSIR importance-resampling weights (target-vs-corpus unigram
         # LM log ratio, Laplace-smoothed, term-level fixed point)
         "dsir_weights": textstats.dsir_weights,
@@ -472,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": oracles.UNIGRAM_LOGPROB,
         "bigram_logprob": oracles.BIGRAM_LOGPROB,
         "mixture_weights": oracles.MIXTURE_WEIGHTS,
+        "bpe_merges": oracles.BPE_MERGES,
         "dsir_weights": oracles.DSIR_WEIGHTS,
         "ccnet_buckets": oracles.CCNET_BUCKETS,
         "doc_entropy": oracles.DOC_ENTROPY,

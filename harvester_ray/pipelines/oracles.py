@@ -4293,3 +4293,43 @@ GROUP BY b.query_id
 
 
 GEO_BBOX_STATS = _geo_bbox_stats_sql()
+
+
+def _bpe_merges_sql() -> str:
+    """Round-unrolled twin of textstats.bpe_merges: same word-count
+    vocabulary (the shared '[a-z0-9]+' analyzer), same adjacent-pair
+    counts weighted by word frequency, same (cnt DESC, pair ASC)
+    merge pick, same leftmost-non-overlapping replace with the
+    per-round private-use marker (chr semantics verified identical
+    across Python / Arrow / DuckDB). MATERIALIZED CTEs per round —
+    each w{r} feeds two consumers (its pair table and the next
+    rewrite), the kcore lesson."""
+    from harvester_ray.stages.textstats import BPE_MARKER_BASE, BPE_ROUNDS
+
+    parts = [
+        """tok AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+w0 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w)"""
+    ]
+    for r in range(BPE_ROUNDS):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT substr(w, i, 2) AS pair, sum(c)::BIGINT AS cnt
+  FROM w{r}, (SELECT unnest(range(1, length(w))) AS i)
+  GROUP BY 1),
+b{r} AS MATERIALIZED (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+w{r + 1} AS MATERIALIZED (
+  SELECT replace(w, (SELECT pair FROM b{r}),
+                 chr({BPE_MARKER_BASE + r})) AS w, c
+  FROM w{r})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r + 1}::BIGINT AS round, pair, cnt FROM b{r}"
+        for r in range(BPE_ROUNDS)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+BPE_MERGES = _bpe_merges_sql()

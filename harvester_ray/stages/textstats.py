@@ -1727,3 +1727,146 @@ def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
         on=("doc_id",),
         left_schema=id_schema,
     )
+
+
+# --- BPE tokenizer training (first merges) ----------------------------------
+BPE_ROUNDS = 4
+BPE_MARKER_BASE = 0xE000  # private-use markers, one per merge round
+
+
+def bpe_merges(sf_dir: str) -> pa.Table:
+    """BPE tokenizer training, first BPE_ROUNDS merges (Sennrich et al.
+    2016): the classic trainer loop — word-frequency vocabulary, then
+    per round count all adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair (ties: lexicographically
+    smallest pair) corpus-wide, repeat. Merged pairs are rewritten as
+    one private-use marker codepoint per round (chr(BPE_MARKER_BASE+r))
+    so later rounds can pair ON the merged symbol; replacement is the
+    leftmost-non-overlapping scan all three engines (Python, Arrow
+    replace_substring, DuckDB replace) share — verified identical.
+    Output (round, pair, cnt), 1-based rounds; ``pair`` is the 2-symbol
+    string (may contain earlier-round markers).
+
+    Scale shape (the HF-tokenizers trainer shape): the corpus is read
+    ONCE for the word-count vocabulary (per-batch dictionary-encode
+    combiner -> term groupby); every round then runs over the
+    VOCABULARY dataset only — a pair-explode map emitting packed
+    uint64 (cp1<<32 | cp2) keys with per-batch pre-aggregation, one
+    vocab-bounded key groupby, and a per-batch top-1 combiner so the
+    driver folds batches rows, never the pair table. The vocab
+    rewrite is a map; the vocab is materialized per round (it feeds
+    two consumers: this round's pairs and the next round's rewrite).
+    Corpus tokens never move after the first pass."""
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    vocab = (
+        docs.map_batches(_unigram_partials(), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"w": t["term"].cast(pa.string()), "c": t["c"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        words = t["w"].to_pylist()
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+        if not words:
+            return empty
+        joined = "\x00".join(words)
+        a = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        if len(a) < 2:
+            return empty
+        sep = a == 0
+        valid = (~sep[:-1]) & (~sep[1:])
+        i = np.nonzero(valid)[0]
+        if len(i) == 0:
+            return empty
+        key = (a[i] << 32) | a[i + 1]
+        owner = np.cumsum(sep)[i]  # separators before pos i == word index
+        wgt = c[owner]
+        order = np.argsort(key, kind="stable")
+        ks, wsort = key[order], wgt[order]
+        uk, start = np.unique(ks, return_index=True)
+        sums = np.add.reduceat(wsort, start)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "cnt": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def local_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = int(np.lexsort((k, -c))[0])
+        return pa.table(
+            {
+                "key": pa.array([k[j]], pa.int64()),
+                "cnt": pa.array([c[j]], pa.int64()),
+            }
+        )
+
+    rounds, pairs, cnts = [], [], []
+    for r in range(BPE_ROUNDS):
+        agg = (
+            vocab.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "key": t["key"].cast(pa.int64()),
+                        "cnt": t["cnt"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        cand = agg.map_batches(local_best, batch_format="pyarrow").take_all()
+        if not cand:
+            break  # degenerate corpus: nothing left to merge
+        best = min(cand, key=lambda row: (-row["cnt"], row["key"]))
+        pair_str = chr(best["key"] >> 32) + chr(best["key"] & 0xFFFFFFFF)
+        marker = chr(BPE_MARKER_BASE + r)
+        rounds.append(r + 1)
+        pairs.append(pair_str)
+        cnts.append(int(best["cnt"]))
+        vocab = vocab.map_batches(
+            lambda t, p=pair_str, m=marker: pa.table(
+                {
+                    "w": pc.replace_substring(
+                        t["w"], pattern=p, replacement=m
+                    ),
+                    "c": t["c"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return pa.table(
+        {
+            "round": pa.array(rounds, pa.int64()),
+            "pair": pa.array(pairs, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+        }
+    )

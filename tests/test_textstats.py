@@ -806,3 +806,69 @@ def test_frame_sample_non_ascii_matches_oracle(ray_session, tmp_path):
     )
     want = {tuple(r) for r in con.execute(FRAME_SAMPLE).fetchall()}
     assert got == want and len(got) >= 2
+
+
+def _py_bpe(words, rounds):
+    """Reference BPE trainer: positional adjacent-pair counts weighted
+    by word frequency, (cnt DESC, pair ASC) pick, leftmost-non-
+    overlapping replace with the round marker."""
+    from collections import Counter
+
+    from harvester_ray.stages.textstats import BPE_MARKER_BASE
+
+    vocab = Counter(words)
+    out = []
+    for r in range(rounds):
+        pcnt = Counter()
+        for w, c in vocab.items():
+            for i in range(len(w) - 1):
+                pcnt[w[i : i + 2]] += c
+        if not pcnt:
+            break
+        pair, cnt = min(pcnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r + 1, pair, cnt))
+        m = chr(BPE_MARKER_BASE + r)
+        nxt = Counter()
+        for w, c in vocab.items():
+            nxt[w.replace(pair, m)] += c
+        vocab = nxt
+    return out
+
+
+def test_bpe_merges_matches_python_trainer(tmp_path, ray_session):
+    import re
+
+    from harvester_ray.stages.textstats import BPE_ROUNDS, bpe_merges
+
+    # engineered so round 2 merges a MARKER-containing pair (xy -> M,
+    # then Mz) — pins the merged-symbol pairing semantics — and "aaa"
+    # pins positional overlapping-pair counts
+    texts = ["xy xy xy xyz xyz xyz", "aaa ab", "banana"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    words = []
+    for t in texts:
+        words.extend(re.findall(r"[a-z0-9]+", t.lower()))
+    want = _py_bpe(words, BPE_ROUNDS)
+
+    got = bpe_merges(str(tmp_path))
+    rows = list(
+        zip(
+            got["round"].to_pylist(),
+            got["pair"].to_pylist(),
+            got["cnt"].to_pylist(),
+        )
+    )
+    assert rows == want
+    # the engineered round-2 merge really does contain the round-1
+    # marker (the test would silently weaken if the corpus changed)
+    from harvester_ray.stages.textstats import BPE_MARKER_BASE
+
+    assert chr(BPE_MARKER_BASE) in want[1][1]
