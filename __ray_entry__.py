@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocabulary dataset (corpus read once; rounds touch only
         # the word-count table)
         "bpe_merges": textstats.bpe_merges,
+        # BPE apply: per-doc token counts under the trained merges
+        # (map-only; shares the cached training run)
+        "bpe_token_counts": textstats.bpe_token_counts,
+        # per-label embedding centroids (distributed k-means E-step
+        # statistic), element-level fixed point, label-partial combiner
+        "label_centroids": similarity.label_centroids,
         # DSIR importance-resampling weights (target-vs-corpus unigram
         # LM log ratio, Laplace-smoothed, term-level fixed point)
         "dsir_weights": textstats.dsir_weights,
@@ -477,6 +483,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": oracles.BIGRAM_LOGPROB,
         "mixture_weights": oracles.MIXTURE_WEIGHTS,
         "bpe_merges": oracles.BPE_MERGES,
+        "bpe_token_counts": oracles.BPE_TOKEN_COUNTS,
+        "label_centroids": oracles.LABEL_CENTROIDS,
         "dsir_weights": oracles.DSIR_WEIGHTS,
         "ccnet_buckets": oracles.CCNET_BUCKETS,
         "doc_entropy": oracles.DOC_ENTROPY,

@@ -4333,3 +4333,67 @@ w{r + 1} AS MATERIALIZED (
 
 
 BPE_MERGES = _bpe_merges_sql()
+
+
+def _bpe_token_counts_sql() -> str:
+    """Twin of textstats.bpe_token_counts: the SAME training CTE chain
+    as BPE_MERGES (the b{r} picks), then the merge list replayed as a
+    nested replace over each document token; post-merge token count =
+    character count. Token-free docs keep a 0 row via the LEFT
+    JOIN."""
+    from harvester_ray.stages.textstats import BPE_MARKER_BASE, BPE_ROUNDS
+
+    # reuse the full training CTE stack (everything before the final
+    # UNION of the merges query)
+    train = _bpe_merges_sql()
+    ctes = train.split("\nSELECT 1::BIGINT")[0][len("WITH ") :]
+    expr = "t.w"
+    for r in range(BPE_ROUNDS):
+        expr = (
+            f"replace({expr}, (SELECT pair FROM b{r}),"
+            f" chr({BPE_MARKER_BASE + r}))"
+        )
+    return f"""WITH {ctes},
+dtok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(sum(length({expr})), 0)::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN dtok t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+"""
+
+
+BPE_TOKEN_COUNTS = _bpe_token_counts_sql()
+
+
+def _label_centroids_sql() -> str:
+    """Twin of similarity.label_centroids: element-level fp6
+    (floor(double(component) * FP) — identical IEEE ops both sides),
+    integer sums, and an INTEGER floor division for the mean (DuckDB
+    // truncates toward zero; the CASE branch reproduces numpy's
+    floor semantics exactly for negative sums at any magnitude — no
+    double division, so exact past 2^53 fp units)."""
+    from harvester_ray.stages.similarity import CENTROID_FP
+
+    return f"""
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings),
+agg AS (
+  SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+         count(*)::BIGINT AS n_vecs,
+         sum(CAST(floor(CAST(val AS DOUBLE) * {CENTROID_FP}) AS BIGINT))
+             ::BIGINT AS s
+  FROM ex GROUP BY 1, 2)
+SELECT label, dim, n_vecs,
+       CASE WHEN s >= 0 THEN s // n_vecs
+            ELSE -((-s + n_vecs - 1) // n_vecs) END AS mean_fp
+FROM agg
+"""
+
+
+LABEL_CENTROIDS = _label_centroids_sql()

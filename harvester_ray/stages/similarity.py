@@ -592,3 +592,77 @@ def ann_pq_topk(sf_dir: str, k: int = ANN_TOP_K) -> pd.DataFrame:
             "sim_r": sims[order],
         }
     )
+
+
+# --- per-label embedding centroids -------------------------------------------
+CENTROID_FP = 1_000_000  # fp6 per vector component
+
+
+def label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label embedding centroids — the E-step statistic of any
+    distributed k-means / semdedup-style clustering sweep (and the
+    per-domain embedding profile a curation pipeline keeps): for each
+    label, the component-wise mean of its vectors. Components are
+    fixed-pointed at the ELEMENT (floor(float64(v) * CENTROID_FP)) so
+    the distributed sums are order-independent integer sums and the
+    mean is one floor division — exact on both engines. Output
+    (label, dim, n_vecs, mean_fp), dim 1-based.
+
+    Scale shape: each batch pre-aggregates its (rows x dim) matrix to
+    one partial-sum row PER LABEL (np.add.at on the label index), so
+    the (label, dim)-keyed groupby moves |labels| x dim x batches
+    rows, never vectors."""
+    import os as _os
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        fp = np.floor(E * CENTROID_FP).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ul), fp.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, fp)
+        cnts = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        L = len(ul)
+        D = fp.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, D), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, D + 1, dtype=np.int64), L),
+                    pa.int64(),
+                ),
+                "n_vecs": pa.array(np.repeat(cnts, D), pa.int64()),
+                "sum_fp": pa.array(sums.reshape(-1), pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            _os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["embedding", "label"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_fp", alias_name="sum_fp"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_vecs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "label": t["label"].cast(pa.int64()),
+                "dim": t["dim"].cast(pa.int64()),
+                "n_vecs": pa.array(n, pa.int64()),
+                "mean_fp": pa.array(
+                    np.floor_divide(s, np.maximum(n, 1)), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

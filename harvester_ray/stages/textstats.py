@@ -1733,6 +1733,20 @@ def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
 BPE_ROUNDS = 4
 BPE_MARKER_BASE = 0xE000  # private-use markers, one per merge round
 
+# process-level cache of trained merge lists (bpe_merges and
+# bpe_token_counts share one training run per sf_dir)
+_BPE_CACHE: dict = {}
+
+
+def _bpe_train(sf_dir: str) -> "list[tuple[str, str, int]]":
+    """Trained (pair, marker, cnt) merge list for sf_dir — the loop of
+    bpe_merges, cached per process."""
+    key = os.path.abspath(sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is None:
+        hit = _BPE_CACHE[key] = _bpe_train_impl(sf_dir)
+    return hit
+
 
 def bpe_merges(sf_dir: str) -> pa.Table:
     """BPE tokenizer training, first BPE_ROUNDS merges (Sennrich et al.
@@ -1757,6 +1771,19 @@ def bpe_merges(sf_dir: str) -> pa.Table:
     rewrite is a map; the vocab is materialized per round (it feeds
     two consumers: this round's pairs and the next round's rewrite).
     Corpus tokens never move after the first pass."""
+    merges = _bpe_train(sf_dir)
+    return pa.table(
+        {
+            "round": pa.array(
+                list(range(1, len(merges) + 1)), pa.int64()
+            ),
+            "pair": pa.array([p for p, _, _ in merges], pa.string()),
+            "cnt": pa.array([c for _, _, c in merges], pa.int64()),
+        }
+    )
+
+
+def _bpe_train_impl(sf_dir: str) -> "list[tuple[str, str, int]]":
     from ray.data.aggregate import Sum
 
     docs = ray.data.read_parquet(
@@ -1826,7 +1853,7 @@ def bpe_merges(sf_dir: str) -> pa.Table:
             }
         )
 
-    rounds, pairs, cnts = [], [], []
+    merges: "list[tuple[str, str, int]]" = []
     for r in range(BPE_ROUNDS):
         agg = (
             vocab.map_batches(pair_partials, batch_format="pyarrow")
@@ -1848,9 +1875,7 @@ def bpe_merges(sf_dir: str) -> pa.Table:
         best = min(cand, key=lambda row: (-row["cnt"], row["key"]))
         pair_str = chr(best["key"] >> 32) + chr(best["key"] & 0xFFFFFFFF)
         marker = chr(BPE_MARKER_BASE + r)
-        rounds.append(r + 1)
-        pairs.append(pair_str)
-        cnts.append(int(best["cnt"]))
+        merges.append((pair_str, marker, int(best["cnt"])))
         vocab = vocab.map_batches(
             lambda t, p=pair_str, m=marker: pa.table(
                 {
@@ -1863,10 +1888,49 @@ def bpe_merges(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         ).materialize()
 
-    return pa.table(
-        {
-            "round": pa.array(rounds, pa.int64()),
-            "pair": pa.array(pairs, pa.string()),
-            "cnt": pa.array(cnts, pa.int64()),
-        }
-    )
+    return merges
+
+
+def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """BPE APPLY (the other half of the trainer): per-document token
+    count under the BPE_ROUNDS trained merges — replaying the merge
+    list in training order over each word yields the trained
+    segmentation, and the resulting token count is the post-merge
+    symbol count (characters + markers). The signal a token-budget
+    packing / pricing pass needs under the REAL tokenizer rather than
+    the whitespace proxy. Output (doc_id, n_bpe_tokens) for every
+    document (token-free docs count 0).
+
+    Scale shape: training is the cached vocab-bounded loop
+    (_bpe_train, shared with bpe_merges); application is MAP-ONLY —
+    each batch dictionary-encodes its tokens, applies the replace
+    chain to the UNIQUE terms, and segment-sums post-merge lengths
+    per doc. Zero shuffle; docs are row-complete per batch."""
+    merges = _bpe_train(sf_dir)
+    pairs = [(p, m) for p, m, _ in merges]
+
+    def count(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"])
+        flat, parent = flatten_tokens(toks)
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        if len(flat) > 0:
+            enc = flat.dictionary_encode()
+            d = enc.dictionary
+            for p, m in pairs:
+                d = pc.replace_substring(d, pattern=p, replacement=m)
+            lens = pc.utf8_length(d).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            par = parent.to_numpy().astype(np.int64)
+            np.add.at(n, par, lens[idx])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_bpe_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(count, batch_format="pyarrow")
