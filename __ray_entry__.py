@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label embedding centroids (distributed k-means E-step
         # statistic), element-level fixed point, label-partial combiner
         "label_centroids": similarity.label_centroids,
+        # ANALYZE-style column profile (count/null/distinct/min/max)
+        "table_profile": relational.table_profile,
         # DSIR importance-resampling weights (target-vs-corpus unigram
         # LM log ratio, Laplace-smoothed, term-level fixed point)
         "dsir_weights": textstats.dsir_weights,
@@ -485,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": oracles.BPE_MERGES,
         "bpe_token_counts": oracles.BPE_TOKEN_COUNTS,
         "label_centroids": oracles.LABEL_CENTROIDS,
+        "table_profile": oracles.TABLE_PROFILE,
         "dsir_weights": oracles.DSIR_WEIGHTS,
         "ccnet_buckets": oracles.CCNET_BUCKETS,
         "doc_entropy": oracles.DOC_ENTROPY,

@@ -4397,3 +4397,23 @@ FROM agg
 
 
 LABEL_CENTROIDS = _label_centroids_sql()
+
+
+def _table_profile_sql() -> str:
+    """Twin of relational.table_profile: per-column count / nulls /
+    exact distinct / native-typed min+max cast to VARCHAR."""
+    from harvester_ray.pipelines.relational import PROFILE_COLUMNS
+
+    selects = [
+        f"""SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_v,
+       CAST(max({c}) AS VARCHAR) AS max_v
+FROM documents"""
+        for c in PROFILE_COLUMNS
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+TABLE_PROFILE = _table_profile_sql()

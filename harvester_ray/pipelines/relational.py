@@ -1990,3 +1990,99 @@ def value_outliers(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# --- data profiling (ANALYZE) ------------------------------------------------
+PROFILE_COLUMNS = ("lang", "source", "n_chars")
+
+
+def table_profile(sf_dir: str) -> pa.Table:
+    """Column-statistics profile of the documents table — the ANALYZE /
+    data-profiling pass a pipeline runs before choosing partition keys
+    and filters: per column, row count, null count, exact distinct
+    count, and min/max (computed on the NATIVE type, stringified only
+    for the uniform output schema). Output
+    (column, n_rows, n_null, n_distinct, min_v, max_v).
+
+    Scale shape — exactly TWO fused Dataset plans over one
+    column-pruned scan each, independent of how many columns are
+    profiled: (1) a map-only pass emitting ONE partial row per batch
+    holding count / nulls / NATIVE-typed min+max for every profiled
+    column side by side, folded on the driver (batches rows — the
+    sketch driver-fold cost class); (2) a distinct pass that explodes
+    per-batch-unique (column, value) pairs (the combiner bounds the
+    exploded rows by batches x distinct-per-batch) into one value-keyed
+    groupby, counted per column on the driver over the distinct-value
+    rows (bounded by total distinct, the profile's own output class).
+    The pair explode stringifies values, which is injective for the
+    string/int profile columns here; a by-type fanout would keep native
+    keys if a column family ever needs it."""
+    from ray.data.aggregate import Count
+
+    cols = PROFILE_COLUMNS
+    ds = _read(sf_dir, "documents", list(cols))
+
+    def partial(t: pa.Table) -> pa.Table:
+        out: dict[str, pa.Array] = {}
+        for c in cols:
+            arr = t[c]
+            n = len(arr)
+            n_null = arr.null_count
+            if n - n_null > 0:
+                mm = pc.min_max(arr)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            else:
+                lo = hi = None
+            out[f"n_{c}"] = pa.array([n], pa.int64())
+            out[f"null_{c}"] = pa.array([n_null], pa.int64())
+            out[f"min_{c}"] = pa.array([lo], type=arr.type)
+            out[f"max_{c}"] = pa.array([hi], type=arr.type)
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        names, values = [], []
+        for c in cols:
+            u = pc.unique(t[c].drop_null())
+            u = pc.cast(u, pa.string())
+            values.append(u)
+            names.append(pa.array([c] * len(u), pa.string()))
+        return pa.table(
+            {
+                "column": pa.concat_arrays(names),
+                "value": pa.concat_arrays(values) if values else pa.array([], pa.string()),
+            }
+        )
+
+    distinct_rows = (
+        ds.map_batches(uniq_pairs, batch_format="pyarrow")
+        .groupby(["column", "value"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["column"])
+        .take_all()
+    )
+    n_distinct = {c: 0 for c in cols}
+    for r in distinct_rows:
+        n_distinct[r["column"]] += 1
+
+    rows = []
+    for c in cols:
+        n_rows = sum(p[f"n_{c}"] for p in parts)
+        n_null = sum(p[f"null_{c}"] for p in parts)
+        mins = [p[f"min_{c}"] for p in parts if p[f"min_{c}"] is not None]
+        maxs = [p[f"max_{c}"] for p in parts if p[f"max_{c}"] is not None]
+        lo = min(mins) if mins else None
+        hi = max(maxs) if maxs else None
+        rows.append((c, n_rows, n_null, n_distinct[c], str(lo), str(hi)))
+
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+            "min_v": pa.array([r[4] for r in rows], pa.string()),
+            "max_v": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
