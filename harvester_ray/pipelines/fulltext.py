@@ -3668,12 +3668,15 @@ def export_sorted(sf_dir: str) -> "ray.data.Dataset":
         on=["doc_id"],
     ).materialize()  # consumed twice (key counts + rank pass): one join
 
-    counts = joined.groupby("n_chars").count().take_all()
-    if len(counts) > _EXPORT_OFFSET_KEYS_GUARD:
-        raise NotImplementedError(
-            f"{len(counts)} distinct sort keys exceeds the driver "
-            "cumsum guard — needs the range-partition prefix-scan path"
-        )
+    counts_ds = joined.groupby("n_chars").count().materialize()
+    if counts_ds.count() > _EXPORT_OFFSET_KEYS_GUARD:
+        # range-partition prefix-scan rank path: the distinct-key
+        # offset table is computed DISTRIBUTED (stages/scan.py — only
+        # O(blocks) partial rows touch the driver) and rides into the
+        # same key-keyed groupby as the data rows via a tagged union,
+        # so the past-guard path still costs exactly ONE all-to-all.
+        return _export_sorted_scan(joined, counts_ds)
+    counts = counts_ds.take_all()
     # offsets[k] = number of rows ranked strictly before key k under
     # n_chars DESC (keys sorted descending, exclusive cumsum)
     keys = sorted((int(r["n_chars"]) for r in counts), reverse=True)
@@ -3701,6 +3704,72 @@ def export_sorted(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return joined.groupby("n_chars").map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
+def _export_sorted_scan(
+    joined: "ray.data.Dataset", counts_ds: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """export_sorted's past-guard twin: distributed prefix-scan rank.
+
+    The (n_chars, offset) table from ``keyed_prefix_offsets`` unions
+    into the SAME n_chars-keyed groupby as the data rows (offset rows
+    tagged by a null doc_id), so each key group ranks locally against
+    its own offset row — one all-to-all total, nothing key-sized on
+    the driver. Output schema identical to the broadcast path."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from harvester_ray.stages.scan import keyed_prefix_offsets
+
+    offsets = keyed_prefix_offsets(
+        counts_ds, "n_chars", "count()", descending=True,
+        offset_name="_offset",
+    )
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "source": t["source"].cast(pa.string()),
+                "_offset": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_offs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                "source": pa.nulls(t.num_rows, pa.string()),
+                "_offset": t["_offset"].cast(pa.int64()),
+            }
+        )
+
+    unioned = joined.map_batches(tag_data, batch_format="pyarrow").union(
+        offsets.map_batches(tag_offs, batch_format="pyarrow")
+    )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        is_off = pc.is_valid(g["_offset"])
+        base = int(pc.max(g["_offset"]).as_py())  # exactly one offset row
+        data = g.filter(pc.invert(is_off))
+        idx = pc.sort_indices(data, sort_keys=[("doc_id", "ascending")])
+        data = data.take(idx)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    base + np.arange(1, len(data) + 1, dtype=np.int64)
+                ),
+                "doc_id": data["doc_id"],
+                "source": data["source"],
+                "n_chars": data["n_chars"],
+            }
+        )
+
+    return unioned.groupby("n_chars").map_groups(
         rank_group, batch_format="pyarrow"
     )
 

@@ -407,12 +407,15 @@ def crawl_frontier(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(with_host, batch_format="pyarrow")
         .materialize()  # light projection, consumed twice
     )
-    hosts = hosted.groupby("host").count().take_all()
-    if len(hosts) > _FRONTIER_HOSTS_GUARD:
-        raise NotImplementedError(
-            f"{len(hosts)} hosts exceeds the driver rank guard — "
-            "needs the range-partition prefix-scan rank path"
-        )
+    hosts_ds = hosted.groupby("host").count().materialize()
+    n_hosts_total = hosts_ds.count()
+    if n_hosts_total > _FRONTIER_HOSTS_GUARD:
+        # range-partition prefix-scan rank path: host ranks computed
+        # distributed (stages/scan.py, weight=1 per distinct host) and
+        # unioned into the same host-keyed groupby as the url rows —
+        # one all-to-all, never a host-sized driver dict.
+        return _crawl_frontier_scan(hosted, hosts_ds, n_hosts_total)
+    hosts = hosts_ds.take_all()
     rank_of = {
         r["host"]: i
         for i, r in enumerate(sorted(hosts, key=lambda r: r["host"]))
@@ -440,6 +443,78 @@ def crawl_frontier(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return hosted.groupby("host").map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
+def _crawl_frontier_scan(
+    hosted: "ray.data.Dataset",
+    hosts_ds: "ray.data.Dataset",
+    n_hosts: int,
+) -> "ray.data.Dataset":
+    """crawl_frontier's past-guard twin: host ranks via the
+    distributed prefix scan (weight 1 per distinct host == dense rank
+    in host order), unioned into the host-keyed groupby as tagged
+    rows so scheduling still costs exactly one all-to-all. Output
+    schema identical to the broadcast path."""
+    from harvester_ray.stages.scan import keyed_prefix_offsets
+
+    ones = hosts_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t["host"],
+                "_one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ranks = keyed_prefix_offsets(
+        ones, "host", "_one", offset_name="_rank"
+    )
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"].cast(pa.string()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "_rank": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"].cast(pa.string()),
+                "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                "n_chars": pa.nulls(t.num_rows, pa.int64()),
+                "_rank": t["_rank"].cast(pa.int64()),
+            }
+        )
+
+    unioned = hosted.map_batches(tag_data, batch_format="pyarrow").union(
+        ranks.map_batches(tag_rank, batch_format="pyarrow")
+    )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        host_rank = int(pc.max(g["_rank"]).as_py())  # one rank row
+        data = g.filter(pc.is_valid(g["doc_id"]))
+        idx = pc.sort_indices(
+            data,
+            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")],
+        )
+        data = data.take(idx)
+        wave = np.arange(len(data), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": data["doc_id"],
+                "host": data["host"],
+                "wave": pa.array(wave, pa.int64()),
+                "slot": pa.array(wave * n_hosts + host_rank, pa.int64()),
+            }
+        )
+
+    return unioned.groupby("host").map_groups(
         rank_group, batch_format="pyarrow"
     )
 
