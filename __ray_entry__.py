@@ -276,6 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label embedding centroids (distributed k-means E-step
         # statistic), element-level fixed point, label-partial combiner
         "label_centroids": similarity.label_centroids,
+        # full Lloyd's k-means loop (SemDeDup/IVF-training shape):
+        # model-sized statistics up, centroid broadcast down
+        "kmeans_clusters": similarity.kmeans_clusters,
         # ANALYZE-style column profile (count/null/distinct/min/max)
         "table_profile": relational.table_profile,
         # DSIR importance-resampling weights (target-vs-corpus unigram
@@ -487,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": oracles.BPE_MERGES,
         "bpe_token_counts": oracles.BPE_TOKEN_COUNTS,
         "label_centroids": oracles.LABEL_CENTROIDS,
+        "kmeans_clusters": oracles.KMEANS_CLUSTERS,
         "table_profile": oracles.TABLE_PROFILE,
         "dsir_weights": oracles.DSIR_WEIGHTS,
         "ccnet_buckets": oracles.CCNET_BUCKETS,

@@ -4417,3 +4417,65 @@ FROM documents"""
 
 
 TABLE_PROFILE = _table_profile_sql()
+
+
+def _kmeans_clusters_sql() -> str:
+    """Twin of similarity.kmeans_clusters: iteration-unrolled Lloyd's
+    loop in fp6 integer arithmetic. The argmin tie-key dist*K+cluster
+    is injective (cluster < K), so arg_min is deterministic and the
+    final (cluster, dist) unpack is key%K / key//K. CTEs materialized
+    — the iterative unroll's scan tree grows geometrically inline
+    (the kcore_membership lesson)."""
+    from harvester_ray.stages.similarity import (
+        CENTROID_FP,
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    K = KMEANS_K
+    parts = [
+        f"""WITH ex AS MATERIALIZED (
+  SELECT vec_id::BIGINT AS vec_id,
+         generate_subscripts(embedding, 1)::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_FP})
+              AS BIGINT) AS vfp
+  FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cluster, dim, vfp AS cfp FROM ex WHERE vec_id < {K})"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster,
+         sum((e.vfp - c.cfp) * (e.vfp - c.cfp))::BIGINT AS dist
+  FROM ex e JOIN c{i - 1} c USING (dim) GROUP BY 1, 2),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, arg_min(cluster, dist * {K} + cluster) AS cluster
+  FROM d{i} GROUP BY 1),
+m{i} AS MATERIALIZED (
+  SELECT a.cluster, e.dim, count(*)::BIGINT AS n, sum(e.vfp)::BIGINT AS s
+  FROM ex e JOIN a{i} a USING (vec_id) GROUP BY 1, 2),
+c{i} AS MATERIALIZED (
+  SELECT cluster, dim,
+         CASE WHEN s >= 0 THEN s // n
+              ELSE -((-s + n - 1) // n) END AS cfp
+  FROM m{i})"""
+        )
+    last = KMEANS_ITERS
+    parts.append(
+        f"""df AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster,
+         sum((e.vfp - c.cfp) * (e.vfp - c.cfp))::BIGINT AS dist
+  FROM ex e JOIN c{last} c USING (dim) GROUP BY 1, 2)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT vec_id,
+       (min(dist * {K} + cluster) % {K})::BIGINT AS cluster,
+       (min(dist * {K} + cluster) // {K})::BIGINT AS dist
+FROM df GROUP BY 1"""
+    )
+
+
+KMEANS_CLUSTERS = _kmeans_clusters_sql()

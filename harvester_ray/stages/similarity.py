@@ -666,3 +666,130 @@ def label_centroids(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- distributed k-means (Lloyd's iterations, integer-exact) -----------------
+# The full clustering loop behind SemDeDup / SSL-prototype curation and
+# IVF training (the IVF list trainer above samples; this is the exact
+# corpus-wide E/M loop). Everything is element-level fp6 integer
+# arithmetic so the iteration-unrolled DuckDB twin is value-exact:
+# distances are int64 squared-euclidean over fp components, the argmin
+# tie-breaks to the smallest cluster id via the injective key
+# dist * K + cluster, and M-step means floor-divide (numpy floor
+# semantics mirrored by the twin's CASE). Empty clusters drop out of
+# the centroid table on both sides identically.
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_fp_partials(C: np.ndarray, cids: np.ndarray):
+    """Per-batch fused assign + M-step partial: returns a map_batches
+    fn emitting one (cluster, dim) partial-sum row block per batch."""
+    K = KMEANS_K
+    c_sq = np.einsum("kd,kd->k", C, C)
+
+    def fn(t: pa.Table) -> pa.Table:
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        fp = np.floor(E * CENTROID_FP).astype(np.int64)
+        d = (
+            np.einsum("nd,nd->n", fp, fp)[:, None]
+            + c_sq[None, :]
+            - 2 * (fp @ C.T)
+        )
+        assign = cids[np.argmin(d * K + cids[None, :], axis=1)]
+        ul, inv = np.unique(assign, return_inverse=True)
+        D = fp.shape[1]
+        sums = np.zeros((len(ul), D), dtype=np.int64)
+        np.add.at(sums, inv, fp)
+        cnts = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(ul, D), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, D + 1, dtype=np.int64), len(ul)),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.repeat(cnts, D), pa.int64()),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def kmeans_clusters(sf_dir: str) -> "ray.data.Dataset":
+    """(vec_id, cluster, dist) — exact Lloyd's k-means over the
+    embeddings table: centroids seeded from vec_id < K, KMEANS_ITERS
+    fused assign+M-step rounds, then a final map-only assignment.
+
+    Scale shape: the model (K x D centroid table, k*D rows) is the
+    ONLY thing that ever reaches the driver or broadcasts — per round,
+    each batch pre-aggregates to at most K partial rows per dim and
+    one (cluster, dim) groupby folds them; the corpus streams, vectors
+    never shuffle. This is the canonical parameter-server-free
+    distributed k-means: model broadcast down, bounded statistics up."""
+    import os as _os
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    K = KMEANS_K
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+
+    seed = (
+        pads.dataset(path)
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id") < K,
+        )
+        .sort_by("vec_id")
+    )
+    E0 = np.asarray(seed["embedding"].to_pylist(), dtype=np.float64)
+    C = np.floor(E0 * CENTROID_FP).astype(np.int64)
+    cids = seed["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    emb = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    for _ in range(KMEANS_ITERS):
+        rows = (
+            emb.map_batches(
+                _kmeans_fp_partials(C, cids), batch_format="pyarrow"
+            )
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+            .take_all()
+        )  # k*D rows — bounded by the model size, not the corpus
+        by_c: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
+                int(r["n"]),
+                int(r["s"]),
+            )
+        cids = np.array(sorted(by_c), dtype=np.int64)
+        D = C.shape[1]
+        C = np.zeros((len(cids), D), dtype=np.int64)
+        for i, c in enumerate(cids):
+            for d, (n, s) in by_c[c].items():
+                C[i, d - 1] = s // n if s >= 0 else -((-s + n - 1) // n)
+
+    c_sq = np.einsum("kd,kd->k", C, C)
+    C_f, cids_f = C, cids
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        fp = np.floor(E * CENTROID_FP).astype(np.int64)
+        d = (
+            np.einsum("nd,nd->n", fp, fp)[:, None]
+            + c_sq[None, :]
+            - 2 * (fp @ C_f.T)
+        )
+        j = np.argmin(d * K + cids_f[None, :], axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(cids_f[j], pa.int64()),
+                "dist": pa.array(d[np.arange(len(j)), j], pa.int64()),
+            }
+        )
+
+    return emb.map_batches(final_assign, batch_format="pyarrow")

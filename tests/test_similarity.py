@@ -306,3 +306,64 @@ def test_ann_filtered_only_returns_labeled_vectors(ray_session):
     a = set(map(tuple, got[["query_vec_id", "rank", "vec_id"]].values))
     b = set(map(tuple, unfiltered[["query_vec_id", "rank", "vec_id"]].values))
     assert a != b
+
+
+def test_kmeans_matches_numpy_lloyd(ray_session):
+    """kmeans_clusters == a pure-numpy Lloyd loop with the same fp6
+    seeding, tie-break, and floor-division M-step."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.similarity import (
+        CENTROID_FP,
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_clusters,
+    )
+    from tests.conftest import SF_SMOKE
+
+    t = pq.read_table(
+        SF_SMOKE + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    fp = np.floor(E * CENTROID_FP).astype(np.int64)
+    order = np.argsort(vid)
+    vid, fp = vid[order], fp[order]
+
+    K = KMEANS_K
+    C = fp[vid < K]
+    cids = vid[vid < K]
+
+    def assign(C, cids):
+        d = (
+            np.einsum("nd,nd->n", fp, fp)[:, None]
+            + np.einsum("kd,kd->k", C, C)[None, :]
+            - 2 * (fp @ C.T)
+        )
+        j = np.argmin(d * K + cids[None, :], axis=1)
+        return cids[j], d[np.arange(len(j)), j]
+
+    for _ in range(KMEANS_ITERS):
+        a, _ = assign(C, cids)
+        ul = np.unique(a)
+        newC = np.zeros((len(ul), fp.shape[1]), dtype=np.int64)
+        for i, c in enumerate(ul):
+            m = fp[a == c]
+            s = m.sum(axis=0)
+            n = len(m)
+            newC[i] = np.where(
+                s >= 0, s // n, -((-s + n - 1) // n)
+            )
+        C, cids = newC, ul
+    want_c, want_d = assign(C, cids)
+
+    got = (
+        kmeans_clusters(SF_SMOKE)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (got["vec_id"].to_numpy() == vid).all()
+    assert (got["cluster"].to_numpy() == want_c).all()
+    assert (got["dist"].to_numpy() == want_d).all()
