@@ -1,0 +1,85 @@
+"""Index backup / restore (state/backup.py): snapshot consistency,
+hardlink-incremental second snapshots, restore rank parity, fsck."""
+
+import json
+import os
+
+import ray.data
+
+from harvester_ray.index.maintenance import delete_docs
+from harvester_ray.index.query import InvertedIndex
+from harvester_ray.state.backup import (
+    BACKUP_MANIFEST,
+    backup_index,
+    restore_index,
+    verify_backup,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _fresh_index(tmp_path):
+    from harvester_ray.index.build import build_index
+
+    docs = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    return build_index(docs, str(tmp_path / "idx"))
+
+
+def test_backup_restore_rank_parity(tmp_path, ray_session):
+    paths = _fresh_index(tmp_path)
+    before = InvertedIndex(paths.root, preload=True).search(
+        "scan join", k=10
+    )
+    snaps = str(tmp_path / "backups")
+    snap = backup_index(paths.root, snaps)
+    assert verify_backup(snap)["ok"]
+    # idempotent: same commit point -> same snapshot dir
+    assert backup_index(paths.root, snaps) == snap
+
+    # mutate the ORIGINAL after the snapshot
+    delete_docs(paths.root, [before[0][0]])
+    mutated = InvertedIndex(paths.root, preload=True).search(
+        "scan join", k=10
+    )
+    assert mutated != before
+
+    dest = str(tmp_path / "restored")
+    restore_index(snap, dest)
+    restored = InvertedIndex(dest, preload=True).search("scan join", k=10)
+    assert restored == before
+
+
+def test_backup_incremental_hardlinks(tmp_path, ray_session):
+    paths = _fresh_index(tmp_path)
+    snaps = str(tmp_path / "backups")
+    s1 = backup_index(paths.root, snaps)
+    # a delete adds a tombstone file; segments are untouched
+    top = InvertedIndex(paths.root, preload=True).search("scan", k=1)
+    delete_docs(paths.root, [top[0][0]])
+    s2 = backup_index(paths.root, snaps)
+    assert s2 != s1
+    m2 = json.load(open(os.path.join(s2, BACKUP_MANIFEST)))
+    # nearly everything rode the hardlink path
+    assert m2["n_hardlinked"] >= m2["n_files"] - 3
+    # hardlinked files genuinely share an inode with snapshot 1
+    rel = m2["files"][0]["rel"]
+    assert os.stat(os.path.join(s2, rel)).st_ino == os.stat(
+        os.path.join(s1, rel)
+    ).st_ino
+    assert verify_backup(s2)["ok"]
+
+
+def test_verify_catches_corruption(tmp_path, ray_session):
+    paths = _fresh_index(tmp_path)
+    snap = backup_index(paths.root, str(tmp_path / "backups"))
+    m = json.load(open(os.path.join(snap, BACKUP_MANIFEST)))
+    victim = os.path.join(snap, m["files"][0]["rel"])
+    os.remove(victim)
+    chk = verify_backup(snap)
+    assert not chk["ok"] and chk["missing"]
+    try:
+        restore_index(snap, str(tmp_path / "nope"))
+        raise AssertionError("restore should refuse a broken snapshot")
+    except RuntimeError:
+        pass
+    assert not os.path.exists(str(tmp_path / "nope"))
