@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full Lloyd's k-means loop (SemDeDup/IVF-training shape):
         # model-sized statistics up, centroid broadcast down
         "kmeans_clusters": similarity.kmeans_clusters,
+        # D x D Gram/second-moment fold (distributed PCA prelude)
+        "embedding_gram": similarity.embedding_gram,
         # ANALYZE-style column profile (count/null/distinct/min/max)
         "table_profile": relational.table_profile,
         # DSIR importance-resampling weights (target-vs-corpus unigram
@@ -491,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": oracles.BPE_TOKEN_COUNTS,
         "label_centroids": oracles.LABEL_CENTROIDS,
         "kmeans_clusters": oracles.KMEANS_CLUSTERS,
+        "embedding_gram": oracles.EMBEDDING_GRAM,
         "table_profile": oracles.TABLE_PROFILE,
         "dsir_weights": oracles.DSIR_WEIGHTS,
         "ccnet_buckets": oracles.CCNET_BUCKETS,

@@ -4479,3 +4479,24 @@ FROM df GROUP BY 1"""
 
 
 KMEANS_CLUSTERS = _kmeans_clusters_sql()
+
+
+def _embedding_gram_sql() -> str:
+    """Twin of similarity.embedding_gram: fp3 components, exact
+    integer upper-triangle self-join sums."""
+    from harvester_ray.stages.similarity import GRAM_FP
+
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1)::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_FP})
+              AS BIGINT) AS vfp
+  FROM embeddings)
+SELECT a.dim AS i, b.dim AS j, sum(a.vfp * b.vfp)::BIGINT AS gram_fp
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
+EMBEDDING_GRAM = _embedding_gram_sql()

@@ -793,3 +793,54 @@ def kmeans_clusters(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return emb.map_batches(final_assign, batch_format="pyarrow")
+
+
+# --- embedding second-moment (Gram) matrix -----------------------------------
+# The D x D statistic behind distributed PCA / whitening (SemDeDup-style
+# curation whitens embeddings before clustering): covariance = G/n - u u^T
+# and any eigen-iteration are model-sized driver math once G is folded.
+# fp3 per component keeps every product <= 4e6 and the distributed int64
+# sums exact up to ~2.3e12 rows (guarded) — the (i, j)-keyed groupby
+# moves dim^2 rows per batch, never vectors.
+GRAM_FP = 1_000
+_GRAM_MAX_ROWS = (2**62) // (4 * GRAM_FP * GRAM_FP)
+
+
+def embedding_gram(sf_dir: str) -> "ray.data.Dataset":
+    """(i, j, gram_fp) for 1 <= i <= j <= D: the exact upper-triangle
+    Gram matrix sum_rows(v_fp[i] * v_fp[j]) over fp3 components."""
+    import os as _os
+
+    from ray.data.aggregate import Sum
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    iu: tuple = ()
+
+    def partial(t: pa.Table) -> pa.Table:
+        nonlocal iu
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        fp = np.floor(E * GRAM_FP).astype(np.int64)
+        G = fp.T @ fp
+        D = fp.shape[1]
+        if not iu or iu[0].max() + 1 != D:
+            iu = np.triu_indices(D)
+        return pa.table(
+            {
+                "i": pa.array(iu[0] + 1, pa.int64()),
+                "j": pa.array(iu[1] + 1, pa.int64()),
+                "gram_fp": pa.array(G[iu], pa.int64()),
+            }
+        )
+
+    n_rows = ray.data.read_parquet(path, columns=["vec_id"]).count()
+    if n_rows > _GRAM_MAX_ROWS:
+        raise NotImplementedError(
+            f"{n_rows} rows exceeds the fp3 int64 sum bound "
+            f"({_GRAM_MAX_ROWS}); rescale GRAM_FP"
+        )
+    return (
+        ray.data.read_parquet(path, columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("gram_fp", alias_name="gram_fp"))
+    )
