@@ -4295,15 +4295,24 @@ GROUP BY b.query_id
 GEO_BBOX_STATS = _geo_bbox_stats_sql()
 
 
-def _bpe_merges_sql() -> str:
-    """Round-unrolled twin of textstats.bpe_merges: same word-count
-    vocabulary (the shared '[a-z0-9]+' analyzer), same adjacent-pair
-    counts weighted by word frequency, same (cnt DESC, pair ASC)
-    merge pick, same leftmost-non-overlapping replace with the
-    per-round private-use marker (chr semantics verified identical
-    across Python / Arrow / DuckDB). MATERIALIZED CTEs per round —
-    each w{r} feeds two consumers (its pair table and the next
-    rewrite), the kcore lesson."""
+def _bpe_pick(r: int) -> str:
+    """Scalar merge-pick for round r, NULL-safe: when the pair table
+    dries up before BPE_ROUNDS (the engine breaks out of its loop),
+    the empty b{r} must degrade to an IDENTITY replace, not
+    NULL-poison the whole expression — chr(1) never occurs in
+    [a-z0-9] words or marker chars, so replacing it is a no-op."""
+    return f"coalesce((SELECT pair FROM b{r}), chr(1))"
+
+
+def _bpe_ctes() -> str:
+    """Shared training CTE stack for BPE_MERGES and BPE_TOKEN_COUNTS
+    (one builder — no string-splitting coupling between the twins):
+    word-count vocabulary (the shared '[a-z0-9]+' analyzer),
+    adjacent-pair counts weighted by word frequency, (cnt DESC, pair
+    ASC) merge pick, leftmost-non-overlapping replace with the
+    per-round private-use marker. MATERIALIZED per round — each w{r}
+    feeds two consumers (its pair table and the next rewrite), the
+    kcore lesson."""
     from harvester_ray.stages.textstats import BPE_MARKER_BASE, BPE_ROUNDS
 
     parts = [
@@ -4321,15 +4330,25 @@ w0 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w)"""
 b{r} AS MATERIALIZED (
   SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
 w{r + 1} AS MATERIALIZED (
-  SELECT replace(w, (SELECT pair FROM b{r}),
+  SELECT replace(w, {_bpe_pick(r)},
                  chr({BPE_MARKER_BASE + r})) AS w, c
   FROM w{r})"""
         )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    """Round-unrolled twin of textstats.bpe_merges (chr semantics
+    verified identical across Python / Arrow / DuckDB); rounds whose
+    pair table dried up contribute zero rows, matching the engine's
+    early loop exit."""
+    from harvester_ray.stages.textstats import BPE_ROUNDS
+
     union = "\nUNION ALL\n".join(
         f"SELECT {r + 1}::BIGINT AS round, pair, cnt FROM b{r}"
         for r in range(BPE_ROUNDS)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return "WITH " + _bpe_ctes() + "\n" + union
 
 
 BPE_MERGES = _bpe_merges_sql()
@@ -4339,21 +4358,17 @@ def _bpe_token_counts_sql() -> str:
     """Twin of textstats.bpe_token_counts: the SAME training CTE chain
     as BPE_MERGES (the b{r} picks), then the merge list replayed as a
     nested replace over each document token; post-merge token count =
-    character count. Token-free docs keep a 0 row via the LEFT
-    JOIN."""
+    character count. Token-free docs keep a 0 row via the LEFT JOIN;
+    dried-up rounds replay as identity replaces (_bpe_pick)."""
     from harvester_ray.stages.textstats import BPE_MARKER_BASE, BPE_ROUNDS
 
-    # reuse the full training CTE stack (everything before the final
-    # UNION of the merges query)
-    train = _bpe_merges_sql()
-    ctes = train.split("\nSELECT 1::BIGINT")[0][len("WITH ") :]
     expr = "t.w"
     for r in range(BPE_ROUNDS):
         expr = (
-            f"replace({expr}, (SELECT pair FROM b{r}),"
+            f"replace({expr}, {_bpe_pick(r)},"
             f" chr({BPE_MARKER_BASE + r}))"
         )
-    return f"""WITH {ctes},
+    return f"""WITH {_bpe_ctes()},
 dtok AS (
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w

@@ -1639,16 +1639,12 @@ def funnel_counts(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Count
 
     def reach(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = g.take(order)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         et = g["event_type"].to_numpy(zero_copy_only=False)
-        cur = -1  # last chained event time (us); strict >
+        cur = None  # last chained event time (us); strict > once set
         stage = 0
         for step in FUNNEL_STEPS:
-            cand = ts[(et == step) & (ts > cur)]
+            cand = ts[(et == step) if cur is None else ((et == step) & (ts > cur))]
             if len(cand) == 0:
                 break
             cur = int(cand.min())
@@ -1667,7 +1663,7 @@ def funnel_counts(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"stage": pa.array(stages, pa.int64())})
 
     out = (
-        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         .groupby("user_id")
         .map_groups(reach, batch_format="pyarrow")
         .map_batches(explode, batch_format="pyarrow")
@@ -1766,12 +1762,17 @@ def _ed_le1(a: np.ndarray, b: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.
 
 
 def _char_matrix(names: list) -> tuple[np.ndarray, np.ndarray]:
-    """(padded uint8 matrix, lengths) for ascii strings."""
+    """(padded uint32 code-point matrix, lengths). One cell per
+    CHARACTER (utf-32), not per byte — DuckDB's levenshtein is
+    character-based, and a multi-byte name would otherwise overrun
+    its row."""
     la = np.array([len(s) for s in names], dtype=np.int64)
     L = max(1, int(la.max()) + 1 if len(la) else 1)
-    m = np.zeros((len(names), L), dtype=np.uint8)
+    m = np.zeros((len(names), L), dtype=np.uint32)
     for i, s in enumerate(names):
-        m[i, : len(s)] = np.frombuffer(s.encode(), dtype=np.uint8)
+        m[i, : len(s)] = np.frombuffer(
+            s.encode("utf-32-le"), dtype=np.uint32
+        )
     return m, la
 
 
@@ -1949,16 +1950,21 @@ def value_outliers(sf_dir: str) -> "ray.data.Dataset":
     def partial(t: pa.Table) -> pa.Table:
         v = t["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
         vfp = np.floor(v * 10000.0 + 0.5).astype(np.int64)
+        mx = int(np.abs(vfp).max()) if len(vfp) else 0
+        # the per-batch int64 sumsq must not wrap (value domain is an
+        # input property — guard it, don't assume it); the CROSS-batch
+        # fold is Python ints and immune
+        if len(vfp) and mx * mx >= 2**62 // len(vfp):
+            raise NotImplementedError(
+                f"|value_r4| up to {mx} overflows the per-batch int64 "
+                "sumsq; rescale the fixed point"
+            )
         return pa.table(
             {
                 "n": pa.array([len(vfp)], pa.int64()),
                 "s": pa.array([int(vfp.sum())], pa.int64()),
-                # per-batch sumsq fits int64 (vfp^2 <= ~3e13, batch
-                # rows <= ~1e5); the CROSS-batch fold is Python ints
                 "q": pa.array([int((vfp * vfp).sum())], pa.int64()),
-                "m": pa.array(
-                    [int(np.abs(vfp).max()) if len(vfp) else 0], pa.int64()
-                ),
+                "m": pa.array([mx], pa.int64()),
             }
         )
 
@@ -2074,7 +2080,18 @@ def table_profile(sf_dir: str) -> pa.Table:
         maxs = [p[f"max_{c}"] for p in parts if p[f"max_{c}"] is not None]
         lo = min(mins) if mins else None
         hi = max(maxs) if maxs else None
-        rows.append((c, n_rows, n_null, n_distinct[c], str(lo), str(hi)))
+        # all-null columns keep SQL NULL semantics (not the string
+        # 'None') so the twin's CAST(min(c) AS VARCHAR) matches
+        rows.append(
+            (
+                c,
+                n_rows,
+                n_null,
+                n_distinct[c],
+                None if lo is None else str(lo),
+                None if hi is None else str(hi),
+            )
+        )
 
     return pa.table(
         {

@@ -922,6 +922,35 @@ def bfs_layers(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def _edge_degrees(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, degree) over an undirected (u, v) edge table: one
+    endpoint-explode map + one doc-keyed groupby-count (shared by
+    clustering_coef and every kcore peeling round)."""
+    from ray.data.aggregate import Count
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([u, v]), pa.int64())}
+        )
+
+    return (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="degree"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "degree": t["degree"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 LCC_FP = 1_000_000  # clustering-coefficient fixed point
 
 
@@ -935,32 +964,9 @@ def clustering_coef(sf_dir: str) -> "ray.data.Dataset":
     are in no triangle); the division is a vectorized map. Output
     (doc_id, degree, n_triangles, lcc_fp) for every doc with >= 1
     edge."""
-    from ray.data.aggregate import Count
-
     from harvester_ray.stages.joins import partitioned_join
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"doc_id": pa.array(np.concatenate([u, v]), pa.int64())}
-        )
-
-    deg = (
-        _canonical_edges(sf_dir)
-        .map_batches(endpoints, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="degree"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                    "degree": t["degree"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    deg = _edge_degrees(_canonical_edges(sf_dir))
     joined = partitioned_join(
         deg,
         triangle_count(sf_dir),
@@ -1062,35 +1068,11 @@ def kcore_membership(sf_dir: str) -> "ray.data.Dataset":
     surviving endpoints — edges and degrees stay distributed
     throughout. Output (doc_id, core_degree) for the surviving
     vertices with their within-core degree."""
-    from ray.data.aggregate import Count
-
     from harvester_ray.stages.joins import partitioned_join
 
     esch = pa.schema([("u", pa.int64()), ("v", pa.int64())])
     vsch = pa.schema([("doc_id", pa.int64()), ("degree", pa.int64())])
-
-    def endpoints(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"doc_id": pa.array(np.concatenate([u, v]), pa.int64())}
-        )
-
-    def degrees(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-        return (
-            edges.map_batches(endpoints, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Count(alias_name="degree"))
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "doc_id": t["doc_id"].cast(pa.int64()),
-                        "degree": t["degree"].cast(pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-        )
+    degrees = _edge_degrees
 
     # each round's edge set feeds THREE consumers (degree count + two
     # semi-joins), so it is materialized per round — the standard

@@ -799,8 +799,10 @@ def kmeans_clusters(sf_dir: str) -> "ray.data.Dataset":
 # The D x D statistic behind distributed PCA / whitening (SemDeDup-style
 # curation whitens embeddings before clustering): covariance = G/n - u u^T
 # and any eigen-iteration are model-sized driver math once G is folded.
-# fp3 per component keeps every product <= 4e6 and the distributed int64
-# sums exact up to ~2.3e12 rows (guarded) — the (i, j)-keyed groupby
+# fp3 per unit-scale component keeps every product small and the
+# distributed int64 sums exact up to ~1.15e12 rows; both the row bound
+# AND the per-batch component magnitude are guarded (component scale is
+# an input property, not an assumption) — the (i, j)-keyed groupby
 # moves dim^2 rows per batch, never vectors.
 GRAM_FP = 1_000
 _GRAM_MAX_ROWS = (2**62) // (4 * GRAM_FP * GRAM_FP)
@@ -820,6 +822,12 @@ def embedding_gram(sf_dir: str) -> "ray.data.Dataset":
         nonlocal iu
         E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         fp = np.floor(E * GRAM_FP).astype(np.int64)
+        mx = int(np.abs(fp).max()) if fp.size else 0
+        if mx > 2 * GRAM_FP:  # the _GRAM_MAX_ROWS bound assumes |v|<=2
+            raise NotImplementedError(
+                f"|component_fp| up to {mx} breaks the int64 sum "
+                "bound; rescale GRAM_FP"
+            )
         G = fp.T @ fp
         D = fp.shape[1]
         if not iu or iu[0].max() + 1 != D:

@@ -872,3 +872,47 @@ def test_bpe_merges_matches_python_trainer(tmp_path, ray_session):
     from harvester_ray.stages.textstats import BPE_MARKER_BASE
 
     assert chr(BPE_MARKER_BASE) in want[1][1]
+
+
+def test_bpe_oracle_survives_dried_up_corpus(ray_session, tmp_path):
+    """When merges exhaust before BPE_ROUNDS (the engine breaks out of
+    its loop), the SQL twins must degrade to identity replaces for the
+    dried-up rounds instead of NULL-poisoning (coalesce in _bpe_pick)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.pipelines.oracles import BPE_MERGES, BPE_TOKEN_COUNTS
+    from harvester_ray.stages.textstats import bpe_merges, bpe_token_counts
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["ab ab", "ab"], pa.string()),
+            }
+        ),
+        sf + "/documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+
+    got_m = bpe_merges(sf).to_pandas()
+    want_m = con.execute(BPE_MERGES).df()
+    assert len(got_m) == len(want_m) == 1  # merges dried up at round 1
+    assert got_m["pair"].tolist() == want_m["pair"].tolist() == ["ab"]
+
+    got_c = (
+        bpe_token_counts(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_c = (
+        con.execute(BPE_TOKEN_COUNTS).df().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got_c["n_bpe_tokens"].tolist() == [2, 1]
+    assert want_c["n_bpe_tokens"].tolist() == [2, 1]
