@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_language": fulltext.query_language,
         # function-query boost (Solr boost=recip), integer-exact
         "bm25_boosted_topk": fulltext.bm25_boosted_topk,
+        # static-prior fusion: BM25 x integer PageRank authority
+        "pagerank_boosted_topk": fulltext.pagerank_boosted_topk,
         # stats component (Solr stats.field) over the full match set
         "search_field_stats": fulltext.search_field_stats,
         # result grouping (Solr group=source, group.limit=2)
@@ -408,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field_topk": oracles.SORT_BY_FIELD_TOPK,
         "query_language": oracles.QUERY_LANGUAGE,
         "bm25_boosted_topk": oracles.BM25_BOOSTED_TOPK,
+        "pagerank_boosted_topk": oracles.PAGERANK_BOOSTED_TOPK,
         "search_field_stats": oracles.SEARCH_FIELD_STATS,
         "grouped_search_topk": oracles.GROUPED_SEARCH_TOPK,
         "elevated_topk": oracles.ELEVATED_TOPK,

@@ -4434,3 +4434,87 @@ def timetravel_topk(sf_dir: str) -> "ray.data.Dataset":
         for qid, q in queries_for_mode("or")
     ]
     return _query_pool(paths, items, as_of=1)
+
+
+def pagerank_boosted_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Static-prior rank fusion — the classic web-search composition:
+    BM25 relevance x link-graph authority. Rank key =
+    score_fp * (rank_fp + 1) over the FULL OR match set, where rank_fp
+    is the integer PageRank of weburls.pagerank_fixed (+1 so a rank
+    that floors to 0 at huge N degrades to plain BM25 instead of
+    zeroing the product; score_fp <~ 1e10, rank_fp + 1 <= PR_FP+1 ->
+    product < 1e17, exact int64 on both engines).
+
+    Scale shape: the prior joins onto the cached match set by ONE
+    doc_id-keyed hash join (the bm25_topk_filtered shuffle shape —
+    never a doc-table broadcast), then the per-block top-k pre-prune +
+    grouped finalize move O(queries x K) rows.
+    Output (query_id, rank, doc_id, fused_fp)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from harvester_ray.pipelines.weburls import pagerank_fixed
+    from harvester_ray.stages.joins import ds_join
+
+    scored = _scored_match_set(sf_dir)
+    joined = ds_join(
+        scored,
+        pagerank_fixed(sf_dir),
+        on=["doc_id"],
+        schemas=(
+            pa.schema(
+                [
+                    ("query_id", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("score_fp", pa.int64()),
+                    ("nterms", pa.int64()),
+                ]
+            ),
+            pa.schema([("doc_id", pa.int64()), ("rank_fp", pa.int64())]),
+        ),
+    )
+
+    def fuse(t: pa.Table) -> pa.Table:
+        sc = t["score_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = t["rank_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": t["query_id"].cast(pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "fused_fp": pa.array(sc * (pr + 1), pa.int64()),
+            }
+        )
+
+    _SORT = [("fused_fp", "descending"), ("doc_id", "ascending")]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("query_id", "ascending")] + _SORT)
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return t
+        change = np.r_[True, q[1:] != q[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        pos = np.arange(len(q)) - starts[seg]
+        return t.filter(pa.array(pos < TOP_K))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=_SORT)[:TOP_K]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "fused_fp": g["fused_fp"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(fuse, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

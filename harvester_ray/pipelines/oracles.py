@@ -4515,3 +4515,35 @@ GROUP BY 1, 2
 
 
 EMBEDDING_GRAM = _embedding_gram_sql()
+
+
+def _pagerank_boosted_sql() -> str:
+    """Twin of fulltext.pagerank_boosted_topk: BM25 match-set scores
+    fused with the unrolled integer-PageRank prior — fused_fp =
+    score_fp * (rank_fp + 1), both BIGINT, exact product."""
+    from harvester_ray.pipelines.fulltext import TOP_K, _FP8
+
+    values = _or_query_values()
+    pr_ctes, last = _pagerank_ctes()
+    return f"""
+WITH {_CORPUS_CTES},
+q(query_id, term) AS (VALUES {values}),
+{_SC_CTE.format(fp8=_FP8)},
+{",".join(pr_ctes)},
+b AS (
+  SELECT sc.query_id, sc.doc_id,
+         CAST(sc.score_fp AS BIGINT) * (pr.r + 1) AS fused_fp
+  FROM sc JOIN {last} pr USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, fused_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fused_fp DESC, doc_id ASC) AS rank
+  FROM b
+)
+SELECT query_id, rank, doc_id, CAST(fused_fp AS BIGINT) AS fused_fp
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+PAGERANK_BOOSTED_TOPK = _pagerank_boosted_sql()
