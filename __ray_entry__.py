@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # commit-point time travel: as_of=1 over the upserted fixture
         # must equal the pristine-corpus ranking (same BM25 oracle)
         "timetravel_topk": fulltext.timetravel_topk,
+        # CDC between commit points, derived from segments alone
+        "commit_diff": fulltext.commit_diff,
         "heavy_hitters": sketches.heavy_hitters,
         "multimodal_meta": multimodal.multimodal_meta,
         # video frame sampling: actor-pool 1->N frame explode, frame
@@ -389,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "realtime_get": oracles.REALTIME_GET,
         "atomic_update": oracles.ATOMIC_UPDATE,
         "timetravel_topk": oracles.BM25_TOPK_OR,
+        "commit_diff": oracles.COMMIT_DIFF,
         "heavy_hitters": oracles.HEAVY_HITTERS,
         "hll_registers": oracles.HLL_REGISTERS,
         "cms_registers": oracles.CMS_REGISTERS,

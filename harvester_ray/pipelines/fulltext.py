@@ -4518,3 +4518,148 @@ def pagerank_boosted_topk(sf_dir: str) -> "ray.data.Dataset":
         .groupby("query_id")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+# --- commit diff (change data capture between commit points) -----------------
+# The replication primitive the backup/sync story needs: which docs an
+# LSM index ADDED / UPDATED / REMOVED between two commit points, derived
+# from the segments alone (doc tables + scoped tombstones), never by
+# re-reading the corpus. Fixture: the atomic-update index (base commit,
+# upsert commit) plus one delete-only commit removing doc_id % 97 == 3.
+CDC_DELETE_MOD, CDC_DELETE_RES = 97, 3
+
+
+def index_for_cdc(sf_dir: str) -> IndexPaths:
+    """atomic fixture + a delete-only third commit (the CDC window)."""
+    import numpy as np
+
+    from harvester_ray.index.maintenance import (
+        delete_where,
+        load_tombstones_scoped,
+    )
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}:cdc".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(CACHE_ROOT, f"idx_{key}")
+    paths = IndexPaths(out)
+    if os.path.exists(paths.stats) and len(
+        load_tombstones_scoped(out)
+    ) >= 2:
+        return paths
+    import shutil
+
+    base = index_for_atomic(sf_dir)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(base.root, tmp)
+    os.rename(tmp, out)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    def pred(t: pa.Table) -> pa.Array:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array(ids % CDC_DELETE_MOD == CDC_DELETE_RES)
+
+    delete_where(out, docs, pred)
+    return paths
+
+
+def commit_diff(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, change) for every doc whose live state differs between
+    commit point 1 (the pristine base) and the live view — change in
+    {'added', 'updated', 'removed'}; unchanged docs emit nothing.
+
+    Scale shape: each source's doc table streams ONCE per snapshot
+    side with a per-batch tombstone anti-filter (tombstones are
+    bounded by the CDC window's deletes — the small side by
+    construction), all sides union into ONE doc_id-keyed groupby of
+    three int8 flags, and the classifier is a map. No corpus read, no
+    text moves — segments only."""
+    import numpy as np
+
+    from ray.data.aggregate import Max
+
+    from harvester_ray.index.maintenance import (
+        deleted_for_source,
+        source_dirs,
+    )
+
+    paths = index_for_cdc(sf_dir)
+    srcs = source_dirs(paths.root)
+    n = len(srcs)
+
+    def tagger(dead: np.ndarray, in1: int, in2: int, upd: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(dead):
+                ids = ids[~np.isin(ids, dead)]
+            k = len(ids)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "in1": pa.array(np.full(k, in1, np.int8)),
+                    "in2": pa.array(np.full(k, in2, np.int8)),
+                    "upd": pa.array(np.full(k, upd, np.int8)),
+                }
+            )
+
+        return fn
+
+    streams = [
+        # snapshot at commit 1: base source, tombstones seq < 1 (none)
+        ray.data.read_parquet(
+            IndexPaths(srcs[0]).doc_table, columns=["doc_id"]
+        ).map_batches(
+            tagger(deleted_for_source(paths.root, 0, as_of=1), 1, 0, 0),
+            batch_format="pyarrow",
+        )
+    ]
+    for i, src in enumerate(srcs):  # live view: every source, all stones
+        streams.append(
+            ray.data.read_parquet(
+                IndexPaths(src).doc_table, columns=["doc_id"]
+            ).map_batches(
+                tagger(
+                    deleted_for_source(paths.root, i, as_of=n + 1),
+                    0,
+                    1,
+                    1 if i >= 1 else 0,
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    unioned = streams[0]
+    for s in streams[1:]:
+        unioned = unioned.union(s)
+    flags = unioned.groupby("doc_id").aggregate(
+        Max("in1", alias_name="in1"),
+        Max("in2", alias_name="in2"),
+        Max("upd", alias_name="upd"),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        in1 = t["in1"].to_numpy(zero_copy_only=False).astype(np.int8)
+        in2 = t["in2"].to_numpy(zero_copy_only=False).astype(np.int8)
+        upd = t["upd"].to_numpy(zero_copy_only=False).astype(np.int8)
+        change = np.where(
+            (in1 == 1) & (in2 == 0),
+            "removed",
+            np.where(
+                (in1 == 0) & (in2 == 1),
+                "added",
+                np.where(upd == 1, "updated", ""),
+            ),
+        )
+        keep = change != ""
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "change": pa.array(change[keep], pa.string()),
+            }
+        )
+
+    return flags.map_batches(classify, batch_format="pyarrow")

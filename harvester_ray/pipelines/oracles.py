@@ -4547,3 +4547,28 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 PAGERANK_BOOSTED_TOPK = _pagerank_boosted_sql()
+
+
+def _commit_diff_sql() -> str:
+    """Twin of fulltext.commit_diff over the CDC fixture: the upserted
+    ATOMIC_IDS surface as 'updated' (unless the delete-only commit
+    also removed them), the modulo-predicate deletes as 'removed';
+    nothing is 'added' (upserts target existing docs)."""
+    from harvester_ray.pipelines.fulltext import (
+        ATOMIC_IDS,
+        CDC_DELETE_MOD,
+        CDC_DELETE_RES,
+    )
+
+    ids = ", ".join(str(i) for i in ATOMIC_IDS)
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, 'updated' AS change FROM documents
+WHERE doc_id IN ({ids})
+  AND doc_id % {CDC_DELETE_MOD} != {CDC_DELETE_RES}
+UNION ALL
+SELECT doc_id::BIGINT AS doc_id, 'removed' AS change FROM documents
+WHERE doc_id % {CDC_DELETE_MOD} = {CDC_DELETE_RES}
+"""
+
+
+COMMIT_DIFF = _commit_diff_sql()
