@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_rank": weburls.domain_rank,
         # inbound anchor-text aggregation + politeness crawl frontier
         "anchor_text_topk": weburls.anchor_text_topk,
+        # anchor-text SEARCH: rank docs by inbound-anchor hits
+        "anchor_search_topk": weburls.anchor_search_topk,
         "crawl_frontier": weburls.crawl_frontier,
         # HITS hubs/authorities: per-iteration edge⨝rank join +
         # global L1 normalization scalars (integer-exact)
@@ -521,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_membership": oracles.KCORE_MEMBERSHIP,
         "domain_rank": oracles.DOMAIN_RANK,
         "anchor_text_topk": oracles.ANCHOR_TEXT_TOPK,
+        "anchor_search_topk": oracles.ANCHOR_SEARCH_TOPK,
         "crawl_frontier": oracles.CRAWL_FRONTIER,
         "geo_radius_topk": oracles.GEO_RADIUS_TOPK,
         "geo_bbox_stats": oracles.GEO_BBOX_STATS,

@@ -4572,3 +4572,36 @@ WHERE doc_id % {CDC_DELETE_MOD} = {CDC_DELETE_RES}
 
 
 COMMIT_DIFF = _commit_diff_sql()
+
+
+def _anchor_search_sql() -> str:
+    """Twin of weburls.anchor_search_topk: the ANCHOR_TEXT edge CTEs
+    joined to the OR query terms; rank key (hits DESC, doc_id ASC)."""
+    from harvester_ray.pipelines.fulltext import TOP_K
+    from harvester_ray.pipelines.weburls import PR_EDGE_MULTS
+
+    values = _or_query_values()
+    mults = ", ".join(
+        f"(doc_id * {a} + {b}) % (SELECT n FROM nn)"
+        for a, b in PR_EDGE_MULTS
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+q(query_id, term) AS (VALUES {values}),
+a AS (SELECT doc_id, regexp_extract(lower(text), '[a-z0-9]+') AS anchor
+      FROM documents),
+e AS (SELECT unnest([{mults}]) AS dst, anchor FROM a WHERE anchor <> ''),
+h AS (SELECT q.query_id, e.dst AS doc_id, count(*) AS hits
+      FROM e JOIN q ON e.anchor = q.term GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, hits,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hits DESC, doc_id ASC) AS rank
+  FROM h)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, CAST(hits AS BIGINT) AS hits
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ANCHOR_SEARCH_TOPK = _anchor_search_sql()

@@ -1284,3 +1284,108 @@ def geo_bbox_stats(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def anchor_search_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Anchor-text search — ranking docs by what OTHER pages' links
+    say about them (the web-search signal body-BM25 cannot see: a page
+    is what its inbound anchors call it). For each OR query, docs rank
+    by total inbound anchor hits over the query's terms (hits DESC,
+    doc_id ASC, top TOP_K); a doc with no matching inbound anchor
+    never appears. Output (query_id, rank, doc_id, hits).
+
+    Scale shape: the edge explode filters anchors to the query-term
+    set IN the first map (the query set is a driver constant — the
+    only thing broadcast), so the exact (doc, anchor) groupby moves
+    only matching edges; the per-query expand is a map over that
+    dictionary-bounded table and the final (query, doc) groupby + the
+    per-block top-k prune move O(queries x K) rows."""
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.functions.text import tokenize
+    from harvester_ray.pipelines.fulltext import (
+        TOP_K,
+        _ranked_topk,
+        queries_for_mode,
+    )
+
+    n = _n_docs(sf_dir)
+    qterms = [
+        (qid, sorted(set(tokenize(q))))
+        for qid, q in queries_for_mode("or")
+    ]
+    term_set = sorted({t for _, ts in qterms for t in ts})
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, ts in qterms:
+        for tm in ts:
+            qids_by_term.setdefault(tm, []).append(qid)
+
+    def edges(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        first = pc.struct_field(
+            pc.extract_regex(lowered, r"(?P<t>[a-z0-9]+)"), "t"
+        )
+        keep = pc.is_in(
+            first, value_set=pa.array(term_set, pa.string())
+        ).to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            keep
+        ]
+        anchor = first.filter(pa.array(keep)).combine_chunks()
+        dst = np.concatenate([(d * a + b) % n for a, b in PR_EDGE_MULTS])
+        anchors = pa.concat_arrays([anchor] * len(PR_EDGE_MULTS))
+        return pa.table(
+            {"doc_id": pa.array(dst, pa.int64()), "anchor": anchors}
+        )
+
+    counted = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby(["doc_id", "anchor"])
+        .count()
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["doc_id", "anchor", "n"])
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        an = t["anchor"].to_pylist()
+        qids, docs, hits = [], [], []
+        for i, a in enumerate(an):  # rows are dictionary-bounded here
+            for qid in qids_by_term.get(a, ()):
+                qids.append(qid)
+                docs.append(int(d[i]))
+                hits.append(int(cnt[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    summed = (
+        counted.map_batches(expand, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("hits", alias_name="hits"))
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("hits", "descending"), ("doc_id", "ascending")]
+        )[:TOP_K]
+        g = g.take(idx)
+        return pa.table(
+            {
+                "query_id": g["query_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "hits": g["hits"].cast(pa.int64()),
+            }
+        )
+
+    return summed.groupby("query_id").map_groups(
+        finalize, batch_format="pyarrow"
+    )
