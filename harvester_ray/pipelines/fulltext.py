@@ -701,18 +701,7 @@ def sort_by_field_topk(sf_dir: str) -> "ray.data.Dataset":
         ("doc_id", "ascending"),
     ]
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        # per-batch k-per-query combiner, pure Arrow: sort once, then
-        # keep each query's first TOP_K rows via a segmented rank
-        t = t.sort_by([("query_id", "ascending")] + _SORT)
-        q = t["query_id"].to_numpy(zero_copy_only=False)
-        if len(q) == 0:
-            return t
-        change = np.r_[True, q[1:] != q[:-1]]
-        starts = np.flatnonzero(change)
-        seg = np.cumsum(change) - 1
-        pos = np.arange(len(q)) - starts[seg]
-        return t.filter(pa.array(pos < TOP_K))
+    local_topk = _per_block_topk(_SORT, TOP_K)
 
     def finalize(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=_SORT)[:TOP_K]
@@ -1007,6 +996,29 @@ def _weighted_match_set_build(
             batch_format="pyarrow",
         )
     )
+
+
+def _per_block_topk(sort_keys: list, k: int):
+    """Per-batch k-per-query combiner, pure Arrow: sort once, then keep
+    each query_id's first k rows via a segmented rank — the pre-prune
+    that bounds a grouped top-k's shuffle at O(queries x k) rows.
+    Shared by the filtered/boosted/fused top-k pipelines."""
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # empty shuffle-partition block
+            return t
+        t = t.sort_by([("query_id", "ascending")] + sort_keys)
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return t
+        change = np.r_[True, q[1:] != q[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        pos = np.arange(len(q)) - starts[seg]
+        return t.filter(pa.array(pos < k))
+
+    return fn
 
 
 def _ranked_topk(key: str, k: int):
@@ -2607,21 +2619,7 @@ def bm25_boosted_topk(sf_dir: str) -> "ray.data.Dataset":
 
     _SORT = [("boosted_fp", "descending"), ("doc_id", "ascending")]
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        # per-block pre-prune: keep each query's first TOP_K rows so
-        # the grouped finalize shuffles O(queries * K) rows, not the
-        # full match set
-        import numpy as _np
-
-        t = t.sort_by([("query_id", "ascending")] + _SORT)
-        q = t["query_id"].to_numpy(zero_copy_only=False)
-        if len(q) == 0:
-            return t
-        change = _np.r_[True, q[1:] != q[:-1]]
-        starts = _np.flatnonzero(change)
-        seg = _np.cumsum(change) - 1
-        pos = _np.arange(len(q)) - starts[seg]
-        return t.filter(pa.array(pos < TOP_K))
+    local_topk = _per_block_topk(_SORT, TOP_K)
 
     def finalize(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=_SORT)[:TOP_K]
@@ -4487,16 +4485,7 @@ def pagerank_boosted_topk(sf_dir: str) -> "ray.data.Dataset":
 
     _SORT = [("fused_fp", "descending"), ("doc_id", "ascending")]
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("query_id", "ascending")] + _SORT)
-        q = t["query_id"].to_numpy(zero_copy_only=False)
-        if len(q) == 0:
-            return t
-        change = np.r_[True, q[1:] != q[:-1]]
-        starts = np.flatnonzero(change)
-        seg = np.cumsum(change) - 1
-        pos = np.arange(len(q)) - starts[seg]
-        return t.filter(pa.array(pos < TOP_K))
+    local_topk = _per_block_topk(_SORT, TOP_K)
 
     def finalize(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=_SORT)[:TOP_K]
@@ -4591,10 +4580,15 @@ def commit_diff(sf_dir: str) -> "ray.data.Dataset":
     n = len(srcs)
 
     def tagger(dead: np.ndarray, in1: int, in2: int, upd: int):
+        # one ray.put per stream: the dead set (CDC-window deletes,
+        # ~1% of the corpus here) ships to the object store once, not
+        # once per read task (the atomic_update pattern)
+        dead_ref = ray.put(dead) if len(dead) else None
+
         def fn(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(dead):
-                ids = ids[~np.isin(ids, dead)]
+            if dead_ref is not None:
+                ids = ids[~np.isin(ids, ray.get(dead_ref))]
             k = len(ids)
             return pa.table(
                 {

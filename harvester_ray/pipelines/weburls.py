@@ -275,6 +275,42 @@ def pagerank_fixed(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def _anchor_edges(n: int, term_set: "list[str] | None" = None):
+    """map_batches fn exploding each doc's 3 out-links tagged with the
+    source page's first analyzer token (the anchor-text stand-in the
+    SQL twins mirror with regexp_extract). ``term_set`` restricts the
+    explode to anchors in the set (anchor_search's query-term filter);
+    None keeps every anchored edge (anchor_text_topk). ONE
+    implementation so the regex/explode stays in lockstep with both
+    oracles."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        first = pc.struct_field(
+            pc.extract_regex(lowered, r"(?P<t>[a-z0-9]+)"), "t"
+        )
+        if term_set is None:
+            keep = pc.is_valid(first).to_numpy(zero_copy_only=False)
+        else:
+            keep = pc.is_in(
+                first, value_set=pa.array(term_set, pa.string())
+            ).to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        anchor = first.filter(pa.array(keep))
+        anchor = (
+            anchor.combine_chunks()
+            if isinstance(anchor, pa.ChunkedArray)
+            else anchor
+        )
+        dst = np.concatenate([(d * a + b) % n for a, b in PR_EDGE_MULTS])
+        anchors = pa.concat_arrays([anchor] * len(PR_EDGE_MULTS))
+        return pa.table(
+            {"doc_id": pa.array(dst, pa.int64()), "anchor": anchors}
+        )
+
+    return fn
+
+
 def anchor_text_topk(sf_dir: str) -> "ray.data.Dataset":
     """Inbound anchor-text aggregation — the classic web-index signal
     (link text describes the TARGET page better than its own body;
@@ -294,26 +330,9 @@ def anchor_text_topk(sf_dir: str) -> "ray.data.Dataset":
     SQL. Output (doc_id, n_inlinks, top_anchor, top_anchor_n)."""
     n = _n_docs(sf_dir)
 
-    def edges(t: pa.Table) -> pa.Table:
-        lowered = pc.utf8_lower(pc.fill_null(t["text"], ""))
-        first = pc.struct_field(
-            pc.extract_regex(lowered, r"(?P<t>[a-z0-9]+)"), "t"
-        )
-        keep = pc.is_valid(first).to_numpy(zero_copy_only=False)
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
-        anchor = first.filter(pa.array(keep))
-        dst = np.concatenate([(d * a + b) % n for a, b in PR_EDGE_MULTS])
-        anchors = pa.concat_arrays(
-            [anchor.combine_chunks() if isinstance(anchor, pa.ChunkedArray)
-             else anchor] * len(PR_EDGE_MULTS)
-        )
-        return pa.table(
-            {"doc_id": pa.array(dst, pa.int64()), "anchor": anchors}
-        )
-
     counted = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(edges, batch_format="pyarrow")
+        .map_batches(_anchor_edges(n), batch_format="pyarrow")
         .groupby(["doc_id", "anchor"])
         .count()
     )
@@ -1305,7 +1324,7 @@ def anchor_search_topk(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.functions.text import tokenize
     from harvester_ray.pipelines.fulltext import (
         TOP_K,
-        _ranked_topk,
+        _per_block_topk,
         queries_for_mode,
     )
 
@@ -1314,33 +1333,25 @@ def anchor_search_topk(sf_dir: str) -> "ray.data.Dataset":
         (qid, sorted(set(tokenize(q))))
         for qid, q in queries_for_mode("or")
     ]
-    term_set = sorted({t for _, ts in qterms for t in ts})
-    qids_by_term: dict[str, list[int]] = {}
+    term_list = sorted({t for _, ts in qterms for t in ts})
+    qids_of: dict[str, list[int]] = {}
     for qid, ts in qterms:
         for tm in ts:
-            qids_by_term.setdefault(tm, []).append(qid)
-
-    def edges(t: pa.Table) -> pa.Table:
-        lowered = pc.utf8_lower(pc.fill_null(t["text"], ""))
-        first = pc.struct_field(
-            pc.extract_regex(lowered, r"(?P<t>[a-z0-9]+)"), "t"
-        )
-        keep = pc.is_in(
-            first, value_set=pa.array(term_set, pa.string())
-        ).to_numpy(zero_copy_only=False)
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[
-            keep
-        ]
-        anchor = first.filter(pa.array(keep)).combine_chunks()
-        dst = np.concatenate([(d * a + b) % n for a, b in PR_EDGE_MULTS])
-        anchors = pa.concat_arrays([anchor] * len(PR_EDGE_MULTS))
-        return pa.table(
-            {"doc_id": pa.array(dst, pa.int64()), "anchor": anchors}
-        )
+            qids_of.setdefault(tm, []).append(qid)
+    # flat (term -> qids) layout for the vectorized expand: qid_flat
+    # holds every term's query ids back to back, starts/counts index it
+    term_arr = np.array(term_list)
+    counts = np.array([len(qids_of[t]) for t in term_list], np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    qid_flat = np.array(
+        [q for t in term_list for q in qids_of[t]], np.int64
+    )
 
     counted = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(edges, batch_format="pyarrow")
+        .map_batches(
+            _anchor_edges(n, term_set=term_list), batch_format="pyarrow"
+        )
         .groupby(["doc_id", "anchor"])
         .count()
     )
@@ -1349,18 +1360,21 @@ def anchor_search_topk(sf_dir: str) -> "ray.data.Dataset":
         t = t.rename_columns(["doc_id", "anchor", "n"])
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         cnt = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        an = t["anchor"].to_pylist()
-        qids, docs, hits = [], [], []
-        for i, a in enumerate(an):  # rows are dictionary-bounded here
-            for qid in qids_by_term.get(a, ()):
-                qids.append(qid)
-                docs.append(int(d[i]))
-                hits.append(int(cnt[i]))
+        an = t["anchor"].to_numpy(zero_copy_only=False)
+        codes = np.searchsorted(term_arr, an)  # anchors are in the set
+        reps = counts[codes]
+        total = int(reps.sum())
+        # fully vectorized term->qids gather (no per-row Python loop:
+        # rows here are (dst doc, anchor) pairs — corpus-proportional)
+        base = np.repeat(starts[codes], reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
         return pa.table(
             {
-                "query_id": pa.array(qids, pa.int64()),
-                "doc_id": pa.array(docs, pa.int64()),
-                "hits": pa.array(hits, pa.int64()),
+                "query_id": pa.array(qid_flat[base + within], pa.int64()),
+                "doc_id": pa.array(np.repeat(d, reps), pa.int64()),
+                "hits": pa.array(np.repeat(cnt, reps), pa.int64()),
             }
         )
 
@@ -1368,6 +1382,14 @@ def anchor_search_topk(sf_dir: str) -> "ray.data.Dataset":
         counted.map_batches(expand, batch_format="pyarrow")
         .groupby(["query_id", "doc_id"])
         .aggregate(Sum("hits", alias_name="hits"))
+        # per-block k-per-query prune so the grouped finalize shuffles
+        # O(queries x K) rows, not one row per anchored doc
+        .map_batches(
+            _per_block_topk(
+                [("hits", "descending"), ("doc_id", "ascending")], TOP_K
+            ),
+            batch_format="pyarrow",
+        )
     )
 
     def finalize(g: pa.Table) -> pa.Table:
