@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timetravel_topk": fulltext.timetravel_topk,
         # CDC between commit points, derived from segments alone
         "commit_diff": fulltext.commit_diff,
+        # rows-only: snapshot + fsck of the index backup surface
+        "index_backup": fulltext.index_backup,
         "heavy_hitters": sketches.heavy_hitters,
         "multimodal_meta": multimodal.multimodal_meta,
         # video frame sampling: actor-pool 1->N frame explode, frame

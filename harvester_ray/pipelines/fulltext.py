@@ -4657,3 +4657,35 @@ def commit_diff(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return flags.map_batches(classify, batch_format="pyarrow")
+
+
+def index_backup(sf_dir: str) -> pa.Table:
+    """Rows-only gate entry for the backup surface (state/backup.py):
+    snapshot the corpus index, fsck the snapshot, and return its
+    manifest listing (relpath, size) — deterministic for a given
+    build, idempotent across runs (same fingerprint -> same snapshot).
+    A restore rank-parity check lives in tests/test_backup.py; this
+    entry keeps the ops path exercised under the driver gate."""
+    from harvester_ray.state.backup import backup_index, verify_backup
+
+    paths = index_for(sf_dir)
+    snaps = os.path.join(CACHE_ROOT, "backups_" + hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{ENGINE_VERSION}".encode()
+    ).hexdigest()[:12])
+    snap = backup_index(paths.root, snaps)
+    chk = verify_backup(snap)
+    if not chk["ok"]:
+        raise RuntimeError(f"backup failed fsck: {chk}")
+    import json as _json
+
+    with open(os.path.join(snap, "_backup.json")) as f:
+        m = _json.load(f)
+    files = sorted(m["files"], key=lambda e: e["rel"])
+    return pa.table(
+        {
+            "rel": pa.array([e["rel"] for e in files], pa.string()),
+            "size": pa.array(
+                [int(e["size"]) for e in files], pa.int64()
+            ),
+        }
+    )
