@@ -84,8 +84,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timetravel_topk": fulltext.timetravel_topk,
         # CDC between commit points, derived from segments alone
         "commit_diff": fulltext.commit_diff,
-        # rows-only: snapshot + fsck of the index backup surface
-        "index_backup": fulltext.index_backup,
         "heavy_hitters": sketches.heavy_hitters,
         "multimodal_meta": multimodal.multimodal_meta,
         # video frame sampling: actor-pool 1->N frame explode, frame
@@ -362,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stemmed stopword-free vocabulary (porter vectors pin the
         # stemmer in tests; doc-side twin porter_doc_stats is oracled)
         "term_dictionary_porter": fulltext.term_dictionary_porter,
+        # rows-only: snapshot + fsck of the index backup surface
+        "index_backup": fulltext.index_backup,
     }
 
 
