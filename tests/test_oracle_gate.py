@@ -140,21 +140,30 @@ def test_sample_documents_negative_ids_match_oracle(tmp_path, ray_session):
     pd.testing.assert_frame_equal(mine, want, check_dtype=False)
 
 
-def test_rows_only_entries_ordered_last():
-    """The round-2 driver run stopped mid-list: every oracled entry
-    must come BEFORE the first rows-only (no-oracle) entry in
-    queries() order, so a slow rows-only tail can never starve the
-    hash-gated rows."""
+def test_driver_window_spans_families():
+    """The driver records correctness for the FIRST 50 queries() keys
+    only.  That window must (a) match the curated per-family list, (b)
+    hold exactly one designated rows-only representative (the
+    incremental re-crawl family has no SQL analog), and (c) past the
+    window, keep every oracled entry BEFORE the rows-only tail so a
+    slow rows-only entry can never starve a hash-gated one (the
+    round-2 driver run stopped mid-list)."""
     import __ray_entry__ as e
 
     names = list(e.queries().keys())
     oracled = set(e.oracle_sql().keys())
+
+    window = names[: len(e._DRIVER_WINDOW)]
+    assert window == e._DRIVER_WINDOW
+    assert len(window) == 50, len(window)
+    rows_only_in_window = [n for n in window if n not in oracled]
+    assert rows_only_in_window == ["pages_recrawl_sync"], rows_only_in_window
+
+    tail = names[len(window):]
     first_rows_only = next(
-        (i for i, n in enumerate(names) if n not in oracled), len(names)
+        (i for i, n in enumerate(tail) if n not in oracled), len(tail)
     )
-    late_oracled = [
-        n for n in names[first_rows_only:] if n in oracled
-    ]
+    late_oracled = [n for n in tail[first_rows_only:] if n in oracled]
     assert late_oracled == [], (
         f"oracled entries after the rows-only family: {late_oracled}"
     )
