@@ -4035,15 +4035,19 @@ FROM p
 PII_REDACT = _pii_redact_sql()
 
 
-def _hits_sql() -> str:
+def _hits_sql(fp: int | None = None) -> str:
     """Iteration-unrolled integer HITS twin of weburls.hits_scores:
-    same graph, same L1 normalization to HITS_FP each half-step."""
+    same graph, same L1 normalization each half-step. The default
+    (None) uses HITS_FP — the scale hits_scores derives whenever the
+    doc count fits under it (every gate corpus); tests pass the
+    derived constant (weburls._hits_fp) for wider doc counts."""
     from harvester_ray.pipelines.weburls import (
         HITS_FP,
         HITS_ITERS,
         PR_EDGE_MULTS,
     )
 
+    HITS_FP = HITS_FP if fp is None else fp
     mults = ", ".join(
         f"(doc_id * {a} + {b}) % (SELECT n FROM nn)"
         for a, b in PR_EDGE_MULTS
@@ -4496,16 +4500,20 @@ FROM df GROUP BY 1"""
 KMEANS_CLUSTERS = _kmeans_clusters_sql()
 
 
-def _embedding_gram_sql() -> str:
-    """Twin of similarity.embedding_gram: fp3 components, exact
-    integer upper-triangle self-join sums."""
+def _embedding_gram_sql(fp: int | None = None) -> str:
+    """Twin of similarity.embedding_gram: exact integer upper-triangle
+    self-join sums at the (domain-derived) fixed point. The default
+    (None) uses GRAM_FP — the scale embedding_gram derives for every
+    unit-scale corpus; tests pass the derived constant for wide
+    domains (similarity._derive_gram_fp)."""
     from harvester_ray.stages.similarity import GRAM_FP
 
+    fp = GRAM_FP if fp is None else fp
     return f"""
 WITH ex AS MATERIALIZED (
   SELECT vec_id,
          generate_subscripts(embedding, 1)::BIGINT AS dim,
-         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_FP})
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {fp})
               AS BIGINT) AS vfp
   FROM embeddings)
 SELECT a.dim AS i, b.dim AS j, sum(a.vfp * b.vfp)::BIGINT AS gram_fp

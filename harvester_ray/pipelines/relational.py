@@ -1952,18 +1952,23 @@ def value_outliers(sf_dir: str) -> "ray.data.Dataset":
         vfp = np.floor(v * 10000.0 + 0.5).astype(np.int64)
         mx = int(np.abs(vfp).max()) if len(vfp) else 0
         # the per-batch int64 sumsq must not wrap (value domain is an
-        # input property — guard it, don't assume it); the CROSS-batch
-        # fold is Python ints and immune
-        if len(vfp) and mx * mx >= 2**62 // len(vfp):
-            raise NotImplementedError(
-                f"|value_r4| up to {mx} overflows the per-batch int64 "
-                "sumsq; rescale the fixed point"
-            )
+        # input property — probe it, don't assume it). Wide domains
+        # fall back to exact arbitrary-precision Python-int sums for
+        # THIS batch only — still one partial row out, bit-identical
+        # to DuckDB's HUGEINT accumulation; the CROSS-batch fold is
+        # Python ints and immune either way.
+        if len(vfp) and (
+            mx * mx >= 2**62 // len(vfp) or mx * len(vfp) >= 2**62
+        ):
+            vo = vfp.astype(object)
+            s_b, q_b = int((vo).sum()), int((vo * vo).sum())
+        else:
+            s_b, q_b = int(vfp.sum()), int((vfp * vfp).sum())
         return pa.table(
             {
                 "n": pa.array([len(vfp)], pa.int64()),
-                "s": pa.array([int(vfp.sum())], pa.int64()),
-                "q": pa.array([int((vfp * vfp).sum())], pa.int64()),
+                "s": pa.array([str(s_b)], pa.string()),
+                "q": pa.array([str(q_b)], pa.string()),
                 "m": pa.array([mx], pa.int64()),
             }
         )
@@ -1973,25 +1978,39 @@ def value_outliers(sf_dir: str) -> "ray.data.Dataset":
     s = sum(int(r["s"]) for r in parts)
     q = sum(int(r["q"]) for r in parts)
     m = max((int(r["m"]) for r in parts), default=0)
-    if m * n >= 2**62:  # the per-row vfp*n product must stay int64
-        raise NotImplementedError(
-            "value domain x row count exceeds the int64 per-row "
-            "product; rescale the fixed point or shard the test"
-        )
     thresh = math.isqrt(Z_OUT_THRESH * Z_OUT_THRESH * (q * n - s * s))
+    # wide domain: |vfp*n - s| and/or thresh exceed int64 — evaluate
+    # the per-row test in exact Python ints (DuckDB's HUGEINT path);
+    # the OUTPUT dev column stays int64, so a kept row whose deviation
+    # cannot be represented is a genuine contract breach on both
+    # engines (DuckDB's final BIGINT cast errors loudly there too)
+    wide = m * n >= 2**62 or thresh >= 2**62
     s_ref, n_ref = s, n  # driver-computed exact scalars close over
 
     def flag(t: pa.Table) -> pa.Table:
         v = t["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
         vfp = np.floor(v * 10000.0 + 0.5).astype(np.int64)
-        dev = np.abs(vfp * n_ref - s_ref)
-        keep = dev > thresh
+        if wide:
+            dev_o = np.abs(vfp.astype(object) * n_ref - s_ref)
+            keep = (dev_o > thresh).astype(bool)
+            kept = dev_o[keep]
+            if any(d >= 2**63 for d in kept):
+                raise NotImplementedError(
+                    "a flagged deviation exceeds the int64 output "
+                    "column (the DuckDB twin's BIGINT cast errors on "
+                    "the same input)"
+                )
+            dev_out = np.array([int(d) for d in kept], dtype=np.int64)
+        else:
+            dev = np.abs(vfp * n_ref - s_ref)
+            keep = dev > thresh
+            dev_out = dev[keep]
         return pa.table(
             {
                 "event_id": t["event_id"].cast(pa.int64())
                 .filter(pa.array(keep)),
                 "value_r4": pa.array(vfp[keep], pa.int64()),
-                "dev": pa.array(dev[keep], pa.int64()),
+                "dev": pa.array(dev_out, pa.int64()),
             }
         )
 

@@ -548,6 +548,18 @@ HITS_ITERS = 2
 HITS_FP = 1_000_000
 
 
+def _hits_fp(n_docs: int) -> int:
+    """Domain-derived L1 scale: the smallest power-of-10 multiple of
+    HITS_FP that exceeds the doc count, so the uniform seed FP // n is
+    nonzero for ANY corpus size (gate corpora derive HITS_FP itself,
+    keeping the static DuckDB oracle green; a 10^12-doc corpus derives
+    a wider scale instead of raising)."""
+    fp = HITS_FP
+    while fp // max(n_docs, 1) <= 0:
+        fp *= 10
+    return fp
+
+
 def hits_scores(sf_dir: str) -> "ray.data.Dataset":
     """HITS hub/authority scores over the synthetic link graph in pure
     integer arithmetic: (doc_id, auth_fp, hub_fp).
@@ -567,10 +579,7 @@ def hits_scores(sf_dir: str) -> "ray.data.Dataset":
     from harvester_ray.stages.joins import ds_join
 
     n = _n_docs(sf_dir)
-    if HITS_FP // n <= 0:
-        raise NotImplementedError(
-            "HITS_FP must exceed the doc count for a nonzero seed"
-        )
+    fp = _hits_fp(n)  # domain-derived: always exceeds the doc count
 
     from harvester_ray.config import shuffle_partitions
 
@@ -595,7 +604,7 @@ def hits_scores(sf_dir: str) -> "ray.data.Dataset":
         def fn(t: pa.Table) -> pa.Table:
             d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             c = t["c"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            v = c * HITS_FP // total
+            v = c * fp // total
             dst = np.concatenate(
                 [(d * a + b) % n for a, b in PR_EDGE_MULTS] + [d]
             )
@@ -628,7 +637,7 @@ def hits_scores(sf_dir: str) -> "ray.data.Dataset":
             return pa.table(
                 {
                     "doc_id": t["doc_id"].cast(pa.int64()),
-                    out_col: pa.array(c * HITS_FP // total, pa.int64()),
+                    out_col: pa.array(c * fp // total, pa.int64()),
                 }
             )
 
@@ -671,7 +680,7 @@ def hits_scores(sf_dir: str) -> "ray.data.Dataset":
             return pa.table(
                 {
                     "doc_id": t["src"].cast(pa.int64()),
-                    "c": pa.array(c * HITS_FP // _total, pa.int64()),
+                    "c": pa.array(c * fp // _total, pa.int64()),
                 }
             )
 

@@ -617,6 +617,15 @@ def label_centroids(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # np.asarray([]) is 1-D: guard empty blocks
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "sum_fp": pa.array([], pa.int64()),
+                }
+            )
         E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         fp = np.floor(E * CENTROID_FP).astype(np.int64)
         labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -682,6 +691,23 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
+def _kmeans_domain_guard(fp: np.ndarray, C: np.ndarray) -> None:
+    """The squared-distance and the dist*K argmin key must stay int64:
+    d <= D * (|v| + |c|)^2 <= D * (2*mx)^2, keyed by * K. Out-of-scale
+    embeddings would otherwise WRAP silently (wrong clusters) while
+    the DuckDB twin errors loudly — fail loudly here too."""
+    mx = max(
+        int(np.abs(fp).max()) if fp.size else 0,
+        int(np.abs(C).max()) if C.size else 0,
+    )
+    D = fp.shape[1]
+    if D * (2 * mx) * (2 * mx) >= 2**62 // KMEANS_K:
+        raise NotImplementedError(
+            f"|component_fp| up to {mx} overflows the int64 k-means "
+            "distance key; rescale CENTROID_FP"
+        )
+
+
 def _kmeans_fp_partials(C: np.ndarray, cids: np.ndarray):
     """Per-batch fused assign + M-step partial: returns a map_batches
     fn emitting one (cluster, dim) partial-sum row block per batch."""
@@ -689,8 +715,18 @@ def _kmeans_fp_partials(C: np.ndarray, cids: np.ndarray):
     c_sq = np.einsum("kd,kd->k", C, C)
 
     def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # np.asarray([]) is 1-D: guard empty blocks
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
         E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         fp = np.floor(E * CENTROID_FP).astype(np.int64)
+        _kmeans_domain_guard(fp, C)
         d = (
             np.einsum("nd,nd->n", fp, fp)[:, None]
             + c_sq[None, :]
@@ -776,8 +812,17 @@ def kmeans_clusters(sf_dir: str) -> "ray.data.Dataset":
     C_f, cids_f = C, cids
 
     def final_assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # np.asarray([]) is 1-D: guard empty blocks
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
         E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         fp = np.floor(E * CENTROID_FP).astype(np.int64)
+        _kmeans_domain_guard(fp, C_f)
         d = (
             np.einsum("nd,nd->n", fp, fp)[:, None]
             + c_sq[None, :]
@@ -800,34 +845,85 @@ def kmeans_clusters(sf_dir: str) -> "ray.data.Dataset":
 # curation whitens embeddings before clustering): covariance = G/n - u u^T
 # and any eigen-iteration are model-sized driver math once G is folded.
 # fp3 per unit-scale component keeps every product small and the
-# distributed int64 sums exact up to ~1.15e12 rows; both the row bound
-# AND the per-batch component magnitude are guarded (component scale is
-# an input property, not an assumption) — the (i, j)-keyed groupby
-# moves dim^2 rows per batch, never vectors.
+# distributed int64 sums exact up to ~1.15e12 rows. The scale is NOT
+# assumed: a probe pass measures (n_rows, max|component|) and derives
+# the largest power-of-10 fixed point whose worst-case sum stays int64
+# (unit-scale corpora of any realistic size derive GRAM_FP itself, so
+# the static DuckDB oracle stays green; a wide-domain input gets a
+# coarser scale instead of a raise). The (i, j)-keyed groupby moves
+# dim^2 rows per batch, never vectors.
 GRAM_FP = 1_000
-_GRAM_MAX_ROWS = (2**62) // (4 * GRAM_FP * GRAM_FP)
+
+
+def _derive_gram_fp(n_rows: int, max_abs: float) -> int:
+    """Largest power of 10 <= GRAM_FP such that the full int64 fold is
+    provably exact: n_rows * B^2 < 2^62 with B = floor(max_abs*fp) + 1
+    (the magnitude bound of floor(v*fp) over |v| <= max_abs)."""
+    import math
+
+    fp = GRAM_FP
+    while fp >= 1:
+        B = int(math.floor(max_abs * fp)) + 1
+        if n_rows * B * B < 2**62:
+            return fp
+        fp //= 10
+    raise NotImplementedError(
+        f"value domain (max|v|={max_abs:g}) x {n_rows} rows exceeds "
+        "the int64 Gram sum bound at any fixed point >= 1"
+    )
 
 
 def embedding_gram(sf_dir: str) -> "ray.data.Dataset":
     """(i, j, gram_fp) for 1 <= i <= j <= D: the exact upper-triangle
-    Gram matrix sum_rows(v_fp[i] * v_fp[j]) over fp3 components."""
+    Gram matrix sum_rows(v_fp[i] * v_fp[j]) over fixed-point
+    components at the domain-derived scale (see _derive_gram_fp)."""
     import os as _os
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     path = _os.path.join(sf_dir, "embeddings.parquet")
+
+    # domain probe: one map-only pass folding to (rows, max|v|) per
+    # batch — tiny statistics up, nothing broadcast
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.float64())}
+            )
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "mx": pa.array([float(np.abs(E).max())], pa.float64()),
+            }
+        )
+
+    stats = (
+        ray.data.read_parquet(path, columns=["embedding"])
+        .map_batches(probe, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"), Max("mx", alias_name="mx"))
+    )
+    n_rows = int(stats["n"] or 0)
+    max_abs = float(stats["mx"] or 0.0)
+    fp_scale = _derive_gram_fp(n_rows, max_abs)
+    bound = int(np.floor(max_abs * fp_scale)) + 1
     iu: tuple = ()
 
     def partial(t: pa.Table) -> pa.Table:
         nonlocal iu
-        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        fp = np.floor(E * GRAM_FP).astype(np.int64)
-        mx = int(np.abs(fp).max()) if fp.size else 0
-        if mx > 2 * GRAM_FP:  # the _GRAM_MAX_ROWS bound assumes |v|<=2
-            raise NotImplementedError(
-                f"|component_fp| up to {mx} breaks the int64 sum "
-                "bound; rescale GRAM_FP"
+        if t.num_rows == 0:  # np.asarray([]) is 1-D: guard empty blocks
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "gram_fp": pa.array([], pa.int64()),
+                }
             )
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        fp = np.floor(E * fp_scale).astype(np.int64)
+        mx = int(np.abs(fp).max()) if fp.size else 0
+        assert mx <= bound, (mx, bound)  # probe covered this input
         G = fp.T @ fp
         D = fp.shape[1]
         if not iu or iu[0].max() + 1 != D:
@@ -840,12 +936,6 @@ def embedding_gram(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    n_rows = ray.data.read_parquet(path, columns=["vec_id"]).count()
-    if n_rows > _GRAM_MAX_ROWS:
-        raise NotImplementedError(
-            f"{n_rows} rows exceeds the fp3 int64 sum bound "
-            f"({_GRAM_MAX_ROWS}); rescale GRAM_FP"
-        )
     return (
         ray.data.read_parquet(path, columns=["embedding"])
         .map_batches(partial, batch_format="pyarrow")

@@ -16,7 +16,10 @@ one commit point:
 - ``restore_index(snap_dir, dest)`` — verify the manifest against the
   snapshot's files, copy out to tmp, atomic-rename into place.
 - ``verify_backup(snap_dir)`` — fsck for snapshots: every manifest
-  entry present with the recorded size, no stray files.
+  entry present with the recorded size AND content hash (same-size
+  corruption — bit flips, truncate+pad, wrong-content hardlinks — is
+  caught, not just length drift), no stray files. Hashing fans out as
+  Ray tasks; ``deep=False`` keeps the metadata-only walk.
 
 Scale shape: the driver only LISTS files (metadata walk); the byte
 copies fan out as Ray tasks over per-file work items (the same
@@ -27,15 +30,30 @@ committed sources (stage writes are atomic tmp+rename, lineage.py).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
+import tempfile
 import time
 
 import ray
 
 BACKUP_MANIFEST = "_backup.json"
 _COPY_BATCH = 64  # files per copy task
+
+
+def _file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+@ray.remote(num_cpus=0.5)
+def _hash_batch(root: str, rels: list[str]) -> list[tuple[str, str]]:
+    return [(rel, _file_md5(os.path.join(root, rel))) for rel in rels]
 
 
 def _walk_files(root: str) -> list[tuple[str, int, int]]:
@@ -52,21 +70,25 @@ def _walk_files(root: str) -> list[tuple[str, int, int]]:
 
 
 @ray.remote(num_cpus=0.5)
-def _copy_batch(src_root: str, dst_root: str, items: list) -> int:
-    n = 0
+def _copy_batch(src_root: str, dst_root: str, items: list) -> list:
+    """Copy/hardlink a batch of files; returns (rel, md5 | None) per
+    file — None for hardlinked files (their content hash is inherited
+    from the previous snapshot's manifest, so incremental cost stays
+    ∝ new segments)."""
+    out = []
     for rel, link_src in items:
         dst = os.path.join(dst_root, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         if link_src is not None:
             try:
                 os.link(link_src, dst)
-                n += 1
+                out.append((rel, None))
                 continue
             except OSError:
                 pass  # cross-device / fs without hardlinks: fall through
         shutil.copy2(os.path.join(src_root, rel), dst)
-        n += 1
-    return n
+        out.append((rel, _file_md5(dst)))
+    return out
 
 
 def _latest_snapshot(backups_root: str) -> str | None:
@@ -76,6 +98,7 @@ def _latest_snapshot(backups_root: str) -> str | None:
         d
         for d in os.listdir(backups_root)
         if d.startswith("snap-")
+        and ".tmp-" not in d  # in-flight staging dirs are not snapshots
         and os.path.isfile(
             os.path.join(backups_root, d, BACKUP_MANIFEST)
         )
@@ -104,17 +127,22 @@ def backup_index(index_dir: str, backups_root: str) -> str:
     files = _walk_files(index_dir)
     prev = _latest_snapshot(backups_root)
     prev_files: dict[str, tuple[int, int]] = {}
+    prev_md5: dict[str, str] = {}
+    prev_taken = 0.0
     if prev:
         with open(os.path.join(prev, BACKUP_MANIFEST)) as f:
-            prev_files = {
-                e["rel"]: (e["size"], e["mtime_ns"])
-                for e in json.load(f)["files"]
-            }
+            pm = json.load(f)
+        prev_taken = float(pm.get("taken_at", 0.0))
+        for e in pm["files"]:
+            prev_files[e["rel"]] = (e["size"], e["mtime_ns"])
+            if e.get("md5"):
+                prev_md5[e["rel"]] = e["md5"]
 
     os.makedirs(backups_root, exist_ok=True)
-    tmp = snap + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
+    # unique staging dir: two concurrent backup_index calls for the
+    # same fingerprint each stage privately; the loser of the final
+    # rename discards its staging and returns the winner's snapshot
+    tmp = tempfile.mkdtemp(prefix=f"snap-{fp}.tmp-", dir=backups_root)
 
     items = []
     linked = 0
@@ -128,32 +156,67 @@ def backup_index(index_dir: str, backups_root: str) -> str:
         _copy_batch.remote(index_dir, tmp, items[i : i + _COPY_BATCH])
         for i in range(0, len(items), _COPY_BATCH)
     ]
-    copied = sum(ray.get(refs))
-    assert copied == len(files)
+    md5s: dict[str, str | None] = {}
+    for batch in ray.get(refs):
+        md5s.update(dict(batch))
+    assert len(md5s) == len(files)
+    # hardlinked files inherit the previous snapshot's content hash
+    # (immutability invariant); hash in-place only for legacy prev
+    # manifests that predate content hashes
+    legacy = [r for r, h in md5s.items() if h is None and r not in prev_md5]
+    for batch in ray.get(
+        [
+            _hash_batch.remote(tmp, legacy[i : i + _COPY_BATCH])
+            for i in range(0, len(legacy), _COPY_BATCH)
+        ]
+    ):
+        md5s.update(dict(batch))
+    for rel, h in md5s.items():
+        if h is None:
+            md5s[rel] = prev_md5[rel]
 
     manifest = {
         "fingerprint": fp,
         "engine_version": ENGINE_VERSION,
-        "taken_at": time.time(),
+        # monotonic past the previous snapshot even if the wall clock
+        # stepped backwards (ordering key for _latest_snapshot)
+        "taken_at": max(time.time(), prev_taken + 1e-6),
         "source": os.path.abspath(index_dir),
         "n_files": len(files),
         "n_hardlinked": linked,
         "files": [
-            {"rel": r, "size": s, "mtime_ns": m} for r, s, m in files
+            {"rel": r, "size": s, "mtime_ns": m, "md5": md5s[r]}
+            for r, s, m in files
         ],
     }
     with open(os.path.join(tmp, BACKUP_MANIFEST), "w") as f:
         json.dump(manifest, f)
-    os.rename(tmp, snap)
+    try:
+        os.rename(tmp, snap)
+    except OSError:
+        # a concurrent backup of the same fingerprint won the rename:
+        # keep its (complete, manifest-bearing) snapshot, drop ours
+        if not os.path.isfile(os.path.join(snap, BACKUP_MANIFEST)):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     return snap
 
 
-def verify_backup(snap_dir: str) -> dict:
+def verify_backup(snap_dir: str, deep: bool = True) -> dict:
     """fsck a snapshot: returns {'ok': bool, 'missing': [...],
-    'size_mismatch': [...], 'stray': [...]}."""
+    'size_mismatch': [...], 'hash_mismatch': [...], 'stray': [...]}.
+
+    ``deep=True`` re-hashes every file against the manifest's recorded
+    content md5 (fanned out as Ray tasks), so same-size corruption —
+    bit flips, truncate+pad, a wrong-content hardlink — fails fsck
+    instead of slipping through a size-only check. ``deep=False`` is
+    the metadata-only walk (size + presence)."""
     with open(os.path.join(snap_dir, BACKUP_MANIFEST)) as f:
         manifest = json.load(f)
     want = {e["rel"]: e["size"] for e in manifest["files"]}
+    want_md5 = {
+        e["rel"]: e["md5"] for e in manifest["files"] if e.get("md5")
+    }
     have = {
         rel: size
         for rel, size, _mt in _walk_files(snap_dir)
@@ -164,10 +227,27 @@ def verify_backup(snap_dir: str) -> dict:
     mismatch = sorted(
         r for r in set(want) & set(have) if want[r] != have[r]
     )
+    hash_mismatch: list[str] = []
+    if deep:
+        to_hash = sorted(
+            r for r in set(want_md5) & set(have) if r not in mismatch
+        )
+        got: dict[str, str] = {}
+        for batch in ray.get(
+            [
+                _hash_batch.remote(snap_dir, to_hash[i : i + _COPY_BATCH])
+                for i in range(0, len(to_hash), _COPY_BATCH)
+            ]
+        ):
+            got.update(dict(batch))
+        hash_mismatch = sorted(
+            r for r in to_hash if got[r] != want_md5[r]
+        )
     return {
-        "ok": not (missing or stray or mismatch),
+        "ok": not (missing or stray or mismatch or hash_mismatch),
         "missing": missing,
         "size_mismatch": mismatch,
+        "hash_mismatch": hash_mismatch,
         "stray": stray,
     }
 

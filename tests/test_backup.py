@@ -83,3 +83,58 @@ def test_verify_catches_corruption(tmp_path, ray_session):
     except RuntimeError:
         pass
     assert not os.path.exists(str(tmp_path / "nope"))
+
+
+def test_verify_catches_same_size_corruption(tmp_path, ray_session):
+    """Size-only fsck misses bit flips; the manifest's per-file content
+    md5 must catch a same-length overwrite (round-4 ADVICE)."""
+    paths = _fresh_index(tmp_path)
+    snap = backup_index(paths.root, str(tmp_path / "backups"))
+    m = json.load(open(os.path.join(snap, BACKUP_MANIFEST)))
+    assert all(e.get("md5") for e in m["files"])
+    victim = os.path.join(snap, m["files"][0]["rel"])
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF  # same size, different content
+    open(victim, "wb").write(bytes(blob))
+    chk = verify_backup(snap)
+    assert not chk["ok"]
+    assert chk["hash_mismatch"] == [m["files"][0]["rel"]]
+    assert not chk["size_mismatch"]
+    # the metadata-only walk stays blind to it, by design
+    assert verify_backup(snap, deep=False)["ok"]
+    try:
+        restore_index(snap, str(tmp_path / "nope"))
+        raise AssertionError("restore should refuse a corrupt snapshot")
+    except RuntimeError:
+        pass
+
+
+def test_incremental_snapshot_inherits_hashes(tmp_path, ray_session):
+    """Hardlinked files must carry the previous snapshot's content md5
+    (no re-hash of unchanged segments) and still deep-fsck green."""
+    paths = _fresh_index(tmp_path)
+    snaps = str(tmp_path / "backups")
+    s1 = backup_index(paths.root, snaps)
+    m1 = json.load(open(os.path.join(s1, BACKUP_MANIFEST)))
+    top = InvertedIndex(paths.root, preload=True).search("scan", k=1)
+    delete_docs(paths.root, [top[0][0]])
+    s2 = backup_index(paths.root, snaps)
+    m2 = json.load(open(os.path.join(s2, BACKUP_MANIFEST)))
+    h1 = {e["rel"]: e["md5"] for e in m1["files"]}
+    shared = [e for e in m2["files"] if e["rel"] in h1]
+    assert shared and all(e["md5"] == h1[e["rel"]] for e in shared)
+    assert verify_backup(s2)["ok"]
+
+
+def test_no_tmp_staging_left_behind(tmp_path, ray_session):
+    """backup_index stages into a unique tmp dir and renames into
+    place; nothing *.tmp-* survives, and _latest_snapshot never
+    returns one."""
+    from harvester_ray.state.backup import _latest_snapshot
+
+    paths = _fresh_index(tmp_path)
+    snaps = str(tmp_path / "backups")
+    snap = backup_index(paths.root, snaps)
+    leftovers = [d for d in os.listdir(snaps) if ".tmp-" in d]
+    assert leftovers == []
+    assert _latest_snapshot(snaps) == snap

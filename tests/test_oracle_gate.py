@@ -167,3 +167,42 @@ def test_driver_window_spans_families():
     assert late_oracled == [], (
         f"oracled entries after the rows-only family: {late_oracled}"
     )
+
+
+def test_value_outliers_wide_domain_matches_hugeint_twin(
+    tmp_path, ray_session
+):
+    """A value domain whose r4 fixed-point sums overflow int64 used to
+    raise NotImplementedError; value_outliers now falls back to exact
+    arbitrary-precision arithmetic per batch and must stay
+    bit-identical to the DuckDB HUGEINT oracle (round-4 VERDICT task
+    4). The crafted domain trips BOTH wide paths: the per-batch sumsq
+    AND the per-row |vfp*n - s| product."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.pipelines.oracles import VALUE_OUTLIERS
+    from harvester_ray.pipelines.relational import value_outliers
+
+    rng = np.random.RandomState(5)
+    n = 100
+    vals = rng.uniform(0.9e10, 1.1e10, size=n)
+    vals[7] = 5.0e12  # the outlier; vfp*n ~ 5e18 > 2^62
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = _canon(value_outliers(str(tmp_path)).to_pandas())
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = _canon(c.execute(VALUE_OUTLIERS).fetchdf())
+    assert len(got) >= 1  # the planted outlier is flagged
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -367,3 +367,180 @@ def test_kmeans_matches_numpy_lloyd(ray_session):
     assert (got["vec_id"].to_numpy() == vid).all()
     assert (got["cluster"].to_numpy() == want_c).all()
     assert (got["dist"].to_numpy() == want_d).all()
+
+
+def test_embedding_gram_wide_domain_autoscales(tmp_path, ray_session):
+    """A wide value domain (components ~1e6) used to raise
+    NotImplementedError; embedding_gram now probes (n_rows, max|v|),
+    derives a coarser power-of-10 fixed point, and must stay
+    bit-identical to the DuckDB HUGEINT twin built with the SAME
+    derived constant (round-4 VERDICT task 4)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.pipelines.oracles import _embedding_gram_sql
+    from harvester_ray.stages.similarity import (
+        GRAM_FP,
+        _derive_gram_fp,
+        embedding_gram,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d = 120, 6
+    E = (rng.randn(n, d) * 4e5).round(3)
+    E[0, 0] = 1.0e6  # pin the max
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    E.tolist(), pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    # float32 storage: probe sees the float64 of the stored values
+    stored = np.asarray(
+        pq.read_table(str(tmp_path / "embeddings.parquet"))[
+            "embedding"
+        ].to_pylist(),
+        dtype=np.float64,
+    )
+    derived = _derive_gram_fp(n, float(np.abs(stored).max()))
+    assert 1 <= derived < GRAM_FP  # genuinely rescaled, not the default
+
+    got = (
+        embedding_gram(str(tmp_path))
+        .to_pandas()
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    want = (
+        con.execute(_embedding_gram_sql(derived))
+        .fetchdf()
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == d * (d + 1) // 2 == len(want)
+    assert (got["gram_fp"].to_numpy() == want["gram_fp"].to_numpy()).all()
+
+
+def test_embedding_gram_unit_domain_keeps_default_scale(ray_session):
+    """The gate corpus is unit-scale: the derived constant must equal
+    GRAM_FP so the static DuckDB oracle stays green."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.similarity import GRAM_FP, _derive_gram_fp
+    from tests.conftest import SF_SMOKE
+
+    E = np.asarray(
+        pq.read_table(
+            SF_SMOKE + "/embeddings.parquet", columns=["embedding"]
+        )["embedding"].to_pylist(),
+        dtype=np.float64,
+    )
+    assert _derive_gram_fp(len(E), float(np.abs(E).max())) == GRAM_FP
+
+
+def test_kmeans_guards_overflow_and_empty_batches(ray_session):
+    """_kmeans_fp_partials must (a) early-return a typed empty table on
+    zero-row blocks (np.asarray([]) is 1-D) and (b) raise loudly when
+    the int64 distance key would wrap (round-4 ADVICE)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from harvester_ray.stages.similarity import (
+        KMEANS_K,
+        _kmeans_fp_partials,
+    )
+
+    C = np.ones((KMEANS_K, 4), dtype=np.int64)
+    cids = np.arange(KMEANS_K, dtype=np.int64)
+    fn = _kmeans_fp_partials(C, cids)
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    out = fn(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["cluster", "dim", "n", "s"]
+
+    huge = pa.table(
+        {
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array(
+                [[1.0e12] * 4], pa.list_(pa.float32())
+            ),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        fn(huge)
+
+
+def test_gram_and_centroid_partials_handle_empty_batches(
+    tmp_path, ray_session
+):
+    """embedding_gram / label_centroids over a parquet containing an
+    EMPTY row group must not crash (the fp.shape[1] IndexError of
+    round-4 ADVICE) and must equal the dense-file result."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.similarity import (
+        embedding_gram,
+        label_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    n, d = 40, 4
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                rng.randn(n, d).round(3).tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                (np.arange(n, dtype=np.int64) % 3)
+            ),
+        }
+    )
+    dense = tmp_path / "dense"
+    holey = tmp_path / "holey"
+    dense.mkdir()
+    holey.mkdir()
+    pq.write_table(tbl, str(dense / "embeddings.parquet"))
+    w = pq.ParquetWriter(
+        str(holey / "embeddings.parquet"), tbl.schema
+    )
+    w.write_table(tbl.slice(0, 0))  # empty row group up front
+    w.write_table(tbl)
+    w.close()
+
+    for fn in (embedding_gram, label_centroids):
+        a = (
+            fn(str(dense))
+            .to_pandas()
+            .sort_values(list(fn(str(dense)).schema().names[:2]))
+            .reset_index(drop=True)
+        )
+        b = (
+            fn(str(holey))
+            .to_pandas()
+            .sort_values(list(a.columns[:2]))
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
