@@ -446,6 +446,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # incremental re-crawl sync: lineage-detected shard change ->
         # upsert -> compaction; rank parity with full rebuild (pytest)
         "pages_recrawl_sync": pages.pages_recrawl_sync,
+        # the ingest-count threshold rail's delta report (reference
+        # check_ingestion_counts analog; abort path pinned in pytest)
+        "recrawl_ingest_counts": pages.recrawl_ingest_counts,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dup": dedup.simhash_near_dup,

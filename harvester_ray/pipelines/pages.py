@@ -568,6 +568,155 @@ def latest_snapshot(pages: "ray.data.Dataset") -> "ray.data.Dataset":
     return kept.union(resolved)
 
 
+# --- ingest-count threshold guard ---------------------------------------
+# The reference refuses to finish an ingest whose delta is implausibly
+# large: run_ingest.py:146-149 runs check_ingestion_counts after
+# save/delete, against per-collection thresholds
+# (collection_registry_client.py:133-137 — added/changed/deleted =
+# 100000/100000/1000). A bad source overwrite (empty re-crawl, wrong
+# shard) would otherwise silently rebuild the index; the sync loop here
+# applies the same rail BEFORE the shard overwrite, so a refused delta
+# leaves shard and index byte-identical.
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IngestThresholds:
+    added: int = 100_000
+    changed: int = 100_000
+    deleted: int = 1_000
+
+
+DEFAULT_INGEST_THRESHOLDS = IngestThresholds()
+
+
+class IngestThresholdExceeded(RuntimeError):
+    """Typed refusal: which counters tripped, their values, and the
+    configured thresholds (the reference's check_ingestion_counts
+    failure mode)."""
+
+    def __init__(self, reasons: list[str], counts: dict, thresholds):
+        self.reasons = list(reasons)
+        self.counts = dict(counts)
+        self.thresholds = thresholds
+        super().__init__(
+            "ingest delta exceeds thresholds: "
+            + ", ".join(
+                f"{r}={counts[r]} > {getattr(thresholds, r)}"
+                for r in reasons
+            )
+        )
+
+
+def ingest_delta_counts(
+    old_pages: "ray.data.Dataset", new_pages: "ray.data.Dataset"
+) -> dict[str, int]:
+    """{'added': n, 'changed': n, 'deleted': n} between two one-row-
+    per-url pages tables, keyed by url with content compared by
+    hash64(html).
+
+    Scale shape: each side projects to (url, content-hash, side) —
+    the html payload never shuffles — then one url-keyed groupby
+    classifies and per-batch partial sums fold to THREE scalars on
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    from harvester_ray.functions.text import hash64_bytes
+
+    def sig(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            h = [hash64_bytes(v.as_py() or b"") for v in t["html"]]
+            return pa.table(
+                {
+                    "url": t["url"].cast(pa.string()),
+                    "h": pa.array(h, pa.int64()),
+                    "side": pa.array([side] * t.num_rows, pa.int64()),
+                }
+            )
+
+        return fn
+
+    both = old_pages.map_batches(sig(0), batch_format="pyarrow").union(
+        new_pages.map_batches(sig(1), batch_format="pyarrow")
+    )
+
+    def classify(g: pa.Table) -> pa.Table:
+        sides = set(g["side"].to_pylist())
+        added = int(sides == {1})
+        deleted = int(sides == {0})
+        changed = int(
+            sides == {0, 1} and len(set(g["h"].to_pylist())) > 1
+        )
+        return pa.table(
+            {
+                "added": pa.array([added], pa.int64()),
+                "changed": pa.array([changed], pa.int64()),
+                "deleted": pa.array([deleted], pa.int64()),
+            }
+        )
+
+    agg = (
+        both.groupby("url")
+        .map_groups(classify, batch_format="pyarrow")
+        .aggregate(
+            Sum("added", alias_name="added"),
+            Sum("changed", alias_name="changed"),
+            Sum("deleted", alias_name="deleted"),
+        )
+    )
+    return {k: int(agg[k] or 0) for k in ("added", "changed", "deleted")}
+
+
+def check_ingest_counts(
+    counts: dict[str, int],
+    thresholds: IngestThresholds = DEFAULT_INGEST_THRESHOLDS,
+) -> None:
+    """Raise IngestThresholdExceeded when any counter passes its
+    threshold (reference: check_ingestion_counts)."""
+    reasons = [
+        k
+        for k in ("added", "changed", "deleted")
+        if counts.get(k, 0) > getattr(thresholds, k)
+    ]
+    if reasons:
+        raise IngestThresholdExceeded(reasons, counts, thresholds)
+
+
+def recrawl_ingest_counts(
+    sf_dir: str | None = None, n_pages: int = 500
+) -> pa.Table:
+    """Rows-only gate entry for the threshold rail: the delta report
+    the sync loop checks before overwriting its input shard —
+    (metric, count, threshold, ok) over the deterministic base vs
+    resolved re-crawl corpora. The fixture delta sits far under the
+    reference thresholds, so ok = 1 everywhere; the abort path (index
+    untouched after refusal) is pinned in tests/test_update_pages.py."""
+    base = pages_corpus(n_pages)
+    rc = recrawl_corpus(n_pages)
+    old = ray.data.read_parquet(os.path.join(base, "pages.parquet"))
+    new = latest_snapshot(
+        ray.data.read_parquet(os.path.join(rc, "pages.parquet"))
+    )
+    counts = ingest_delta_counts(old, new)
+    th = DEFAULT_INGEST_THRESHOLDS
+    metrics = ["added", "changed", "deleted"]
+    return pa.table(
+        {
+            "metric": pa.array(metrics, pa.string()),
+            "count": pa.array(
+                [counts[m] for m in metrics], pa.int64()
+            ),
+            "threshold": pa.array(
+                [getattr(th, m) for m in metrics], pa.int64()
+            ),
+            "ok": pa.array(
+                [int(counts[m] <= getattr(th, m)) for m in metrics],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def pages_latest_snapshot(
     sf_dir: str | None = None, n_pages: int = 500
 ) -> "ray.data.Dataset":
@@ -594,7 +743,9 @@ def pages_latest_snapshot(
 
 
 def pages_recrawl_sync(
-    sf_dir: str | None = None, n_pages: int = 500
+    sf_dir: str | None = None,
+    n_pages: int = 500,
+    thresholds: IngestThresholds = DEFAULT_INGEST_THRESHOLDS,
 ) -> "ray.data.Dataset":
     """The reference's incremental sync loop under RE-CRAWL semantics
     (solr_updater.main consumes changed couch docs since the cursor
@@ -603,7 +754,11 @@ def pages_recrawl_sync(
 
       1. base index over the original crawl (update_pages_index);
       2. a re-crawl arrives: latest_snapshot resolves (url, warc_ts)
-         to one newest row per url and OVERWRITES the input shard;
+         to one newest row per url and — after the ingest-count rail
+         clears the added/changed/deleted delta (check_ingest_counts;
+         reference run_ingest.py:146-149) — OVERWRITES the input
+         shard; a refused delta raises IngestThresholdExceeded and
+         leaves shard + index untouched;
       3. update_pages_index re-runs: partition lineage detects the
          changed input fingerprint, re-extracts ONLY that shard, and
          upserts the changed docs (same doc_id = hash64(url), so the
@@ -657,6 +812,18 @@ def pages_recrawl_sync(
     if same:
         os.remove(tmp)
     else:
+        # ingest-count rail BEFORE the overwrite (reference:
+        # check_ingestion_counts, run_ingest.py:146-149): a refused
+        # delta leaves shard, lineage and index byte-identical
+        counts = ingest_delta_counts(
+            ray.data.read_parquet(shard),
+            ray.data.read_parquet(tmp),
+        )
+        try:
+            check_ingest_counts(counts, thresholds)
+        except IngestThresholdExceeded:
+            os.remove(tmp)
+            raise
         os.replace(tmp, shard)
     paths = update_pages_index(input_dir, out_dir, cfg)  # upsert + compact
 

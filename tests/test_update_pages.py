@@ -229,3 +229,79 @@ def test_latest_snapshot_breaks_ts_ties_by_content_hash(
     assert kept.loc[1, "html"] == b"old"
     # u/c: byte-identical full tie still collapses to ONE row
     assert kept.loc[2, "html"] == b"same"
+
+
+def _tree_state(root):
+    """(relpath -> content md5): byte-level state of the work tree.
+    Content, not mtimes — the lineage no-op legitimately rewrites an
+    identical partition manifest."""
+    import hashlib
+
+    out = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def test_recrawl_threshold_abort_leaves_index_unchanged(ray_session):
+    """The ingest-count rail (reference check_ingestion_counts,
+    run_ingest.py:146-149): a delta past the configured thresholds
+    raises a TYPED refusal BEFORE the shard overwrite, so a retry with
+    sane thresholds starts from a byte-identical shard + index."""
+    import shutil
+
+    import pytest
+
+    from harvester_ray.index.build import ENGINE_VERSION
+    from harvester_ray.pipelines.pages import (
+        CACHE_ROOT,
+        IngestThresholds,
+        IngestThresholdExceeded,
+        pages_recrawl_sync,
+    )
+
+    n = 240  # private n_pages -> private work dir, no gate-cache clash
+    work = os.path.join(CACHE_ROOT, f"recrawl_sync_{n}_m1_v{ENGINE_VERSION}")
+    shutil.rmtree(work, ignore_errors=True)
+
+    tight = IngestThresholds(added=100_000, changed=0, deleted=1_000)
+    with pytest.raises(IngestThresholdExceeded) as ei:
+        pages_recrawl_sync(n_pages=n, thresholds=tight)
+    assert "changed" in ei.value.reasons
+    assert ei.value.counts["changed"] > 0
+
+    before = _tree_state(work)
+    assert before  # base build happened before the refusal
+    leftovers = [p for p in before if ".tmp-" in p]
+    assert leftovers == []
+
+    # refusal left everything byte-identical: re-refusing is stable
+    with pytest.raises(IngestThresholdExceeded):
+        pages_recrawl_sync(n_pages=n, thresholds=tight)
+    assert _tree_state(work) == before
+
+    # default thresholds clear the same delta and upsert normally
+    got = pages_recrawl_sync(n_pages=n).to_pandas()
+    assert len(got) > 0
+    assert _tree_state(work) != before
+
+
+def test_recrawl_ingest_counts_report(ray_session):
+    """The gate entry's delta report: fixture deltas are exactly the
+    every-RECRAWL_EVERY-th changed urls, nothing added or deleted, all
+    under the reference thresholds."""
+    from harvester_ray.pipelines.pages import (
+        RECRAWL_EVERY,
+        recrawl_ingest_counts,
+    )
+
+    t = recrawl_ingest_counts(n_pages=200).to_pandas().set_index("metric")
+    assert t.loc["added", "count"] == 0
+    assert t.loc["deleted", "count"] == 0
+    assert t.loc["changed", "count"] == (200 + RECRAWL_EVERY - 1) // RECRAWL_EVERY
+    assert (t["ok"] == 1).all()
