@@ -683,3 +683,48 @@ def test_cluster_labels_join_tiny_graph(ray_session):
         dedup.cluster_labels(_edges_ds([(0, 1), (5, 6)]), force_join=True)
     )
     assert got == {0: 0, 1: 0, 5: 5, 6: 5}
+
+
+def test_cluster_labels_ds_join_path_never_collects(ray_session):
+    """The Dataset-returning CC variant (round-4 VERDICT task 3): the
+    join path must complete WITHOUT a single driver collect — no
+    Dataset.to_pandas / take_all / to_arrow_refs-into-driver anywhere
+    in construction or iteration — and its collected result must equal
+    the pa.Table contract's."""
+    import ray.data
+
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (20, 22)]
+    want = _as_dict(dedup.cluster_labels(_edges_ds(pairs)))
+
+    spy_calls = []
+    orig_tp = ray.data.Dataset.to_pandas
+    orig_ta = ray.data.Dataset.take_all
+
+    def spy_tp(self, *a, **k):
+        spy_calls.append("to_pandas")
+        return orig_tp(self, *a, **k)
+
+    def spy_ta(self, *a, **k):
+        spy_calls.append("take_all")
+        return orig_ta(self, *a, **k)
+
+    ray.data.Dataset.to_pandas = spy_tp
+    ray.data.Dataset.take_all = spy_ta
+    try:
+        # the iteration runs eagerly inside (materialize + scalar sums);
+        # by return time all propagation rounds have executed
+        ds = dedup.cluster_labels_ds(_edges_ds(pairs), force_join=True)
+        assert spy_calls == [], spy_calls
+    finally:
+        ray.data.Dataset.to_pandas = orig_tp
+        ray.data.Dataset.take_all = orig_ta
+
+    got = dict(
+        zip(
+            *(
+                ds.to_pandas()[c].tolist()
+                for c in ("doc_id", "cluster_id")
+            )
+        )
+    )
+    assert got == want
