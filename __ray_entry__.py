@@ -435,6 +435,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
         "multimodal_features": multimodal.multimodal_features,
+        # REAL pixel decode under the gate: synthesized valid PNGs
+        # through the stdlib zlib+unfilter decoder (golden pytest)
+        "png_image_stats": multimodal.png_image_stats,
         # non-SQL-expressible (rows-only driver check; each has a
         # pinned pure-Python golden test in tests/)
         "pages_flagship": pages.pages_flagship,
