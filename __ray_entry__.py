@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _all_queries() -> dict[str, Callable[[str], Any]]:
     from harvester_ray.pipelines import fulltext, pages, relational, weburls
+    from harvester_ray.pipelines.chains import curate_chain as _curate_chain
     from harvester_ray.stages import (
         chunking,
         dedup,
@@ -405,6 +406,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # the full curation sweep composed end to end (quality gate ∩
         # exact-dedup canonical − eval subset − contaminated)
         "curate_corpus": textstats.curate_corpus,
+        # the DECLARATIVE twin: the same four legs composed from the
+        # named-stage registry config (pipelines/chains.py) — same
+        # oracle, so a config-listed chain is provably the pipeline
+        "curate_chain": _curate_chain,
         # url axis: general canonicalizer gated against a closed-form
         # SQL rebuild of the same deterministic messy urls
         "url_canonical": weburls.url_canonical,
@@ -617,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": oracles.GOPHER_FILTER,
         "pii_redact": oracles.PII_REDACT,
         "curate_corpus": oracles.CURATE_CORPUS,
+        "curate_chain": oracles.CURATE_CORPUS,
         "percolate_matches": oracles.PERCOLATE_MATCHES,
         "hits_scores": oracles.HITS_SCORES,
         "url_canonical": oracles.URL_CANONICAL,

@@ -20,6 +20,13 @@ Subcommands:
                   (no retokenize; maintenance.merge_sources)
     query         one interactive query against a built index
     query-batch   evaluate a parquet query table through the actor pool
+    snapshot      back up an index commit point (hardlink-incremental)
+    snapshots     list snapshots under a backups root
+    restore       restore a snapshot (or the latest) into a fresh dir
+    verify-backup fsck a snapshot (content hashes; exit 1 on damage)
+    curate        run a config-listed named-stage curation chain
+                  (the reference's per-collection enrichment list,
+                  collection_registry_client.py:123-140)
 """
 
 from __future__ import annotations
@@ -29,7 +36,11 @@ import json
 import sys
 
 
+_OWNS_SESSION = False
+
+
 def _ray_session():
+    global _OWNS_SESSION
     import ray
 
     if not ray.is_initialized():
@@ -39,10 +50,20 @@ def _ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        _OWNS_SESSION = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
     return ray
+
+
+def _maybe_shutdown(ray) -> None:
+    """Shut down only a session this CLI opened — never a caller's
+    (tests drive main() under a shared session-scoped fixture)."""
+    global _OWNS_SESSION
+    if _OWNS_SESSION:
+        ray.shutdown()
+        _OWNS_SESSION = False
 
 
 def _cfg(args) -> "IndexConfig":
@@ -69,7 +90,7 @@ def cmd_build(args) -> int:
     )
     with open(paths.stats) as f:
         print(json.dumps({"index": paths.root, **json.load(f)}))
-    ray.shutdown()
+    _maybe_shutdown(ray)
     return 0
 
 
@@ -80,7 +101,7 @@ def cmd_build_pages(args) -> int:
     paths = build_pages_index(args.pages, args.out, _cfg(args))
     with open(paths.stats) as f:
         print(json.dumps({"index": paths.root, **json.load(f)}))
-    ray.shutdown()
+    _maybe_shutdown(ray)
     return 0
 
 
@@ -91,7 +112,7 @@ def cmd_update_pages(args) -> int:
     paths = update_pages_index(args.pages, args.out, _cfg(args))
     with open(paths.stats) as f:
         print(json.dumps({"index": paths.root, **json.load(f)}))
-    ray.shutdown()
+    _maybe_shutdown(ray)
     return 0
 
 
@@ -106,7 +127,7 @@ def cmd_add(args) -> int:
     paths = fn(args.index, docs)
     with open(paths.stats) as f:
         print(json.dumps({"delta": paths.root, **json.load(f)}))
-    ray.shutdown()
+    _maybe_shutdown(ray)
     return 0
 
 
@@ -126,7 +147,7 @@ def cmd_merge(args) -> int:
     paths = merge_sources(args.index, args.out)
     with open(paths.stats) as f:
         print(json.dumps({"index": paths.root, **json.load(f)}))
-    ray.shutdown()
+    _maybe_shutdown(ray)
     return 0
 
 
@@ -208,7 +229,109 @@ def cmd_query_batch(args) -> int:
     )
     out.write_parquet(args.out)
     print(json.dumps({"results": args.out, "rows": out.count()}))
-    ray.shutdown()
+    _maybe_shutdown(ray)
+    return 0
+
+
+def cmd_snapshot(args) -> int:
+    ray = _ray_session()
+    import os
+
+    from harvester_ray.state.backup import BACKUP_MANIFEST, backup_index
+
+    snap = backup_index(args.index, args.backups)
+    with open(os.path.join(snap, BACKUP_MANIFEST)) as f:
+        m = json.load(f)
+    print(
+        json.dumps(
+            {
+                "snapshot": snap,
+                "n_files": m["n_files"],
+                "n_hardlinked": m["n_hardlinked"],
+                "fingerprint": m["fingerprint"],
+            }
+        )
+    )
+    _maybe_shutdown(ray)
+    return 0
+
+
+def cmd_snapshots(args) -> int:
+    import os
+
+    from harvester_ray.state.backup import BACKUP_MANIFEST
+
+    root = args.backups
+    rows = []
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            mp = os.path.join(root, d, BACKUP_MANIFEST)
+            if d.startswith("snap-") and ".tmp-" not in d and os.path.isfile(mp):
+                with open(mp) as f:
+                    m = json.load(f)
+                rows.append(
+                    {
+                        "snapshot": d,
+                        "taken_at": m["taken_at"],
+                        "n_files": m["n_files"],
+                        "source": m["source"],
+                    }
+                )
+    rows.sort(key=lambda r: r["taken_at"])
+    for r in rows:
+        print(json.dumps(r))
+    print(json.dumps({"n_snapshots": len(rows)}))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    ray = _ray_session()
+    from harvester_ray.state.backup import _latest_snapshot, restore_index
+
+    snap = args.snapshot or _latest_snapshot(args.backups or "")
+    if not snap:
+        print(json.dumps({"error": "no snapshot given and none found"}))
+        return 2
+    dest = restore_index(snap, args.dest)
+    print(json.dumps({"restored": dest, "snapshot": snap}))
+    _maybe_shutdown(ray)
+    return 0
+
+
+def cmd_verify_backup(args) -> int:
+    ray = _ray_session()
+    from harvester_ray.state.backup import verify_backup
+
+    report = verify_backup(args.snapshot, deep=not args.shallow)
+    print(json.dumps(report))
+    _maybe_shutdown(ray)
+    return 0 if report["ok"] else 1
+
+
+def cmd_curate(args) -> int:
+    ray = _ray_session()
+    from harvester_ray.pipelines.chains import (
+        CURATE_CHAIN,
+        compose_chain,
+        load_chain_config,
+    )
+
+    chain = load_chain_config(args.chain) if args.chain else CURATE_CHAIN
+    out = compose_chain(args.sf_dir, chain)
+    out.write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "rows": out.count(),
+                "chain": [
+                    c if isinstance(c, str) else c.get("stage")
+                    for c in chain
+                ],
+            }
+        )
+    )
+    _maybe_shutdown(ray)
     return 0
 
 
@@ -292,6 +415,45 @@ def main(argv: list[str] | None = None) -> int:
     qb.add_argument("--k", type=int, default=10)
     qb.add_argument("--concurrency", type=int, default=2)
     qb.set_defaults(fn=cmd_query_batch)
+
+    s = sub.add_parser(
+        "snapshot", help="back up an index commit point (incremental)"
+    )
+    s.add_argument("--index", required=True)
+    s.add_argument("--backups", required=True)
+    s.set_defaults(fn=cmd_snapshot)
+
+    sl = sub.add_parser("snapshots", help="list snapshots under a root")
+    sl.add_argument("--backups", required=True)
+    sl.set_defaults(fn=cmd_snapshots)
+
+    r = sub.add_parser(
+        "restore", help="restore a snapshot (default: latest) into dest"
+    )
+    r.add_argument("--snapshot", default=None)
+    r.add_argument("--backups", default=None,
+                   help="backups root (picks the latest snapshot)")
+    r.add_argument("--dest", required=True)
+    r.set_defaults(fn=cmd_restore)
+
+    vb = sub.add_parser(
+        "verify-backup",
+        help="fsck a snapshot (content hashes; exit 1 on damage)",
+    )
+    vb.add_argument("--snapshot", required=True)
+    vb.add_argument("--shallow", action="store_true",
+                    help="metadata-only walk (skip content re-hash)")
+    vb.set_defaults(fn=cmd_verify_backup)
+
+    c = sub.add_parser(
+        "curate",
+        help="run a config-listed named-stage curation chain",
+    )
+    c.add_argument("--sf-dir", required=True, dest="sf_dir")
+    c.add_argument("--out", required=True)
+    c.add_argument("--chain", default=None,
+                   help="JSON chain config (default: the curate sweep)")
+    c.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)
