@@ -6,6 +6,12 @@ compares row count, schema (column names) and an order-insensitive
 value hash (values rounded-stringified, rows sorted).
 
 Usage: python scripts/check_correctness.py [sf_dir] [name ...]
+
+Per-entry time budget: the external driver records only what fits its
+window, so a single slow entry is a coverage regression even when
+correct. Entries over GATE_SOFT_BUDGET seconds are flagged in the log;
+any entry over GATE_HARD_BUDGET fails the gate (tunable via the
+HR_GATE_SOFT_BUDGET / HR_GATE_HARD_BUDGET env vars).
 """
 
 from __future__ import annotations
@@ -20,6 +26,12 @@ import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# seconds per entry: soft = flagged in the log, hard = gate failure.
+# The slowest healthy entry in the round-4 judge run was 2.7 s at
+# sf0.01/8cpu; 10 s of headroom separates noise from regression.
+GATE_SOFT_BUDGET = float(os.environ.get("HR_GATE_SOFT_BUDGET", "10"))
+GATE_HARD_BUDGET = float(os.environ.get("HR_GATE_HARD_BUDGET", "45"))
 
 
 def to_pandas(res) -> pd.DataFrame:
@@ -110,6 +122,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     n_pass = n_fail = 0
+    over_soft: list[tuple[str, float]] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -121,6 +134,20 @@ def main():
             n_fail += 1
             continue
         dt = time.time() - t0
+        if dt > GATE_HARD_BUDGET:
+            print(
+                f"FAIL {name}: {dt:.1f}s exceeds the hard per-entry "
+                f"budget ({GATE_HARD_BUDGET:.0f}s) — would starve the "
+                "driver's window"
+            )
+            n_fail += 1
+            continue
+        if dt > GATE_SOFT_BUDGET:
+            over_soft.append((name, dt))
+            print(
+                f"SLOW {name}: {dt:.1f}s over the soft budget "
+                f"({GATE_SOFT_BUDGET:.0f}s)"
+            )
         if name not in sqls:
             print(f"ok   {name}: rows-only ({len(mine)} rows, {dt:.1f}s)")
             n_pass += 1
@@ -143,7 +170,14 @@ def main():
         else:
             print(f"PASS {name} ({len(mine)} rows, {dt:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    if over_soft:
+        worst = ", ".join(f"{n}={t:.1f}s" for n, t in over_soft)
+        print(f"\nbudget: {len(over_soft)} over soft {GATE_SOFT_BUDGET:.0f}s "
+              f"(hard {GATE_HARD_BUDGET:.0f}s): {worst}")
+    else:
+        print(f"\nbudget: all entries under the soft "
+              f"{GATE_SOFT_BUDGET:.0f}s per-entry budget")
+    print(f"{n_pass} pass, {n_fail} fail")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
