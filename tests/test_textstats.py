@@ -191,14 +191,15 @@ def test_token_counts_matches_duckdb_oracle_on_punctuation(
 
 
 def test_default_decoder_autoselect_and_real_guard():
-    """default_decoder() picks FakeDecoder when PIL is absent and
-    RealDecoder when present; RealDecoder without PIL raises the
+    """default_decoder() picks the stdlib-PNG real-pixel decoder when
+    PIL is absent (round-5: actual decode, not the byte-stats fake)
+    and RealDecoder when present; RealDecoder without PIL raises the
     documented NotImplementedError; schemas are identical."""
     from harvester_ray.stages import multimodal
 
     cls = multimodal.default_decoder()
     if multimodal._PILImage is None:
-        assert cls is multimodal.FakeDecoder
+        assert cls is multimodal.StdlibPngDecoder
         import pytest as _pytest
 
         with _pytest.raises(NotImplementedError):
