@@ -172,7 +172,10 @@ class _TermBlocks:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         bufs = col.buffers()
-        off = np.frombuffer(bufs[1], dtype=np.int32)
+        off_dtype = (
+            np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        )
+        off = np.frombuffer(bufs[1], dtype=off_dtype)
         lo = int(off[col.offset])
         hi = int(off[col.offset + len(col)])
         return bufs[2].slice(lo, hi - lo).to_pybytes()
@@ -489,14 +492,21 @@ class InvertedIndex:
     def _preload_segments(self) -> None:
         """Bulk load: ONE lexsort + take per source, then zero-copy
         binary slices per term run — the pandas-groupby constructor
-        cost ~10 s on 1.6 M block rows at 2 M docs. (Arrow binary
-        columns are int32-offset: a source whose block buffers exceed
-        2 GB per column should be served lazily or sharded, not
-        preloaded into one process.)"""
+        cost ~10 s on 1.6 M block rows at 2 M docs. Block-buffer
+        columns are cast to LARGE (int64-offset) binary first: past
+        ~2 GB per column per source (hit at the 20 M-doc soak) the
+        int32-offset take/combine would overflow while concatenating."""
         for si, ds in enumerate(self._seg_ds):
             seg = ds.to_table()
             if "term_id" not in seg.column_names or len(seg) == 0:
                 continue
+            for name in ("doc_id_deltas", "tfs", "doc_lens"):
+                i = seg.column_names.index(name)
+                seg = seg.set_column(
+                    i,
+                    name,
+                    seg[name].cast(pa.large_binary()),
+                )
             tid = seg["term_id"].to_numpy(zero_copy_only=False)
             first = seg["first_doc_id"].to_numpy(zero_copy_only=False)
             order = np.lexsort((first, tid))
