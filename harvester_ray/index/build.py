@@ -39,6 +39,7 @@ Key design points for 100 TB scale:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -69,6 +70,9 @@ ENGINE_VERSION = 4  # v4: stats.json records num_term_buckets (term-shard tier)
 # Map signed int64 order onto unsigned order (flip the sign bit), so
 # salt buckets are *ordered, disjoint* doc_id ranges in signed order.
 _SIGN_FLIP = np.uint64(1) << np.uint64(63)
+# driver-side merge guard: tables under this land on the driver, larger
+# ones take the distributed path (doc-table validation, chunk bounds)
+_DRIVER_MERGE_BYTES = 256 * 1024 * 1024
 
 
 @dataclass(frozen=True)
@@ -509,21 +513,140 @@ def _atomic_side_write(
     os.replace(tmp, final)
 
 
-def _chunk_signed_range(chunk: int, n_chunks: int) -> tuple[int, int]:
-    """Inclusive signed-doc_id range of doc chunk ``chunk`` of
-    ``n_chunks`` (chunk = top log2(n_chunks) bits of sign-flipped
-    doc_id). Sign-flip is monotonic int64→uint64, so each chunk IS a
-    contiguous signed range — which makes chunk membership expressible
-    as a parquet range filter that row-group statistics can prune."""
-    shift = 64 - int(math.log2(n_chunks))
-    u_lo = chunk << shift
-    u_hi = ((chunk + 1) << shift) - 1
+# --- doc-chunk boundaries -------------------------------------------------
+# A doc chunk is a CONTIGUOUS signed doc_id range: that property is
+# load-bearing (per-term runs from different chunks are disjoint
+# ordered ranges that merge at query load, and chunk membership is a
+# parquet range filter that row-group statistics prune). Boundaries
+# are DATA-DERIVED near-equal-count quantiles of the corpus's actual
+# doc_ids, persisted in stats.json as ``chunk_bounds`` (the inclusive
+# upper doc_id edge of chunks 0..S-2) — fixed top-bit ranges of the
+# int64 space degenerate completely for sequential ids 0..N (every doc
+# lands in ONE chunk, found by the 20 M-doc soak). Indexes built
+# before ``chunk_bounds`` fall back to the legacy top-bit edges, which
+# reproduce the old assignment bit for bit.
 
-    def signed(u: int) -> int:
-        v = u ^ (1 << 63)
-        return v - (1 << 64) if v >= (1 << 63) else v
+_INT64_MIN = -(1 << 63)
+_INT64_MAX = (1 << 63) - 1
 
-    return signed(u_lo), signed(u_hi)
+
+def legacy_chunk_bounds(n_chunks: int) -> np.ndarray:
+    """The pre-round-5 fixed edges: chunk = top log2(S) bits of
+    sign-flipped doc_id, expressed as inclusive upper bounds."""
+    shift = np.uint64(64 - int(math.log2(n_chunks)))
+    u = (
+        np.arange(1, n_chunks, dtype=np.uint64) << shift
+    ) - np.uint64(1)
+    return (u ^ _SIGN_FLIP).view(np.int64)
+
+
+def chunk_of_ids(ids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Chunk index per doc_id under inclusive-upper-edge bounds."""
+    return np.searchsorted(
+        bounds, np.asarray(ids, dtype=np.int64), side="left"
+    ).astype(np.int64)
+
+
+def _chunk_signed_range(chunk: int, bounds: np.ndarray) -> tuple[int, int]:
+    """Inclusive signed-doc_id range of doc chunk ``chunk`` under
+    ``bounds`` (len S-1 inclusive upper edges)."""
+    lo = _INT64_MIN if chunk == 0 else int(bounds[chunk - 1]) + 1
+    hi = _INT64_MAX if chunk >= len(bounds) else int(bounds[chunk])
+    return lo, hi
+
+
+def compute_chunk_bounds(doc_table_dir: str, n_chunks: int) -> list[int]:
+    """Near-equal-count doc-chunk boundaries from the written doc
+    table. Deterministic and order-independent. Under the driver merge
+    guard: exact rank quantiles of the (unique) doc_ids. Beyond it: a
+    distributed equal-width histogram — 65 536 cells spanning the
+    observed [min, max] — folded by a (cell)-keyed groupby, so at most
+    65 536 rows ever reach the driver; boundaries land on cell edges
+    (balance within cell granularity, correctness unconditional: ANY
+    consistent bounds give a valid index layout)."""
+    import pyarrow.parquet as pq
+
+    files = [
+        f for f in sorted(os.listdir(doc_table_dir))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return [int(b) for b in legacy_chunk_bounds(n_chunks)]
+    total_bytes = sum(
+        os.path.getsize(os.path.join(doc_table_dir, f)) for f in files
+    )
+    if total_bytes <= _DRIVER_MERGE_BYTES:
+        ids = np.sort(
+            pq.read_table(doc_table_dir, columns=["doc_id"])[
+                "doc_id"
+            ].to_numpy()
+        )
+        n = len(ids)
+        if n < n_chunks:
+            return [int(b) for b in legacy_chunk_bounds(n_chunks)]
+        bounds = [
+            int(ids[(c + 1) * n // n_chunks - 1])
+            for c in range(n_chunks - 1)
+        ]
+    else:
+        from ray.data.aggregate import Max, Min, Sum
+
+        ds = ray.data.read_parquet(doc_table_dir, columns=["doc_id"])
+        mm = ds.aggregate(
+            Min("doc_id", alias_name="lo"), Max("doc_id", alias_name="hi")
+        )
+        lo, hi = int(mm["lo"]), int(mm["hi"])
+        # all arithmetic in the sign-flipped UNSIGNED id space: a
+        # signed (d - lo) wraps int64 when ids span more than half the
+        # domain (hash-spread ids do)
+        lo_u = lo + (1 << 63)  # the sign-flip map as plain arithmetic
+        hi_u = hi + (1 << 63)
+        n_cells = 1 << 16
+        width = max(1, (hi_u - lo_u) // n_cells + 1)
+        lo_u64, w_u64 = np.uint64(lo_u), np.uint64(width)
+
+        def cells(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            du = d.view(np.uint64) ^ _SIGN_FLIP
+            c = ((du - lo_u64) // w_u64).astype(np.int64)
+            uc, cnt = np.unique(c, return_counts=True)
+            return pa.table(
+                {
+                    "cell": pa.array(uc, pa.int64()),
+                    "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(cells, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all()
+        )
+        rows.sort(key=lambda r: int(r["cell"]))
+        cell_ids = np.array([int(r["cell"]) for r in rows], np.int64)
+        cum = np.cumsum([int(r["cnt"]) for r in rows])
+        n = int(cum[-1]) if len(cum) else 0
+        if n < n_chunks:
+            return [int(b) for b in legacy_chunk_bounds(n_chunks)]
+        bounds = []
+        for c in range(n_chunks - 1):
+            target = (c + 1) * n // n_chunks
+            i = int(np.searchsorted(cum, target, side="left"))
+            i = min(i, len(cell_ids) - 1)
+            # inclusive upper edge of the cut cell, back to signed
+            b_u = min(
+                lo_u + (int(cell_ids[i]) + 1) * width - 1, (1 << 64) - 1
+            )
+            bounds.append(b_u - (1 << 63))  # back to signed
+    out: list[int] = []
+    prev = None
+    for b in bounds:  # strictly increasing (empty chunks are legal)
+        if prev is not None and b <= prev:
+            b = prev + 1
+        out.append(min(b, _INT64_MAX - 1))
+        prev = out[-1]
+    return out
 
 
 def make_spimi_with_sides(
@@ -630,8 +753,15 @@ def build_index(
     cfg: IndexConfig = DEFAULT_INDEX_CONFIG,
     n_docs: int | None = None,
     input_fingerprint: str | None = None,
+    chunk_bounds: "list[int] | None" = None,
 ) -> IndexPaths:
     """Run the full build. ``docs`` must have columns (doc_id, text).
+
+    ``chunk_bounds`` (segment_doc_chunks > 1 only): inclusive upper
+    doc_id edges of chunks 0..S-2. Pass the BASE index's persisted
+    bounds when building a delta source so chunk files align across
+    sources (maintenance.add_docs does); omitted, bounds are derived
+    from this corpus's doc_ids (compute_chunk_bounds).
 
     ``n_docs`` (corpus size incl. zero-token docs — it feeds idf and
     avgdl) can be passed when the caller already knows it; otherwise a
@@ -711,7 +841,6 @@ def build_index(
     # Driver-side under the merge guard (the doc table is 2 ints +
     # 1 int32/doc); beyond it the cheap count invariant (rows <=
     # n_docs) plus a Ray aggregate run instead.
-    _DRIVER_MERGE_BYTES = 256 * 1024 * 1024
     doc_bytes = sum(
         os.path.getsize(os.path.join(paths.doc_table, f))
         for f in os.listdir(paths.doc_table)
@@ -742,6 +871,24 @@ def build_index(
             "duplicate doc_ids or an understated n_docs"
         )
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    # doc-chunk boundaries: caller-supplied (delta sources align to
+    # their base) or derived from this corpus's actual doc_ids
+    n_chunks_cfg = max(1, cfg.segment_doc_chunks)
+    if n_chunks_cfg > 1:
+        bounds_arr = np.asarray(
+            chunk_bounds
+            if chunk_bounds is not None
+            else compute_chunk_bounds(paths.doc_table, n_chunks_cfg),
+            dtype=np.int64,
+        )
+        if len(bounds_arr) != n_chunks_cfg - 1:
+            raise ValueError(
+                f"chunk_bounds must have {n_chunks_cfg - 1} edges, "
+                f"got {len(bounds_arr)}"
+            )
+    else:
+        bounds_arr = None
 
     # Stage 2a: dictionary. Bucket strategy: one independent task per
     # term bucket aggregates df/cf straight off that bucket's hive
@@ -837,7 +984,7 @@ def build_index(
         the chunk's doc range, lexsort by (term_id, doc_id), run-split
         encode. No Ray sort/groupby machinery; deterministic block
         layout (the lexsort key is a total order, chunk ranges are
-        fixed functions of doc_id).
+        fixed contiguous doc_id ranges under the persisted bounds).
 
         The chunk fan-out keeps parallelism = buckets x chunks even
         when the vocabulary is tiny or one term is enormous (per-term
@@ -845,8 +992,7 @@ def build_index(
         merge at query load). Memory per task is bounded by the chunk,
         not the bucket."""
         post_root = paths.postings
-        n_chunks = max(1, cfg.segment_doc_chunks)
-        shift = np.uint64(64 - int(math.log2(n_chunks))) if n_chunks > 1 else None
+        n_chunks = n_chunks_cfg
         k1, b_, bs = cfg.bm25.k1, cfg.bm25.b, cfg.block_size
         codec = cfg.codec
 
@@ -866,13 +1012,13 @@ def build_index(
             d = os.path.join(post_root, f"bucket={b}")
             if not os.path.isdir(d):
                 return 0
-            if shift is not None:
+            if bounds_arr is not None:
                 # chunk membership is a contiguous signed doc_id range
                 # (see _chunk_signed_range); the SPIMI side-writes are
                 # doc_id-sorted with sized row groups, so this filter
                 # PRUNES the read by row-group statistics — each chunk
                 # task reads ~1/chunks of the bucket, not all of it
-                lo, hi = _chunk_signed_range(chunk, n_chunks)
+                lo, hi = _chunk_signed_range(chunk, bounds_arr)
                 t = pq.read_table(
                     d,
                     columns=["term", "term_id", "doc_id", "tf", "doc_len"],
@@ -937,11 +1083,16 @@ def build_index(
             .write_parquet(tmp)
         )
 
+    bounds_tag = (
+        hashlib.md5(bounds_arr.tobytes()).hexdigest()[:12]
+        if bounds_arr is not None
+        else "none"
+    )
     seg_params = (
         f"strategy={cfg.segment_strategy},bs={cfg.block_size},"
         f"thr={cfg.salt_df_threshold},buckets={cfg.salt_buckets},"
         f"tbuckets={cfg.num_term_buckets},chunks={cfg.segment_doc_chunks},"
-        f"codec={cfg.codec},"
+        f"bounds={bounds_tag},codec={cfg.codec},"
         f"k1={cfg.bm25.k1},b={cfg.bm25.b},avgdl={avgdl!r}"
     )
 
@@ -981,6 +1132,14 @@ def build_index(
                 "analyzer": cfg.analyzer_name,
                 "segment_strategy": cfg.segment_strategy,
                 "segment_doc_chunks": cfg.segment_doc_chunks,
+                # data-derived doc-chunk edges (see compute_chunk_bounds);
+                # absent on chunks=1 and on pre-round-5 indexes (legacy
+                # top-bit edges apply there)
+                "chunk_bounds": (
+                    [int(x) for x in bounds_arr]
+                    if bounds_arr is not None
+                    else None
+                ),
                 # serving tiers need the bucket count: doc shards select
                 # segment files by chunk suffix, term shards by bucket
                 # prefix (index/sharded.py routes a query term to shard

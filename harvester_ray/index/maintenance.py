@@ -226,8 +226,27 @@ def add_docs(
 
     k = len(delta_dirs(index_dir))
     out = os.path.join(_deltas_dir(index_dir), f"delta-{k:03d}")
+    # chunked bases: the delta MUST reuse the base's persisted doc-chunk
+    # edges so cXX segment files align across sources (a delta deriving
+    # its own bounds from its own doc_ids would shard differently)
+    the_cfg = cfg or DEFAULT_INDEX_CONFIG
+    base_bounds = None
+    if max(1, the_cfg.segment_doc_chunks) > 1:
+        base_stats = _source_stats(source_dirs(index_dir)[0])
+        base_bounds = base_stats.get("chunk_bounds")
+        if base_bounds is None and base_stats.get(
+            "segment_doc_chunks", 1
+        ) > 1:
+            from harvester_ray.index.build import legacy_chunk_bounds
+
+            base_bounds = [
+                int(x)
+                for x in legacy_chunk_bounds(
+                    int(base_stats["segment_doc_chunks"])
+                )
+            ]
     return build_index(
-        docs_ds, out, cfg or DEFAULT_INDEX_CONFIG, n_docs=n_docs
+        docs_ds, out, the_cfg, n_docs=n_docs, chunk_bounds=base_bounds
     )
 
 
@@ -314,7 +333,6 @@ def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
 
     from harvester_ray.index.build import (
         ENGINE_VERSION,
-        _SIGN_FLIP,
         _atomic_side_write,
         _encode_sorted_runs,
     )
@@ -403,9 +421,17 @@ def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
 
     # segment params come from the sources' own stats (asserted equal
     # above), NOT the cfg arg — the merge must reproduce their layout
+    from harvester_ray.index.build import chunk_of_ids, legacy_chunk_bounds
+
     n_chunks = max(1, int(stats[0]["segment_doc_chunks"]))
-    shift = (
-        np.uint64(64 - int(np.log2(n_chunks))) if n_chunks > 1 else None
+    chunk_bounds = (
+        np.asarray(
+            stats[0].get("chunk_bounds")
+            or legacy_chunk_bounds(n_chunks),
+            dtype=np.int64,
+        )
+        if n_chunks > 1
+        else None
     )
     k1 = float(stats[0]["k1"])
     b_ = float(stats[0]["b"])
@@ -458,8 +484,8 @@ def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
         tid_s, did_s = tid[order], did[order]
         tf_s, dl_s = tf[order], dl[order]
         chunk_of = (
-            ((did_s.view(np.uint64) ^ _SIGN_FLIP) >> shift).astype(np.int64)
-            if shift is not None
+            chunk_of_ids(did_s, chunk_bounds)
+            if chunk_bounds is not None
             else np.zeros(len(did_s), np.int64)
         )
         term_col = t["term"].combine_chunks()
@@ -503,6 +529,12 @@ def merge_sources(index_dir: str, out_dir: str) -> IndexPaths:
                 "analyzer": base["analyzer"],
                 "segment_strategy": base["segment_strategy"],
                 "segment_doc_chunks": base["segment_doc_chunks"],
+                # the merged index reproduces the sources' chunk edges
+                "chunk_bounds": (
+                    [int(x) for x in chunk_bounds]
+                    if chunk_bounds is not None
+                    else None
+                ),
                 "num_term_buckets": base.get("num_term_buckets"),
                 "codec": base["codec"],
                 "engine_version": ENGINE_VERSION,

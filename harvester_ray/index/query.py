@@ -328,11 +328,12 @@ class InvertedIndex:
         )
         self.scorer = scorer
         self.shard = shard
-        self._shard_shift = None
+        self._chunk_bounds = None
         if shard is not None:
             c, S = shard
             if S < 1 or (S & (S - 1)) or not (0 <= c < S):
                 raise ValueError(f"shard must be (c, power-of-two S): {shard}")
+            bounds_seen = set()
             for s, p in zip(stats_list, self._src_paths):
                 if (
                     s.get("segment_strategy") != "bucket"
@@ -344,7 +345,26 @@ class InvertedIndex:
                         "with IndexConfig(segment_doc_chunks=S) to serve "
                         "doc-sharded"
                     )
-            self._shard_shift = np.uint64(64 - int(math.log2(S))) if S > 1 else None
+                bounds_seen.add(
+                    tuple(s["chunk_bounds"])
+                    if s.get("chunk_bounds")
+                    else None
+                )
+            if len(bounds_seen) > 1:
+                raise ValueError(
+                    "sources disagree on chunk_bounds; delta sources "
+                    "must be built with the base's persisted bounds "
+                    "(maintenance.add_docs passes them through)"
+                )
+            if S > 1:
+                from harvester_ray.index.build import legacy_chunk_bounds
+
+                b = bounds_seen.pop()
+                self._chunk_bounds = (
+                    np.asarray(b, dtype=np.int64)
+                    if b is not None
+                    else legacy_chunk_bounds(S)
+                )
         self.term_shard = term_shard
         if term_shard is not None:
             ts, T = term_shard
@@ -474,14 +494,11 @@ class InvertedIndex:
                 for p in self._src_paths
             ]
             self._slots = np.unique(np.concatenate(id_parts))
-            if shard is not None and self._shard_shift is not None:
-                from harvester_ray.index.build import _SIGN_FLIP
+            if shard is not None and self._chunk_bounds is not None:
+                from harvester_ray.index.build import chunk_of_ids
 
-                chunk_of = (
-                    (self._slots.view(np.uint64) ^ _SIGN_FLIP)
-                    >> self._shard_shift
-                )
-                self._slots = self._slots[chunk_of == np.uint64(shard[0])]
+                chunk_of = chunk_of_ids(self._slots, self._chunk_bounds)
+                self._slots = self._slots[chunk_of == shard[0]]
         except Exception:
             self._slots = None
         if preload:
