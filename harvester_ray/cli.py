@@ -319,11 +319,22 @@ def cmd_curate(args) -> int:
     chain = load_chain_config(args.chain) if args.chain else CURATE_CHAIN
     out = compose_chain(args.sf_dir, chain)
     out.write_parquet(args.out)
+    # row count from the WRITTEN files' metadata — out.count() would
+    # re-execute the whole lazy join chain a second time
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+        for f in os.listdir(args.out)
+        if f.endswith(".parquet")
+    )
     print(
         json.dumps(
             {
                 "out": args.out,
-                "rows": out.count(),
+                "rows": n_rows,
                 "chain": [
                     c if isinstance(c, str) else c.get("stage")
                     for c in chain

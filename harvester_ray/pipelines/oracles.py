@@ -4047,7 +4047,7 @@ def _hits_sql(fp: int | None = None) -> str:
         PR_EDGE_MULTS,
     )
 
-    HITS_FP = HITS_FP if fp is None else fp
+    fp = HITS_FP if fp is None else fp
     mults = ", ".join(
         f"(doc_id * {a} + {b}) % (SELECT n FROM nn)"
         for a, b in PR_EDGE_MULTS
@@ -4056,7 +4056,7 @@ def _hits_sql(fp: int | None = None) -> str:
         "nn AS (SELECT count(*) AS n FROM documents)",
         f"e AS (SELECT doc_id AS src, unnest([{mults}]) AS dst "
         "FROM documents)",
-        f"h0 AS (SELECT doc_id, {HITS_FP} // (SELECT n FROM nn) AS v "
+        f"h0 AS (SELECT doc_id, {fp} // (SELECT n FROM nn) AS v "
         "FROM documents)",
     ]
     for i in range(1, HITS_ITERS + 1):
@@ -4069,7 +4069,7 @@ def _hits_sql(fp: int | None = None) -> str:
         )
         ctes.append(
             f"a{i} AS (SELECT doc_id, "
-            f"c * {HITS_FP} // (SELECT sum(c) FROM a{i}r) AS v FROM a{i}r)"
+            f"c * {fp} // (SELECT sum(c) FROM a{i}r) AS v FROM a{i}r)"
         )
         ctes.append(
             f"h{i}r AS (SELECT e.src AS doc_id, sum(a{i}.v) AS c "
@@ -4077,7 +4077,7 @@ def _hits_sql(fp: int | None = None) -> str:
         )
         ctes.append(
             f"h{i} AS (SELECT doc_id, "
-            f"c * {HITS_FP} // (SELECT sum(c) FROM h{i}r) AS v FROM h{i}r)"
+            f"c * {fp} // (SELECT sum(c) FROM h{i}r) AS v FROM h{i}r)"
         )
     return (
         "WITH " + ",\n".join(ctes)

@@ -663,8 +663,8 @@ def ingest_delta_counts(
             Sum("changed", alias_name="changed"),
             Sum("deleted", alias_name="deleted"),
         )
-    )
-    return {k: int(agg[k] or 0) for k in ("added", "changed", "deleted")}
+    ) or {}  # Dataset.aggregate returns None when both sides are empty
+    return {k: int(agg.get(k) or 0) for k in ("added", "changed", "deleted")}
 
 
 def check_ingest_counts(

@@ -552,11 +552,22 @@ def _hits_fp(n_docs: int) -> int:
     """Domain-derived L1 scale: the smallest power-of-10 multiple of
     HITS_FP that exceeds the doc count, so the uniform seed FP // n is
     nonzero for ANY corpus size (gate corpora derive HITS_FP itself,
-    keeping the static DuckDB oracle green; a 10^12-doc corpus derives
-    a wider scale instead of raising)."""
+    keeping the static DuckDB oracle green).
+
+    The rescaling step c * fp // total must stay int64: raw counts c
+    are bounded by the conserved L1 mass (≈ fp), so the product is
+    bounded by ~fp² — past that the iteration would WRAP silently
+    (wrong scores), so fail loudly instead, mirroring
+    _kmeans_domain_guard's convention."""
     fp = HITS_FP
     while fp // max(n_docs, 1) <= 0:
         fp *= 10
+    if fp * (2 * fp) >= 2**63:
+        raise NotImplementedError(
+            f"derived HITS L1 scale {fp} (doc count {n_docs}) would "
+            "overflow the int64 rescaling product c * fp; switch the "
+            "rank columns to a wider integer type"
+        )
     return fp
 
 

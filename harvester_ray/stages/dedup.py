@@ -1343,10 +1343,10 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     _CC_BROADCAST_BYTES use a ray.put lookup array; larger graphs run
     the Dataset.join relabel path (cluster_labels), which keeps labels
     distributed for the whole iteration."""
-    edges = (
-        ngram_jaccard_exact(sf_dir, threshold)
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()  # re-scanned every propagation round
+    # no materialize: consumed once by _symmetrize_edges, which
+    # materializes the symmetric table the propagation rounds re-scan
+    edges = ngram_jaccard_exact(sf_dir, threshold).select_columns(
+        ["doc_a", "doc_b"]
     )
     return cluster_labels(edges)
 
@@ -1409,10 +1409,11 @@ def dedup_keep(
     if force_join:
         # end-to-end distributed sweep: join-path CC labels -> filter
         # non-canonical members -> hash anti-join; zero driver collects
-        edges = (
-            ngram_jaccard_exact(sf_dir, threshold)
-            .select_columns(["doc_a", "doc_b"])
-            .materialize()  # re-scanned every propagation round
+        # no materialize: the edge Dataset is consumed exactly once
+        # (_symmetrize_edges materializes the symmetric table that the
+        # propagation rounds actually re-scan)
+        edges = ngram_jaccard_exact(sf_dir, threshold).select_columns(
+            ["doc_a", "doc_b"]
         )
         labels = cluster_labels_ds(edges, force_join=True)
 

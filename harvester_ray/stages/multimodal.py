@@ -196,7 +196,13 @@ def png_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     """Baseline PNG reader (stdlib only): returns (width, height,
     uint8 pixels of shape (h, w, channels)). Supports the subset
     png_encode writes — 8-bit grey / RGB, non-interlaced — with full
-    scanline unfiltering; anything else raises ValueError."""
+    scanline unfiltering; anything else raises ValueError.
+
+    None/Up/Sub rows unfilter vectorized; Average/Paeth rows are
+    inherently sequential in x and run a per-pixel Python loop — fine
+    for gate-scale synthetic images, a real high-volume PNG workload
+    should run under PIL (RealDecoder), which default_decoder()
+    prefers whenever importable."""
     import struct
     import zlib as _zlib
 
@@ -248,15 +254,19 @@ def png_decode(data: bytes) -> tuple[int, int, np.ndarray]:
             cur = line
         elif ft == 2:  # Up
             cur = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+        elif ft == 1:  # Sub: per-channel mod-256 prefix sum, vectorized
+            cur = np.empty(stride, dtype=np.uint8)
+            for off in range(bpp):
+                cur[off::bpp] = np.cumsum(
+                    line[off::bpp], dtype=np.uint64
+                ).astype(np.uint8)
+        elif ft in (3, 4):  # Average / Paeth: inherently sequential in x
             cur = np.zeros(stride, dtype=np.uint8)
             for x in range(stride):
                 a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 c = int(prev[x - bpp]) if x >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) // 2
                 else:
                     p = a + b - c

@@ -903,9 +903,9 @@ def embedding_gram(sf_dir: str) -> "ray.data.Dataset":
         ray.data.read_parquet(path, columns=["embedding"])
         .map_batches(probe, batch_format="pyarrow")
         .aggregate(Sum("n", alias_name="n"), Max("mx", alias_name="mx"))
-    )
-    n_rows = int(stats["n"] or 0)
-    max_abs = float(stats["mx"] or 0.0)
+    ) or {}  # Dataset.aggregate returns None on an empty table
+    n_rows = int(stats.get("n") or 0)
+    max_abs = float(stats.get("mx") or 0.0)
     fp_scale = _derive_gram_fp(n_rows, max_abs)
     bound = int(np.floor(max_abs * fp_scale)) + 1
     iu: tuple = ()

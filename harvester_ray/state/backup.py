@@ -141,8 +141,13 @@ def backup_index(index_dir: str, backups_root: str) -> str:
     os.makedirs(backups_root, exist_ok=True)
     # unique staging dir: two concurrent backup_index calls for the
     # same fingerprint each stage privately; the loser of the final
-    # rename discards its staging and returns the winner's snapshot
+    # rename discards its staging and returns the winner's snapshot.
+    # mkdtemp creates 0700 and rename preserves it — restore the
+    # umask-honoring mode the final snapshot dir should carry.
     tmp = tempfile.mkdtemp(prefix=f"snap-{fp}.tmp-", dir=backups_root)
+    umask = os.umask(0)
+    os.umask(umask)
+    os.chmod(tmp, 0o777 & ~umask)
 
     items = []
     linked = 0

@@ -544,3 +544,23 @@ def test_gram_and_centroid_partials_handle_empty_batches(
             .reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+def test_embedding_gram_empty_table(tmp_path, ray_session):
+    """Zero-row embeddings: the probe aggregate returns None — the
+    derived scale must default cleanly and the result be empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.similarity import embedding_gram
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    assert embedding_gram(str(tmp_path)).count() == 0

@@ -305,3 +305,22 @@ def test_recrawl_ingest_counts_report(ray_session):
     assert t.loc["deleted", "count"] == 0
     assert t.loc["changed", "count"] == (200 + RECRAWL_EVERY - 1) // RECRAWL_EVERY
     assert (t["ok"] == 1).all()
+
+
+def test_ingest_delta_counts_empty_both_sides(ray_session):
+    """Both sides empty -> all-zero counts (Dataset.aggregate returns
+    None on an empty dataset; round-5 review finding)."""
+    import ray.data
+
+    from harvester_ray.pipelines.pages import ingest_delta_counts
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "html": pa.array([], pa.binary()),
+            }
+        )
+    )
+    counts = ingest_delta_counts(empty, empty)
+    assert counts == {"added": 0, "changed": 0, "deleted": 0}

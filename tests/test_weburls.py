@@ -434,3 +434,15 @@ def test_hits_wide_doc_count_autoscales(monkeypatch, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hits_fp_overflow_guard():
+    """The derived L1 scale must refuse loudly past the int64 product
+    bound instead of wrapping silently (round-5 review finding)."""
+    import pytest
+
+    from harvester_ray.pipelines.weburls import _hits_fp
+
+    assert _hits_fp(500) == 1_000_000
+    with pytest.raises(NotImplementedError):
+        _hits_fp(10**10)
