@@ -244,13 +244,20 @@ def bm25_score(
     return bm25_idf(df, n_docs) * bm25_norm(tf, doc_len, avgdl, k1, b)
 
 
-def make_salter(head_ref: "ray.ObjectRef | None", n_buckets: int):
+def make_salter(
+    head_ref: "ray.ObjectRef | None",
+    n_buckets: int,
+    bounds: "np.ndarray | None" = None,
+):
     """Returns a map_batches fn adding a ``salt`` column
     (salted_groupby strategy).
 
-    Head terms (term_id in the broadcast set) are salted by the top
-    log2(n_buckets) bits of sign-flipped doc_id → ordered disjoint
-    ranges; tail terms get salt 0. ``head_ref`` is a ray.put ObjectRef
+    Head terms (term_id in the broadcast set) are salted into ordered
+    disjoint doc_id ranges — ``bounds`` (data-derived quantile edges,
+    same contract as chunk_bounds) when given, else the legacy top
+    log2(n_buckets) bits of sign-flipped doc_id (which degenerate for
+    sequential ids: every doc salts identically and head terms don't
+    split); tail terms get salt 0. ``head_ref`` is a ray.put ObjectRef
     (broadcast once, fetched once per worker process).
     """
     shift = np.uint64(64 - int(math.log2(n_buckets)))
@@ -262,7 +269,12 @@ def make_salter(head_ref: "ray.ObjectRef | None", n_buckets: int):
             head_ids = _get_broadcast(head_ref)
             tid = batch["term_id"].to_numpy(zero_copy_only=False)
             did = batch["doc_id"].to_numpy(zero_copy_only=False)
-            bucket = ((did.view(np.uint64) ^ _SIGN_FLIP) >> shift).astype(np.int32)
+            if bounds is not None:
+                bucket = chunk_of_ids(did, bounds).astype(np.int32)
+            else:
+                bucket = (
+                    (did.view(np.uint64) ^ _SIGN_FLIP) >> shift
+                ).astype(np.int32)
             salt = np.where(np.isin(tid, head_ids), bucket, 0).astype(np.int32)
         return batch.append_column("salt", pa.array(salt, pa.int32()))
 
@@ -1071,8 +1083,19 @@ def build_index(
         head_ref = (
             ray.put(d["term_id"].to_numpy()[head_mask]) if head_mask.any() else None
         )
+        # data-derived salt ranges so head terms split for ANY id
+        # distribution (sequential ids degenerate under top-bit salt)
+        salt_bounds = (
+            np.asarray(
+                compute_chunk_bounds(paths.doc_table, cfg.salt_buckets),
+                dtype=np.int64,
+            )
+            if head_ref is not None
+            else None
+        )
         salted = ray.data.read_parquet(paths.postings).map_batches(
-            make_salter(head_ref, cfg.salt_buckets), batch_format="pyarrow"
+            make_salter(head_ref, cfg.salt_buckets, salt_bounds),
+            batch_format="pyarrow",
         )
         (
             salted.groupby(["term_id", "salt"])

@@ -309,3 +309,56 @@ def test_bucket_counts_produce_identical_indexes(tmp_path):
         assert i1.search(query, k=10, mode=mode) == i2.search(
             query, k=10, mode=mode
         )
+
+
+def test_salted_strategy_splits_head_terms_on_sequential_ids(
+    tmp_path, ray_session
+):
+    """Sequential doc_ids used to salt every head-term posting into
+    ONE sub-group (top-bit salt constant over 0..N): with data-derived
+    salt ranges the head term must split into multiple ordered groups,
+    and serving must stay rank-identical to the bucket strategy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from harvester_ray.config import IndexConfig
+    from harvester_ray.corpus import generate_zipf_docs
+    from harvester_ray.index.build import IndexPaths, build_index
+    from harvester_ray.index.query import InvertedIndex
+
+    n = 400
+    docs = generate_zipf_docs(n, vocab_size=50, mean_len=40, seed=9)
+    assert docs["doc_id"].to_pylist()[:2] == [0, 1]
+
+    out_s = str(tmp_path / "salted")
+    cfg = IndexConfig(
+        segment_strategy="salted_groupby",
+        salt_df_threshold=2,  # everything common is a head term
+        salt_buckets=4,
+    )
+    build_index(ray.data.from_arrow(docs), out_s, cfg, n_docs=n)
+    out_b = str(tmp_path / "bucket")
+    build_index(
+        ray.data.from_arrow(docs), out_b,
+        IndexConfig(num_term_buckets=4), n_docs=n,
+    )
+
+    import pyarrow.parquet as pq
+
+    seg = pq.read_table(
+        IndexPaths(out_s).segments, columns=["term", "salt"]
+    )
+    per_term_salts = {}
+    for t, s in zip(seg["term"].to_pylist(), seg["salt"].to_pylist()):
+        per_term_salts.setdefault(t, set()).add(s)
+    n_multi = sum(1 for v in per_term_salts.values() if len(v) > 1)
+    assert n_multi > 0, "no head term split into multiple salt groups"
+
+    a = InvertedIndex(out_s, preload=True)
+    b = InvertedIndex(out_b, preload=True)
+    for q in ("w0 w1", "w3 w7 w12"):
+        for mode in ("or", "and"):
+            assert a.search(q, k=10, mode=mode) == b.search(
+                q, k=10, mode=mode
+            )
