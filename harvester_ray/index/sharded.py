@@ -25,10 +25,17 @@ import ray
 from harvester_ray.index.query import InvertedIndex
 
 
-@ray.remote
+@ray.remote(max_restarts=3, max_task_retries=3)
 class ShardQueryActor:
     """One doc_id shard's query server: loads its 1/S of the index
-    once in __init__ (stateful-stage rule), serves search calls."""
+    once in __init__ (stateful-stage rule), serves search calls.
+
+    Fault tolerance: actor state is derived entirely from the
+    IMMUTABLE index files (constructor args are plain values), so a
+    crashed/preempted shard restarts and reloads safely; in-flight
+    calls retry transparently (max_restarts/max_task_retries) — on a
+    real cluster a lost node degrades to a reload, never a wrong or
+    partial result (Solr shards.tolerant=false semantics)."""
 
     def __init__(
         self, index_dir: str, shard_idx: int, n_shards: int,
@@ -315,7 +322,7 @@ def _rank_from_scored_postings(
     return InvertedIndex._topk(uniq, sums, k, after)
 
 
-@ray.remote
+@ray.remote(max_restarts=3, max_task_retries=3)
 class TermShardQueryActor:
     """One VOCABULARY shard's server: loads only the dictionary parts
     and segment files of its term buckets (bucket % T == s) once in

@@ -170,3 +170,24 @@ def test_facet_refined_counts_exact_when_truncated(sharded_setup, ray_session):
             assert cnt == truth[val], (val, cnt, truth[val])
     finally:
         tier.shutdown()
+
+
+def test_shard_actor_restart_preserves_results(sharded_setup, ray_session):
+    """Serving-tier fault tolerance: kill a shard actor mid-stream —
+    state is derived from immutable index files, so Ray restarts it,
+    the in-flight call retries, and results stay identical (a lost
+    node on a real cluster degrades to a reload, never a wrong or
+    partial result)."""
+    import ray
+
+    from harvester_ray.index.query import InvertedIndex
+    from harvester_ray.index.sharded import ShardedIndex
+
+    out = sharded_setup
+    tier = ShardedIndex(out, n_shards=N_SHARDS)
+    single = InvertedIndex(out, preload=True)
+    q = "w0 w1"
+    before = tier.search(q, k=10)
+    ray.kill(tier.actors[1], no_restart=False)
+    after = tier.search(q, k=10)
+    assert after == before == single.search(q, k=10)
