@@ -191,6 +191,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": sketches.hll_registers,
         "cms_registers": sketches.cms_registers,
         "hll_registers_by_group": sketches.hll_registers_by_group,
+        # mergeable equal-width histogram quantile sketch (the trio's
+        # quantile leg; deterministic, so fully DuckDB-oracled)
+        "histogram_quantiles": sketches.histogram_quantiles,
         "pack_sequences": chunking.pack_sequences,
         # dictionary-expansion queries (prefix / fuzzy / suggestion)
         "prefix_search": fulltext.prefix_search,
@@ -509,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": oracles.HLL_REGISTERS,
         "cms_registers": oracles.CMS_REGISTERS,
         "hll_registers_by_group": oracles.HLL_REGISTERS_BY_GROUP,
+        "histogram_quantiles": oracles.HISTOGRAM_QUANTILES,
         "multimodal_meta": oracles.MULTIMODAL_META,
         "frame_sample": oracles.FRAME_SAMPLE,
         "pack_sequences": oracles.PACK_SEQUENCES,

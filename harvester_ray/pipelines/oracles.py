@@ -3124,6 +3124,38 @@ HAVING count(*) >= ((SELECT n FROM tot) + {HH_D - 1}) // {HH_D}
 HEAVY_HITTERS = _heavy_hitters_sql()
 
 
+def _histogram_quantiles_sql() -> str:
+    """Twin of sketches.histogram_quantiles: the same two-pass
+    equal-width histogram sketch — r4 fixed point, floored divisions
+    on non-negative offsets, ceil rank targets — evaluated exactly."""
+    from harvester_ray.stages.sketches import HQ_CELLS, HQ_PERMILLE
+
+    qs = ", ".join(f"({q})" for q in HQ_PERMILLE)
+    return f"""
+WITH v AS (SELECT CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vfp
+           FROM events),
+mm AS (SELECT min(vfp) AS lo, max(vfp) AS hi, count(*)::BIGINT AS n
+       FROM v),
+w AS (SELECT lo, n, greatest(1, (hi - lo) // {HQ_CELLS} + 1) AS wd
+      FROM mm),
+h AS (SELECT (vfp - (SELECT lo FROM w)) // (SELECT wd FROM w) AS cell,
+             count(*)::BIGINT AS c
+      FROM v GROUP BY 1),
+t AS (SELECT cell, sum(c) OVER (ORDER BY cell) AS cum FROM h),
+qs(q_permille) AS (VALUES {qs})
+SELECT CAST(q_permille AS BIGINT) AS q_permille,
+       CAST((SELECT (SELECT lo FROM w)
+                    + (min(cell) + 1) * (SELECT wd FROM w) - 1
+             FROM t
+             WHERE cum >= (q_permille * (SELECT n FROM w) + 999) // 1000)
+            AS BIGINT) AS value_r4_edge
+FROM qs
+"""
+
+
+HISTOGRAM_QUANTILES = _histogram_quantiles_sql()
+
+
 def _hll_registers_sql() -> str:
     """The SAME double-quadratic Mersenne-modular hash + bucket/rank
     arithmetic as stages/sketches._hll_parts, term for term (user_id

@@ -385,3 +385,79 @@ def cms_estimate(registers: "pa.Table | object", key: int) -> int:
     return min(
         regs.get((r, int(_cms_bucket(x, r)[0])), 0) for r in range(CMS_D)
     )
+
+
+# --- mergeable histogram quantile sketch ------------------------------------
+# Completes the classic sketch trio (cardinality = HLL, frequency =
+# CMS, quantiles = this): a FIXED-SIZE equal-width histogram over the
+# observed value domain. Unlike KLL/t-digest it is fully deterministic
+# and order-independent (cell counts are commutative sums), so the
+# whole sketch — probe, cells, rank cuts — has an exact DuckDB twin
+# and sits under the value-hash gate. Rank error is bounded by the
+# largest cell's mass (<= n for pathological single-cell domains,
+# ~n/2^16 for spread ones); the merged sketch of two corpora is the
+# elementwise sum of their cell counts.
+HQ_CELLS = 1 << 16
+HQ_PERMILLE = (10, 100, 250, 500, 750, 900, 990)
+
+
+def histogram_quantiles(sf_dir: str) -> pa.Table:
+    """(q_permille, value_r4_edge): approximate quantiles of
+    events.value at r4 fixed point — the inclusive upper edge of the
+    first histogram cell whose cumulative count reaches
+    ceil(q * n / 1000). Two streaming passes: a (min, max, n) probe
+    and a (cell)-keyed count fold; at most HQ_CELLS rows ever reach
+    the driver. Integer-exact end to end (floored divisions on
+    non-negative offsets), so the DuckDB twin matches bit for bit."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def to_fp(t: pa.Table) -> pa.Table:
+        v = t["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vfp = np.floor(v * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"vfp": pa.array(vfp, pa.int64())})
+
+    fp_ds = ray.data.read_parquet(path, columns=["value"]).map_batches(
+        to_fp, batch_format="pyarrow"
+    )
+    mm = fp_ds.aggregate(
+        Min("vfp", alias_name="lo"), Max("vfp", alias_name="hi")
+    ) or {}
+    lo, hi = int(mm.get("lo") or 0), int(mm.get("hi") or 0)
+    width = max(1, (hi - lo) // HQ_CELLS + 1)
+
+    def cells(t: pa.Table) -> pa.Table:
+        vfp = t["vfp"].to_numpy(zero_copy_only=False)
+        c = (vfp - lo) // width  # offsets are non-negative: exact
+        uc, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(uc, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        fp_ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: int(r["cell"]))
+    cell_ids = [int(r["cell"]) for r in rows]
+    cum = np.cumsum([int(r["cnt"]) for r in rows]).astype(np.int64)
+    n = int(cum[-1]) if len(cum) else 0
+    edges = []
+    for q in HQ_PERMILLE:
+        target = -(-q * n // 1000)  # ceil
+        i = int(np.searchsorted(cum, target, side="left"))
+        i = min(i, max(len(cell_ids) - 1, 0))
+        edge = lo + (cell_ids[i] + 1) * width - 1 if cell_ids else 0
+        edges.append(int(edge))
+    return pa.table(
+        {
+            "q_permille": pa.array(list(HQ_PERMILLE), pa.int64()),
+            "value_r4_edge": pa.array(edges, pa.int64()),
+        }
+    )

@@ -143,3 +143,49 @@ def test_cms_registers_merge_invariant(ray_session):
         rng_keys[4000:]
     )
     assert (whole == split).all()
+
+
+def test_histogram_quantiles_rank_error_and_merge(ray_session):
+    """The histogram quantile sketch: every reported edge's true rank
+    must be within one cell's mass of its target, and the sketch must
+    be mergeable (cell counts of A ∪ B = elementwise sums)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from harvester_ray.stages.sketches import (
+        HQ_CELLS,
+        HQ_PERMILLE,
+        histogram_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = histogram_quantiles(sf)
+    got = dict(
+        zip(t["q_permille"].to_pylist(), t["value_r4_edge"].to_pylist())
+    )
+    v = pq.read_table(sf + "/events.parquet", columns=["value"])[
+        "value"
+    ].to_numpy(zero_copy_only=False)
+    vfp = np.sort(np.floor(v * 10000.0 + 0.5).astype(np.int64))
+    n = len(vfp)
+    lo, hi = int(vfp[0]), int(vfp[-1])
+    width = max(1, (hi - lo) // HQ_CELLS + 1)
+    for q in HQ_PERMILLE:
+        target = -(-q * n // 1000)
+        edge = got[q]
+        # rank of the edge must reach the target, and overshoot by at
+        # most the mass of the edge's own cell
+        rank = int(np.searchsorted(vfp, edge, side="right"))
+        assert rank >= target, (q, rank, target)
+        cell_lo = edge - width + 1
+        cell_mass = rank - int(np.searchsorted(vfp, cell_lo, side="left"))
+        assert rank - cell_mass < target, (q, rank, cell_mass, target)
+        # the edge itself is a cell boundary of the shared grid
+        assert (edge - lo + 1) % width == 0
+
+    # mergeability: histogram of the union == summed histograms
+    h_all = np.bincount((vfp - lo) // width, minlength=HQ_CELLS)
+    a, b = vfp[::2], vfp[1::2]
+    h_a = np.bincount((a - lo) // width, minlength=HQ_CELLS)
+    h_b = np.bincount((b - lo) // width, minlength=HQ_CELLS)
+    assert (h_all == h_a + h_b).all()
