@@ -24,6 +24,9 @@ Subcommands:
     snapshots     list snapshots under a backups root
     restore       restore a snapshot (or the latest) into a fresh dir
     verify-backup fsck a snapshot (content hashes; exit 1 on damage)
+    prune-backups retention sweep: keep only the newest N snapshots
+                  (the reference's post-ingest cleanup step,
+                  run_ingest.py:151 dashboard_cleanup)
     curate        run a config-listed named-stage curation chain
                   (the reference's per-collection enrichment list,
                   collection_registry_client.py:123-140)
@@ -228,7 +231,18 @@ def cmd_query_batch(args) -> int:
         concurrency=args.concurrency,
     )
     out.write_parquet(args.out)
-    print(json.dumps({"results": args.out, "rows": out.count()}))
+    # row count from the WRITTEN files — out.count() would re-run the
+    # whole actor-pool evaluation a second time
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+        for f in os.listdir(args.out)
+        if f.endswith(".parquet")
+    )
+    print(json.dumps({"results": args.out, "rows": n_rows}))
     _maybe_shutdown(ray)
     return 0
 
@@ -306,6 +320,14 @@ def cmd_verify_backup(args) -> int:
     print(json.dumps(report))
     _maybe_shutdown(ray)
     return 0 if report["ok"] else 1
+
+
+def cmd_prune_backups(args) -> int:
+    from harvester_ray.state.backup import prune_snapshots
+
+    removed = prune_snapshots(args.backups, args.keep)
+    print(json.dumps({"removed": removed, "kept_last": args.keep}))
+    return 0
 
 
 def cmd_curate(args) -> int:
@@ -455,6 +477,14 @@ def main(argv: list[str] | None = None) -> int:
     vb.add_argument("--shallow", action="store_true",
                     help="metadata-only walk (skip content re-hash)")
     vb.set_defaults(fn=cmd_verify_backup)
+
+    pb = sub.add_parser(
+        "prune-backups",
+        help="retention sweep: keep only the newest N snapshots",
+    )
+    pb.add_argument("--backups", required=True)
+    pb.add_argument("--keep", type=int, required=True)
+    pb.set_defaults(fn=cmd_prune_backups)
 
     c = sub.add_parser(
         "curate",

@@ -279,3 +279,35 @@ def restore_index(snap_dir: str, dest: str) -> str:
     ray.get(refs)
     os.rename(tmp, dest)
     return dest
+
+
+def prune_snapshots(backups_root: str, keep_last: int) -> list[str]:
+    """Retention sweep: delete all but the newest ``keep_last``
+    snapshots (by manifest ``taken_at``); returns the removed paths.
+    The reference runs the same post-ingest cleanup step
+    (harvester/run_ingest.py:151 dashboard_cleanup; cleanup_dir.py).
+
+    Safe under hardlink-incremental snapshots: hardlinked files share
+    inodes, so deleting an OLD snapshot never damages a newer one —
+    the shared blocks stay referenced by the survivors. Also sweeps
+    abandoned ``.tmp-`` staging dirs (crashed backups)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if not os.path.isdir(backups_root):
+        return []
+    snaps = []
+    for d in os.listdir(backups_root):
+        p = os.path.join(backups_root, d)
+        if d.startswith("snap-") and ".tmp-" in d:
+            shutil.rmtree(p, ignore_errors=True)  # crashed staging
+            continue
+        mp = os.path.join(p, BACKUP_MANIFEST)
+        if d.startswith("snap-") and os.path.isfile(mp):
+            with open(mp) as f:
+                snaps.append((float(json.load(f)["taken_at"]), p))
+    snaps.sort()
+    removed = []
+    for _ts, p in snaps[: max(0, len(snaps) - keep_last)]:
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed

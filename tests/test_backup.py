@@ -138,3 +138,34 @@ def test_no_tmp_staging_left_behind(tmp_path, ray_session):
     leftovers = [d for d in os.listdir(snaps) if ".tmp-" in d]
     assert leftovers == []
     assert _latest_snapshot(snaps) == snap
+
+
+def test_prune_snapshots_retention(tmp_path, ray_session):
+    """Keep-last-N retention: oldest snapshots and crashed staging
+    dirs go; survivors (which hardlink into the pruned ones) still
+    deep-fsck green and restore rank-identically."""
+    from harvester_ray.state.backup import prune_snapshots
+
+    paths = _fresh_index(tmp_path)
+    snaps = str(tmp_path / "backups")
+    s1 = backup_index(paths.root, snaps)
+    top = InvertedIndex(paths.root, preload=True).search("scan", k=2)
+    delete_docs(paths.root, [top[0][0]])
+    s2 = backup_index(paths.root, snaps)
+    delete_docs(paths.root, [top[1][0]])
+    s3 = backup_index(paths.root, snaps)
+    os.makedirs(os.path.join(snaps, "snap-dead.tmp-xyz"))
+
+    removed = prune_snapshots(snaps, keep_last=2)
+    assert removed == [s1]
+    left = sorted(
+        d for d in os.listdir(snaps) if d.startswith("snap-")
+    )
+    assert left == sorted(
+        [os.path.basename(s2), os.path.basename(s3)]
+    )
+    # survivors hardlinked into s1 still verify and restore
+    assert verify_backup(s2)["ok"] and verify_backup(s3)["ok"]
+    dest = str(tmp_path / "restored")
+    restore_index(s3, dest)
+    assert InvertedIndex(dest, preload=True).search("scan", k=2)

@@ -209,3 +209,14 @@ def test_chain_equals_hand_composed(ray_session):
     )
     assert len(got) > 0
     assert got.equals(want)
+
+
+def test_prune_backups_cli(built_index, tmp_path, capsys, ray_session):
+    backups = str(tmp_path / "backups")
+    cli.main(["snapshot", "--index", built_index, "--backups", backups])
+    _lines(capsys)
+    assert cli.main(
+        ["prune-backups", "--backups", backups, "--keep", "1"]
+    ) == 0
+    info = _lines(capsys)[-1]
+    assert info["removed"] == [] and info["kept_last"] == 1
