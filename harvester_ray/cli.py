@@ -80,6 +80,22 @@ def _cfg(args) -> "IndexConfig":
     return IndexConfig(**kw)
 
 
+def _rows_written(out_dir: str, pre_existing: "set[str]") -> int:
+    """Row count of THIS run's output: parquet metadata of files that
+    were not in ``out_dir`` before the write (Ray's write_parquet
+    appends uniquely-named files into an existing dir, so a plain
+    directory sum would count a previous run's files too)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and f not in pre_existing
+    )
+
+
 def cmd_build(args) -> int:
     ray = _ray_session()
     import ray.data
@@ -230,19 +246,17 @@ def cmd_query_batch(args) -> int:
         batch_format="pyarrow",
         concurrency=args.concurrency,
     )
-    out.write_parquet(args.out)
-    # row count from the WRITTEN files — out.count() would re-run the
-    # whole actor-pool evaluation a second time
     import os
 
-    import pyarrow.parquet as pq
-
-    n_rows = sum(
-        pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
-        for f in os.listdir(args.out)
-        if f.endswith(".parquet")
+    pre = set(os.listdir(args.out)) if os.path.isdir(args.out) else set()
+    out.write_parquet(args.out)
+    # this run's written files only — out.count() would re-run the
+    # whole actor-pool evaluation a second time
+    print(
+        json.dumps(
+            {"results": args.out, "rows": _rows_written(args.out, pre)}
+        )
     )
-    print(json.dumps({"results": args.out, "rows": n_rows}))
     _maybe_shutdown(ray)
     return 0
 
@@ -338,25 +352,19 @@ def cmd_curate(args) -> int:
         load_chain_config,
     )
 
-    chain = load_chain_config(args.chain) if args.chain else CURATE_CHAIN
-    out = compose_chain(args.sf_dir, chain)
-    out.write_parquet(args.out)
-    # row count from the WRITTEN files' metadata — out.count() would
-    # re-execute the whole lazy join chain a second time
     import os
 
-    import pyarrow.parquet as pq
-
-    n_rows = sum(
-        pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
-        for f in os.listdir(args.out)
-        if f.endswith(".parquet")
-    )
+    chain = load_chain_config(args.chain) if args.chain else CURATE_CHAIN
+    out = compose_chain(args.sf_dir, chain)
+    pre = set(os.listdir(args.out)) if os.path.isdir(args.out) else set()
+    out.write_parquet(args.out)
+    # this run's written files only — out.count() would re-execute the
+    # whole lazy join chain a second time
     print(
         json.dumps(
             {
                 "out": args.out,
-                "rows": n_rows,
+                "rows": _rows_written(args.out, pre),
                 "chain": [
                     c if isinstance(c, str) else c.get("stage")
                     for c in chain

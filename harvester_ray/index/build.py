@@ -885,8 +885,12 @@ def build_index(
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     # doc-chunk boundaries: caller-supplied (delta sources align to
-    # their base) or derived from this corpus's actual doc_ids
+    # their base) or derived from this corpus's actual doc_ids. Only
+    # the bucket strategy consumes them (chunked segment files +
+    # sharded serving); other strategies skip the derivation scan.
     n_chunks_cfg = max(1, cfg.segment_doc_chunks)
+    if n_chunks_cfg > 1 and not bucketed:
+        n_chunks_cfg = 1
     if n_chunks_cfg > 1:
         bounds_arr = np.asarray(
             chunk_bounds

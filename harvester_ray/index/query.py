@@ -333,6 +333,17 @@ class InvertedIndex:
             c, S = shard
             if S < 1 or (S & (S - 1)) or not (0 <= c < S):
                 raise ValueError(f"shard must be (c, power-of-two S): {shard}")
+            from harvester_ray.index.build import legacy_chunk_bounds
+
+            # absent bounds (pre-round-5 sources) NORMALIZE to the
+            # legacy top-bit edges before comparison — a legacy base
+            # plus a delta that add_docs aligned to those same edges
+            # must load, not spuriously "disagree"
+            legacy = (
+                tuple(int(x) for x in legacy_chunk_bounds(S))
+                if S > 1
+                else None
+            )
             bounds_seen = set()
             for s, p in zip(stats_list, self._src_paths):
                 if (
@@ -345,10 +356,9 @@ class InvertedIndex:
                         "with IndexConfig(segment_doc_chunks=S) to serve "
                         "doc-sharded"
                     )
+                b = s.get("chunk_bounds")
                 bounds_seen.add(
-                    tuple(s["chunk_bounds"])
-                    if s.get("chunk_bounds")
-                    else None
+                    tuple(int(x) for x in b) if b else legacy
                 )
             if len(bounds_seen) > 1:
                 raise ValueError(
@@ -357,13 +367,8 @@ class InvertedIndex:
                     "(maintenance.add_docs passes them through)"
                 )
             if S > 1:
-                from harvester_ray.index.build import legacy_chunk_bounds
-
-                b = bounds_seen.pop()
-                self._chunk_bounds = (
-                    np.asarray(b, dtype=np.int64)
-                    if b is not None
-                    else legacy_chunk_bounds(S)
+                self._chunk_bounds = np.asarray(
+                    bounds_seen.pop(), dtype=np.int64
                 )
         self.term_shard = term_shard
         if term_shard is not None:

@@ -142,12 +142,12 @@ def backup_index(index_dir: str, backups_root: str) -> str:
     # unique staging dir: two concurrent backup_index calls for the
     # same fingerprint each stage privately; the loser of the final
     # rename discards its staging and returns the winner's snapshot.
-    # mkdtemp creates 0700 and rename preserves it — restore the
-    # umask-honoring mode the final snapshot dir should carry.
+    # mkdtemp creates 0700 and rename preserves it — give the final
+    # snapshot dir the index root's own mode instead (no os.umask
+    # round-trip: flipping the process-global umask is unsafe under
+    # the multithreaded Ray driver).
     tmp = tempfile.mkdtemp(prefix=f"snap-{fp}.tmp-", dir=backups_root)
-    umask = os.umask(0)
-    os.umask(umask)
-    os.chmod(tmp, 0o777 & ~umask)
+    os.chmod(tmp, os.stat(index_dir).st_mode & 0o7777)
 
     items = []
     linked = 0
@@ -281,7 +281,11 @@ def restore_index(snap_dir: str, dest: str) -> str:
     return dest
 
 
-def prune_snapshots(backups_root: str, keep_last: int) -> list[str]:
+def prune_snapshots(
+    backups_root: str,
+    keep_last: int,
+    stale_tmp_age_s: float = 24 * 3600.0,
+) -> list[str]:
     """Retention sweep: delete all but the newest ``keep_last``
     snapshots (by manifest ``taken_at``); returns the removed paths.
     The reference runs the same post-ingest cleanup step
@@ -289,17 +293,25 @@ def prune_snapshots(backups_root: str, keep_last: int) -> list[str]:
 
     Safe under hardlink-incremental snapshots: hardlinked files share
     inodes, so deleting an OLD snapshot never damages a newer one —
-    the shared blocks stay referenced by the survivors. Also sweeps
-    abandoned ``.tmp-`` staging dirs (crashed backups)."""
+    the shared blocks stay referenced by the survivors. ``.tmp-``
+    staging dirs are swept only past ``stale_tmp_age_s`` (by mtime):
+    a CONCURRENT backup_index may legitimately be mid-copy in a fresh
+    staging dir, and pruning it would destroy that backup."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     if not os.path.isdir(backups_root):
         return []
     snaps = []
+    now = time.time()
     for d in os.listdir(backups_root):
         p = os.path.join(backups_root, d)
         if d.startswith("snap-") and ".tmp-" in d:
-            shutil.rmtree(p, ignore_errors=True)  # crashed staging
+            try:
+                age = now - os.stat(p).st_mtime
+            except OSError:
+                continue  # racer finished (renamed) or cleaned up
+            if age > stale_tmp_age_s:  # crashed staging, not in-flight
+                shutil.rmtree(p, ignore_errors=True)
             continue
         mp = os.path.join(p, BACKUP_MANIFEST)
         if d.startswith("snap-") and os.path.isfile(mp):

@@ -154,12 +154,23 @@ def test_prune_snapshots_retention(tmp_path, ray_session):
     s2 = backup_index(paths.root, snaps)
     delete_docs(paths.root, [top[1][0]])
     s3 = backup_index(paths.root, snaps)
-    os.makedirs(os.path.join(snaps, "snap-dead.tmp-xyz"))
+    # one CRASHED staging dir (old mtime) and one LIVE one (fresh):
+    # the sweep must remove only the stale dir — a fresh .tmp- may be
+    # a concurrent backup mid-copy
+    dead = os.path.join(snaps, "snap-dead.tmp-xyz")
+    live = os.path.join(snaps, "snap-live.tmp-abc")
+    os.makedirs(dead)
+    os.makedirs(live)
+    os.utime(dead, (1, 1))  # ancient
 
     removed = prune_snapshots(snaps, keep_last=2)
     assert removed == [s1]
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
     left = sorted(
-        d for d in os.listdir(snaps) if d.startswith("snap-")
+        d
+        for d in os.listdir(snaps)
+        if d.startswith("snap-") and ".tmp-" not in d
     )
     assert left == sorted(
         [os.path.basename(s2), os.path.basename(s3)]

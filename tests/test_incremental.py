@@ -266,3 +266,61 @@ def test_merge_sources_multi_chunk_sharded(tmp_path, ray_session):
             ), (q, mode)
     finally:
         tier.shutdown()
+
+
+def test_legacy_base_plus_delta_serves_sharded(tmp_path, ray_session):
+    """Upgrade path (round-5 review finding): a pre-round-5 chunked
+    base (stats WITHOUT chunk_bounds) plus a delta that add_docs
+    aligned to the legacy edges must load doc-sharded — absent bounds
+    normalize to the legacy top-bit edges instead of 'disagreeing'."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from harvester_ray.config import IndexConfig
+    from harvester_ray.corpus import generate_zipf_docs
+    from harvester_ray.index.build import IndexPaths, build_index
+    from harvester_ray.index.maintenance import add_docs
+    from harvester_ray.index.query import InvertedIndex
+
+    S = 4
+    rng = np.random.default_rng(3)
+
+    def scatter(docs, seed_off):
+        ids = (
+            rng.choice(2**62, size=len(docs), replace=False).astype(
+                np.int64
+            )
+            - 2**61
+        )
+        return docs.set_column(0, "doc_id", pa.array(ids, pa.int64()))
+
+    base_docs = scatter(
+        generate_zipf_docs(300, vocab_size=200, mean_len=40, seed=1), 0
+    )
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(segment_doc_chunks=S)
+    build_index(ray.data.from_arrow(base_docs), out, cfg, n_docs=300)
+
+    # simulate a pre-round-5 base: strip the persisted bounds. The
+    # base's chunk FILES were written with data-derived bounds, so
+    # also rebuild them under the legacy edges by... simpler: strip
+    # bounds only (legacy indexes' files WERE written under legacy
+    # edges; here we only exercise the stats-normalization path, so
+    # the file/bounds consistency is not under test).
+    sp = IndexPaths(out).stats
+    st = json.load(open(sp))
+    st["chunk_bounds"] = None
+    json.dump(st, open(sp, "w"))
+
+    delta_docs = scatter(
+        generate_zipf_docs(100, vocab_size=200, mean_len=40, seed=2), 1
+    )
+    add_docs(out, ray.data.from_arrow(delta_docs), cfg)
+
+    # loads without the spurious "sources disagree" error
+    for c in range(S):
+        idx = InvertedIndex(out, preload=True, shard=(c, S))
+        assert idx._chunk_bounds is not None
